@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.lexer.Lexer
+import graft.parser.{Parser, Statement}
+import graft.planner.Planner
+import graft.schema.Schema
+import graft.semantic.Semantic
+
+/** Public compiler API (reference: src/Ifrit/Core.purs:30-37): the same
+  * 5-stage pipeline — schema decode, tokenize, parse, semantic analysis,
+  * "codegen" — where the final stage plans DataFrame transformations for
+  * Catalyst instead of emitting a MongoDB aggregation pipeline.
+  */
+object Compiler {
+
+  /** A compiled query: the AST, the inferred output schema, and the plan as
+    * a DataFrame transformation.
+    */
+  final case class Compiled(
+      statement: Statement,
+      outputSchema: Schema,
+      run: DataFrame => DataFrame,
+  )
+
+  /** Compile against a decoded schema. */
+  def compile(schema: Schema, query: String): Either[String, Compiled] =
+    for {
+      tokens <- Lexer.tokenize(query)
+      ast <- Parser.statement(tokens).map(_._1)
+      out <- Semantic.analyze(schema, ast)
+      fn <- Planner.plan(ast)
+    } yield Compiled(ast, out, fn)
+
+  /** Compile against a JSON schema string — the reference's primary entry
+    * point shape (reference: dist/index.js:23-30).
+    */
+  def compileJson(schemaJson: String, query: String): Either[String, Compiled] =
+    Schema.fromString(schemaJson).flatMap(compile(_, query))
+
+  /** Compile against a DataFrame's own schema and run immediately. Numeric
+    * physical types all present as the dialect's single Number type; fields
+    * with no dialect equivalent are unreachable (closed world).
+    */
+  def query(df: DataFrame, sql: String): Either[String, DataFrame] =
+    compile(Schema.fromStructType(df.schema), sql).map(_.run(df))
+
+  /** Like `query` but throwing — convenient at call sites that treat a
+    * compile error as fatal (tests, harness entries).
+    */
+  def queryOrThrow(df: DataFrame, sql: String): DataFrame =
+    query(df, sql).fold(err => throw new IllegalArgumentException(err), identity)
+}

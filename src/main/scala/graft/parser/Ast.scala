@@ -1,0 +1,114 @@
+package graft.parser
+
+import graft.lexer.Lexer.{Binary, Funktion}
+
+/** AST for the query dialect (reference: src/Ifrit/Parser.purs:52-121).
+  *
+  * GROUP BY presence flips the statement constructor: a plain SELECT is a
+  * `Select` of projections; SELECT + GROUP BY is a `Group` of aggregations
+  * (reference: src/Ifrit/Parser.purs:146-164).
+  */
+sealed trait Statement
+object Statement {
+  final case class Select(
+      projections: List[Selector],
+      from: Option[Statement],
+      where: Option[Condition],
+      orders: List[Order],
+      limit: Option[Int],
+      offset: Option[Int],
+  ) extends Statement
+
+  final case class Group(
+      index: Index,
+      aggregations: List[Selector],
+      from: Option[Statement],
+      where: Option[Condition],
+      orders: List[Order],
+      limit: Option[Int],
+      offset: Option[Int],
+  ) extends Statement
+}
+
+sealed trait Selector
+object Selector {
+  final case class Field(name: String, alias: Option[String]) extends Selector
+  final case class Fn(fn: Funktion, arg: String, alias: Option[String]) extends Selector
+}
+
+/** Boolean grammar is strictly binary at each precedence level — `a AND b
+  * AND c` does not parse unless parenthesized (reference:
+  * src/Ifrit/Parser.purs:74-90, 266-291).
+  */
+sealed trait Condition
+object Condition {
+  final case class Term(term: graft.parser.Term) extends Condition
+  final case class Or(left: graft.parser.Term, right: graft.parser.Term) extends Condition
+}
+
+sealed trait Term
+object Term {
+  final case class Fact(factor: Factor) extends Term
+  final case class And(left: Factor, right: Factor) extends Term
+}
+
+sealed trait Factor
+object Factor {
+  final case class Op(operand: Operand) extends Factor
+  final case class Cond(condition: Condition) extends Factor
+  final case class Not(factor: Factor) extends Factor
+  final case class Bin(op: Binary, left: Operand, right: Operand) extends Factor
+}
+
+sealed trait Operand
+object Operand {
+  final case class Str(value: String) extends Operand
+  final case class Bool(value: Boolean) extends Operand
+  final case class Num(value: BigDecimal) extends Operand
+  final case class Field(name: String) extends Operand
+  case object Null extends Operand
+}
+
+sealed trait Order { def field: String }
+object Order {
+  final case class Asc(field: String) extends Order
+  final case class Desc(field: String) extends Order
+}
+
+sealed trait Index
+object Index {
+  final case class IdxField(name: String) extends Index
+  case object IdxNull extends Index
+}
+
+/** Show instances used inside error messages (reference:
+  * src/Ifrit/Parser.purs:471-608).
+  */
+object Show {
+  import graft.lexer.Lexer
+
+  def operand(o: Operand): String = o match {
+    case Operand.Str(s)   => "\"" + s + "\""
+    case Operand.Bool(b)  => b.toString
+    case Operand.Num(n)   => Lexer.showDecimal(n)
+    case Operand.Field(f) => f
+    case Operand.Null     => "NULL"
+  }
+
+  def factor(f: Factor): String = f match {
+    case Factor.Op(o)            => operand(o)
+    case Factor.Cond(c)          => "(" + condition(c) + ")"
+    case Factor.Not(x)           => "NOT(" + factor(x) + ")"
+    case Factor.Bin(op, a, b)    => operand(a) + " " + op.show + " " + operand(b)
+  }
+
+  def term(t: Term): String = t match {
+    case Term.Fact(f)   => factor(f)
+    case Term.And(a, b) => factor(a) + " AND " + factor(b)
+  }
+
+  def condition(c: Condition): String = c match {
+    case Condition.Term(t)  => term(t)
+    case Condition.Or(a, b) => term(a) + " OR " + term(b)
+  }
+}

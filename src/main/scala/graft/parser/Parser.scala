@@ -1,0 +1,242 @@
+package graft.parser
+
+import graft.lexer.Lexer
+import graft.lexer.Lexer.{Keyword, PosToken, Token}
+
+/** Recursive-descent parser over the token list (reference:
+  * src/Ifrit/Parser.purs). Clause order is strict — SELECT, FROM, WHERE,
+  * GROUP BY, ORDER BY, LIMIT, OFFSET — enforced by the sequential optional
+  * parses; leftover tokens at the end yield `ErrEOF`
+  * (reference: src/Ifrit/Parser.purs:439-468).
+  */
+object Parser {
+
+  type Tokens = List[PosToken]
+  /** Result: Left(error string) or Right(value, remaining tokens). */
+  type P[A] = Either[String, (A, Tokens)]
+
+  // -- error messages (reference: src/Ifrit/Parser.purs:585-608)
+  private def errParenthesis(ts: Tokens): String = ts match {
+    case PosToken(pos, token) :: _ =>
+      s"unbalanced parenthesis expression: expected `)` but got: ${token.show} at position $pos"
+    case Nil => "unbalanced parenthesis expression: expected `)` but got end of input"
+  }
+  private def errUnexpected(ts: Tokens): String = ts match {
+    case PosToken(pos, token) :: _ => s"unexpected token: ${token.show} at position $pos"
+    case Nil                       => "unexpected end of expression"
+  }
+  private def errNotInteger(pos: Int, k: Keyword): String =
+    s"${k.show} must be an integer at position $pos"
+  private def errInvalidArgument(pos: Int, f: Lexer.Funktion): String =
+    s"${f.show} has an invalid argument at position $pos"
+  private val errEOF = "unexpected end of input"
+
+  def parse(tokens: Tokens): Either[String, Statement] =
+    statement(tokens).flatMap {
+      case (stmt, Nil) => Right(stmt)
+      // The reference's top-level parse consumes everything through EOF
+      // inside the statement rule; trailing tokens beyond a subquery close
+      // are impossible here because statement() already demands EOF/`)`.
+      case (stmt, _)   => Right(stmt)
+    }
+
+  def statement(ts: Tokens): P[Statement] = ts match {
+    case PosToken(_, Token.Key(Keyword.Select)) :: q =>
+      for {
+        r1 <- selectorList(q)
+        (selectors, q1) = r1
+        r2 <- maybeClause(q1, Keyword.From, statement)
+        (from, q2) = r2
+        r3 <- maybeClause(q2, Keyword.Where, condition)
+        (where, q3) = r3
+        r4 <- maybeClause(q3, Keyword.GroupBy, index)
+        (groupBy, q4) = r4
+        r5 <- maybeClause(q4, Keyword.OrderBy, orderList)
+        (orderBy, q5) = r5
+        r6 <- maybeClause(q5, Keyword.Limit, limit)
+        (lim, q6) = r6
+        r7 <- maybeClause(q6, Keyword.Offset, offset)
+        (off, q7) = r7
+        res <- q7 match {
+          case PosToken(_, Token.EOF) :: Nil =>
+            Right((combine(selectors, from, where, groupBy, orderBy.getOrElse(Nil), lim, off), Nil))
+          case PosToken(_, Token.Close) :: q8 =>
+            Right((combine(selectors, from, where, groupBy, orderBy.getOrElse(Nil), lim, off), q8))
+          case _ => Left(errEOF)
+        }
+      } yield res
+
+    case PosToken(_, Token.Open) :: q => statement(q)
+    case q                           => Left(errUnexpected(q))
+  }
+
+  private def combine(
+      selectors: List[Selector],
+      from: Option[Statement],
+      where: Option[Condition],
+      groupBy: Option[Index],
+      orders: List[Order],
+      limit: Option[Int],
+      offset: Option[Int],
+  ): Statement = groupBy match {
+    case None      => Statement.Select(selectors, from, where, orders, limit, offset)
+    case Some(idx) => Statement.Group(idx, selectors, from, where, orders, limit, offset)
+  }
+
+  private def maybeClause[A](ts: Tokens, key: Keyword, p: Tokens => P[A]): P[Option[A]] =
+    ts match {
+      case PosToken(_, Token.Key(k)) :: q if k == key =>
+        p(q).map { case (a, rest) => (Some(a), rest) }
+      case _ => Right((None, ts))
+    }
+
+  // -- generic comma/paren list (reference: src/Ifrit/Parser.purs:405-437)
+  private def list[A](ts: Tokens, p: Tokens => P[A]): P[List[A]] = ts match {
+    case PosToken(_, Token.Open) :: q =>
+      list(q, p).flatMap { case (xs, rest) =>
+        rest match {
+          case PosToken(_, Token.Close) :: PosToken(_, Token.Comma) :: q2 =>
+            list(q2, p).map { case (xs2, rest2) => (xs ++ xs2, rest2) }
+          case PosToken(_, Token.Close) :: q2 => Right((xs, q2))
+          case q2                             => Left(errParenthesis(q2))
+        }
+      }
+    case _ =>
+      p(ts).flatMap { case (x, rest) =>
+        rest match {
+          case PosToken(_, Token.Comma) :: q =>
+            list(q, p).map { case (xs, rest2) => (x :: xs, rest2) }
+          case _ => Right((List(x), rest))
+        }
+      }
+  }
+
+  def selectorList(ts: Tokens): P[List[Selector]] = list(ts, selector)
+  def orderList(ts: Tokens): P[List[Order]] = list(ts, order)
+
+  // -- selector (reference: src/Ifrit/Parser.purs:356-402)
+  def selector(ts: Tokens): P[Selector] = ts match {
+    case PosToken(_, Token.Word(w)) :: PosToken(_, Token.Key(Keyword.As)) :: PosToken(_, Token.Word(as)) :: q =>
+      Right((Selector.Field(w, Some(as)), q))
+    case PosToken(_, Token.Word(w)) :: q =>
+      Right((Selector.Field(w, None), q))
+    case PosToken(_, Token.Fn(f)) :: PosToken(pos, Token.Open) :: q =>
+      selectorList(q).flatMap {
+        case (List(Selector.Field(w, None)), rest) =>
+          rest match {
+            case PosToken(_, Token.Close) :: PosToken(_, Token.Key(Keyword.As)) :: PosToken(_, Token.Word(as)) :: q2 =>
+              Right((Selector.Fn(f, w, Some(as)), q2))
+            case PosToken(_, Token.Close) :: q2 =>
+              Right((Selector.Fn(f, w, None), q2))
+            case q2 => Left(errParenthesis(q2))
+          }
+        case _ => Left(errInvalidArgument(pos, f))
+      }
+    case PosToken(_, Token.Open) :: q =>
+      selector(q).flatMap { case (s, rest) =>
+        rest match {
+          case PosToken(_, Token.Close) :: q2 => Right((s, q2))
+          case q2                             => Left(errParenthesis(q2))
+        }
+      }
+    case q => Left(errUnexpected(q))
+  }
+
+  // -- condition / term / factor / operand (reference: src/Ifrit/Parser.purs:194-291)
+  def condition(ts: Tokens): P[Condition] =
+    term(ts).flatMap { case (left, rest) =>
+      rest match {
+        case PosToken(_, Token.Key(Keyword.Or)) :: q =>
+          term(q).map { case (right, rest2) => (Condition.Or(left, right), rest2) }
+        case _ => Right((Condition.Term(left), rest))
+      }
+    }
+
+  def term(ts: Tokens): P[Term] =
+    factor(ts).flatMap { case (left, rest) =>
+      rest match {
+        case PosToken(_, Token.Key(Keyword.And)) :: q =>
+          factor(q).map { case (right, rest2) => (Term.And(left, right), rest2) }
+        case _ => Right((Term.Fact(left), rest))
+      }
+    }
+
+  def factor(ts: Tokens): P[Factor] = ts match {
+    case PosToken(_, Token.Not) :: q =>
+      factor(q).map { case (f, rest) => (Factor.Not(f), rest) }
+    case PosToken(_, Token.Open) :: q =>
+      condition(q).flatMap { case (c, rest) =>
+        rest match {
+          case PosToken(_, Token.Close) :: q2 => Right((Factor.Cond(c), q2))
+          case q2                             => Left(errParenthesis(q2))
+        }
+      }
+    case _ =>
+      operand(ts).flatMap { case (left, rest) =>
+        rest match {
+          case PosToken(_, Token.Bin(op)) :: q =>
+            operand(q).map { case (right, rest2) => (Factor.Bin(op, left, right), rest2) }
+          case _ => Right((Factor.Op(left), rest))
+        }
+      }
+  }
+
+  def operand(ts: Tokens): P[Operand] = ts match {
+    case PosToken(_, Token.Str(s)) :: q                  => Right((Operand.Str(s), q))
+    case PosToken(_, Token.Bool(b)) :: q                 => Right((Operand.Bool(b), q))
+    case PosToken(_, Token.Num(n)) :: q                  => Right((Operand.Num(n), q))
+    case PosToken(_, Token.Key(Keyword.Null)) :: q       => Right((Operand.Null, q))
+    case PosToken(_, Token.Word(w)) :: q                 => Right((Operand.Field(w), q))
+    case PosToken(_, Token.Open) :: q =>
+      operand(q).flatMap { case (o, rest) =>
+        rest match {
+          case PosToken(_, Token.Close) :: q2 => Right((o, q2))
+          case q2                             => Left(errParenthesis(q2))
+        }
+      }
+    case q => Left(errUnexpected(q))
+  }
+
+  // -- order (reference: src/Ifrit/Parser.purs:294-323)
+  def order(ts: Tokens): P[Order] = ts match {
+    case PosToken(_, Token.Word(s)) :: PosToken(_, Token.Key(Keyword.Asc)) :: q =>
+      Right((Order.Asc(s), q))
+    case PosToken(_, Token.Word(s)) :: PosToken(_, Token.Key(Keyword.Desc)) :: q =>
+      Right((Order.Desc(s), q))
+    case PosToken(_, Token.Word(s)) :: q =>
+      Right((Order.Asc(s), q))
+    case PosToken(_, Token.Open) :: q =>
+      order(q).flatMap { case (o, rest) =>
+        rest match {
+          case PosToken(_, Token.Close) :: q2 => Right((o, q2))
+          case q2                             => Left(errParenthesis(q2))
+        }
+      }
+    case q => Left(errUnexpected(q))
+  }
+
+  // -- index (reference: src/Ifrit/Parser.purs:167-191)
+  def index(ts: Tokens): P[Index] = ts match {
+    case PosToken(_, Token.Word(s)) :: q            => Right((Index.IdxField(s), q))
+    case PosToken(_, Token.Key(Keyword.Null)) :: q  => Right((Index.IdxNull, q))
+    case PosToken(_, Token.Open) :: q =>
+      index(q).flatMap { case (i, rest) =>
+        rest match {
+          case PosToken(_, Token.Close) :: q2 => Right((i, q2))
+          case q2                             => Left(errParenthesis(q2))
+        }
+      }
+    case q => Left(errUnexpected(q))
+  }
+
+  // -- limit / offset: integers only (reference: src/Ifrit/Parser.purs:326-353)
+  def limit(ts: Tokens): P[Int] = intClause(ts, Keyword.Limit)
+  def offset(ts: Tokens): P[Int] = intClause(ts, Keyword.Offset)
+
+  private def intClause(ts: Tokens, k: Keyword): P[Int] = ts match {
+    case PosToken(pos, Token.Num(n)) :: q =>
+      if (n.isWhole && n.isValidInt) Right((n.toInt, q))
+      else Left(errNotInteger(pos, k))
+    case q => Left(errUnexpected(q))
+  }
+}

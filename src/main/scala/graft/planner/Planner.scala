@@ -1,0 +1,265 @@
+package graft.planner
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.lexer.Lexer.{Binary, Funktion}
+import graft.parser._
+import graft.semantic.Semantic.defaultAlias
+
+/** Planner: AST → a composition of DataFrame transformations.
+  *
+  * This replaces the reference's MongoDB codegen
+  * (reference: src/Ifrit/Driver/MongoDB.purs) with a declarative Spark plan:
+  * Catalyst gets the whole statement as select/filter/orderBy/limit/groupBy
+  * nodes and is free to push filters into the scan, prune columns, and pick
+  * physical strategies. Stage order follows the reference pipeline exactly
+  * (reference: src/Ifrit/Driver/MongoDB.purs:124-160): derived table, then
+  * WHERE, ORDER BY, LIMIT, OFFSET — all over *input* fields — and the
+  * projection/aggregation last. In particular LIMIT applies before OFFSET
+  * (observable golden behavior, reference: test/Test.Main.purs:899-917).
+  *
+  * Intentional divergences from reference codegen bugs (see SURVEY.md §2.4):
+  *  - MAX/MIN over array-of-objects use the element's field, not a
+  *    same-named top-level field (reference bug at Driver/MongoDB.purs:224,249);
+  *  - field-vs-field comparisons compare columns instead of a literal
+  *    "$field" string (reference bug at Driver/MongoDB.purs:388-390).
+  */
+object Planner {
+
+  private def errCondition(factor: Factor): String =
+    s"invalid condition: ${Show.factor(factor)}: should target a field of the document"
+
+  def plan(stmt: Statement): Either[String, DataFrame => DataFrame] = stmt match {
+    case Statement.Select(projections, from, where, orders, limit, offset) =>
+      for {
+        base <- planBase(from, where, orders, limit, offset)
+        cols <- traverse(projections)(projectionColumn)
+      } yield (df: DataFrame) => base(df).select(cols: _*)
+
+    case Statement.Group(index, aggregations, from, where, orders, limit, offset) =>
+      for {
+        base <- planBase(from, where, orders, limit, offset)
+        aggCols <- traverse(aggregations)(aggregationColumn)
+      } yield { (df: DataFrame) =>
+        val keyed = base(df)
+        val idxCol = index match {
+          case Index.IdxField(k) => col(k)
+          case Index.IdxNull     => lit(null)
+        }
+        // groupBy(key as _id) — the reference's `$group {_id: ...}`
+        // (reference: src/Ifrit/Driver/MongoDB.purs:143-160). Aggregations are
+        // all map-side combinable (avg/sum/min/max/count), so this is a
+        // partial-agg + single shuffle on the key at any scale.
+        keyed.groupBy(idxCol.as("_id")).agg(aggCols.head, aggCols.tail: _*)
+      }
+  }
+
+  /** Shared pre-stages: FROM (derived table), WHERE, ORDER BY, LIMIT, OFFSET,
+    * in reference pipeline order.
+    */
+  private def planBase(
+      from: Option[Statement],
+      where: Option[Condition],
+      orders: List[Order],
+      limit: Option[Int],
+      offset: Option[Int],
+  ): Either[String, DataFrame => DataFrame] =
+    for {
+      fromFn <- from.fold[Either[String, DataFrame => DataFrame]](Right(identity))(plan)
+      cond <- where.fold[Either[String, Option[Column]]](Right(None))(c => planCondition(c).map(Some(_)))
+    } yield { (df0: DataFrame) =>
+      var df = fromFn(df0)
+      cond.foreach(c => df = df.filter(c))
+      if (orders.nonEmpty) df = df.orderBy(orders.map(orderColumn): _*)
+      limit.foreach(n => df = df.limit(n))
+      offset.foreach(m => df = df.offset(m))
+      df
+    }
+
+  private def orderColumn(o: Order): Column = o match {
+    case Order.Asc(f)  => col(f).asc
+    case Order.Desc(f) => col(f).desc
+  }
+
+  /** Navigate a dotted path starting from a column (struct fields, including
+    * struct-over-array projection which Spark applies natively).
+    */
+  private def path(base: Column, dotted: String): Column =
+    dotted.split('.').foldLeft(base)(_.getField(_))
+
+  // -- projections: per-row values & array reductions ------------------------
+
+  /** A projected column (reference: src/Ifrit/Driver/MongoDB.purs:170-284).
+    * Array reductions map to Spark higher-order functions (`aggregate`,
+    * `array_max`, `size`, ...) — codegen'd builtin expressions, no UDFs.
+    */
+  def projectionColumn(sel: Selector): Either[String, Column] = sel match {
+    case Selector.Field(key, as) =>
+      Right(col(key).as(defaultAlias(key, as)))
+
+    case Selector.Fn(f, key, as) =>
+      val alias = defaultAlias(key, as)
+      val segments = key.split("\\.", 2).toList
+      val column = (f, segments) match {
+        // flat array of numbers
+        case (Funktion.Avg, _ :: Nil) =>
+          aggregate(col(key), lit(0.0), (acc, x) => acc + x) / size(col(key))
+        case (Funktion.Sum, _ :: Nil) =>
+          aggregate(col(key), lit(0.0), (acc, x) => acc + x)
+        case (Funktion.Max, _ :: Nil) => array_max(col(key))
+        case (Funktion.Min, _ :: Nil) => array_min(col(key))
+        // COUNT is always the array length regardless of path shape
+        // (reference: src/Ifrit/Driver/MongoDB.purs:201-214)
+        case (Funktion.Count, _) => size(col(key)).cast(DoubleType)
+        // array of objects, reduce over a field of each element
+        case (Funktion.Avg, source :: target :: Nil) =>
+          aggregate(col(source), lit(0.0), (acc, x) => acc + path(x, target)) / size(col(source))
+        case (Funktion.Sum, source :: target :: Nil) =>
+          aggregate(col(source), lit(0.0), (acc, x) => acc + path(x, target))
+        case (Funktion.Max, _ :: _ :: Nil) => array_max(col(key))
+        case (Funktion.Min, _ :: _ :: Nil) => array_min(col(key))
+        case _ => col(key)
+      }
+      Right(column.as(alias))
+  }
+
+  // -- grouped aggregations --------------------------------------------------
+
+  /** A grouped aggregation column (reference: src/Ifrit/Driver/MongoDB.purs:286-306).
+    * Plain selectors collect the group's values (MongoDB `$push`); COUNT is
+    * named `count` unless aliased — bug-compatible with reference codegen
+    * (reference: src/Ifrit/Driver/MongoDB.purs:296-297).
+    */
+  def aggregationColumn(sel: Selector): Either[String, Column] = sel match {
+    case Selector.Field(key, as) =>
+      Right(collect_list(col(key)).as(defaultAlias(key, as)))
+    case Selector.Fn(Funktion.Avg, key, as)   => Right(avg(col(key)).as(defaultAlias(key, as)))
+    case Selector.Fn(Funktion.Count, _, as)   => Right(count(lit(1)).cast(DoubleType).as(defaultAlias("count", as)))
+    case Selector.Fn(Funktion.Max, key, as)   => Right(max(col(key)).as(defaultAlias(key, as)))
+    case Selector.Fn(Funktion.Min, key, as)   => Right(min(col(key)).as(defaultAlias(key, as)))
+    case Selector.Fn(Funktion.Sum, key, as)   => Right(sum(col(key)).as(defaultAlias(key, as)))
+  }
+
+  // -- conditions ------------------------------------------------------------
+
+  def planCondition(c: Condition): Either[String, Column] = c match {
+    case Condition.Term(t)    => planTerm(t)
+    case Condition.Or(t1, t2) => for { a <- planTerm(t1); b <- planTerm(t2) } yield a || b
+  }
+
+  def planTerm(t: Term): Either[String, Column] = t match {
+    case Term.Fact(f)     => planFactor(f)
+    case Term.And(f1, f2) => for { a <- planFactor(f1); b <- planFactor(f2) } yield a && b
+  }
+
+  /** NOT handling mirrors the reference's compile-time push-down including
+    * its double-negation quirk: NOT(NOT(x)) plans identically to NOT(x)
+    * (reference: src/Ifrit/Driver/MongoDB.purs:411-414). Catalyst would
+    * simplify a plain `!` anyway; we keep the structural rewrite so the
+    * quirk and the `{field: false}` bare-field form stay observable.
+    */
+  def planFactor(f: Factor): Either[String, Column] = f match {
+    case Factor.Op(o) =>
+      o match {
+        case Operand.Field(name) => Right(col(name) === lit(true))
+        case other               => Right(operandColumn(other))
+      }
+    case Factor.Cond(c)  => planCondition(c)
+    case Factor.Not(x)   => planNotFactor(x)
+    case bin: Factor.Bin => planBinary(bin, negated = false)
+  }
+
+  private def planNotCondition(c: Condition): Either[String, Column] = c match {
+    case Condition.Term(t)    => planNotTerm(t)
+    case Condition.Or(t1, t2) => for { a <- planNotTerm(t1); b <- planNotTerm(t2) } yield a && b
+  }
+
+  private def planNotTerm(t: Term): Either[String, Column] = t match {
+    case Term.Fact(f)     => planNotFactor(f)
+    case Term.And(f1, f2) => for { a <- planNotFactor(f1); b <- planNotFactor(f2) } yield a || b
+  }
+
+  private def planNotFactor(f: Factor): Either[String, Column] = f match {
+    case Factor.Op(o) =>
+      o match {
+        case Operand.Field(name) => Right(col(name) === lit(false))
+        // Non-field operands under NOT are not negated — reference quirk
+        // (reference: src/Ifrit/Driver/MongoDB.purs:401-406).
+        case other => Right(operandColumn(other))
+      }
+    case Factor.Cond(c)  => planNotCondition(c)
+    case Factor.Not(x)   => planNotFactor(x) // double-negation quirk, see scaladoc
+    case bin: Factor.Bin => planBinary(bin, negated = true)
+  }
+
+  private def negate(op: Binary): Binary = op match {
+    case Binary.Eq  => Binary.Neq
+    case Binary.Neq => Binary.Eq
+    case Binary.Lt  => Binary.Gte
+    case Binary.Gt  => Binary.Lte
+    case Binary.Lte => Binary.Gt
+    case Binary.Gte => Binary.Lt
+  }
+
+  /** Mirror of ingestReverseBinary (reference: src/Ifrit/Driver/MongoDB.purs:94-108):
+    * the op as seen from the right-hand field.
+    */
+  private def reverse(op: Binary): Binary = op match {
+    case Binary.Eq  => Binary.Eq
+    case Binary.Neq => Binary.Neq
+    case Binary.Lt  => Binary.Gte
+    case Binary.Gt  => Binary.Lte
+    case Binary.Lte => Binary.Gt
+    case Binary.Gte => Binary.Lt
+  }
+
+  private def planBinary(bin: Factor.Bin, negated: Boolean): Either[String, Column] = {
+    val Factor.Bin(op0, left, right) = bin
+    (left, right) match {
+      case (Operand.Field(fname), other) =>
+        val op = if (negated) negate(op0) else op0
+        Right(applyOp(col(fname), op, other))
+      case (other, Operand.Field(fname)) =>
+        val op = reverse(if (negated) negate(op0) else op0)
+        Right(applyOp(col(fname), op, other))
+      case _ => Left(errCondition(bin))
+    }
+  }
+
+  /** Comparison with MongoDB null semantics: `= NULL` matches null/missing
+    * → `isNull`; `!= NULL` → `isNotNull`
+    * (reference behavior via `$eq: null` in `$match`).
+    */
+  private def applyOp(field: Column, op: Binary, operand: Operand): Column =
+    (op, operand) match {
+      case (Binary.Eq, Operand.Null)  => field.isNull
+      case (Binary.Neq, Operand.Null) => field.isNotNull
+      case _ =>
+        val v = operandColumn(operand)
+        op match {
+          case Binary.Eq  => field === v
+          case Binary.Neq => field =!= v
+          case Binary.Lt  => field < v
+          case Binary.Gt  => field > v
+          case Binary.Lte => field <= v
+          case Binary.Gte => field >= v
+        }
+    }
+
+  private def operandColumn(o: Operand): Column = o match {
+    case Operand.Str(s)   => lit(s)
+    case Operand.Bool(b)  => lit(b)
+    // Numbers collapse to doubles, like reference codegen
+    // (reference: src/Ifrit/Driver/MongoDB.purs:452-453).
+    case Operand.Num(n)   => lit(n.toDouble)
+    case Operand.Field(f) => col(f)
+    case Operand.Null     => lit(null)
+  }
+
+  private def traverse[A, B](xs: List[A])(f: A => Either[String, B]): Either[String, List[B]] =
+    xs.foldRight[Either[String, List[B]]](Right(Nil)) { (a, acc) =>
+      for { b <- f(a); rest <- acc } yield b :: rest
+    }
+}

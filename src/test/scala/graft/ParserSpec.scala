@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lexer.Lexer
+import graft.lexer.Lexer.{Binary, Funktion}
+import graft.parser._
+
+/** Port of the reference parser suite (reference: test/Test.Main.purs:179-629). */
+class ParserSpec extends AnyFunSuite {
+
+  private def parse(s: String): Either[String, Statement] =
+    Lexer.tokenize(s).flatMap(ts => Parser.statement(ts).map(_._1))
+
+  private def ok(s: String): Statement = parse(s).fold(e => fail(s"$s → $e"), identity)
+
+  test("SELECT patate") {
+    assert(ok("SELECT patate") ==
+      Statement.Select(List(Selector.Field("patate", None)), None, None, Nil, None, None))
+  }
+
+  test("SELECT p AS q alias") {
+    assert(ok("SELECT p AS q") ==
+      Statement.Select(List(Selector.Field("p", Some("q"))), None, None, Nil, None, None))
+  }
+
+  test("function selector with alias") {
+    assert(ok("SELECT AVG(power) AS p") ==
+      Statement.Select(List(Selector.Fn(Funktion.Avg, "power", Some("p"))), None, None, Nil, None, None))
+  }
+
+  test("GROUP BY flips constructor") {
+    assert(ok("SELECT AVG(age) GROUP BY class") ==
+      Statement.Group(Index.IdxField("class"),
+        List(Selector.Fn(Funktion.Avg, "age", None)), None, None, Nil, None, None))
+  }
+
+  test("GROUP BY NULL is global aggregation") {
+    assert(ok("SELECT AVG(age) GROUP BY NULL") ==
+      Statement.Group(Index.IdxNull,
+        List(Selector.Fn(Funktion.Avg, "age", None)), None, None, Nil, None, None))
+  }
+
+  test("FROM takes a nested statement") {
+    assert(ok("SELECT a FROM (SELECT b)") ==
+      Statement.Select(List(Selector.Field("a", None)),
+        Some(Statement.Select(List(Selector.Field("b", None)), None, None, Nil, None, None)),
+        None, Nil, None, None))
+  }
+
+  test("WHERE with binary condition") {
+    assert(ok("SELECT a WHERE age > 14") ==
+      Statement.Select(List(Selector.Field("a", None)), None,
+        Some(Condition.Term(Term.Fact(Factor.Bin(Binary.Gt,
+          Operand.Field("age"), Operand.Num(BigDecimal("14")))))),
+        Nil, None, None))
+  }
+
+  test("AND is binary only: a AND b AND c fails") {
+    assert(parse("SELECT x WHERE (a = 1) AND (b = 2) AND (c = 3)") == Left("unexpected end of input"))
+  }
+
+  test("parenthesized chaining works") {
+    assert(parse("SELECT x WHERE ((a = 1) AND (b = 2)) AND (c = 3)").isRight)
+  }
+
+  test("strict clause order: WHERE after GROUP BY fails") {
+    assert(parse("SELECT AVG(a) GROUP BY b WHERE a > 1") == Left("unexpected end of input"))
+  }
+
+  test("function arg must be single un-aliased field: AVG(14)") {
+    assert(parse("SELECT AVG(14)").isLeft)
+  }
+
+  test("function arg must be single un-aliased field: AVG(a, b)") {
+    assert(parse("SELECT AVG(a, b)") == Left("AVG has an invalid argument at position 10"))
+  }
+
+  test("ORDER BY multi-key with direction") {
+    assert(ok("SELECT a ORDER BY b DESC, c") ==
+      Statement.Select(List(Selector.Field("a", None)), None, None,
+        List(Order.Desc("b"), Order.Asc("c")), None, None))
+  }
+
+  test("ORDER BY NULL is a parse error") {
+    assert(parse("SELECT a ORDER BY NULL").isLeft)
+  }
+
+  test("LIMIT and OFFSET parse as integers") {
+    assert(ok("SELECT a LIMIT 14 OFFSET 42") ==
+      Statement.Select(List(Selector.Field("a", None)), None, None, Nil, Some(14), Some(42)))
+  }
+
+  test("LIMIT must be an integer") {
+    assert(parse("SELECT a LIMIT 14.5") == Left("LIMIT must be an integer at position 15"))
+  }
+
+  test("NOT parses as unary factor over a parenthesized condition") {
+    assert(ok("SELECT a WHERE NOT(ok)") ==
+      Statement.Select(List(Selector.Field("a", None)), None,
+        Some(Condition.Term(Term.Fact(Factor.Not(Factor.Cond(
+          Condition.Term(Term.Fact(Factor.Op(Operand.Field("ok"))))))))),
+        Nil, None, None))
+  }
+
+  test("DISTINCT is lexed but unparseable") {
+    assert(parse("SELECT DISTINCT a").isLeft)
+  }
+}

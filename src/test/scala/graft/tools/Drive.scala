@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Manual end-to-end drive of the public API over the real testdata tables.
+  * Not a test suite — run with:
+  *   sbt "Test/runMain graft.tools.Drive [sfDir]"
+  * Prints results and compile errors for a quick human check of the whole
+  * compile → plan → execute path.
+  */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+    println("== grouped aggregation ==")
+    graft.Compiler.queryOrThrow(li,
+      "SELECT AVG(l_quantity) AS avg_qty, SUM(l_extendedprice) AS sum_price, COUNT(l_orderkey) AS cnt GROUP BY l_returnflag"
+    ).show()
+
+    println("== filter + order + limit/offset ==")
+    graft.Compiler.queryOrThrow(li,
+      "SELECT l_orderkey, l_quantity WHERE l_quantity > 49 ORDER BY l_orderkey LIMIT 5 OFFSET 2"
+    ).show()
+
+    println("== derived table ==")
+    println("rows: " + graft.Compiler.queryOrThrow(li,
+      "SELECT sum_qty FROM (SELECT SUM(l_quantity) AS sum_qty GROUP BY l_orderkey) WHERE sum_qty > 200").count())
+
+    println("== probes (expected compile errors) ==")
+    println(graft.Compiler.query(li, "SELECT nonexistent"))
+    println(graft.Compiler.query(li, "SELECT l_orderkey WHERE l_returnflag > 3"))
+    println(graft.Compiler.query(li, "SELECT l_shipdate")) // timestamp: outside closed world
+    println(graft.Compiler.query(li, "SELECT WHERE"))
+    println(graft.Compiler.query(li, "SELECT l_orderkey LIMIT 1.5"))
+
+    println("== physical plan of the grouped aggregation ==")
+    graft.Compiler.queryOrThrow(li,
+      "SELECT AVG(l_quantity) AS avg_qty GROUP BY l_returnflag").explain("formatted")
+
+    spark.stop()
+  }
+}
