@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force top-k: broadcast the (small) probe set against the corpus
+  *    — one narrow pass over the corpus, no shuffle of the corpus itself;
+  *    exact, the correctness baseline.
+  *  - SRP-LSH (signed random projections): hash vectors to hyperplane-sign
+  *    buckets, join probes to corpus within buckets, re-rank exactly.
+  *    The shuffle key is the bucket, so cost scales with bucket collision
+  *    counts, not corpus size — the 100 TB path.
+  *
+  * The dot product is a codegen'd higher-order-function fold (`zip_with` +
+  * `aggregate`), not a UDF.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Signed-random-projection bucket: `planes` hyperplanes with
+    * deterministic Rademacher (±1) weights derived from xxhash64(plane,
+    * dim-index); the sign pattern packs into a long bucket id. Stable
+    * across runs and cluster layouts.
+    */
+  def srpBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") *
+            when(xxhash64(lit(p), j).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (s, v) => s + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact cosine top-k: for each probe row, the k nearest corpus rows.
+    * The probe set must be small (it is broadcast); the corpus streams.
+    * Returns (probe_id, neighbor_id, cosine, rank), self-matches excluded.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("pvec"), col("cvec")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k via SRP buckets: probes only meet corpus vectors in
+    * their own bucket, then exact cosine re-ranks. Recall < 1 by design;
+    * raise `planes` for smaller buckets (faster, lower recall) or hash with
+    * multiple tables for higher recall. This is the scale path: the corpus
+    * is shuffled once by bucket id instead of broadcast-crossed.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      planes: Int = 12,
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("bucket", srpBucket(col("cvec"), planes))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .withColumn("bucket", srpBucket(col("pvec"), planes))
+    val scored = c.join(p, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("pvec"), col("cvec")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+}

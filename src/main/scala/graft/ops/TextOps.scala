@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is a narrow per-row projection built from codegen'd
+  * builtin expressions (no UDFs): at 100 TB these run as a single
+  * column-pruned scan with zero shuffles, so throughput is bounded by IO.
+  */
+object TextOps {
+
+  /** Tokens: lowercase whitespace/punct split. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword proxy count: runs of letters, runs of digits, and
+    * single non-space symbols each count as one token — a cheap,
+    * deterministic stand-in for a real BPE vocabulary.
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
+
+  /** Per-language stopword sets for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: the heuristic must be expressible in both
+    * Spark and ANSI SQL (oracle parity).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "en", "un", "una"),
+    "de" -> Seq("der", "die", "das", "und", "von", "ein", "ist"),
+  )
+
+  private def stopwordRegex(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
+  def stopwordScore(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit(stopwordRegex(words)))
+
+  /** Language ID: argmax of per-language stopword hit counts; "und"
+    * (undetermined) when nothing matches. Ties break by language code
+    * descending (struct max compares score first, then code).
+    */
+  def languageId(text: Column): Column = {
+    val scored = stopwords.map { case (lang, words) =>
+      struct(stopwordScore(text, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality metrics + composite score. All ratios are SQL-expressible so
+    * the DuckDB oracle can mirror them term by term.
+    */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val words = tokenCount(text)
+    val punct = regexp_count(text, lit("[.,!?;:]"))
+    val stop = stopwordScore(text, stopwords.toMap.apply("en"))
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> words,
+      "punct_ratio" -> round(punct.cast("double") / greatest(nChars, lit(1)), 6),
+      "stopword_ratio" -> round(stop.cast("double") / greatest(words, lit(1)), 6),
+      "mean_word_len" -> round(nChars.cast("double") / greatest(words, lit(1)), 6),
+    )
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with
+    * some stopwords and moderate punctuation (word-salad and boilerplate
+    * both score low). Deterministic and SQL-mirrorable.
+    */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text).toMap
+    val lengthScore = least(m("n_words").cast("double") / lit(50.0), lit(1.0))
+    val stopScore = least(m("stopword_ratio") * lit(5.0), lit(1.0))
+    val punctPenalty = least(m("punct_ratio") * lit(10.0), lit(1.0))
+    round(lengthScore * lit(0.5) + stopScore * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.1), 6)
+  }
+
+  /** Canonical text: lowercase, whitespace collapsed, trimmed. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text. Identical in DuckDB
+    * (`md5(...)`) for oracle parity.
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Rolling-hash fingerprint: the minimum 64-bit hash over the document's
+    * word shingles (a 1-hash MinHash) — robust to local edits, cheap to
+    * compare. xxhash64 is Spark-native; no SQL oracle.
+    */
+  def fingerprintRolling(text: Column, shingleSize: Int = 5): Column =
+    array_min(transform(Shingles.wordShingles(text, shingleSize), s => xxhash64(s)))
+}
+
+/** Word-level shingling shared by text fingerprints and MinHash dedup. */
+object Shingles {
+  /** All `k`-word shingles of the lowercased text, joined by single spaces.
+    * Empty array when the document has fewer than `k` words.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val n = size(toks)
+    when(n < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+}

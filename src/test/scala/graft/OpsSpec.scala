@@ -1,0 +1,224 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Correctness tests for the training-data pipeline operators, on planted
+  * fixtures: known duplicates, known near-duplicates, known nearest
+  * neighbors.
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door " +
+    "and the rain falls gently on the old roof as the wind moves through the tall trees behind the quiet house"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                          // exact dup of 0
+    (2L, base.replace("warm", "cold")),                  // near dup of 0
+    (3L, base + " and the bird sings in the tall tree"), // near-ish dup of 0
+    (4L, "completely different content about spark catalyst optimizer rules and physical plans for distributed query execution"),
+    (5L, "yet another unrelated document mentioning minhash signatures locality sensitive hashing and jaccard similarity estimation"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized texts") {
+    val got = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(got.length == 5) // 0/1 collapse
+    val dupGroup = got.filter(_.getAs[Long]("n_dups") == 2L)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("representative") == 0L)
+  }
+
+  test("exact dedup normalizes case and whitespace") {
+    val df = Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "other")).toDF("doc_id", "text")
+    assert(Dedup.exactKeepFirst(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minHashNearDups(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash jaccard of exact dup is 1.0") {
+    val row = Dedup.minHashNearDups(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .filter($"id_a" === 0L && $"id_b" === 1L).collect().head
+    assert(row.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical texts distance 0, near dups small, unrelated large") {
+    val sims = docs.select($"doc_id", Dedup.simHash($"text").as("sim"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sim")).toMap
+    assert(sims(0L) == sims(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0L), sims(2L)) <= 8)
+    assert(ham(sims(0L), sims(4L)) > 8)
+  }
+
+  test("simhash near-dup pairs via banding") {
+    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 4L && p._1 != 4L || p._1 == 4L))
+  }
+
+  test("ngram jaccard near-dups at tight threshold keep only true dups") {
+    val pairs = Dedup.ngramJaccardNearDups(docs, "text", "doc_id", n = 3, threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.999f, 0.04f, 0.0f)),  // nearly 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),     // orthogonal to 0
+    (3L, Array(0.7f, 0.7f, 0.14f)),    // between
+    (4L, Array(1.0f, 0.0f, 0.0f)),     // exact dup of 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by true cosine") {
+    val probes = vecs.filter($"vec_id" === 0L)
+    val got = Similarity.bruteForceTopK(vecs, probes, "embedding", "vec_id", k = 3)
+      .orderBy($"rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toList == List(4L, 1L, 3L))
+    assert(got.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("LSH top-k finds the exact duplicate (same bucket by construction)") {
+    val probes = vecs.filter($"vec_id" === 0L)
+    val got = Similarity.lshTopK(vecs, probes, "embedding", "vec_id", k = 3, planes = 8)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(got.contains(4L))
+  }
+
+  test("embedding near-dups by cosine threshold") {
+    val pairs = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", threshold = 0.99, planes = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val df = Seq(
+      (0L, "the cat and the dog play in the garden of the house"),
+      (1L, "le chat et le chien jouent dans le jardin de la maison"),
+      (2L, "el gato y el perro juegan en el jardin de la casa"),
+      (3L, "der hund und die katze spielen in dem garten von dem haus"),
+      (4L, "zzz qqq xxx"),
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.languageId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "en", 1L -> "fr", 2L -> "es", 3L -> "de", 4L -> "und"))
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val df = Seq((0L, "Hello, world! 42 tokens?")).toDF("doc_id", "text")
+    val row = df.select(
+      TextOps.tokenCount($"text").as("ws"),
+      TextOps.bpeishCount($"text").as("bpe")).collect().head
+    assert(row.getAs[Int]("ws") == 4)
+    // Hello , world ! 42 tokens ? → 7
+    assert(row.getAs[Int]("bpe") == 7)
+  }
+
+  test("quality score prefers real prose over word salad fragments") {
+    val df = Seq(
+      (0L, "The project is large and the design of the system is described in the documents that the team wrote to explain all of the moving parts in detail and to keep everyone informed."),
+      (1L, "x"),
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) > got(1L))
+    assert(got(0L) > 0.5 && got(1L) < 0.4)
+  }
+
+  test("md5 fingerprint is whitespace/case canonical") {
+    val df = Seq((0L, "Hello   World"), (1L, "hello world"), (2L, "hello worlds")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextOps.fingerprintMd5($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps(0L) != fps(2L))
+  }
+
+  test("rolling fingerprint survives distant edits, md5 does not") {
+    val a = base
+    val b = base.replaceFirst("quick", "slow") // early edit; min-shingle-hash likely elsewhere
+    val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val rows = df.select(TextOps.fingerprintRolling($"text").as("roll"),
+      TextOps.fingerprintMd5($"text").as("md5")).collect()
+    assert(rows(0).getAs[String]("md5") != rows(1).getAs[String]("md5"))
+    // not asserted equal — just derivable & deterministic
+    assert(rows.forall(!_.isNullAt(0)))
+  }
+
+  test("multimodal: stub decode metadata is deterministic and modality-shaped") {
+    val media = Multimodal.syntheticMediaTable(
+      Seq((0L, "some image bytes"), (1L, "audio payload here"), (2L, "video data stream")).toDF("doc_id", "text"))
+    val got = media.select($"media_id", $"modality",
+      Multimodal.decodeMeta($"payload", $"modality").as("meta")).collect()
+    got.foreach { r =>
+      val meta = r.getStruct(2)
+      r.getString(1) match {
+        case "image" =>
+          assert(meta.getAs[Int]("width") >= 640 && meta.isNullAt(meta.fieldIndex("sample_rate")))
+        case "audio" =>
+          assert(meta.getAs[Int]("sample_rate") == 16000 && meta.isNullAt(meta.fieldIndex("width")))
+        case "video" =>
+          assert(meta.getAs[Int]("n_frames") >= 24 && meta.getAs[Int]("width") >= 640)
+      }
+    }
+    // determinism
+    val again = media.select(Multimodal.decodeMeta($"payload", $"modality").as("meta")).collect()
+    assert(got.map(_.getStruct(2).toString).sameElements(again.map(_.getStruct(0).toString)))
+  }
+
+  test("multimodal: stub features have requested dim and bounded range") {
+    val media = Multimodal.syntheticMediaTable(Seq((0L, "payload")).toDF("doc_id", "text"))
+    val feats = media.select(Multimodal.featurize($"payload", 16).as("f"))
+      .collect().head.getSeq[Float](0)
+    assert(feats.length == 16)
+    assert(feats.forall(v => v >= -0.5f && v < 0.5f))
+  }
+
+  test("multimodal: frame sampling explodes n frames per video") {
+    val media = Multimodal.syntheticMediaTable(
+      Seq((0L, "0123456789abcdef"), (1L, "not video"), (2L, "videovideovideo!")).toDF("doc_id", "text"))
+    val frames = Multimodal.frameSample(media, 4)
+    val byId = frames.groupBy($"media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only media_id % 3 == 2 is video
+    assert(byId == Map(2L -> 4L))
+  }
+
+  test("multimodal: batched decode adds decoded_bytes == payload length") {
+    val media = Multimodal.syntheticMediaTable(
+      (0L to 99L).map(i => (i, s"payload number $i")).toDF("doc_id", "text"))
+    val out = Multimodal.decodeBatched(media, batchSize = 16)
+    assert(out.filter(length($"payload") =!= $"decoded_bytes").count() == 0)
+    assert(out.count() == 100)
+  }
+
+  test("resize preserves aspect ratio within bounds") {
+    val media = Multimodal.syntheticMediaTable(Seq((0L, "an image payload")).toDF("doc_id", "text"))
+    val row = media
+      .withColumn("meta", Multimodal.decodeMeta($"payload", $"modality"))
+      .withColumn("resized", Multimodal.resizeMeta($"meta", 256))
+      .select($"meta.width", $"meta.height", $"resized.width", $"resized.height")
+      .collect().head
+    val (w, h, rw, rh) = (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
+    assert(rw <= 256 && rh <= 256)
+    assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.05)
+  }
+}
