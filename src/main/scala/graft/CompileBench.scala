@@ -1,0 +1,47 @@
+package graft
+
+import graft.schema.Schema
+
+/** Compile-throughput benchmark mirroring the reference's Benchmark.js
+  * suite (reference: test/benchmark.js:7-70, numbers in BASELINE.md):
+  * the same five queries against the same schema, measured as full
+  * compile passes (tokenize → parse → analyze → plan) per second.
+  *
+  * Run: sbt "runMain graft.CompileBench"
+  * Prints one JSON line per workload.
+  */
+object CompileBench {
+
+  private val schemaJson =
+    """{ "age": "number", "class": "string", "is_master": "boolean",
+      |  "bonus": ["number"], "spells": [{ "name": "string", "power": "number" }] }""".stripMargin
+
+  private val workloads: Seq[(String, String)] = Seq(
+    "select_field" -> "SELECT age",
+    "select_alias_count" -> "SELECT class AS klass, COUNT(bonus)",
+    "group_by_avg" -> "SELECT AVG(age) GROUP BY class",
+    "where_and" -> "SELECT is_master WHERE age > 14 AND age < 20",
+    "nested_from" -> "SELECT AVG(spells_power) AS avg_power FROM (SELECT AVG(spells.power), age) WHERE age > 18 GROUP BY NULL",
+  )
+
+  def main(args: Array[String]): Unit = {
+    val schema = Schema.fromString(schemaJson)
+      .fold(e => sys.error(e), identity)
+    val results = workloads.map { case (name, query) =>
+      // sanity: must compile
+      Compiler.compile(schema, query).fold(e => sys.error(s"$name: $e"), identity)
+      // warmup (JIT)
+      (1 to 20000).foreach(_ => Compiler.compile(schema, query))
+      val rounds = 5
+      val opsPerRound = 20000
+      val times = (1 to rounds).map { _ =>
+        val t0 = System.nanoTime()
+        (1 to opsPerRound).foreach(_ => Compiler.compile(schema, query))
+        opsPerRound / ((System.nanoTime() - t0) / 1e9)
+      }
+      name -> times.max.round
+    }
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"compile_ops_per_sec","queries":$qs}""")
+  }
+}

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double.
+    * HOF formulation — works without session-level function registration;
+    * the operators below use the native codegen'd `vec_dot` expression
+    * (bit-identical results, no intermediate array).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (s, v) => s + v)
@@ -28,6 +32,14 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native-expression cosine (requires GraftFunctions.register on the
+    * session, done by the operators below).
+    */
+  private def cosineNative(a: Column, b: Column): Column = {
+    import graft.functions.GraftFunctions.vecDot
+    vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
+  }
 
   /** Signed-random-projection bucket: `planes` hyperplanes with
     * deterministic Rademacher (±1) weights derived from xxhash64(plane,
@@ -57,11 +69,12 @@ object Similarity {
       idCol: String,
       k: Int,
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("pvec"), col("cvec")))
+      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -83,13 +96,14 @@ object Similarity {
       k: Int,
       planes: Int = 12,
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .withColumn("bucket", srpBucket(col("cvec"), planes))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
       .withColumn("bucket", srpBucket(col("pvec"), planes))
     val scored = c.join(p, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("pvec"), col("cvec")))
+      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -31,17 +31,28 @@ object Planner {
   private def errCondition(factor: Factor): String =
     s"invalid condition: ${Show.factor(factor)}: should target a field of the document"
 
+  /** Output columns fold into an insertion-ordered map exactly like the
+    * reference's object-valued `$project`/`$group`: a duplicate alias keeps
+    * the first occurrence's position and the last occurrence's expression
+    * (reference: src/Ifrit/Semantic.purs:121 StrMap insert semantics).
+    */
+  private def dedupeAliases(cols: List[(String, Column)]): List[Column] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    cols.foreach { case (alias, c) => m.update(alias, c) }
+    m.toList.map { case (alias, c) => c.as(alias) }
+  }
+
   def plan(stmt: Statement): Either[String, DataFrame => DataFrame] = stmt match {
     case Statement.Select(projections, from, where, orders, limit, offset) =>
       for {
         base <- planBase(from, where, orders, limit, offset)
-        cols <- traverse(projections)(projectionColumn)
+        cols <- traverse(projections)(projectionColumn).map(dedupeAliases)
       } yield (df: DataFrame) => base(df).select(cols: _*)
 
     case Statement.Group(index, aggregations, from, where, orders, limit, offset) =>
       for {
         base <- planBase(from, where, orders, limit, offset)
-        aggCols <- traverse(aggregations)(aggregationColumn)
+        aggCols <- traverse(aggregations)(aggregationColumn).map(dedupeAliases)
       } yield { (df: DataFrame) =>
         val keyed = base(df)
         val idxCol = index match {
@@ -95,9 +106,9 @@ object Planner {
     * Array reductions map to Spark higher-order functions (`aggregate`,
     * `array_max`, `size`, ...) — codegen'd builtin expressions, no UDFs.
     */
-  def projectionColumn(sel: Selector): Either[String, Column] = sel match {
+  def projectionColumn(sel: Selector): Either[String, (String, Column)] = sel match {
     case Selector.Field(key, as) =>
-      Right(col(key).as(defaultAlias(key, as)))
+      Right(defaultAlias(key, as) -> col(key))
 
     case Selector.Fn(f, key, as) =>
       val alias = defaultAlias(key, as)
@@ -122,7 +133,7 @@ object Planner {
         case (Funktion.Min, _ :: _ :: Nil) => array_min(col(key))
         case _ => col(key)
       }
-      Right(column.as(alias))
+      Right(alias -> column)
   }
 
   // -- grouped aggregations --------------------------------------------------
@@ -132,14 +143,14 @@ object Planner {
     * named `count` unless aliased — bug-compatible with reference codegen
     * (reference: src/Ifrit/Driver/MongoDB.purs:296-297).
     */
-  def aggregationColumn(sel: Selector): Either[String, Column] = sel match {
+  def aggregationColumn(sel: Selector): Either[String, (String, Column)] = sel match {
     case Selector.Field(key, as) =>
-      Right(collect_list(col(key)).as(defaultAlias(key, as)))
-    case Selector.Fn(Funktion.Avg, key, as)   => Right(avg(col(key)).as(defaultAlias(key, as)))
-    case Selector.Fn(Funktion.Count, _, as)   => Right(count(lit(1)).cast(DoubleType).as(defaultAlias("count", as)))
-    case Selector.Fn(Funktion.Max, key, as)   => Right(max(col(key)).as(defaultAlias(key, as)))
-    case Selector.Fn(Funktion.Min, key, as)   => Right(min(col(key)).as(defaultAlias(key, as)))
-    case Selector.Fn(Funktion.Sum, key, as)   => Right(sum(col(key)).as(defaultAlias(key, as)))
+      Right(defaultAlias(key, as) -> collect_list(col(key)))
+    case Selector.Fn(Funktion.Avg, key, as)   => Right(defaultAlias(key, as) -> avg(col(key)))
+    case Selector.Fn(Funktion.Count, _, as)   => Right(defaultAlias("count", as) -> count(lit(1)).cast(DoubleType))
+    case Selector.Fn(Funktion.Max, key, as)   => Right(defaultAlias(key, as) -> max(col(key)))
+    case Selector.Fn(Funktion.Min, key, as)   => Right(defaultAlias(key, as) -> min(col(key)))
+    case Selector.Fn(Funktion.Sum, key, as)   => Right(defaultAlias(key, as) -> sum(col(key)))
   }
 
   // -- conditions ------------------------------------------------------------

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference has no streaming surface; these are part of the
+  * training-pipeline extension set. Design: the streaming plan is the same
+  * declarative shape as the batch `q_events_window` aggregation, so a
+  * pipeline can run identical logic in both modes (the lambda/kappa parity
+  * Spark's unified API exists for). State is bounded by watermarks; the
+  * shuffle key is (window, event_type) — partial aggregation applies
+  * map-side before the state store, so state size scales with distinct
+  * keys, not event volume.
+  */
+object EventStream {
+
+  /** Event row as stored in the events table (timestamps converted to
+    * microseconds — the table itself stores nanos, which Spark's reader
+    * does not accept as TimestampType).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos; converted on read
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** Streaming read of an events parquet path (file-source). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * state. Append mode emits a window once the watermark passes its end.
+    */
+  def windowedAggregate(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "2 hours",
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  // not private: the state encoder's generated code needs public accessors
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState`): a user's session closes when `gapMillis`
+    * passes without an event; closed sessions are emitted downstream.
+    * State per user is O(1); the shuffle key is user_id.
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[SessionAgg] = {
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[SessionAgg]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMillis =>
+            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            closed ::= SessionAgg(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach(state.update)
+      closed.reverseIterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

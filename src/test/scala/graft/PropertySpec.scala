@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.schema.Schema
+
+/** Property layer (the reference has none — SURVEY.md §5): random queries
+  * over the mages schema; whenever compilation succeeds, the inferred
+  * output schema must agree with the planned DataFrame's schema, and
+  * planning must never throw. Generators are driven from a fixed seed so
+  * runs are reproducible.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkSpec.{mages, magesSchemaJson}
+
+  /** Deterministic sample stream from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val schema = Schema.fromString(magesSchemaJson).toOption.get
+
+  private val scalarFields = Gen.oneOf(
+    "name", "bad_guy", "details.biographical.age", "details.biographical.class",
+    "details.physical.gender", "details.physical.height")
+  private val numberFields = Gen.oneOf("details.biographical.age", "details.physical.height")
+  private val arrayAggs = Gen.oneOf("AVG(spells.power)", "SUM(spells.power)",
+    "MAX(spells.power)", "MIN(spells.power)", "COUNT(spells)")
+
+  private val selectorGen: Gen[String] = Gen.oneOf(
+    scalarFields,
+    arrayAggs,
+    scalarFields.map(f => s"$f AS alias_${f.replace('.', '_')}"),
+  )
+
+  private val conditionGen: Gen[String] = Gen.oneOf(
+    numberFields.flatMap(f => Gen.choose(0, 200).map(n => s"$f > $n")),
+    numberFields.flatMap(f => Gen.choose(0, 200).map(n => s"$f < $n")),
+    Gen.const("bad_guy = true"),
+    Gen.const("details.physical.gender = \"female\""),
+    Gen.const("NOT(bad_guy)"),
+  )
+
+  private val queryGen: Gen[String] = for {
+    sels <- Gen.nonEmptyListOf(selectorGen).map(_.distinct.take(4))
+    cond <- Gen.option(conditionGen)
+    ord <- Gen.option(numberFields)
+    lim <- Gen.option(Gen.choose(1, 20))
+  } yield {
+    val w = cond.fold("")(c => s" WHERE $c")
+    val o = ord.fold("")(f => s" ORDER BY $f")
+    val l = lim.fold("")(n => s" LIMIT $n")
+    s"SELECT ${sels.mkString(", ")}$w$o$l"
+  }
+
+  test("compiled queries: inferred output schema == planned DataFrame schema") {
+    samples(queryGen, 60).foreach { q =>
+      Compiler.compile(schema, q) match {
+        case Right(compiled) =>
+          val planned = compiled.run(mages)
+          val inferred = Schema.toStructType(compiled.outputSchema)
+          assert(planned.schema.fieldNames.sorted.toList == inferred.fieldNames.sorted.toList,
+            s"schema mismatch for: $q")
+          // execution must not throw either
+          planned.limit(1).collect()
+        case Left(_) => // rejected queries are fine; property is about compiled ones
+      }
+    }
+  }
+
+  test("grouped queries: _id present and aggregation schema correct") {
+    val groupedGen = for {
+      agg <- Gen.oneOf("AVG", "MAX", "MIN", "SUM")
+      idx <- Gen.oneOf("details.biographical.class", "details.physical.gender", "NULL")
+    } yield s"SELECT $agg(details.biographical.age) AS v GROUP BY $idx"
+    samples(groupedGen, 20).foreach { q =>
+      val compiled = Compiler.compile(schema, q)
+        .fold(e => fail(s"$q → $e"), identity)
+      val planned = compiled.run(mages)
+      assert(planned.schema.fieldNames.contains("_id"))
+      assert(planned.schema.fieldNames.contains("v"))
+      assert(Schema.toStructType(compiled.outputSchema).fieldNames.sorted.toList ==
+        planned.schema.fieldNames.sorted.toList)
+    }
+  }
+
+  test("NOT involution quirk: NOT(NOT(x)) plans like NOT(x)") {
+    val q1 = "SELECT name WHERE NOT(bad_guy)"
+    val q2 = "SELECT name WHERE NOT(NOT(bad_guy))"
+    val r1 = Compiler.queryOrThrow(mages, q1).collect().map(_.getString(0)).toSet
+    val r2 = Compiler.queryOrThrow(mages, q2).collect().map(_.getString(0)).toSet
+    assert(r1 == r2)
+  }
+}
