@@ -159,9 +159,12 @@ object SparkEntry {
       Dedup.ngramJaccardNearDups(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the synthetic embeddings have no true near-dups (max pairwise cosine
+    // ≈ 0.51), so the harness entry runs at a moderate threshold where
+    // pairs exist; multi-table SRP keeps recall at that regime
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.9, planes = 8)
+        threshold = 0.45, planes = 5, tables = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- training-data pipeline: similarity search ----

@@ -86,14 +86,231 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Native MinHash signature: from an array of base hashes (one per
+  * shingle), the element-wise minimum of `numHashes` seeded re-hashes
+  * (XXH64 over the long with seed = family index).
+  *
+  * Why custom: the HOF formulation is `numHashes` copies of
+  * `array_min(transform(...))` — a thousand-node expression tree that
+  * costs tens of seconds of janino compilation and re-walks the array per
+  * family member. This is one fused loop: elements × families, no
+  * intermediate arrays.
+  */
+case class ArrayMinHash(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, k)
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $k = 0; $k < $numHashes; $k++) {
+         |    long $v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, $k);
+         |    if ($v < $mins[$k]) $mins[$k] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayMinHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
 /** Registration + Column-level API for graft's native expressions. */
 object GraftFunctions {
 
   /** Idempotently register graft expressions with a session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => ArrayMinHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+  }
 
   /** Dot product column; requires `register(spark)` on the session first. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** MinHash signature column; requires `register(spark)` first. */
+  def minHashSig(baseHashes: Column, numHashes: Int): Column =
+    call_function("minhash_sig", baseHashes, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Word-shingle column; requires `register(spark)` first. */
+  def wordShingles(text: Column, k: Int): Column =
+    call_function("word_shingles", text, org.apache.spark.sql.functions.lit(k))
+
+  /** SimHash column; requires `register(spark)` first. */
+  def simHash64(text: Column): Column = call_function("simhash64", text)
+}
+
+/** Runtime helper for WordShingles — shared by interpreted eval and
+  * generated code (the loop is string-heavy; a static call keeps the
+  * generated method small while avoiding any interpreter overhead).
+  */
+object ShingleUtil {
+  def shingles(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val s = text.toString.toLowerCase
+    val tokens = new java.util.ArrayList[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { tokens.add(sb.toString); sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) tokens.add(sb.toString)
+    val n = tokens.size
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[AnyRef](0))
+    val out = new Array[AnyRef](n - k + 1)
+    var j = 0
+    while (j <= n - k) {
+      val b = new java.lang.StringBuilder(tokens.get(j))
+      var m = 1
+      while (m < k) { b.append(' ').append(tokens.get(j + m)); m += 1 }
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(b.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native word-shingling: lowercase alphanumeric tokenization + k-gram
+  * join in one pass. Replaces a `split`/`filter`/`transform(sequence,
+  * slice, concat_ws)` HOF chain that is interpreted and re-walks the token
+  * array per shingle — shingling is the dominant per-row cost of MinHash
+  * dedup, so this is the scan-throughput lever.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.shingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+/** Runtime helper for SimHash64: tokenize (lowercase alnum runs), hash
+  * each token (XXH64 over UTF-8 bytes, seed 42 like Spark's xxhash64),
+  * vote ±1 per bit, pack the sign vector.
+  */
+object SimHashUtil {
+  def simhash(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = text.toString.toLowerCase
+    val counts = new Array[Int](64)
+    val sb = new java.lang.StringBuilder
+    def vote(): Unit = {
+      if (sb.length > 0) {
+        val tok = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          tok.getBaseObject, tok.getBaseOffset, tok.numBytes, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+        sb.setLength(0)
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c) else vote()
+      i += 1
+    }
+    vote()
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) >= 0) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
+/** Native 64-bit SimHash of a document's token stream — single pass,
+  * no token array, no interpreted 64-lane voting tree.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.simhash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
 }

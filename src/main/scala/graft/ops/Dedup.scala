@@ -42,26 +42,19 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: `numHashes` minima of independently seeded hashes
-    * of the document's shingles. Seeding via an extra literal argument to
-    * xxhash64 gives an independent hash family without 64-bit modular
-    * arithmetic (which ANSI mode rejects on overflow). Pure per-row
-    * expression work — narrow, codegen'd, no shuffle.
+  /** MinHash signature: `numHashes` minima of independently seeded
+    * re-hashes of the shingles' base hashes. Each shingle string is hashed
+    * once (builtin xxhash64); the family expansion runs in the native
+    * ArrayMinHash expression — one fused codegen'd loop instead of
+    * `numHashes` interpreted array traversals. Requires
+    * GraftFunctions.register on the session (minHashNearDups does it).
     */
   def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
     signatureOfShingles(Shingles.wordShingles(text, shingleSize), numHashes)
 
-  /** Signature from a pre-computed shingle column. Each shingle string is
-    * hashed to a long exactly once; the `numHashes` family members then
-    * re-hash that long with the seed — hashing 8 bytes instead of the
-    * string for every family member (the dominant cost at 64-128 hashes).
-    */
-  def signatureOfShingles(shingles: Column, numHashes: Int): Column = {
-    val base = transform(shingles, s => xxhash64(s))
-    array((0 until numHashes).map { i =>
-      array_min(transform(base, h => xxhash64(lit(i), h)))
-    }: _*)
-  }
+  def signatureOfShingles(shingles: Column, numHashes: Int): Column =
+    graft.functions.GraftFunctions.minHashSig(
+      transform(shingles, s => xxhash64(s)), numHashes)
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -83,10 +76,16 @@ object Dedup {
       threshold: Double = 0.7,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
+    // Persisted: shingling is the dominant per-pass cost and three plan
+    // branches consume it (banding + both verification joins). The native
+    // word_shingles expression tokenizes and joins k-grams in one pass.
     val shingled = df
-      .select(col(idCol).as("id"), Shingles.wordShingles(col(textCol), shingleSize).as("shingles"))
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist()
     val withSig = shingled.withColumn("sig", signatureOfShingles(col("shingles"), numHashes))
 
     // Band rows carry only (band, bucket, id): the LSH shuffle and the
@@ -130,24 +129,11 @@ object Dedup {
 
   /** 64-bit SimHash of the document's token multiset: each token hash
     * votes ±1 per bit position; the sign vector packs into a long.
-    * Expressed as SQL higher-order functions so the whole signature is one
-    * codegen'd projection.
+    * Runs as the native SimHash64 expression (one pass over the text, no
+    * interpreted 64-lane voting tree). Requires GraftFunctions.register
+    * on the session (simHashNearDups does it).
     */
-  def simHash(text: Column): Column = {
-    val counts = aggregate(
-      transform(TextOps.tokens(text), t => xxhash64(t)),
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)),
-    )
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, j) => when(c >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L),
-      (s, v) => s.bitwiseOR(v),
-    )
-  }
+  def simHash(text: Column): Column = graft.functions.GraftFunctions.simHash64(text)
 
   /** SimHash near-duplicates within a Hamming radius. Banding over four
     * 16-bit chunks (a pair within Hamming distance ≤ 4 of a 64-bit hash
@@ -161,6 +147,7 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val withSim = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
@@ -191,26 +178,53 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
   ): DataFrame =
-    minHashNearDups(df, textCol, idCol, numHashes = 64, bands = 16, shingleSize = n,
+    // 10 bands × 6 rows → s* ≈ 0.68: tuned to the high threshold so that
+    // the ubiquitous low-similarity pairs short n-grams produce don't all
+    // become candidates (recall at 0.8 ≈ 0.95, at 0.9 ≈ 1.0)
+    minHashNearDups(df, textCol, idCol, numHashes = 60, bands = 10, shingleSize = n,
       threshold = threshold)
 
-  /** Embedding-cosine near-duplicates via the similarity operators: SRP-LSH
-    * candidate buckets, exact cosine verification. See Similarity.
+  /** Embedding-cosine near-duplicates: multi-table SRP-LSH candidates,
+    * exact cosine verification.
+    *
+    * Recall tuning: a pair at cosine c collides in one table with
+    * probability (1 - θ/π)^planes (θ = arccos c); `tables` independent
+    * hash tables OR together, recall = 1-(1-p)^tables. High thresholds
+    * (0.9+) need few tables; moderate thresholds need more tables with
+    * fewer planes. The shuffle key is (table, bucket) — candidate volume,
+    * not corpus size, drives cost.
     */
   def embeddingNearDups(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double = 0.95,
-      planes: Int = 16,
+      planes: Int = 8,
+      tables: Int = 8,
   ): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", Similarity.srpBucket(col("vec"), planes))
-    val left = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val right = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    left.join(right, Seq("bucket"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val tableStructs = (0 until tables).map { t =>
+      struct(lit(t).as("table"),
+        Similarity.srpBucket(col("vec"), planes, table = t).as("bucket"))
+    }
+    val banded = base
+      .select(col("id"), explode(array(tableStructs: _*)).as("tb"))
+      .select(col("id"), col("tb.table"), col("tb.bucket"))
+      .persist()
+    val left = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val right = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val candidates = left.join(right, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // join candidates back to vectors: AQE picks broadcast vs shuffle from
+    // actual candidate volume (forcing broadcast of the candidate side is
+    // wrong exactly when LSH degenerates and candidates are large)
+    candidates
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cosine", Similarity.cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

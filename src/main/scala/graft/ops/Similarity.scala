@@ -36,24 +36,41 @@ object Similarity {
   /** Native-expression cosine (requires GraftFunctions.register on the
     * session, done by the operators below).
     */
-  private def cosineNative(a: Column, b: Column): Column = {
+  private[ops] def cosineNative(a: Column, b: Column): Column = {
     import graft.functions.GraftFunctions.vecDot
     vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
   }
 
-  /** Signed-random-projection bucket: `planes` hyperplanes with
-    * deterministic Rademacher (±1) weights derived from xxhash64(plane,
-    * dim-index); the sign pattern packs into a long bucket id. Stable
-    * across runs and cluster layouts.
+  /** Deterministic Rademacher (±1) hyperplane weights: splitmix64 of the
+    * (plane, dim) index. Computed driver-side once and shipped as array
+    * literals — the per-row work is then `planes` native vec_dot calls
+    * instead of a large interpreted higher-order-function tree (which also
+    * costs tens of seconds of codegen compilation on first use).
     */
-  def srpBucket(vec: Column, planes: Int): Column = {
+  private def planeWeights(plane: Int, dims: Int, table: Int): Array[Double] = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    Array.tabulate(dims) { d =>
+      if ((splitmix(table.toLong << 48 | plane.toLong << 32 | d) & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** Signed-random-projection bucket: the sign pattern of `planes`
+    * hyperplane projections packs into a long bucket id. Stable across
+    * runs and cluster layouts. `dims` bounds the supported vector length
+    * (extra dimensions are ignored); `table` selects an independent
+    * hyperplane family for multi-table LSH. Requires
+    * GraftFunctions.register on the session (done by the operators below).
+    */
+  def srpBucket(vec: Column, planes: Int, dims: Int = 64, table: Int = 0): Column = {
+    import graft.functions.GraftFunctions.vecDot
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") *
-            when(xxhash64(lit(p), j).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (s, v) => s + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val weights = typedLit(planeWeights(p, dims, table))
+      when(vecDot(vec, weights) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

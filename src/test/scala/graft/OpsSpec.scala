@@ -59,6 +59,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("simhash: identical texts distance 0, near dups small, unrelated large") {
+    graft.functions.GraftFunctions.register(spark)
     val sims = docs.select($"doc_id", Dedup.simHash($"text").as("sim"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sim")).toMap
     assert(sims(0L) == sims(1L))
