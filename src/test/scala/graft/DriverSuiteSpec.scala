@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.schema.Schema
+
+/** Port of the reference driver suite (reference: test/Test.Main.purs:
+  * 637-964). The reference asserts golden MongoDB pipeline JSON; here each
+  * query runs against an equivalent in-memory fixture and the *result set*
+  * is asserted — a strictly stronger check of the same semantics
+  * (SURVEY.md §5 "golden tests become result-set goldens").
+  */
+class DriverSuiteSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  /** fixture for the flat-schema cases: mage-like rows with scalar fields */
+  private lazy val flat: DataFrame = Seq(
+    // name, age, lvl, class, power, parent, is_necromancer
+    ("alice", 12.0, 3.0, "necromancer", 100.0, Some("carol"), true),
+    ("bob", 15.0, 4.0, "necromancer", 250.0, None, false),
+    ("carol", 16.0, 4.0, "priest", 400.0, None, false),
+    ("dan", 15.0, 6.0, "priest", 150.0, Some("carol"), false),
+    ("erin", 30.0, 6.0, "necromancer", 900.0, None, true),
+  ).toDF("name", "age", "lvl", "class", "power", "parent", "is_necromancer")
+
+  private def run(q: String, df: DataFrame = flat): DataFrame =
+    Compiler.queryOrThrow(df, q)
+
+  test("SELECT SUM(lvl) GROUP BY age (ref :638)") {
+    val got = run("SELECT SUM(lvl) GROUP BY age").collect()
+      .map(r => r.getAs[Double]("_id") -> r.getAs[Double]("lvl")).toMap
+    assert(got == Map(12.0 -> 3.0, 15.0 -> 10.0, 16.0 -> 4.0, 30.0 -> 6.0))
+  }
+
+  test("SELECT MAX(spells.power) AS max_power (ref :655)") {
+    val got = run("SELECT MAX(spells.power) AS max_power", SparkSpec.mages)
+      .agg(org.apache.spark.sql.functions.max("max_power")).collect().head.getDouble(0)
+    assert(got == 9999.0)
+  }
+
+  test("SELECT AVG(power) FROM (SELECT class, AVG(spells.power) AS power) GROUP BY class (ref :686)") {
+    val got = run("SELECT AVG(power) FROM (SELECT details.biographical.class AS class, AVG(spells.power) AS power) GROUP BY class",
+        SparkSpec.mages).collect()
+      .map(r => r.getAs[String]("_id") -> r.getAs[Double]("power")).toMap
+    assert(got.keySet == Set("sorcerer", "soldier", "summoner", "thief"))
+  }
+
+  test("SELECT name WHERE age < 16 (ref :724)") {
+    assert(run("SELECT name WHERE age < 16").collect().map(_.getString(0)).toSet ==
+      Set("alice", "bob", "dan"))
+  }
+
+  test("WHERE with AND of comparison + string eq (ref :745)") {
+    assert(run("SELECT power WHERE age < 16 AND class = \"necromancer\"")
+      .collect().map(_.getDouble(0)).toSet == Set(100.0, 250.0))
+  }
+
+  test("WHERE with parenthesized OR inside AND (ref :769)") {
+    assert(run("SELECT power WHERE (age < 16 OR class = \"priest\") AND class = \"necromancer\"")
+      .collect().map(_.getDouble(0)).toSet == Set(100.0, 250.0))
+  }
+
+  test("SELECT power WHERE parent = NULL matches null (ref :800)") {
+    assert(run("SELECT power WHERE parent = NULL").collect().map(_.getDouble(0)).toSet ==
+      Set(250.0, 400.0, 900.0))
+  }
+
+  test("SELECT class WHERE NOT(is_necromancer) → {field: false} (ref :819)") {
+    assert(run("SELECT class WHERE NOT(is_necromancer)").collect().map(_.getString(0)).toList
+      .sorted == List("necromancer", "priest", "priest"))
+  }
+
+  test("ORDER BY applies to input fields before projection (ref :838)") {
+    assert(run("SELECT power ORDER BY name").collect().map(_.getDouble(0)).toList ==
+      List(100.0, 250.0, 400.0, 150.0, 900.0))
+  }
+
+  test("ORDER BY multi-key with directions (ref :857)") {
+    assert(run("SELECT power ORDER BY class DESC, age").collect().map(_.getDouble(0)).toList ==
+      List(150.0, 400.0, 100.0, 250.0, 900.0))
+  }
+
+  test("GROUP BY NULL with pre-aggregation ORDER BY (ref :877)") {
+    val row = run("SELECT MAX(power) GROUP BY NULL ORDER BY age ASC").collect().head
+    assert(row.getAs[Double]("power") == 900.0)
+    assert(row.isNullAt(row.fieldIndex("_id")))
+  }
+
+  test("LIMIT 14 OFFSET 42 yields empty (limit before skip, ref :899)") {
+    assert(run("SELECT power LIMIT 14 OFFSET 42").count() == 0)
+    assert(run("SELECT power LIMIT 3 OFFSET 2").count() == 1)
+  }
+
+  test("GROUP BY NULL ORDER BY age LIMIT pre-aggregation (ref :919)") {
+    // sort by age (12, 15, 15, ...), keep first 3 rows → powers 100/250/150
+    val row = run("SELECT MAX(power) GROUP BY NULL ORDER BY age LIMIT 3").collect().head
+    assert(row.getAs[Double]("power") == 250.0)
+  }
+
+  test("NOT over AND does De Morgan with negated comparisons (ref :944)") {
+    // NOT(power > 150 AND class = "necromancer") ≡ power <= 150 OR class != "necromancer"
+    assert(run("SELECT name WHERE NOT(power > 150 AND class = \"necromancer\")")
+      .collect().map(_.getString(0)).toSet == Set("alice", "carol", "dan"))
+  }
+
+  test("grouped COUNT output column is named count (ref :1257 naming quirk)") {
+    val df = run("SELECT COUNT(name) GROUP BY age")
+    assert(df.schema.fieldNames.toSet == Set("_id", "count"))
+  }
+
+  test("dotted path inside array element structs: MAX(spells.power.super) (ref :1419)") {
+    val schema = StructType(Seq(
+      StructField("spells", ArrayType(StructType(Seq(
+        StructField("power", StructType(Seq(
+          StructField("normal", DoubleType), StructField("super", DoubleType))))))))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(Row(Row(10.0, 100.0)), Row(Row(20.0, 50.0)))),
+      Row(Seq(Row(Row(5.0, 500.0)))))
+    val df = spark.createDataFrame(rows, schema)
+    val got = Compiler.queryOrThrow(df, "SELECT MAX(spells.power.super)")
+      .collect().map(_.getDouble(0)).toSet
+    assert(got == Set(100.0, 500.0))
+  }
+}
