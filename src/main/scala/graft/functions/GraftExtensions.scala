@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector: makes graft's native expressions
+  * available to any session — including plain `spark.sql("... vec_dot(a,
+  * b) ...")` — via the standard mechanism:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)                       // in code
+  * // or: --conf spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * `GraftFunctions.register(spark)` remains the per-session alternative the
+  * operators use internally.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays (double)"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hashes, n) - n seeded min-hashes of an array<bigint>"),
+      (exprs: Seq[Expression]) =>
+        ArrayMinHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, k) - lowercase word k-gram shingles"),
+      (exprs: Seq[Expression]) =>
+        WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of the token stream"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+  }
+}
