@@ -107,3 +107,46 @@ class ParserSpec extends AnyFunSuite {
     assert(parse("SELECT DISTINCT a").isLeft)
   }
 }
+
+/** Edge cases of the generic list/paren rules (reference:
+  * src/Ifrit/Parser.purs:405-437, 462-465).
+  */
+class ParserEdgeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def parse(s: String) =
+    graft.lexer.Lexer.tokenize(s).flatMap(ts => Parser.statement(ts).map(_._1))
+
+  test("parenthesized selector sublists merge: SELECT (a, b), (c)") {
+    assert(parse("SELECT (a, b), (c)") == Right(
+      Statement.Select(List(
+        Selector.Field("a", None), Selector.Field("b", None), Selector.Field("c", None)),
+        None, None, Nil, None, None)))
+  }
+
+  test("statement may start with an open parenthesis") {
+    assert(parse("(SELECT a)") == Right(
+      Statement.Select(List(Selector.Field("a", None)), None, None, Nil, None, None)))
+  }
+
+  test("parenthesized single selector") {
+    assert(parse("SELECT (a AS b)") == Right(
+      Statement.Select(List(Selector.Field("a", Some("b"))), None, None, Nil, None, None)))
+  }
+
+  test("empty input is an unexpected EOF token") {
+    assert(parse("") == Left("unexpected token: EOF at position 0"))
+  }
+
+  test("unbalanced parenthesis error names the offending token") {
+    // the token stream always ends with an explicit EOF token, so the
+    // reference reports it rather than the Nil branch
+    assert(parse("SELECT (a, b") ==
+      Left("unbalanced parenthesis expression: expected `)` but got: EOF at position 12"))
+  }
+
+  test("GROUP BY with parenthesized index") {
+    assert(parse("SELECT AVG(x) GROUP BY (y)") == Right(
+      Statement.Group(Index.IdxField("y"),
+        List(Selector.Fn(graft.lexer.Lexer.Funktion.Avg, "x", None)),
+        None, None, Nil, None, None)))
+  }
+}
