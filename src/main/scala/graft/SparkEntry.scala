@@ -35,12 +35,14 @@ object SparkEntry {
 
   /** The events table stores nanosecond timestamps, which Spark's parquet
     * reader rejects; read them as long and convert to microsecond
-    * timestamps (UTC).
+    * timestamps (UTC). Integer `div` keeps the arithmetic in long — a
+    * double-valued division loses precision above 2^53 (ns epochs are
+    * ~1.7e18) and can round an event across a window boundary.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** lineitem with a derived boolean column (the dialect needs one for the
@@ -106,9 +108,14 @@ object SparkEntry {
     "q_g4_count" -> ((s, dir) =>
       q(t(s, dir, "lineitem"), "SELECT COUNT(l_orderkey) GROUP BY l_linestatus")),
 
+    // $push emits an array column; the driver's compare layer cannot hash
+    // arrays, so the harness entry canonicalizes to a sorted joined string
+    // (the DuckDB oracle mirrors the same canonical form).
     "q_g5_push" -> ((s, dir) =>
       q(t(s, dir, "lineitem"), "SELECT l_quantity GROUP BY l_returnflag")
-        .withColumn("l_quantity", sort_array(col("l_quantity")))),
+        .withColumn("l_quantity",
+          array_join(transform(sort_array(col("l_quantity")),
+            x => format_string("%.1f", x)), ","))),
 
     "q_o1_order_limit" -> ((s, dir) =>
       q(t(s, dir, "lineitem"),
@@ -219,9 +226,13 @@ object SparkEntry {
           col("meta.width"), col("meta.height"), col("meta.sample_rate"), col("meta.n_frames"))
     }),
 
+    // features are array<float>; canonicalized to a fixed-format joined
+    // string so the driver's compare layer can hash the column
     "q_mm_features" -> ((s, dir) =>
       Multimodal.syntheticMediaTable(t(s, dir, "documents"))
-        .select(col("media_id"), Multimodal.featurize(col("payload"), 16).as("features"))),
+        .select(col("media_id"),
+          array_join(transform(Multimodal.featurize(col("payload"), 16),
+            f => format_string("%.6f", f)), ",").as("features"))),
 
     "q_mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.syntheticMediaTable(t(s, dir, "documents")), 4)
@@ -276,7 +287,7 @@ object SparkEntry {
       "SELECT l_linestatus AS _id, CAST(count(*) AS DOUBLE) AS count FROM lineitem GROUP BY l_linestatus",
 
     "q_g5_push" ->
-      "SELECT l_returnflag AS _id, list_sort(list(l_quantity)) AS l_quantity FROM lineitem GROUP BY l_returnflag",
+      "SELECT l_returnflag AS _id, array_to_string(list_transform(list_sort(list(l_quantity)), x -> printf('%.1f', x)), ',') AS l_quantity FROM lineitem GROUP BY l_returnflag",
 
     "q_o1_order_limit" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",

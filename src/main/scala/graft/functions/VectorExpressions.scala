@@ -20,13 +20,18 @@ import org.apache.spark.sql.types._
   *
   * Semantics match `aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)),
   * 0D, (s, v) -> s + v)`: sequential left-to-right double accumulation, so
-  * results are bit-identical with the HOF formulation the oracles mirror.
-  * Null if either array is null; arrays must have equal length.
+  * results are bit-identical with the HOF formulation the oracles mirror —
+  * including the mismatched-length case: `zip_with` pads the shorter array
+  * with nulls, which poisons the fold, so both formulations return NULL
+  * when the lengths differ (no silent truncation).
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // nullable even over non-null children: length mismatch yields null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -47,7 +52,8 @@ case class FloatVecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
     var s = 0.0
@@ -69,12 +75,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

@@ -111,12 +111,20 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     val shingleSets = shingled
-    candidates
+    val result = candidates
       .join(shingleSets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingleSets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // Eagerly materialize the (small) pair set, then release the cached
+    // intermediates: persisted shingles/bands must not outlive the operator
+    // — a long-lived session running many dedups would otherwise accumulate
+    // dead cache blocks until executors spill or evict.
+    val out = result.localCheckpoint()
+    shingled.unpersist()
+    banded.unpersist()
+    out
   }
 
   /** Exact Jaccard similarity of two shingle arrays (as sets). */
@@ -135,11 +143,21 @@ object Dedup {
     */
   def simHash(text: Column): Column = graft.functions.GraftFunctions.simHash64(text)
 
-  /** SimHash near-duplicates within a Hamming radius. Banding over four
-    * 16-bit chunks (a pair within Hamming distance ≤ 4 of a 64-bit hash
-    * agrees exactly on at least one chunk when distance ≤ 3·chunks — for
-    * small radii this catches virtually all pairs; exact Hamming check
-    * verifies). Shuffle is on (chunk index, chunk value) only.
+  /** SimHash near-duplicates within a Hamming radius.
+    *
+    * Banding is pigeonhole-exact: the 64-bit hash splits into
+    * `maxHamming + 1` disjoint chunks, so any pair within the radius has
+    * at most `maxHamming` differing bits spread over `maxHamming + 1`
+    * chunks — at least one chunk matches exactly and the pair becomes a
+    * candidate. Recall is therefore 1.0 at the requested radius (no
+    * silently dropped pairs); the exact `bit_count` check then filters
+    * false candidates. The shuffle key is (chunk index, chunk value) only.
+    *
+    * Scale note: larger radii mean narrower chunks (radius 8 → nine 7-8
+    * bit chunks) and coarser buckets, so candidate volume grows with the
+    * radius — the inherent cost of exact recall with a 64-bit sketch. For
+    * radii past ~16 at very large corpora, prefer a wider sketch or
+    * combination-keying (Manku et al., WWW'07).
     */
   def simHashNearDups(
       df: DataFrame,
@@ -148,10 +166,26 @@ object Dedup {
       maxHamming: Int = 3,
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val withSim = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
-    val chunks = (0 until 4).map { c =>
+    simHashNearDupsFromSims(
+      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim")), maxHamming)
+  }
+
+  /** Banding + verification over precomputed (id, sim) rows — the
+    * machinery behind [[simHashNearDups]], separated so callers with their
+    * own sketches (and the planted-bit recall tests) can use it directly.
+    */
+  private[graft] def simHashNearDupsFromSims(
+      withSim: DataFrame,
+      maxHamming: Int,
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val k = maxHamming + 1
+    val widths = Array.tabulate(k)(i => 64 / k + (if (i < 64 % k) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunks = (0 until k).map { c =>
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1
       struct(lit(c).as("chunk"),
-        shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))
+        shiftright(col("sim"), offsets(c)).bitwiseAND(lit(mask)).as("key"))
     }
     val banded = withSim.select(col("id"), col("sim"), explode(array(chunks: _*)).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk"), col("cc.key"))
@@ -161,8 +195,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // filter before the dedup shuffle: false candidates (the vast
+      // majority at narrow chunk widths) never reach the exchange
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** N-gram Jaccard near-duplicates: exact Jaccard over word n-gram sets,
@@ -204,9 +240,10 @@ object Dedup {
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val dims = Similarity.vecDims(base, "vec")
     val tableStructs = (0 until tables).map { t =>
       struct(lit(t).as("table"),
-        Similarity.srpBucket(col("vec"), planes, table = t).as("bucket"))
+        Similarity.srpBucket(col("vec"), planes, dims, table = t).as("bucket"))
     }
     val banded = base
       .select(col("id"), explode(array(tableStructs: _*)).as("tb"))
@@ -221,11 +258,15 @@ object Dedup {
     // join candidates back to vectors: AQE picks broadcast vs shuffle from
     // actual candidate volume (forcing broadcast of the candidate side is
     // wrong exactly when LSH degenerates and candidates are large)
-    candidates
+    val result = candidates
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cosine", Similarity.cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    // materialize, then release the cached banding (see minHashNearDups)
+    val out = result.localCheckpoint()
+    banded.unpersist()
+    out
   }
 }

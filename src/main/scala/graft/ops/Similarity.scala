@@ -61,19 +61,33 @@ object Similarity {
 
   /** Signed-random-projection bucket: the sign pattern of `planes`
     * hyperplane projections packs into a long bucket id. Stable across
-    * runs and cluster layouts. `dims` bounds the supported vector length
-    * (extra dimensions are ignored); `table` selects an independent
-    * hyperplane family for multi-table LSH. Requires
-    * GraftFunctions.register on the session (done by the operators below).
+    * runs and cluster layouts. `dims` must equal the vector length — the
+    * hyperplanes are shipped as literal weight arrays and `vec_dot`
+    * returns null on a length mismatch, so a wrong `dims` yields null
+    * buckets (dropped by the bucket equi-join) rather than silently
+    * hashing a truncated prefix. The operators below infer `dims` from the
+    * data. `table` selects an independent hyperplane family for
+    * multi-table LSH. Requires GraftFunctions.register on the session
+    * (done by the operators below).
     */
   def srpBucket(vec: Column, planes: Int, dims: Int = 64, table: Int = 0): Column = {
     import graft.functions.GraftFunctions.vecDot
     val bits = (0 until planes).map { p =>
       val weights = typedLit(planeWeights(p, dims, table))
-      when(vecDot(vec, weights) >= 0, lit(1L << p)).otherwise(lit(0L))
+      val d = vecDot(vec, weights)
+      // two-sided when: a null dot (length mismatch) stays null instead of
+      // collapsing to bit 0 — bucket 0 would silently pool everything
+      when(d >= 0, lit(1L << p)).when(d < 0, lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** The (uniform) vector length of a column, read from one row — the
+    * driver-side probe that sizes the literal hyperplane weights.
+    */
+  private[ops] def vecDims(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Exact cosine top-k: for each probe row, the k nearest corpus rows.
     * The probe set must be small (it is broadcast); the corpus streams.
@@ -114,10 +128,11 @@ object Similarity {
       planes: Int = 12,
   ): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val dims = vecDims(corpus, vecCol)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("bucket", srpBucket(col("cvec"), planes))
+      .withColumn("bucket", srpBucket(col("cvec"), planes, dims))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
-      .withColumn("bucket", srpBucket(col("pvec"), planes))
+      .withColumn("bucket", srpBucket(col("pvec"), planes, dims))
     val scored = c.join(p, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))

@@ -37,7 +37,9 @@ object EventStream {
     spark.readStream
       .schema(eventSchema)
       .parquet(path)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer div: a double-valued division loses precision on ns epochs
+      // (~1.7e18 > 2^53) and can shift an event across a window boundary
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling-window counts/sums per event type with a watermark bounding

@@ -75,6 +75,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L && p._1 != 4L || p._1 == 4L))
   }
 
+  test("simhash banding catches pairs whose differing bits spread across all wide chunks") {
+    // 8 differing bits, two per 16-bit quarter: a fixed 4×16 banding would
+    // never see these in the same bucket. With chunks = maxHamming + 1 the
+    // pigeonhole guarantees a matching chunk at any spread.
+    val diff = Seq(7, 15, 23, 31, 39, 47, 55, 63).map(1L << _).reduce(_ | _)
+    val sims = Seq((0L, 0L), (1L, diff), (2L, -1L)).toDF("id", "sim")
+    val pairs = Dedup.simHashNearDupsFromSims(sims, maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L))) // planted pair caught; far pair (2) excluded
+  }
+
+  test("simhash banding is exact-match at maxHamming 0") {
+    val sims = Seq((0L, 42L), (1L, 42L), (2L, 43L)).toDF("id", "sim")
+    val pairs = Dedup.simHashNearDupsFromSims(sims, maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("vec_dot returns null on length mismatch (matches HOF contract)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val native = df.select(graft.functions.GraftFunctions.vecDot($"a", $"b")).collect().head
+    val hof = df.select(Similarity.dot($"a", $"b")).collect().head
+    assert(native.isNullAt(0) && hof.isNullAt(0))
+  }
+
   test("ngram jaccard near-dups at tight threshold keep only true dups") {
     val pairs = Dedup.ngramJaccardNearDups(docs, "text", "doc_id", n = 3, threshold = 0.95)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
