@@ -43,8 +43,11 @@ object Compiler {
     * physical types all present as the dialect's single Number type; fields
     * with no dialect equivalent are unreachable (closed world).
     */
-  def query(df: DataFrame, sql: String): Either[String, DataFrame] =
+  def query(df: DataFrame, sql: String): Either[String, DataFrame] = {
+    // planned array reductions use graft's native expressions (array_sum)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     compile(Schema.fromStructType(df.schema), sql).map(_.run(df))
+  }
 
   /** Like `query` but throwing — convenient at call sites that treat a
     * compile error as fatal (tests, harness entries).

@@ -41,5 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash of the token stream"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("array_sum"),
+      info("array_sum", "array_sum(arr) - sum of a numeric array, accumulated in double"),
+      (exprs: Seq[Expression]) => ArraySum(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      info("topk_by_score", "topk_by_score(score, id, k) - bounded top-k by (score desc, id asc) as array<struct<id, score>>"),
+      (exprs: Seq[Expression]) =>
+        TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

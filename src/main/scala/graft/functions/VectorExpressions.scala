@@ -167,23 +167,24 @@ case class ArrayMinHash(child: Expression, numHashes: Int)
 /** Registration + Column-level API for graft's native expressions. */
 object GraftFunctions {
 
-  /** Idempotently register graft expressions with a session. */
+  /** Idempotently register graft expressions with a session. Functions
+    * already present are left untouched (re-registering would also log a
+    * "function replaced" warning per call site).
+    */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction(
-      "minhash_sig",
-      exprs => ArrayMinHash(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "word_shingles",
-      exprs => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    def add(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    add("vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)))
+    add("minhash_sig", exprs =>
+      ArrayMinHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
+    add("word_shingles", exprs =>
+      WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
+    add("simhash64", exprs => SimHash64(exprs(0)))
+    add("array_sum", exprs => ArraySum(exprs(0)))
+    add("topk_by_score", exprs =>
+      TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue()))
   }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -199,6 +200,15 @@ object GraftFunctions {
 
   /** SimHash column; requires `register(spark)` first. */
   def simHash64(text: Column): Column = call_function("simhash64", text)
+
+  /** Native numeric-array sum (double); requires `register(spark)` first. */
+  def arraySum(arr: Column): Column = call_function("array_sum", arr)
+
+  /** Bounded top-k aggregate by (score desc, id asc); requires
+    * `register(spark)` first. Evaluates to `array<struct<id, score>>`.
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by_score", score, id, org.apache.spark.sql.functions.lit(k))
 }
 
 /** Runtime helper for WordShingles — shared by interpreted eval and

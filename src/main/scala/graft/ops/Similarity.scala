@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -89,6 +88,24 @@ object Similarity {
     df.select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
 
+  /** Rank the k best scored rows per probe with the bounded heap
+    * aggregate: partial aggregation keeps an O(k) buffer per probe on each
+    * map task and the shuffle moves k-entry buffers, never the scored
+    * rows. (The naive alternative — `row_number` over
+    * `partitionBy(probe_id)` — materializes every scored row of a probe
+    * in one window partition: |corpus| rows per probe, a scale-killer.)
+    * Ordering matches `ORDER BY cosine DESC, neighbor_id`: ties break by
+    * ascending neighbor id, ranks are 1-based positions.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.GraftFunctions.topKByScore(
+        col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("probe_id"), col("e.id").as("neighbor_id"),
+        round(col("e.score"), 6).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact cosine top-k: for each probe row, the k nearest corpus rows.
     * The probe set must be small (it is broadcast); the corpus streams.
     * Returns (probe_id, neighbor_id, cosine, rank), self-matches excluded.
@@ -106,11 +123,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k via SRP buckets: probes only meet corpus vectors in
@@ -136,10 +149,6 @@ object Similarity {
     val scored = c.join(p, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 }

@@ -47,7 +47,12 @@ object Planner {
       for {
         base <- planBase(from, where, orders, limit, offset)
         cols <- traverse(projections)(projectionColumn).map(dedupeAliases)
-      } yield (df: DataFrame) => base(df).select(cols: _*)
+      } yield (df: DataFrame) => {
+        // planned reductions use graft natives (array_sum); make the plan
+        // self-contained for callers that run it on an arbitrary session
+        graft.functions.GraftFunctions.register(df.sparkSession)
+        base(df).select(cols: _*)
+      }
 
     case Statement.Group(index, aggregations, from, where, orders, limit, offset) =>
       for {
@@ -94,17 +99,18 @@ object Planner {
     case Order.Desc(f) => col(f).desc
   }
 
-  /** Navigate a dotted path starting from a column (struct fields, including
-    * struct-over-array projection which Spark applies natively).
-    */
-  private def path(base: Column, dotted: String): Column =
-    dotted.split('.').foldLeft(base)(_.getField(_))
-
   // -- projections: per-row values & array reductions ------------------------
 
   /** A projected column (reference: src/Ifrit/Driver/MongoDB.purs:170-284).
-    * Array reductions map to Spark higher-order functions (`aggregate`,
-    * `array_max`, `size`, ...) — codegen'd builtin expressions, no UDFs.
+    * Array reductions map to native codegen'd expressions: SUM/AVG run as
+    * graft's fused `array_sum` loop (Spark's `aggregate` HOF is
+    * CodegenFallback — interpreted lambda dispatch per element would be the
+    * scan hot path at scale; `array_sum` keeps bit-identical left-to-right
+    * double accumulation), MAX/MIN/COUNT as Spark's `array_max`/
+    * `array_min`/`size`. No UDFs. Dotted reductions extract the element
+    * field natively first (`GetArrayStructFields`) and reduce the
+    * resulting flat array. Callers must register graft functions on the
+    * session (`Compiler.query` does).
     */
   def projectionColumn(sel: Selector): Either[String, (String, Column)] = sel match {
     case Selector.Field(key, as) =>
@@ -113,12 +119,15 @@ object Planner {
     case Selector.Fn(f, key, as) =>
       val alias = defaultAlias(key, as)
       val segments = key.split("\\.", 2).toList
+      val arraySum = graft.functions.GraftFunctions.arraySum _
+      // dotted: project the element field out of the array-of-structs —
+      // GetArrayStructFields, a plain codegen'd expression, not a HOF
+      def dotted(source: String, target: String): Column =
+        target.split('.').foldLeft(col(source))(_.getField(_))
       val column = (f, segments) match {
         // flat array of numbers
-        case (Funktion.Avg, _ :: Nil) =>
-          aggregate(col(key), lit(0.0), (acc, x) => acc + x) / size(col(key))
-        case (Funktion.Sum, _ :: Nil) =>
-          aggregate(col(key), lit(0.0), (acc, x) => acc + x)
+        case (Funktion.Avg, _ :: Nil) => arraySum(col(key)) / size(col(key))
+        case (Funktion.Sum, _ :: Nil) => arraySum(col(key))
         case (Funktion.Max, _ :: Nil) => array_max(col(key))
         case (Funktion.Min, _ :: Nil) => array_min(col(key))
         // COUNT is always the array length regardless of path shape
@@ -126,9 +135,9 @@ object Planner {
         case (Funktion.Count, _) => size(col(key)).cast(DoubleType)
         // array of objects, reduce over a field of each element
         case (Funktion.Avg, source :: target :: Nil) =>
-          aggregate(col(source), lit(0.0), (acc, x) => acc + path(x, target)) / size(col(source))
+          arraySum(dotted(source, target)) / size(col(source))
         case (Funktion.Sum, source :: target :: Nil) =>
-          aggregate(col(source), lit(0.0), (acc, x) => acc + path(x, target))
+          arraySum(dotted(source, target))
         case (Funktion.Max, _ :: _ :: Nil) => array_max(col(key))
         case (Funktion.Min, _ :: _ :: Nil) => array_min(col(key))
         case _ => col(key)

@@ -59,6 +59,71 @@ class VectorExprSpec extends AnyFunSuite {
     assert(q.filter($"d" > 0).count() > 0)
   }
 
+  test("array_sum equals HOF fold bit-for-bit, including float and empty arrays") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      Array(0.1f, 0.2f, 0.30003f, -7.5f),
+      Array[Float](),
+    ).toDF("a")
+    val rows = df.select(
+      GraftFunctions.arraySum($"a").as("native"),
+      aggregate($"a", lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+
+  test("array_sum is null on null array and null element (matches HOF)") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (0L, Some(Array(Option(1.0), None))),
+      (1L, Option.empty[Array[Option[Double]]]),
+    ).toDF("id", "a")
+    val rows = df.select(
+      GraftFunctions.arraySum($"a").as("native"),
+      aggregate($"a", lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    rows.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  test("array_sum participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.select(GraftFunctions.arraySum($"embedding").as("s"))
+    val hasCodegen = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.toString.contains("array_sum") => w
+    }.nonEmpty
+    assert(hasCodegen)
+  }
+
+  test("topk_by_score keeps the k best with (score desc, id asc) ties and O(k) buffers") {
+    GraftFunctions.register(spark)
+    // many rows per group, ties on score — exercises heap insert + merge
+    val df = (0L until 1000L).map(i => ("g", i, (i % 10).toDouble))
+      .toDF("g", "id", "score").repartition(8)
+    val got = df.groupBy($"g")
+      .agg(GraftFunctions.topKByScore($"score", $"id", 5).as("tk"))
+      .select(posexplode($"tk").as(Seq("pos", "e")))
+      .select($"e.id", $"e.score", $"pos")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // best score 9.0, tie-break ascending id: ids 9, 19, 29, 39, 49
+    assert(got.toList == List((9L, 9.0), (19L, 9.0), (29L, 9.0), (39L, 9.0), (49L, 9.0)))
+  }
+
+  test("topk_by_score plans as a partial aggregate, not a window") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 3)
+    val q = Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
+    // partial + final: the aggregate appears in two stages around the exchange
+    assert("topk_by_score".r.findAllIn(plan).size >= 2)
+  }
+
   test("brute-force top-k on real embeddings matches HOF-computed cosine") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = emb.filter($"vec_id" === 0)
