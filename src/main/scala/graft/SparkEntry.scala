@@ -150,6 +150,10 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
 
+    "q_dedup_keep_first" -> ((s, dir) =>
+      Dedup.exactKeepFirst(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"))),
+
     // banding matched to the threshold: 32 bands × 4 rows → s* ≈ 0.42,
     // high recall at the 0.5 cut without flooding candidates on corpora
     // where *all* pairs share some low-level similarity
@@ -239,6 +243,26 @@ object SparkEntry {
         .withColumn("frame_len", length(col("frame_bytes")))
         .drop("frame_bytes")),
 
+    // resizeMeta over SQL-expressible synthetic metadata (text-length
+    // derived, not the xxhash64 stub), so the resize arithmetic itself
+    // gets a true DuckDB oracle
+    "q_mm_resize" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        struct(
+          (pmod(length(col("text")), lit(1280)) + 640).cast("int").as("width"),
+          (pmod(length(col("text")), lit(720)) + 360).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("int").as("n_frames"),
+        ).as("meta"))
+      media.select(
+        col("media_id"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        Multimodal.resizeMeta(col("meta"), 256).getField("width").as("r_width"),
+        Multimodal.resizeMeta(col("meta"), 256).getField("height").as("r_height"))
+    }),
+
     "q_mm_batched_decode" -> ((s, dir) =>
       Multimodal.decodeBatched(Multimodal.syntheticMediaTable(t(s, dir, "documents")))
         .select(col("media_id"), col("modality"), col("decoded_bytes"))),
@@ -250,11 +274,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n_events"), col("sum_value"))),
+
+    // batch twin of the streaming sessionization (gap = 30 min)
+    "q_events_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(events(s, dir), gapMinutes = 30)),
   )
 
   // Shared SQL fragments for the text oracles (must mirror TextOps exactly).
   private val oracleTokens =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** All-pairs exact word-shingle Jaccard in DuckDB — the oracle for the
+    * MinHash-banded near-dup operators. The banding is a candidate
+    * *generator*; the emitted pairs are exactly those with true Jaccard ≥
+    * threshold, so at oracle scale the brute-force pair scan must agree
+    * (any disagreement = a pair the banding missed). Tokenization and
+    * shingling mirror `graft.functions.ShingleUtil` exactly.
+    */
+  private def oracleShingleJaccard(k: Int, threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $oracleTokens AS tokens FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(tokens) - ${k - 1}, 0) + 1),
+       |                   i -> array_to_string(list_slice(tokens, i, i + ${k - 1}), ' ')) AS shingles
+       |  FROM toks
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(shingles) AS s FROM sh WHERE len(shingles) > 0
+       |)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |) WHERE jaccard >= $threshold""".stripMargin
   private val oracleWsTokens =
     "len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))"
   private val oracleStopEn = "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b'))"
@@ -313,6 +366,46 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       s"SELECT md5($oracleNorm) AS content_hash, min(doc_id) AS representative, count(*) AS n_dups FROM documents GROUP BY 1",
+
+    "q_dedup_keep_first" ->
+      s"""SELECT doc_id FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1""".stripMargin,
+
+    "q_dedup_minhash" -> oracleShingleJaccard(k = 5, threshold = 0.5),
+
+    "q_dedup_ngram_jaccard" -> oracleShingleJaccard(k = 3, threshold = 0.8),
+
+    "q_mm_resize" ->
+      """SELECT media_id, width, height,
+        |  CAST(floor(width * scale) AS INTEGER) AS r_width,
+        |  CAST(floor(height * scale) AS INTEGER) AS r_height
+        |FROM (
+        |  SELECT media_id, width, height,
+        |    least(1.0, 256.0 / greatest(width, height)) AS scale
+        |  FROM (
+        |    SELECT doc_id AS media_id,
+        |      CAST((length(text) % 1280) + 640 AS INTEGER) AS width,
+        |      CAST((length(text) % 720) + 360 AS INTEGER) AS height
+        |    FROM documents
+        |  )
+        |)""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, ts_us, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
 
     "q_sim_bruteforce_topk" ->
       """SELECT probe_id, neighbor_id, round(round(cosine, 6), 4) AS cosine, rank FROM (

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -56,6 +57,35 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Batch twin of [[sessionize]]: gap-based sessions as a declarative
+    * plan — a lag-derived session-boundary flag, a running sum for the
+    * session id, then a per-(user, session) aggregate. Two window passes
+    * and one aggregation, all partitioned by user_id, so the only wide
+    * operation is a single shuffle on the user key; each user's events
+    * stream through in timestamp order (no full-partition
+    * materialization beyond one user's rows).
+    *
+    * Session bounds are emitted as microsecond epochs: numeric outputs
+    * compare exactly across engines, where timestamp rendering may not.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val tsUs = unix_micros(col("ts"))
+    val newSession =
+      when(tsUs - lag(tsUs, 1).over(w) > gapUs, 1).otherwise(0) // first event → 0
+    events
+      .withColumn("session_id", sum(newSession).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(tsUs).as("session_start_us"),
+        max(tsUs).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+      )
+  }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -34,7 +34,7 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batch = spark.read.schema(EventStream.eventSchema)
         .parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", timestamp_micros(($"ts" / 1000).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
         .select($"w.start".as("window_start"), $"event_type", $"n_events", $"sum_value")
@@ -43,6 +43,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
       assert(streamed.sameElements(batch))
     } finally q.stop()
+  }
+
+  test("batch sessionization splits on the gap and aggregates per session") {
+    // user 1: events at 0s, 10s, then a 40-min gap, then 2 more → 2 sessions
+    // user 2: single event → 1 session
+    val us = 1000000L
+    val events = Seq(
+      (1L, 0L * us, 1.0), (1L, 10L * us, 2.0),
+      (1L, 2500L * us, 3.0), (1L, 2510L * us, 4.0),
+      (2L, 5L * us, 9.0),
+    ).toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us")
+    val got = EventStream.sessionizeBatch(events, gapMinutes = 30)
+      .orderBy($"user_id", $"session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toList == List(
+      (1L, 0L, 0L, 10L * us, 2L, 3.0),
+      (1L, 1L, 2500L * us, 2510L * us, 2L, 7.0),
+      (2L, 0L, 5L * us, 5L * us, 1L, 9.0),
+    ))
   }
 
   test("sessionization closes sessions at the gap and keeps state across batches") {
