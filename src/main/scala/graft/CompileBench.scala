@@ -16,18 +16,21 @@ object CompileBench {
     """{ "age": "number", "class": "string", "is_master": "boolean",
       |  "bonus": ["number"], "spells": [{ "name": "string", "power": "number" }] }""".stripMargin
 
-  private val workloads: Seq[(String, String)] = Seq(
-    "select_field" -> "SELECT age",
-    "select_alias_count" -> "SELECT class AS klass, COUNT(bonus)",
-    "group_by_avg" -> "SELECT AVG(age) GROUP BY class",
-    "where_and" -> "SELECT is_master WHERE age > 14 AND age < 20",
-    "nested_from" -> "SELECT AVG(spells_power) AS avg_power FROM (SELECT AVG(spells.power), age) WHERE age > 18 GROUP BY NULL",
+  /** (workload, query, reference ops/sec from BASELINE.md's table —
+    * reference: README.md:281-294, test/benchmark.js:7-70).
+    */
+  private val workloads: Seq[(String, String, Long)] = Seq(
+    ("select_field", "SELECT age", 9795L),
+    ("select_alias_count", "SELECT class AS klass, COUNT(bonus)", 4791L),
+    ("group_by_avg", "SELECT AVG(age) GROUP BY class", 5754L),
+    ("where_and", "SELECT is_master WHERE age > 14 AND age < 20", 4586L),
+    ("nested_from", "SELECT AVG(spells_power) AS avg_power FROM (SELECT AVG(spells.power), age) WHERE age > 18 GROUP BY NULL", 2378L),
   )
 
   def main(args: Array[String]): Unit = {
     val schema = Schema.fromString(schemaJson)
       .fold(e => sys.error(e), identity)
-    val results = workloads.map { case (name, query) =>
+    val results = workloads.map { case (name, query, baseline) =>
       // sanity: must compile
       Compiler.compile(schema, query).fold(e => sys.error(s"$name: $e"), identity)
       // warmup (JIT)
@@ -39,9 +42,15 @@ object CompileBench {
         (1 to opsPerRound).foreach(_ => Compiler.compile(schema, query))
         opsPerRound / ((System.nanoTime() - t0) / 1e9)
       }
-      name -> times.max.round
+      (name, times.max.round, baseline)
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"compile_ops_per_sec","queries":$qs}""")
+    // one stable JSON line, directly diffable against BASELINE.md's table:
+    // measured ops/sec, the reference's published ops/sec, and the ratio
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val base = results.map { case (k, _, b) => s""""$k":$b""" }.mkString("{", ",", "}")
+    val ratio = results.map { case (k, v, b) =>
+      s""""$k":${math.round(v.toDouble / b * 100) / 100.0}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"compile_ops_per_sec","queries":$qs,"baseline":$base,"ratio_vs_baseline":$ratio}""")
   }
 }
