@@ -390,6 +390,26 @@ object SparkEntry {
         |  )
         |)""".stripMargin,
 
+    // frame sampling emits evenly spaced byte ranges; the oracle mirrors
+    // the range arithmetic (Spark's int cast truncates, so trunc() here)
+    // and the substring clamp at the payload tail, over byte lengths
+    "q_mm_frame_sample" ->
+      """SELECT media_id, frame_idx, least(flen, greatest(len - s_pos + 1, 0)) AS frame_len
+        |FROM (
+        |  SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS len,
+        |    greatest(CAST(trunc(octet_length(encode(text)) / 4.0) AS INTEGER), 1) AS flen,
+        |    CAST(trunc(i * (octet_length(encode(text)) / 4.0) + 1) AS INTEGER) AS s_pos
+        |  FROM documents, range(0, 4) t(i)
+        |  WHERE doc_id % 3 = 2
+        |)""".stripMargin,
+
+    "q_mm_batched_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS decoded_bytes
+        |FROM documents""".stripMargin,
+
     "q_events_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events
