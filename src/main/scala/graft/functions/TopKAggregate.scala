@@ -22,9 +22,17 @@ final class TopKBuffer(val k: Int, idOrd: Ordering[Any]) {
 
   /** True when (s1, id1) ranks strictly worse than (s2, id2) under
     * (score desc, id asc) — i.e. lower score, or same score & larger id.
+    * Score comparison mirrors Spark's sort semantics for doubles: NaN is
+    * greatest (ranks first under DESC) and -0.0 equals 0.0 (Spark
+    * normalizes floating sort keys), so results match the `row_number`
+    * window formulation on every input including degenerate cosines.
     */
-  private def worse(s1: Double, id1: Any, s2: Double, id2: Any): Boolean =
-    s1 < s2 || (s1 == s2 && idOrd.compare(id1, id2) > 0)
+  private def worse(s1: Double, id1: Any, s2: Double, id2: Any): Boolean = {
+    val c = java.lang.Double.compare(
+      if (s1 == 0.0) 0.0 else s1, // collapse -0.0; NaN falls through
+      if (s2 == 0.0) 0.0 else s2)
+    c < 0 || (c == 0 && idOrd.compare(id1, id2) > 0)
+  }
 
   def insert(score: Double, id: Any): Unit = {
     if (size < k) {

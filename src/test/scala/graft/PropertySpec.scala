@@ -19,6 +19,50 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("TopKBuffer matches a sort-based reference on random inputs (insert + merge)") {
+    val idOrd = Ordering.Long.on[Any](_.asInstanceOf[Long])
+    val entryGen = for {
+      // quantized scores → frequent exact ties (id tiebreak); occasional
+      // NaN and -0.0 exercise the Spark-double-semantics edge cases
+      score <- Gen.frequency(
+        9 -> Gen.chooseNum(-5.0, 5.0).map(s => math.rint(s * 2) / 2.0),
+        1 -> Gen.oneOf(Double.NaN, -0.0, 0.0),
+      )
+      id <- Gen.chooseNum(0L, 50L)
+    } yield (score, id)
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 120)
+      xs <- Gen.listOfN(n, entryGen)
+      k <- Gen.chooseNum(1, 12)
+      split <- Gen.chooseNum(0, n)
+    } yield (xs, k, split)
+    samples(caseGen, 300).foreach { case (xs, k, split) =>
+      // reference: full sort by (score desc, id asc) with Spark's double
+      // sort semantics (NaN greatest, -0.0 == 0.0), take k
+      def norm(s: Double) = if (s == 0.0) 0.0 else s
+      val expect = xs.sorted(new Ordering[(Double, Long)] {
+        def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(norm(b._1), norm(a._1))
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }).take(k)
+      // two partial buffers merged, like map-side partials at a shuffle
+      val ord = idOrd
+      val a = new graft.functions.TopKBuffer(k, ord)
+      val b = new graft.functions.TopKBuffer(k, ord)
+      xs.take(split).foreach { case (s, i) => a.insert(s, i) }
+      xs.drop(split).foreach { case (s, i) => b.insert(s, i) }
+      var j = 0
+      while (j < b.size) { a.insert(b.scores(j), b.ids(j)); j += 1 }
+      val got = a.sorted.map { case (s, i) => (s, i.asInstanceOf[Long]) }.toList
+      // compare on canonical bits: NaN == NaN, -0.0 == 0.0 (tuple equality
+      // on raw doubles would make NaN unequal to itself)
+      def key(e: (Double, Long)) =
+        (java.lang.Double.doubleToLongBits(norm(e._1)), e._2)
+      assert(got.map(key) == expect.map(key), s"k=$k xs=$xs got=$got expect=$expect")
+    }
+  }
+
   private val schema = Schema.fromString(magesSchemaJson).toOption.get
 
   private val scalarFields = Gen.oneOf(

@@ -65,6 +65,45 @@ class StreamingSpec extends AnyFunSuite {
     ))
   }
 
+  test("streaming sessionization's closed sessions match the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(input.toDS(), gapMillis = 30 * 60000L)
+      .writeStream.format("memory").queryName("parity_sess").outputMode("append").start()
+    try {
+      def ev(id: Long, tSec: Long, user: Long, v: Double) =
+        EventStream.Event(id, new java.sql.Timestamp(tSec * 1000), user, "click", v)
+      // user 1: two sessions closed by later events; user 2: one closed session
+      input.addData(ev(0, 0, 1, 1.0), ev(1, 10, 1, 2.0), ev(2, 5, 2, 9.0))
+      input.addData(ev(3, 2500, 1, 3.0), ev(4, 2510, 1, 4.0), ev(5, 2505, 2, 8.0))
+      input.addData(ev(6, 9000, 1, 0.5), ev(7, 9000, 2, 0.5)) // closes the 2500s sessions
+      q.processAllAvailable()
+      val streamed = spark.table("parity_sess")
+        .select($"user_id", unix_micros($"session_start").as("session_start_us"),
+          unix_micros($"session_end").as("session_end_us"), $"n_events",
+          round($"total_value", 4).as("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+      val batchInput = Seq(
+        (0L, 1L, 1.0), (10L, 1L, 2.0), (5L, 2L, 9.0),
+        (2500L, 1L, 3.0), (2510L, 1L, 4.0), (2505L, 2L, 8.0),
+        (9000L, 1L, 0.5), (9000L, 2L, 0.5),
+      ).toDF("t_sec", "user_id", "value")
+        .withColumn("ts", timestamp_seconds($"t_sec")).drop("t_sec")
+      val batch = EventStream.sessionizeBatch(batchInput, gapMinutes = 30)
+        .select($"user_id", $"session_start_us", $"session_end_us", $"n_events", $"sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+      // streaming emits closed sessions only; every one must appear in the
+      // batch result, and the only batch-extra sessions are the open tails
+      assert(streamed.subsetOf(batch))
+      assert(streamed.size == 4)
+      val open = batch -- streamed
+      assert(open.forall { case (_, start, _, _, _) => start == 9000L * 1000000L })
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions at the gap and keeps state across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
