@@ -39,6 +39,14 @@ object Compiler {
   def compileJson(schemaJson: String, query: String): Either[String, Compiled] =
     Schema.fromString(schemaJson).flatMap(compile(_, query))
 
+  /** Throwing variant of [[compileJson]] — the reference's JS shim throws
+    * the error message rather than returning it
+    * (reference: dist/index.js:24-29, `throw either.value0`).
+    */
+  def compileJsonOrThrow(schemaJson: String, query: String): Compiled =
+    compileJson(schemaJson, query)
+      .fold(err => throw new IllegalArgumentException(err), identity)
+
   /** Compile against a DataFrame's own schema and run immediately. Numeric
     * physical types all present as the dialect's single Number type; fields
     * with no dialect equivalent are unreachable (closed world).

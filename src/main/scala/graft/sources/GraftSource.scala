@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.schema.Schema
+
+/** Schema-gated sources and a partitioned sink.
+  *
+  * The reference is schema-first: the declared JSON schema is a security
+  * gate deciding which fields a query may touch (reference:
+  * README.md:206-208, `ErrUnexistingField` src/Ifrit/Semantic.purs:47).
+  * These readers extend the same gate to the load boundary:
+  *
+  *  - data is always read with a declared schema, never inferred — at
+  *    100 TB, schema inference is an extra full pass over the data (and
+  *    nondeterministic under schema drift across files);
+  *  - only declared fields are projected into the engine, so column
+  *    pruning reaches the scan even before any query runs, and undeclared
+  *    (out-of-scope) columns are unreachable by construction;
+  *  - declared-vs-physical type mismatches fail at load with a clear
+  *    error instead of surfacing mid-query.
+  */
+object GraftSource {
+
+  /** Read a parquet table through the schema gate. Parquet carries its own
+    * physical schema; the declared schema selects and validates. Numeric
+    * physical types (int/long/float/double/decimal) all satisfy the
+    * dialect's single Number type, mirroring `Schema.fromStructType`.
+    */
+  def parquet(spark: SparkSession, path: String, schemaJson: String): Either[String, DataFrame] =
+    Schema.fromString(schemaJson).flatMap { schema =>
+      gate(spark.read.parquet(path), schema)
+    }
+
+  /** Read newline-delimited JSON with the declared schema (no inference
+    * pass; undeclared fields are never parsed).
+    */
+  def json(spark: SparkSession, path: String, schemaJson: String): Either[String, DataFrame] =
+    Schema.fromString(schemaJson).map { schema =>
+      spark.read.schema(Schema.toStructType(schema)).json(path)
+    }
+
+  /** Read CSV with the declared schema (header expected; no inference). */
+  def csv(spark: SparkSession, path: String, schemaJson: String): Either[String, DataFrame] =
+    Schema.fromString(schemaJson).map { schema =>
+      spark.read.option("header", "true").schema(Schema.toStructType(schema)).csv(path)
+    }
+
+  /** Project a loaded DataFrame down to the declared fields, validating
+    * declared-vs-physical type compatibility field by field.
+    */
+  private[sources] def gate(df: DataFrame, schema: Schema): Either[String, DataFrame] =
+    schema match {
+      case Schema.SObject(fields) =>
+        val errs = fields.toList.flatMap { case (name, declared) =>
+          df.schema.fields.find(_.name == name) match {
+            case None => List(s"unexisting field: $name")
+            case Some(f) =>
+              if (compatible(declared, f.dataType)) Nil
+              else List(s"field $name: declared ${declared.show} but stored ${f.dataType.simpleString}")
+          }
+        }
+        if (errs.nonEmpty) Left(errs.mkString("; "))
+        else Right(df.select(fields.toList.map { case (n, _) => col(n) }: _*))
+      case other => Left(s"top-level schema must be an object, got ${other.show}")
+    }
+
+  private def compatible(declared: Schema, physical: DataType): Boolean =
+    (declared, physical) match {
+      case (Schema.SNumber, _: NumericType)         => true
+      case (Schema.SString, StringType)             => true
+      case (Schema.SBoolean, BooleanType)           => true
+      case (Schema.SNull, NullType)                 => true
+      case (Schema.SArray(el), ArrayType(pel, _))   => compatible(el, pel)
+      case (Schema.SObject(fs), st: StructType) =>
+        fs.forall { case (n, s) =>
+          st.fields.find(_.name == n).exists(f => compatible(s, f.dataType))
+        }
+      case _ => false
+    }
+
+  /** Partitioned parquet sink. `partitionCols` should be low-cardinality
+    * (they become directory levels); the write repartitions on them first
+    * so each output partition is produced by one task instead of every
+    * task appending a small file to every partition — the classic
+    * small-files failure at scale. `maxRecordsPerFile` bounds file size
+    * for downstream readers.
+    */
+  def writeParquet(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L,
+  ): Unit = {
+    val out = if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
+    val writer = out.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(path)
+  }
+}

@@ -43,6 +43,25 @@ object Drive {
     graft.Compiler.queryOrThrow(li,
       "SELECT AVG(l_quantity) AS avg_qty GROUP BY l_returnflag").explain("formatted")
 
+    println("== schema-gated source: declared fields only, then query ==")
+    val gated = graft.sources.GraftSource.parquet(spark, s"$sfDir/lineitem.parquet",
+      """{ "l_orderkey": "number", "l_quantity": "number", "l_returnflag": "string" }""")
+      .fold(e => sys.error(e), identity)
+    gated.show(3)
+    graft.Compiler.queryOrThrow(gated, "SELECT l_orderkey WHERE l_returnflag = \"R\"").show(3)
+    println("undeclared field probe: " + graft.Compiler.query(gated, "SELECT l_discount"))
+    println("gate probes: " +
+      graft.sources.GraftSource.parquet(spark, s"$sfDir/lineitem.parquet", """{ "nope": "number" }""") +
+      " / " +
+      graft.sources.GraftSource.parquet(spark, s"$sfDir/lineitem.parquet", """{ "l_returnflag": "number" }"""))
+
+    println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
+    println(graft.Compiler.compileJsonOrThrow(
+      """{ "age": "number", "class": "string" }""",
+      "SELECT AVG(age) GROUP BY class").outputSchema.show)
+    try graft.Compiler.compileJsonOrThrow("""{ "age": "number" }""", "SELECT nope")
+    catch { case e: IllegalArgumentException => println("throws as expected: " + e.getMessage) }
+
     spark.stop()
   }
 }
