@@ -42,6 +42,28 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming exact dedup: emit one representative per distinct
+    * normalized text — the earliest-arriving micro-batch wins; within a
+    * single micro-batch the representative is arbitrary (no ordering
+    * guarantee, unlike the batch [[exactKeepFirst]]). Dedup state is
+    * bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`): a hash is remembered only until
+    * the watermark passes it, so state size tracks arrival rate × delay
+    * window, not the full corpus — the property that makes streaming
+    * dedup viable indefinitely. The shuffle key is the 128-bit content
+    * hash.
+    */
+  def exactDedupStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String = "1 hour",
+  ): DataFrame =
+    docs
+      .withColumn("content_hash", md5(TextOps.normalized(col(textCol)).cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** MinHash signature: `numHashes` minima of independently seeded
     * re-hashes of the shingles' base hashes. Each shingle string is hashed
     * once (builtin xxhash64); the family expansion runs in the native

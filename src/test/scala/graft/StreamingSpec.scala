@@ -65,6 +65,28 @@ class StreamingSpec extends AnyFunSuite {
     ))
   }
 
+  test("streaming exact dedup emits first occurrences only, within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.ops.Dedup.exactDedupStream(docs, "text", "ts", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      // timestamps well above epoch: a row at event time <= the initial
+      // watermark (epoch 0) would be discarded as late data
+      def t(sec: Long) = new java.sql.Timestamp((1000000L + sec) * 1000)
+      input.addData((0L, "hello world", t(0)))
+      q.processAllAvailable()
+      // 1 is a normalized duplicate of 0, arriving in a later micro-batch
+      // inside the watermark window → dropped; 2 is distinct → kept
+      input.addData((1L, "Hello  World", t(1)), (2L, "other", t(2)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(0L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization's closed sessions match the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
