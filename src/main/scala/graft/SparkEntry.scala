@@ -193,6 +193,13 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // ---- training-data pipeline: text analysis ----
     "q_text_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")

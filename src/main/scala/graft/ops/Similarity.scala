@@ -151,4 +151,77 @@ object Similarity {
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
     rankTopK(scored, k)
   }
+
+  /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    * splits the corpus into `nlist` cells; each probe searches only its
+    * `nprobe` nearest cells, then exact cosine re-ranks.
+    *
+    * Scale design:
+    *  - training runs on a deterministic hash-sample of the corpus
+    *    (seeded xxhash64 filter — one scan, no sort, same sample on any
+    *    cluster layout), k-means itself on the small sample;
+    *  - the learned centroids ship as *literal* weight arrays inside
+    *    codegen'd `vec_dot` expressions, so cell assignment is a pure
+    *    scan-side projection — no MLlib UDF in the per-row path, no
+    *    model broadcast;
+    *  - the only wide operation is the (cell) equi-join: corpus shuffles
+    *    once by cell id, probes explode to `nprobe` cells. Cost scales
+    *    with cell occupancy (|corpus| × nprobe / nlist per probe), not
+    *    corpus size.
+    *
+    * Recall < 1 by design (a true neighbor can live in an unprobed cell);
+    * raise `nprobe` toward `nlist` to trade speed for recall. Assignment
+    * maximizes the dot-product score `v·c − |c|²/2` (argmin L2 distance,
+    * constant |v|² dropped), ties broken by cell index. Sampling and
+    * seeding are deterministic; k-means centroids are float reductions,
+    * so they are exactly reproducible for a fixed partition layout (the
+    * per-query assignment and ranking are deterministic given the
+    * centroids).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nlist: Int = 32,
+      nprobe: Int = 4,
+      sampleOneIn: Int = 1,
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import graft.functions.GraftFunctions.vecDot
+
+    // deterministic hash-sample for training (sampleOneIn = 1 → full scan;
+    // at 100 TB pick sampleOneIn so ~100k-1M rows survive)
+    val training = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn.toLong)) === 0)
+      .select(org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(42L).setMaxIter(20).setFeaturesCol("features")
+    val centroids: Array[Array[Double]] =
+      km.fit(training).clusterCenters.map(_.toArray)
+
+    // cell score per centroid as a literal-weight dot product; argmax via
+    // array_max over (score, cell) structs — lexicographic, codegen'd
+    def cellScores(vec: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        val norm2 = c.map(x => x * x).sum
+        struct((vecDot(vec, typedLit(c)) - lit(norm2 / 2.0)).as("score"),
+          lit(i).as("cell"))
+    }: _*)
+    def bestCell(vec: Column): Column = array_max(cellScores(vec)).getField("cell")
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cell", bestCell(col("cvec")))
+    // probes explode to their nprobe best cells (sort desc, take nprobe)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .withColumn("cell",
+        explode(slice(reverse(sort_array(cellScores(col("pvec")))), 1, nprobe)
+          .getField("cell")))
+    val scored = c.join(p, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
+    rankTopK(scored, k)
+  }
 }

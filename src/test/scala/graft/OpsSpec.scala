@@ -130,6 +130,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains(4L))
   }
 
+  test("IVF top-k finds the exact duplicate; nprobe=nlist equals brute force") {
+    val probes = vecs.filter($"vec_id" === 0L)
+    val ivf = Similarity.ivfTopK(vecs, probes, "embedding", "vec_id", k = 3,
+      nlist = 2, nprobe = 1)
+    assert(ivf.collect().map(_.getAs[Long]("neighbor_id")).contains(4L))
+    // searching every cell must reproduce the exact result
+    val all = Similarity.ivfTopK(vecs, probes, "embedding", "vec_id", k = 3,
+      nlist = 2, nprobe = 2)
+      .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id")).toList
+    val exact = Similarity.bruteForceTopK(vecs, probes, "embedding", "vec_id", k = 3)
+      .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id")).toList
+    assert(all == exact)
+  }
+
   test("embedding near-dups by cosine threshold") {
     val pairs = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", threshold = 0.99, planes = 8)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
