@@ -218,6 +218,11 @@ object SparkEntry {
         col("doc_id"),
         TextOps.languageId(col("text")).as("lang_pred"))),
 
+    "q_text_repetition" -> ((s, dir) => {
+      val metrics = TextOps.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(col("doc_id") +: metrics: _*)
+    }),
+
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -487,6 +492,21 @@ object SparkEntry {
         |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|von|ein|ist)\b')) AS s_de
         |  FROM documents
         |)""".stripMargin,
+
+    "q_text_repetition" -> {
+      def sh(k: Int) =
+        s"list_transform(range(1, greatest(len(tokens) - ${k - 1}, 0) + 1), i -> array_to_string(list_slice(tokens, i, i + ${k - 1}), ' '))"
+      def frac(col: String) =
+        s"round(CASE WHEN len($col) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct($col)) AS DOUBLE) / len($col) END, 6)"
+      s"""SELECT doc_id,
+         |  ${frac("sh1")} AS dup_word_frac,
+         |  ${frac("sh2")} AS dup_2gram_frac,
+         |  ${frac("sh3")} AS dup_3gram_frac
+         |FROM (
+         |  SELECT doc_id, tokens AS sh1, ${sh(2)} AS sh2, ${sh(3)} AS sh3
+         |  FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
+         |)""".stripMargin
+    },
 
     "q_text_fingerprint" ->
       s"SELECT doc_id, md5($oracleNorm) AS fp_md5 FROM documents",

@@ -188,23 +188,60 @@ object Similarity {
       nprobe: Int = 4,
       sampleOneIn: Int = 1,
   ): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    import graft.functions.GraftFunctions.vecDot
+    val index = trainIvf(corpus, vecCol, idCol, nlist, sampleOneIn)
+    ivfSearch(index, corpus, probes, vecCol, idCol, k, nprobe)
+  }
 
-    // deterministic hash-sample for training (sampleOneIn = 1 → full scan;
-    // at 100 TB pick sampleOneIn so ~100k-1M rows survive)
+  /** A trained IVF coarse quantizer: just the centroid matrix. Train once
+    * (one sampled scan + k-means on the sample), persist the few KB of
+    * centroids, and reuse across every query against the corpus — the
+    * index build is decoupled from search exactly as in a production ANN
+    * service.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+  }
+
+  /** Train the IVF quantizer on a deterministic hash-sample of the corpus
+    * (`sampleOneIn = 1` → full scan; at 100 TB pick it so ~100k-1M rows
+    * survive — a seeded xxhash64 filter, one scan, no sort, same sample
+    * on any cluster layout).
+    */
+  def trainIvf(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nlist: Int = 32,
+      sampleOneIn: Int = 1,
+  ): IvfIndex = {
     val training = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn.toLong)) === 0)
       .select(org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42L).setMaxIter(20).setFeaturesCol("features")
-    val centroids: Array[Array[Double]] =
-      km.fit(training).clusterCenters.map(_.toArray)
+    IvfIndex(km.fit(training).clusterCenters.map(_.toArray))
+  }
+
+  /** Search a trained IVF index: assign corpus rows to their cell, explode
+    * probes to their `nprobe` best cells, equi-join on the cell id, exact
+    * cosine re-rank via the bounded top-k aggregate.
+    */
+  def ivfSearch(
+      index: IvfIndex,
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int = 4,
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= index.nlist, "need 1 <= nprobe <= nlist")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import graft.functions.GraftFunctions.vecDot
 
     // cell score per centroid as a literal-weight dot product; argmax via
     // array_max over (score, cell) structs — lexicographic, codegen'd
-    def cellScores(vec: Column): Column = array(centroids.zipWithIndex.map {
+    def cellScores(vec: Column): Column = array(index.centroids.zipWithIndex.map {
       case (c, i) =>
         val norm2 = c.map(x => x * x).sum
         struct((vecDot(vec, typedLit(c)) - lit(norm2 / 2.0)).as("score"),

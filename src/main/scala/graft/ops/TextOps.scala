@@ -85,6 +85,29 @@ object TextOps {
     round(lengthScore * lit(0.5) + stopScore * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.1), 6)
   }
 
+  /** Fraction of word n-grams that are repeats of an earlier n-gram:
+    * `1 - distinct/total`, 0 for documents shorter than `n` words. The
+    * standard boilerplate/loop-generation signal in training-data quality
+    * filters (Rae et al. 2021 "Gopher" §A1.1 repetition filters; C4's
+    * duplicate-line heuristics) — high values mean templated or
+    * degenerate text. SQL-expressible for oracle parity.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val sh = Shingles.wordShingles(text, n)
+    val total = size(sh)
+    round(when(total === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(sh)).cast("double") / total), 6)
+  }
+
+  /** Repetition metrics bundle: duplicate fractions at word, bigram, and
+    * trigram granularity.
+    */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = Seq(
+    "dup_word_frac" -> dupNgramFraction(text, 1),
+    "dup_2gram_frac" -> dupNgramFraction(text, 2),
+    "dup_3gram_frac" -> dupNgramFraction(text, 3),
+  )
+
   /** Canonical text: lowercase, whitespace collapsed, trimmed. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

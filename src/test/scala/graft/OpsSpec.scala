@@ -185,6 +185,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got(0L) > 0.5 && got(1L) < 0.4)
   }
 
+  test("repetition metrics flag templated text, clean prose scores low") {
+    val df = Seq(
+      (0L, "buy now buy now buy now buy now buy now"),
+      (1L, "the quick brown fox jumps over one lazy dog near a stream"),
+      (2L, "ab"), // single word: no 2-grams → 0 by definition
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextOps.dupNgramFraction($"text", 2).as("dup2")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) > 0.7)   // "buy now"/"now buy" repeat heavily
+    assert(got(1L) == 0.0)  // all bigrams unique
+    assert(got(2L) == 0.0)
+  }
+
   test("md5 fingerprint is whitespace/case canonical") {
     val df = Seq((0L, "Hello   World"), (1L, "hello world"), (2L, "hello worlds")).toDF("doc_id", "text")
     val fps = df.select($"doc_id", TextOps.fingerprintMd5($"text").as("fp"))
