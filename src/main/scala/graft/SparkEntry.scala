@@ -218,6 +218,9 @@ object SparkEntry {
         col("doc_id"),
         TextOps.languageId(col("text")).as("lang_pred"))),
 
+    "q_text_top_tokens" -> ((s, dir) =>
+      TextOps.topTokens(t(s, dir, "documents"), "text", k = 100)),
+
     "q_text_repetition" -> ((s, dir) => {
       val metrics = TextOps.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: metrics: _*)
@@ -492,6 +495,11 @@ object SparkEntry {
         |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|von|ein|ist)\b')) AS s_de
         |  FROM documents
         |)""".stripMargin,
+
+    "q_text_top_tokens" ->
+      s"""SELECT token, count(*) AS n FROM (
+         |  SELECT unnest($oracleTokens) AS token FROM documents
+         |) GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     "q_text_repetition" -> {
       def sh(k: Int) =

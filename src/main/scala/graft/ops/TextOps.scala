@@ -108,6 +108,21 @@ object TextOps {
     "dup_3gram_frac" -> dupNgramFraction(text, 3),
   )
 
+  /** Global token frequency top-k (vocabulary head): explode tokens,
+    * partial-agg count per token (map-side combine collapses each
+    * partition's counts before the single shuffle on the token), then a
+    * global top-k — Spark plans the ORDER BY + LIMIT as
+    * TakeOrderedAndProject, so only k rows per partition reach the
+    * driver-side merge regardless of vocabulary size. Ties break by token
+    * ascending for determinism.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Canonical text: lowercase, whitespace collapsed, trimmed. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
