@@ -28,20 +28,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // full cleanup between measurements: SQL cache AND raw persisted RDD
+    // blocks — localCheckpoint blocks live in the BlockManager, which
+    // spark.catalog.clearCache() alone does not touch
+    def clearAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     // warmup pass (untimed)
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      clearAll()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
+      // failed reps are excluded from the min (a fast failure must not
+      // masquerade as a fast run); all-failed reports -1
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        dt
-      }.min
-      name -> best
+        clearAll()
+        if (ok) Some(dt) else None
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

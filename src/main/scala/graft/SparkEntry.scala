@@ -110,7 +110,11 @@ object SparkEntry {
 
     // $push emits an array column; the driver's compare layer cannot hash
     // arrays, so the harness entry canonicalizes to a sorted joined string
-    // (the DuckDB oracle mirrors the same canonical form).
+    // (the DuckDB oracle mirrors the same canonical form). %.1f relies on
+    // l_quantity being integer-valued: Java format_string rounds half-up
+    // while DuckDB printf rounds half-even, so a value needing actual
+    // rounding (e.g. 0.25) would diverge — with integral doubles the
+    // rounded digit never exists on either side.
     "q_g5_push" -> ((s, dir) =>
       q(t(s, dir, "lineitem"), "SELECT l_quantity GROUP BY l_returnflag")
         .withColumn("l_quantity",
@@ -301,10 +305,16 @@ object SparkEntry {
 
   /** All-pairs exact word-shingle Jaccard in DuckDB — the oracle for the
     * MinHash-banded near-dup operators. The banding is a candidate
-    * *generator*; the emitted pairs are exactly those with true Jaccard ≥
-    * threshold, so at oracle scale the brute-force pair scan must agree
-    * (any disagreement = a pair the banding missed). Tokenization and
-    * shingling mirror `graft.functions.ShingleUtil` exactly.
+    * *generator* with recall < 1 for pairs sitting exactly at the
+    * threshold (≈0.87 at jaccard = 0.5 for 32×4 banding), so this oracle
+    * asserts something *stronger* than the operator's contract: that on
+    * THIS dataset the banding misses no true pair. Verified to hold at
+    * sf0.01 (the seeded hashes make it deterministic — the duplicate
+    * pairs planted by the generator sit well above the threshold, where
+    * miss probability is ≈e-4 or less); a dataset with borderline pairs
+    * could legitimately fail this row without an engine bug.
+    * Tokenization and shingling mirror `graft.functions.ShingleUtil`
+    * exactly.
     */
   private def oracleShingleJaccard(k: Int, threshold: Double): String =
     s"""WITH toks AS (

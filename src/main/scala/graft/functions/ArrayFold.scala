@@ -27,18 +27,25 @@ case class ArraySum(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType | LongType | FloatType | DoubleType, _) =>
-      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"array_sum requires an array of int/bigint/float/double, got ${other.simpleString}")
+      s"array_sum requires an array of a numeric type, got ${other.simpleString}")
   }
 
-  private def getter: String = child.dataType match {
-    case ArrayType(IntegerType, _) => "getInt"
-    case ArrayType(LongType, _)    => "getLong"
-    case ArrayType(FloatType, _)   => "getFloat"
-    case _                         => "getDouble"
-  }
+  // per-element read as double — every numeric type the schema layer
+  // admits as Number (the dialect sees one Number type, so the physical
+  // element type must never surface as an analysis error)
+  private def elemAsDoubleJava(a: String, i: String): String =
+    child.dataType match {
+      case ArrayType(ByteType, _)    => s"(double) $a.getByte($i)"
+      case ArrayType(ShortType, _)   => s"(double) $a.getShort($i)"
+      case ArrayType(IntegerType, _) => s"(double) $a.getInt($i)"
+      case ArrayType(LongType, _)    => s"(double) $a.getLong($i)"
+      case ArrayType(FloatType, _)   => s"(double) $a.getFloat($i)"
+      case ArrayType(d: DecimalType, _) =>
+        s"$a.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case _                         => s"$a.getDouble($i)"
+    }
 
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
@@ -48,9 +55,13 @@ case class ArraySum(child: Expression) extends UnaryExpression {
     while (i < n) {
       if (xs.isNullAt(i)) return null
       s += (child.dataType match {
+        case ArrayType(ByteType, _)    => xs.getByte(i).toDouble
+        case ArrayType(ShortType, _)   => xs.getShort(i).toDouble
         case ArrayType(IntegerType, _) => xs.getInt(i).toDouble
         case ArrayType(LongType, _)    => xs.getLong(i).toDouble
         case ArrayType(FloatType, _)   => xs.getFloat(i).toDouble
+        case ArrayType(d: DecimalType, _) =>
+          xs.getDecimal(i, d.precision, d.scale).toDouble
         case _                         => xs.getDouble(i)
       })
       i += 1
@@ -68,7 +79,7 @@ case class ArraySum(child: Expression) extends UnaryExpression {
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $s += (double) $a.$getter($i);
+         |  $s += ${elemAsDoubleJava(a, i)};
          |}
          |if (!${ev.isNull}) ${ev.value} = $s;
        """.stripMargin

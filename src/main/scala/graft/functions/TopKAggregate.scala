@@ -130,7 +130,16 @@ case class TopKByScore(
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) buffer.insert(s.asInstanceOf[Double], i)
+    if (s != null && i != null) {
+      // copy buffer-backed values: a UTF8String from eval() points into
+      // the reused input row buffer and would be overwritten by the next
+      // row (same reason Spark's Collect aggregates copy)
+      val owned = i match {
+        case u: UTF8String => u.clone()
+        case other         => other
+      }
+      buffer.insert(s.asInstanceOf[Double], owned)
+    }
     buffer
   }
 

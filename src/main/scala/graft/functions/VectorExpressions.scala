@@ -167,25 +167,33 @@ case class ArrayMinHash(child: Expression, numHashes: Int)
 /** Registration + Column-level API for graft's native expressions. */
 object GraftFunctions {
 
-  /** Idempotently register graft expressions with a session. Functions
-    * already present are left untouched (re-registering would also log a
-    * "function replaced" warning per call site).
+  // sessions whose first register() call already force-installed graft's
+  // builders — weak keys so dropped sessions don't leak
+  private val installed =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently register graft expressions with a session. The first
+    * call per session force-installs every builder (createOrReplace, so a
+    * colliding user temp function of the same name cannot silently
+    * substitute its semantics into graft's operators); later calls are
+    * no-ops, keeping logs free of per-query "function replaced" warnings.
     */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    def add(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+  def register(spark: SparkSession): Unit =
+    if (installed.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      val registry = spark.sessionState.functionRegistry
+      def add(name: String, builder: Seq[Expression] => Expression): Unit =
         registry.createOrReplaceTempFunction(name, builder, "built-in")
-    add("vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)))
-    add("minhash_sig", exprs =>
-      ArrayMinHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
-    add("word_shingles", exprs =>
-      WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
-    add("simhash64", exprs => SimHash64(exprs(0)))
-    add("array_sum", exprs => ArraySum(exprs(0)))
-    add("topk_by_score", exprs =>
-      TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue()))
-  }
+      add("vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)))
+      add("minhash_sig", exprs =>
+        ArrayMinHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
+      add("word_shingles", exprs =>
+        WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
+      add("simhash64", exprs => SimHash64(exprs(0)))
+      add("array_sum", exprs => ArraySum(exprs(0)))
+      add("topk_by_score", exprs =>
+        TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue()))
+    }
 
   /** Dot product column; requires `register(spark)` on the session first. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

@@ -87,6 +87,11 @@ object Dedup {
     * is caught with probability 1-(1-s^r)^b.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Note: executes EAGERLY — the pair set is materialized (via
+    * localCheckpoint) before returning so the persisted shingle/band
+    * intermediates can be released immediately; downstream transforms on
+    * the (small) result do not push into the dedup computation.
     */
   def minHashNearDups(
       df: DataFrame,

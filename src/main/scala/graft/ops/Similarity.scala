@@ -81,11 +81,14 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** The (uniform) vector length of a column, read from one row — the
-    * driver-side probe that sizes the literal hyperplane weights.
+  /** The (uniform) vector length of a column, read from one non-null row
+    * — the driver-side probe that sizes the literal hyperplane weights.
+    * 0 when no non-null vector exists (operators then produce empty
+    * results via null buckets rather than throwing).
     */
   private[ops] def vecDims(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Rank the k best scored rows per probe with the bounded heap
@@ -217,6 +220,8 @@ object Similarity {
     val training = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn.toLong)) === 0)
       .select(org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
+    require(!training.isEmpty,
+      s"IVF training sample is empty (corpus empty, or sampleOneIn=$sampleOneIn too aggressive)")
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42L).setMaxIter(20).setFeaturesCol("features")
     IvfIndex(km.fit(training).clusterCenters.map(_.toArray))
@@ -235,7 +240,11 @@ object Similarity {
       k: Int,
       nprobe: Int = 4,
   ): DataFrame = {
-    require(nprobe >= 1 && nprobe <= index.nlist, "need 1 <= nprobe <= nlist")
+    require(nprobe >= 1, "need nprobe >= 1")
+    require(index.nlist >= 1, "index has no centroids (empty training sample?)")
+    // clamp rather than reject: k-means can legally return fewer than the
+    // requested nlist centroids on small or duplicate-heavy samples
+    val nprobeEff = math.min(nprobe, index.nlist)
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     import graft.functions.GraftFunctions.vecDot
 
@@ -254,7 +263,7 @@ object Similarity {
     // probes explode to their nprobe best cells (sort desc, take nprobe)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
       .withColumn("cell",
-        explode(slice(reverse(sort_array(cellScores(col("pvec")))), 1, nprobe)
+        explode(slice(reverse(sort_array(cellScores(col("pvec")))), 1, nprobeEff)
           .getField("cell")))
     val scored = c.join(p, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))

@@ -20,7 +20,9 @@ import graft.schema.Schema
   *    pruning reaches the scan even before any query runs, and undeclared
   *    (out-of-scope) columns are unreachable by construction;
   *  - declared-vs-physical type mismatches fail at load with a clear
-  *    error instead of surfacing mid-query.
+  *    error instead of surfacing mid-query (parquet — the self-describing
+  *    format — only; JSON/CSV have no physical schema to validate
+  *    against, so there the declared schema is simply applied).
   */
 object GraftSource {
 
@@ -35,7 +37,11 @@ object GraftSource {
     }
 
   /** Read newline-delimited JSON with the declared schema (no inference
-    * pass; undeclared fields are never parsed).
+    * pass; undeclared fields are never parsed). Unlike parquet, JSON
+    * carries no physical schema to validate against: a declared field
+    * absent from the data reads as null per Spark's PERMISSIVE-mode
+    * semantics rather than failing at load — the load-time mismatch
+    * guarantee applies to the parquet reader only.
     */
   def json(spark: SparkSession, path: String, schemaJson: String): Either[String, DataFrame] =
     Schema.fromString(schemaJson).map { schema =>

@@ -112,6 +112,32 @@ class VectorExprSpec extends AnyFunSuite {
     assert(got.toList == List((9L, 9.0), (19L, 9.0), (29L, 9.0), (39L, 9.0), (49L, 9.0)))
   }
 
+  test("topk_by_score with string ids copies buffer-backed values (no row-buffer aliasing)") {
+    GraftFunctions.register(spark)
+    // parquet-backed input → UnsafeRow iteration with a reused buffer;
+    // distinct string ids must survive into the emitted array
+    val docs = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .select($"n_name", ($"n_nationkey" % 7).cast("double").as("score"))
+    val got = docs.groupBy(lit(1))
+      .agg(GraftFunctions.topKByScore($"score", $"n_name", 10).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.id")
+      .collect().map(_.getString(0))
+    assert(got.length == 10)
+    assert(got.distinct.length == 10) // aliasing bug would repeat the last-read name
+  }
+
+  test("array_sum handles decimal and short arrays (any Number physical type)") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT array(CAST(1.25 AS DECIMAL(10,2)), CAST(2.50 AS DECIMAL(10,2))) AS d, " +
+        "array(CAST(1 AS SMALLINT), CAST(2 AS SMALLINT)) AS s")
+    val row = df.select(
+      GraftFunctions.arraySum($"d").as("sd"),
+      GraftFunctions.arraySum($"s").as("ss")).collect().head
+    assert(row.getDouble(0) == 3.75)
+    assert(row.getDouble(1) == 3.0)
+  }
+
   test("topk_by_score plans as a partial aggregate, not a window") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
