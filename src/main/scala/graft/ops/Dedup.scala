@@ -172,29 +172,35 @@ object Dedup {
 
   /** SimHash near-duplicates within a Hamming radius.
     *
-    * Banding is pigeonhole-exact: the 64-bit hash splits into
-    * `maxHamming + 1` disjoint chunks, so any pair within the radius has
-    * at most `maxHamming` differing bits spread over `maxHamming + 1`
-    * chunks — at least one chunk matches exactly and the pair becomes a
-    * candidate. Recall is therefore 1.0 at the requested radius (no
-    * silently dropped pairs); the exact `bit_count` check then filters
-    * false candidates. The shuffle key is (chunk index, chunk value) only.
+    * Banding is pigeonhole-exact (generalized combination keying, Manku
+    * et al., WWW'07 §3): the 64-bit hash splits into
+    * `maxHamming + keyBlocks` disjoint blocks; a pair within the radius
+    * has at most `maxHamming` differing bits, so at least `keyBlocks`
+    * blocks match exactly, and since every `keyBlocks`-subset of blocks
+    * is a table key, some table catches the pair. Recall is therefore
+    * 1.0 at the requested radius for ANY `keyBlocks`; the exact
+    * `bit_count` check then filters false candidates.
     *
-    * Scale note: larger radii mean narrower chunks (radius 8 → nine 7-8
-    * bit chunks) and coarser buckets, so candidate volume grows with the
-    * radius — the inherent cost of exact recall with a 64-bit sketch. For
-    * radii past ~16 at very large corpora, prefer a wider sketch or
-    * combination-keying (Manku et al., WWW'07).
+    * `keyBlocks` is the selectivity/fan-out dial for scale:
+    *  - `keyBlocks = 1` (default): `maxHamming + 1` tables with narrow
+    *    ~64/(maxHamming+1)-bit keys — minimal shuffle volume, coarse
+    *    buckets. Right up to mid-size corpora.
+    *  - `keyBlocks = 2`: C(maxHamming+2, 2) tables keyed on block PAIRS —
+    *    roughly squares the bucket count (e.g. radius 8: 45 tables of
+    *    ~12-13-bit keys vs 9 tables of ~7-bit keys), collapsing candidate
+    *    fan-in at billion-document scale for ~5× more banded rows.
+    * The shuffle key is (table index, packed key bits) only.
     */
   def simHashNearDups(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
+      keyBlocks: Int = 1,
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     simHashNearDupsFromSims(
-      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim")), maxHamming)
+      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim")), maxHamming, keyBlocks)
   }
 
   /** Banding + verification over precomputed (id, sim) rows — the
@@ -204,15 +210,29 @@ object Dedup {
   private[graft] def simHashNearDupsFromSims(
       withSim: DataFrame,
       maxHamming: Int,
+      keyBlocks: Int = 1,
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
-    val k = maxHamming + 1
-    val widths = Array.tabulate(k)(i => 64 / k + (if (i < 64 % k) 1 else 0))
+    require(keyBlocks >= 1, "keyBlocks must be >= 1")
+    val b = maxHamming + keyBlocks
+    require(b <= 64, s"maxHamming + keyBlocks must be <= 64, got $b")
+    val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val chunks = (0 until k).map { c =>
-      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1
-      struct(lit(c).as("chunk"),
-        shiftright(col("sim"), offsets(c)).bitwiseAND(lit(mask)).as("key"))
+    def blockBits(blk: Int): Column = {
+      val mask = if (widths(blk) == 64) -1L else (1L << widths(blk)) - 1
+      shiftright(col("sim"), offsets(blk)).bitwiseAND(lit(mask))
+    }
+    // all keyBlocks-subsets of blocks; each subset is one table whose key
+    // packs the subset's (disjoint) block bits into a single long
+    val subsets = (0 until b).combinations(keyBlocks).toSeq
+    require(subsets.size <= 2048,
+      s"C($b, $keyBlocks) = ${subsets.size} tables — reduce keyBlocks or maxHamming")
+    val chunks = subsets.zipWithIndex.map { case (blks, t) =>
+      val packed = blks.map { blk =>
+        // shift each block's bits to a disjoint position within the key
+        shiftleft(blockBits(blk), blks.takeWhile(_ != blk).map(widths).sum)
+      }.reduce((a, c) => a.bitwiseOR(c))
+      struct(lit(t).as("chunk"), packed.as("key"))
     }
     val banded = withSim.select(col("id"), col("sim"), explode(array(chunks: _*)).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk"), col("cc.key"))

@@ -86,6 +86,19 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L))) // planted pair caught; far pair (2) excluded
   }
 
+  test("simhash combination keying (keyBlocks=2) has identical verified output") {
+    // exact-recall banding means the verified pair set is independent of
+    // the banding scheme — m=1 and m=2 must agree exactly
+    val diff = Seq(7, 15, 23, 31, 39, 47, 55, 63).map(1L << _).reduce(_ | _)
+    val sims = Seq((0L, 0L), (1L, diff), (2L, -1L), (3L, 0L), (4L, 1L << 20)).toDF("id", "sim")
+    def run(m: Int) = Dedup.simHashNearDupsFromSims(sims, maxHamming = 8, keyBlocks = m)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val m1 = run(1)
+    val m2 = run(2)
+    assert(m1 == m2)
+    assert(m1.contains((0L, 1L)) && m1.contains((0L, 3L)))
+  }
+
   test("simhash banding is exact-match at maxHamming 0") {
     val sims = Seq((0L, 42L), (1L, 42L), (2L, 43L)).toDF("id", "sim")
     val pairs = Dedup.simHashNearDupsFromSims(sims, maxHamming = 0)
