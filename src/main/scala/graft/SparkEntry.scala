@@ -319,19 +319,27 @@ object SparkEntry {
   private def oracleShingleJaccard(k: Int, threshold: Double): String =
     s"""WITH toks AS (
        |  SELECT doc_id, $oracleTokens AS tokens FROM documents
-       |), sh AS (
-       |  SELECT doc_id,
-       |    list_transform(range(1, greatest(len(tokens) - ${k - 1}, 0) + 1),
-       |                   i -> array_to_string(list_slice(tokens, i, i + ${k - 1}), ' ')) AS shingles
-       |  FROM toks
        |), sets AS (
-       |  SELECT doc_id, list_distinct(shingles) AS s FROM sh WHERE len(shingles) > 0
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(tokens) - ${k - 1}, 0) + 1),
+       |                  i -> array_to_string(list_slice(tokens, i, i + ${k - 1}), ' '))) AS s
+       |  FROM toks WHERE len(tokens) >= $k
+       |), inv AS (
+       |  SELECT doc_id, unnest(s) AS sh FROM sets
+       |), inter AS (
+       |  -- inverted-index intersection counts: only pairs sharing >= 1
+       |  -- shingle appear, which is exact for any threshold > 0 and keeps
+       |  -- this oracle near-linear instead of all-pairs quadratic
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
        |)
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |  SELECT id_a, id_b,
+       |    CAST(n_inter AS DOUBLE) / (len(sa.s) + len(sb.s) - n_inter) AS jaccard
+       |  FROM inter
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b
        |) WHERE jaccard >= $threshold""".stripMargin
   private val oracleWsTokens =
     "len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))"

@@ -230,7 +230,8 @@ object Dedup {
     val chunks = subsets.zipWithIndex.map { case (blks, t) =>
       val packed = blks.map { blk =>
         // shift each block's bits to a disjoint position within the key
-        shiftleft(blockBits(blk), blks.takeWhile(_ != blk).map(widths).sum)
+        val off = blks.takeWhile(_ != blk).map(widths).sum
+        if (off == 0) blockBits(blk) else shiftleft(blockBits(blk), off)
       }.reduce((a, c) => a.bitwiseOR(c))
       struct(lit(t).as("chunk"), packed.as("key"))
     }
