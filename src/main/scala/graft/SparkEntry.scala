@@ -225,6 +225,11 @@ object SparkEntry {
     "q_text_top_tokens" -> ((s, dir) =>
       TextOps.topTokens(t(s, dir, "documents"), "text", k = 100)),
 
+    // the full curation pipeline (gates + keep-first dedup) in one pass
+    "q_curate" -> ((s, dir) =>
+      ops.Curate.curate(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("quality"), col("dup_3gram_frac"))),
+
     "q_text_repetition" -> ((s, dir) => {
       val metrics = TextOps.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: metrics: _*)
@@ -302,6 +307,18 @@ object SparkEntry {
   // Shared SQL fragments for the text oracles (must mirror TextOps exactly).
   private val oracleTokens =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** Word k-shingles of a `tokens` list (mirrors ShingleUtil's k-gram
+    * join; empty when the document has fewer than k tokens).
+    */
+  private def oracleShingles(k: Int): String =
+    s"list_transform(range(1, greatest(len(tokens) - ${k - 1}, 0) + 1), i -> array_to_string(list_slice(tokens, i, i + ${k - 1}), ' '))"
+
+  /** Duplicate-shingle fraction of a shingle-list column (mirrors
+    * TextOps.dupNgramFraction).
+    */
+  private def oracleDupFrac(col: String): String =
+    s"round(CASE WHEN len($col) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct($col)) AS DOUBLE) / len($col) END, 6)"
 
   /** All-pairs exact word-shingle Jaccard in DuckDB — the oracle for the
     * MinHash-banded near-dup operators. The banding is a candidate
@@ -520,19 +537,49 @@ object SparkEntry {
          |) GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     "q_text_repetition" -> {
-      def sh(k: Int) =
-        s"list_transform(range(1, greatest(len(tokens) - ${k - 1}, 0) + 1), i -> array_to_string(list_slice(tokens, i, i + ${k - 1}), ' '))"
-      def frac(col: String) =
-        s"round(CASE WHEN len($col) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct($col)) AS DOUBLE) / len($col) END, 6)"
       s"""SELECT doc_id,
-         |  ${frac("sh1")} AS dup_word_frac,
-         |  ${frac("sh2")} AS dup_2gram_frac,
-         |  ${frac("sh3")} AS dup_3gram_frac
+         |  ${oracleDupFrac("sh1")} AS dup_word_frac,
+         |  ${oracleDupFrac("sh2")} AS dup_2gram_frac,
+         |  ${oracleDupFrac("sh3")} AS dup_3gram_frac
          |FROM (
-         |  SELECT doc_id, tokens AS sh1, ${sh(2)} AS sh2, ${sh(3)} AS sh3
+         |  SELECT doc_id, tokens AS sh1, ${oracleShingles(2)} AS sh2, ${oracleShingles(3)} AS sh3
          |  FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
          |)""".stripMargin
     },
+
+    // the composed curation pipeline: language + quality + repetition
+    // gates, then keep-first dedup among the survivors (QUALIFY runs
+    // after WHERE, matching the Spark filter-then-window order)
+    "q_curate" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    CAST($oracleWsTokens AS INTEGER) AS n_words,
+         |    round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |    round(CAST($oracleStopEn AS DOUBLE) / greatest($oracleWsTokens, 1), 6) AS stopword_ratio,
+         |    ${oracleShingles(3).replace("tokens", oracleTokens)} AS sh3,
+         |    $oracleStopEn AS s_en,
+         |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|de|un|une)\\b')) AS s_fr,
+         |    len(regexp_extract_all(lower(text), '\\b(el|los|las|y|en|un|una)\\b')) AS s_es,
+         |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|von|ein|ist)\\b')) AS s_de
+         |  FROM documents
+         |), sig AS (
+         |  SELECT doc_id, text,
+         |    CASE
+         |      WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+         |      WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+         |      WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+         |      WHEN s_de > 0 THEN 'de'
+         |      ELSE 'und'
+         |    END AS lang_pred,
+         |    round(least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.5
+         |        + least(stopword_ratio * 5.0, 1.0) * 0.4
+         |        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 6) AS quality,
+         |    ${oracleDupFrac("sh3")} AS dup_3gram_frac
+         |  FROM m
+         |)
+         |SELECT doc_id, quality, dup_3gram_frac FROM sig
+         |WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_3gram_frac <= 0.05
+         |QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1""".stripMargin,
 
     "q_text_fingerprint" ->
       s"SELECT doc_id, md5($oracleNorm) AS fp_md5 FROM documents",

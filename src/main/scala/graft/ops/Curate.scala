@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data pipeline
+  * actually runs, as one operator.
+  *
+  * Gates (language, composite quality, n-gram repetition) are all narrow
+  * codegen'd projections over the same scan, so the filter phase is a
+  * single pass with zero shuffles — at 100 TB the gate evaluates at IO
+  * speed and drops most rows *before* anything wide happens. The only
+  * shuffle is the exact-dedup window over the survivors' content hash
+  * (and survivors are the minority by construction).
+  *
+  * Every signal is SQL-expressible, so the whole pipeline — gates plus
+  * keep-first dedup — has a line-for-line DuckDB oracle.
+  */
+object Curate {
+
+  /** Filter to documents that pass all quality gates, then keep the first
+    * (lowest-id) document per distinct normalized text. Returns the
+    * surviving rows with their gate signals attached.
+    */
+  def curate(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      lang: String = "en",
+      minQuality: Double = 0.6,
+      maxDup3: Double = 0.05,
+  ): DataFrame = {
+    val text = col(textCol)
+    val gated = docs
+      .withColumn("lang_pred", TextOps.languageId(text))
+      .withColumn("quality", TextOps.qualityScore(text))
+      .withColumn("dup_3gram_frac", TextOps.dupNgramFraction(text, 3))
+      .filter(col("lang_pred") === lang &&
+        col("quality") >= minQuality &&
+        col("dup_3gram_frac") <= maxDup3)
+    Dedup.exactKeepFirst(gated, textCol, idCol)
+  }
+}

@@ -212,6 +212,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) == 0.0)
   }
 
+  test("curation keeps quality English prose, drops salad/duplicates/foreign text") {
+    val good = "The project is large and the design of the system is described in the documents " +
+      "that the team wrote to explain all of the moving parts in detail and to keep everyone informed."
+    val df = Seq(
+      (0L, good),
+      (1L, good),                     // exact duplicate → deduped
+      (2L, "x"),                      // word salad → fails quality gate
+      (3L, "le chat et le chien jouent dans le jardin de la maison pres de la riviere"), // French
+      (4L, ("spam ham " * 40).trim),  // heavy 3-gram repetition
+    ).toDF("doc_id", "text")
+    val kept = Curate.curate(df, "text", "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L))
+  }
+
   test("md5 fingerprint is whitespace/case canonical") {
     val df = Seq((0L, "Hello   World"), (1L, "hello world"), (2L, "hello worlds")).toDF("doc_id", "text")
     val fps = df.select($"doc_id", TextOps.fingerprintMd5($"text").as("fp"))
