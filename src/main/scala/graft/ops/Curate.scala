@@ -30,11 +30,18 @@ object Curate {
       minQuality: Double = 0.6,
       maxDup3: Double = 0.05,
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val text = col(textCol)
+    // native word_shingles for the repetition signal: projection collapse
+    // substitutes gate expressions into the filter AND the outputs, so
+    // the shingling runs several times per row — the fused single-pass
+    // expression keeps that cheap where the interpreted HOF chain made
+    // the whole gate CPU-bound
+    val sh3 = graft.functions.GraftFunctions.wordShingles(text, 3)
     val gated = docs
       .withColumn("lang_pred", TextOps.languageId(text))
       .withColumn("quality", TextOps.qualityScore(text))
-      .withColumn("dup_3gram_frac", TextOps.dupNgramFraction(text, 3))
+      .withColumn("dup_3gram_frac", TextOps.dupFracOfShingles(sh3))
       .filter(col("lang_pred") === lang &&
         col("quality") >= minQuality &&
         col("dup_3gram_frac") <= maxDup3)

@@ -92,8 +92,14 @@ object TextOps {
     * duplicate-line heuristics) — high values mean templated or
     * degenerate text. SQL-expressible for oracle parity.
     */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val sh = Shingles.wordShingles(text, n)
+  def dupNgramFraction(text: Column, n: Int): Column =
+    dupFracOfShingles(Shingles.wordShingles(text, n))
+
+  /** Duplicate fraction of a precomputed shingle array — callers on a hot
+    * path pass `GraftFunctions.wordShingles` (the native single-pass
+    * expression) instead of the interpreted HOF chain.
+    */
+  def dupFracOfShingles(sh: Column): Column = {
     val total = size(sh)
     round(when(total === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(sh)).cast("double") / total), 6)
