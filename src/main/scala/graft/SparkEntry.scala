@@ -231,6 +231,7 @@ object SparkEntry {
         .select(col("doc_id"), col("quality"), col("dup_3gram_frac"))),
 
     "q_text_repetition" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // native word_shingles
       val metrics = TextOps.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: metrics: _*)
     }),
@@ -240,10 +241,12 @@ object SparkEntry {
         col("doc_id"),
         TextOps.fingerprintMd5(col("text")).as("fp_md5"))),
 
-    "q_text_fingerprint_rolling" -> ((s, dir) =>
+    "q_text_fingerprint_rolling" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // native word_shingles
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextOps.fingerprintRolling(col("text")).as("fp_roll"))),
+        TextOps.fingerprintRolling(col("text")).as("fp_roll"))
+    }),
 
     // ---- training-data pipeline: multimodal (stub codec, real plumbing) ----
     "q_mm_decode_meta" -> ((s, dir) => {
@@ -358,6 +361,13 @@ object SparkEntry {
        |  JOIN sets sa ON sa.doc_id = id_a
        |  JOIN sets sb ON sb.doc_id = id_b
        |) WHERE jaccard >= $threshold""".stripMargin
+  /** The md5-derived 60-bit hash the multimodal stub codec and rolling
+    * fingerprint use (mirrors Multimodal.md5Long: leading 15 hex chars of
+    * md5 parsed as an integer — bit-identical in both engines).
+    */
+  private def oracleMd5Long(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
   private val oracleWsTokens =
     "len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))"
   private val oracleStopEn = "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b'))"
@@ -453,6 +463,26 @@ object SparkEntry {
         |  FROM documents, range(0, 4) t(i)
         |  WHERE doc_id % 3 = 2
         |)""".stripMargin,
+
+    // the stub codec's pseudo-metadata is md5-derived, so the whole
+    // decode is SQL-expressible: a true oracle over the synthetic
+    // media table (payload = utf-8 text bytes; DuckDB md5(VARCHAR)
+    // hashes the same bytes)
+    "q_mm_decode_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |  CASE WHEN doc_id % 3 <> 1 THEN CAST(h % 1280 + 640 AS INTEGER) END AS width,
+         |  CASE WHEN doc_id % 3 <> 1 THEN CAST(h % 720 + 360 AS INTEGER) END AS height,
+         |  CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate,
+         |  CASE WHEN doc_id % 3 = 2 THEN CAST(h % 240 + 24 AS INTEGER) END AS n_frames
+         |FROM (SELECT doc_id, ${oracleMd5Long("text")} AS h FROM documents)""".stripMargin,
+
+    "q_mm_features" ->
+      s"""SELECT doc_id AS media_id,
+         |  array_to_string(list_transform(range(0, 16), j ->
+         |    printf('%.6f', CAST(CAST(${oracleMd5Long("text || '#' || CAST(j AS VARCHAR)")} % 1000000 AS DOUBLE)
+         |                        / 1000000.0 - 0.5 AS FLOAT))), ',') AS features
+         |FROM documents""".stripMargin,
 
     "q_mm_batched_decode" ->
       """SELECT doc_id AS media_id,
@@ -583,6 +613,15 @@ object SparkEntry {
 
     "q_text_fingerprint" ->
       s"SELECT doc_id, md5($oracleNorm) AS fp_md5 FROM documents",
+
+    // 1-hash MinHash over 5-word shingles with the md5-derived hash
+    "q_text_fingerprint_rolling" ->
+      s"""SELECT doc_id,
+         |  list_min(list_transform(sh, s -> ${oracleMd5Long("s")})) AS fp_roll
+         |FROM (
+         |  SELECT doc_id, ${oracleShingles(5)} AS sh
+         |  FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
+         |)""".stripMargin,
 
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -48,12 +48,24 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
     )
 
+  /** 60-bit non-negative integer from the leading 15 hex chars of the
+    * md5 of `c` — the deterministic hash behind the stub codec's
+    * pseudo-metadata. md5 agrees bit-for-bit between Spark and DuckDB
+    * (both hash the UTF-8 bytes), so every stub output derived from it
+    * earns a true DuckDB oracle (`CAST('0x' || substr(md5(x), 1, 15) AS
+    * BIGINT)`), unlike xxhash64 which DuckDB lacks. 15 hex chars = 60
+    * bits keeps the value positive in a signed long, so `pmod` and SQL
+    * `%` agree.
+    */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** STUB decode: deterministic pseudo-metadata from the payload hash.
     * A real implementation parses the container header instead; the output
     * schema is what downstream operators contract on.
     */
   def decodeMeta(payload: Column, modality: Column): Column = {
-    val h = xxhash64(payload)
+    val h = md5Long(payload)
     struct(
       when(modality === "image" || modality === "video",
         (pmod(h, lit(1280L)) + 640L).cast("int")).as("width"),
@@ -66,11 +78,14 @@ object Multimodal {
 
   /** STUB feature extraction: deterministic pseudo-embedding (dim floats in
     * [-0.5, 0.5)) from payload bytes. Real version: decoded tensor → model
-    * forward pass, same `array<float>` output contract.
+    * forward pass, same `array<float>` output contract. Per-dimension
+    * hashes salt the payload with `#<dim>` before md5 (the DuckDB mirror
+    * is `md5(text || '#' || j)`).
     */
   def featurize(payload: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
-      j => (pmod(xxhash64(payload, j), lit(1000000L)).cast("double") / 1000000.0 - 0.5)
+      j => (pmod(md5Long(concat(payload, lit("#").cast("binary"), j.cast("string").cast("binary"))),
+        lit(1000000L)).cast("double") / 1000000.0 - 0.5)
         .cast("float"))
 
   /** STUB resize: metadata scaled to the target box; payload passed through

@@ -93,7 +93,7 @@ object TextOps {
     * degenerate text. SQL-expressible for oracle parity.
     */
   def dupNgramFraction(text: Column, n: Int): Column =
-    dupFracOfShingles(Shingles.wordShingles(text, n))
+    dupFracOfShingles(graft.functions.GraftFunctions.wordShingles(text, n))
 
   /** Duplicate fraction of a precomputed shingle array — callers on a hot
     * path pass `GraftFunctions.wordShingles` (the native single-pass
@@ -106,7 +106,10 @@ object TextOps {
   }
 
   /** Repetition metrics bundle: duplicate fractions at word, bigram, and
-    * trigram granularity.
+    * trigram granularity. Shingling runs in the native single-pass
+    * `word_shingles` expression (the interpreted HOF chain costs ~6× more
+    * on exactly this signal — see Curate) — callers must
+    * `GraftFunctions.register` the session first.
     */
   def repetitionMetrics(text: Column): Seq[(String, Column)] = Seq(
     "dup_word_frac" -> dupNgramFraction(text, 1),
@@ -138,12 +141,19 @@ object TextOps {
     */
   def fingerprintMd5(text: Column): Column = md5(normalized(text).cast("binary"))
 
-  /** Rolling-hash fingerprint: the minimum 64-bit hash over the document's
+  /** Rolling-hash fingerprint: the minimum 60-bit hash over the document's
     * word shingles (a 1-hash MinHash) — robust to local edits, cheap to
-    * compare. xxhash64 is Spark-native; no SQL oracle.
+    * compare. Null for documents with fewer than `shingleSize` words.
+    * Shingling runs in the native `word_shingles` expression (callers must
+    * `GraftFunctions.register` first); the per-shingle hash is the leading
+    * 15 hex chars of md5 parsed as an integer, which DuckDB reproduces
+    * bit-for-bit (`CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`) — a
+    * true SQL oracle, unlike xxhash64.
     */
   def fingerprintRolling(text: Column, shingleSize: Int = 5): Column =
-    array_min(transform(Shingles.wordShingles(text, shingleSize), s => xxhash64(s)))
+    array_min(transform(
+      graft.functions.GraftFunctions.wordShingles(text, shingleSize),
+      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")))
 }
 
 /** Word-level shingling shared by text fingerprints and MinHash dedup. */

@@ -199,6 +199,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("repetition metrics flag templated text, clean prose scores low") {
+    graft.functions.GraftFunctions.register(spark)
     val df = Seq(
       (0L, "buy now buy now buy now buy now buy now"),
       (1L, "the quick brown fox jumps over one lazy dog near a stream"),
@@ -236,6 +237,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("rolling fingerprint survives distant edits, md5 does not") {
+    graft.functions.GraftFunctions.register(spark)
     val a = base
     val b = base.replaceFirst("quick", "slow") // early edit; min-shingle-hash likely elsewhere
     val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")

@@ -55,6 +55,23 @@ object Drive {
       " / " +
       graft.sources.GraftSource.parquet(spark, s"$sfDir/lineitem.parquet", """{ "l_returnflag": "number" }"""))
 
+    println("== md5-derived stub codec + rolling fingerprint (round 3) ==")
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = graft.ops.Multimodal.syntheticMediaTable(docs)
+    media.select(col("media_id"), col("modality"),
+      graft.ops.Multimodal.decodeMeta(col("payload"), col("modality")).as("meta")).show(6, false)
+    media.select(col("media_id"),
+      graft.ops.Multimodal.featurize(col("payload"), 4).as("features")).show(3, false)
+    docs.select(col("doc_id"),
+      graft.ops.TextOps.fingerprintRolling(col("text")).as("fp_roll")).show(5)
+    println("-- repetition metrics (native word_shingles) + plan --")
+    val rep = docs.select(col("doc_id") +:
+      graft.ops.TextOps.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+    rep.show(5)
+    rep.explain("formatted")
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
