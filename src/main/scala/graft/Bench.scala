@@ -14,9 +14,35 @@ import org.apache.spark.sql.SparkSession
   *  - per-query time is the min of `SPARK_GRAFT_REPS` timed runs (default
   *    2): min-of-N isolates plan cost from GC noise;
   *  - the cache is cleared between queries so one operator's persisted
-  *    intermediates can never tax another's measurement.
+  *    intermediates can never tax another's measurement;
+  *  - a fixed single-thread canary (a hash loop of constant work) runs
+  *    before and after the query loop: its seconds depend only on how
+  *    loaded the box is, so readers can normalize the query times against
+  *    external contention (a canary far above its idle-box value means
+  *    the window was contended, not that plans regressed);
+  *  - the JSON line is also written to a file (SPARK_GRAFT_BENCH_OUT,
+  *    default BENCH_LOCAL.json in the cwd), so consumers don't have to
+  *    scrape it out of sbt's log-prefixed stdout.
   */
 object Bench {
+
+  /** Fixed-work single-thread canary: seconds to xxh64-chain 2e8 longs.
+    * ~0.5-1 s on an idle modern core; scales up linearly with external
+    * CPU contention.
+    */
+  private def canarySeconds(): Double = {
+    val t0 = System.nanoTime()
+    var h = 42L
+    var i = 0
+    while (i < 200000000) {
+      h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, 42L)
+      i += 1
+    }
+    // fold h into a side effect the JIT cannot elide
+    if (h == 0L) System.err.print("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -33,13 +59,20 @@ object Bench {
     // spark.catalog.clearCache() alone does not touch
     def clearAll(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // skip checkpointed RDDs (the dedup operators' localCheckpoints):
+      // their lineage is truncated, so unpersisting them logs a scary
+      // (and irrelevant) WARN every rep; they are unreferenced after the
+      // query and dropped on GC anyway
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
     }
     // warmup pass (untimed)
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       clearAll()
     }
+    val canaryBefore = canarySeconds()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // failed reps are excluded from the min (a fast failure must not
       // masquerade as a fast run); all-failed reports -1
@@ -52,10 +85,17 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
+    val canaryAfter = canarySeconds()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -59,6 +59,18 @@ object SparkEntry {
       .groupBy(col("l_orderkey"))
       .agg(collect_list(struct(col("l_quantity").as("qty"))).as("items"))
 
+  /** IVF index trained once per (sf dir, nlist) and reused — the
+    * production shape: the index build is decoupled from search, so the
+    * steady-state query (`q_sim_ivf_search`) measures search cost only.
+    * Training is deterministic (seeded sample + seeded k-means), so the
+    * cached index equals what any invocation would train.
+    */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ops.Similarity.IvfIndex]()
+  private def ivfIndexFor(s: SparkSession, dir: String, nlist: Int): ops.Similarity.IvfIndex =
+    ivfIndexCache.computeIfAbsent(s"$dir#$nlist", _ =>
+      ops.Similarity.trainIvf(t(s, dir, "embeddings"), "embedding", "vec_id", nlist))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity operators (SURVEY.md §2.3), via the dialect compiler ----
     "q_p1_project" -> ((s, dir) =>
@@ -110,16 +122,17 @@ object SparkEntry {
 
     // $push emits an array column; the driver's compare layer cannot hash
     // arrays, so the harness entry canonicalizes to a sorted joined string
-    // (the DuckDB oracle mirrors the same canonical form). %.1f relies on
-    // l_quantity being integer-valued: Java format_string rounds half-up
-    // while DuckDB printf rounds half-even, so a value needing actual
-    // rounding (e.g. 0.25) would diverge — with integral doubles the
-    // rounded digit never exists on either side.
+    // (the DuckDB oracle mirrors the same canonical form). round(x, 1)
+    // BEFORE formatting makes the canonicalization exact for any input:
+    // both engines round doubles half-away-from-zero, and %.1f of an
+    // already-1-dp double can never hit a formatter tie (Java half-up vs
+    // C half-even only diverge ON ties) — so fractional quantities like
+    // 0.25 canonicalize identically, not just integral ones.
     "q_g5_push" -> ((s, dir) =>
       q(t(s, dir, "lineitem"), "SELECT l_quantity GROUP BY l_returnflag")
         .withColumn("l_quantity",
           array_join(transform(sort_array(col("l_quantity")),
-            x => format_string("%.1f", x)), ","))),
+            x => format_string("%.1f", round(x, 1))), ","))),
 
     "q_o1_order_limit" -> ((s, dir) =>
       q(t(s, dir, "lineitem"),
@@ -170,6 +183,15 @@ object SparkEntry {
       Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the keyBlocks=2 combination-keying scale dial: pigeonhole-exact
+    // recall is banding-independent, so this must equal q_dedup_simhash
+    // row for row (the driver sees the billion-doc configuration produce
+    // the same answer as the default)
+    "q_dedup_simhash_k2" -> ((s, dir) =>
+      Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
+        keyBlocks = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardNearDups(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
@@ -190,10 +212,14 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // 6 planes × 12 tables: tuned for the synthetic corpus where true
+    // neighbors sit at moderate cosine (~0.3-0.5) — more tables OR
+    // together independent hash families so moderate-similarity pairs
+    // still collide somewhere (see lshTopK scaladoc for the math)
     "q_sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
-        k = 5, planes = 8)
+        k = 5, planes = 6, tables = 12)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -202,6 +228,37 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
         k = 5, nlist = 16, nprobe = 4)
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // steady-state IVF: the index is pre-trained (memoized per sf dir),
+    // so this measures search cost — cell assignment + cell equi-join +
+    // bounded-heap re-rank — not the k-means build
+    "q_sim_ivf_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSearch(ivfIndexFor(s, dir, nlist = 16), emb,
+        emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, nprobe = 4)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // driver-visible approximation quality: recall@5 of each ANN path
+    // against the exact brute-force result — one row the driver can watch
+    // across rounds (unit tests bound it; this makes drift observable)
+    "q_sim_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 5),
+        Similarity.lshTopK(emb, probes, "embedding", "vec_id", k = 5,
+          planes = 6, tables = 12))
+    }),
+
+    "q_sim_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 5),
+        Similarity.ivfSearch(ivfIndexFor(s, dir, nlist = 16), emb, probes,
+          "embedding", "vec_id", k = 5, nprobe = 4))
     }),
 
     // ---- training-data pipeline: text analysis ----
@@ -400,7 +457,7 @@ object SparkEntry {
       "SELECT l_linestatus AS _id, CAST(count(*) AS DOUBLE) AS count FROM lineitem GROUP BY l_linestatus",
 
     "q_g5_push" ->
-      "SELECT l_returnflag AS _id, array_to_string(list_transform(list_sort(list(l_quantity)), x -> printf('%.1f', x)), ',') AS l_quantity FROM lineitem GROUP BY l_returnflag",
+      "SELECT l_returnflag AS _id, array_to_string(list_transform(list_sort(list(l_quantity)), x -> printf('%.1f', round(x, 1))), ',') AS l_quantity FROM lineitem GROUP BY l_returnflag",
 
     "q_o1_order_limit" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",

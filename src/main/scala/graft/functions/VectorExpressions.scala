@@ -175,9 +175,13 @@ object GraftFunctions {
 
   /** Idempotently register graft expressions with a session. The first
     * call per session force-installs every builder (createOrReplace, so a
-    * colliding user temp function of the same name cannot silently
-    * substitute its semantics into graft's operators); later calls are
-    * no-ops, keeping logs free of per-query "function replaced" warnings.
+    * user temp function registered BEFORE graft's first use cannot shadow
+    * graft's semantics); later calls are no-ops, keeping logs free of
+    * per-query "function replaced" warnings. The flip side is deliberate:
+    * a user who re-registers one of these names AFTER graft's first call
+    * owns it for the rest of the session — the session owner outranks the
+    * library, and silently re-stealing the name back on every operator
+    * call would be worse than honoring their override.
     */
   def register(spark: SparkSession): Unit =
     if (installed.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {

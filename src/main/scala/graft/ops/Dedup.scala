@@ -20,6 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** How a near-dup operator materializes its (small) pair result before
+    * releasing the persisted candidate-generation intermediates — the
+    * fault-tolerance / lifecycle dial for cluster callers.
+    */
+  sealed trait Materialize
+  object Materialize {
+    /** `localCheckpoint`: eager, blocks live in executor storage only and
+      * lineage is truncated — the right call for single-JVM and
+      * interactive sessions (cache hygiene, no recomputation), but an
+      * executor loss after the checkpoint kills the job on a real
+      * cluster. Default.
+      */
+    case object Local extends Materialize
+
+    /** Reliable checkpoint into the SparkContext's checkpoint directory
+      * (caller must `sc.setCheckpointDir` to durable storage first):
+      * eager, survives executor loss — the 100 TB cluster choice.
+      */
+    case object Reliable extends Materialize
+
+    /** No materialization and no internal persist: returns the pure lazy
+      * plan for the caller to cache/checkpoint/write as they see fit.
+      * Each action recomputes candidate generation (the shingle and
+      * banding branches run multiple times within one action's plan), so
+      * only choose this to compose the operator into a larger plan the
+      * caller materializes once.
+      */
+    case object Lazy extends Materialize
+  }
+
   /** Exact duplicate groups by content hash. Returns one row per distinct
     * normalized text: the representative (minimum) id and the duplicate
     * count. One shuffle on the 128-bit content hash; no skew risk beyond
@@ -50,8 +80,10 @@ object Dedup {
     * (`dropDuplicatesWithinWatermark`): a hash is remembered only until
     * the watermark passes it, so state size tracks arrival rate × delay
     * window, not the full corpus — the property that makes streaming
-    * dedup viable indefinitely. The shuffle key is the 128-bit content
-    * hash.
+    * dedup viable indefinitely. The shuffle/state key is the true 16-byte
+    * binary digest (`unhex(md5(…))`) — not md5's 32-char hex string, which
+    * would double the state-store and exchange key width for no
+    * information.
     */
   def exactDedupStream(
       docs: DataFrame,
@@ -60,7 +92,7 @@ object Dedup {
       watermarkDelay: String = "1 hour",
   ): DataFrame =
     docs
-      .withColumn("content_hash", md5(TextOps.normalized(col(textCol)).cast("binary")))
+      .withColumn("content_hash", unhex(md5(TextOps.normalized(col(textCol)).cast("binary"))))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
@@ -88,10 +120,12 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     *
-    * Note: executes EAGERLY — the pair set is materialized (via
-    * localCheckpoint) before returning so the persisted shingle/band
-    * intermediates can be released immediately; downstream transforms on
-    * the (small) result do not push into the dedup computation.
+    * Note: with the default `materialize = Materialize.Local` this
+    * executes EAGERLY — the pair set is materialized before returning so
+    * the persisted shingle/band intermediates can be released
+    * immediately; downstream transforms on the (small) result do not push
+    * into the dedup computation. See [[Materialize]] for the cluster
+    * (`Reliable`) and caller-managed (`Lazy`) alternatives.
     */
   def minHashNearDups(
       df: DataFrame,
@@ -101,18 +135,21 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 5,
       threshold: Double = 0.7,
+      materialize: Materialize = Materialize.Local,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
-    // Persisted: shingling is the dominant per-pass cost and three plan
-    // branches consume it (banding + both verification joins). The native
-    // word_shingles expression tokenizes and joins k-grams in one pass.
-    val shingled = df
+    val eager = materialize != Materialize.Lazy
+    // Persisted (unless Lazy): shingling is the dominant per-pass cost and
+    // three plan branches consume it (banding + both verification joins).
+    // The native word_shingles expression tokenizes and joins k-grams in
+    // one pass.
+    val shingled0 = df
       .select(col(idCol).as("id"),
         graft.functions.GraftFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .persist()
+    val shingled = if (eager) shingled0.persist() else shingled0
     val withSig = shingled.withColumn("sig", signatureOfShingles(col("shingles"), numHashes))
 
     // Band rows carry only (band, bucket, id): the LSH shuffle and the
@@ -122,13 +159,13 @@ object Dedup {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bucket"))
     }
-    // Persisted: both sides of the self-join read it, and it is tiny
-    // (bands × one long-keyed row per doc) — without this the full
+    // Persisted (unless Lazy): both sides of the self-join read it, and it
+    // is tiny (bands × one long-keyed row per doc) — without this the full
     // signature computation runs twice.
-    val banded = withSig
+    val banded0 = withSig
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-      .persist()
+    val banded = if (eager) banded0.persist() else banded0
 
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -148,10 +185,25 @@ object Dedup {
     // intermediates: persisted shingles/bands must not outlive the operator
     // — a long-lived session running many dedups would otherwise accumulate
     // dead cache blocks until executors spill or evict.
-    val out = result.localCheckpoint()
-    shingled.unpersist()
-    banded.unpersist()
-    out
+    materializeAndRelease(result, materialize, Seq(shingled, banded))
+  }
+
+  /** Apply the [[Materialize]] policy to a result, then release the
+    * operator's persisted intermediates (no-op for Lazy, which never
+    * persisted them).
+    */
+  private def materializeAndRelease(
+      result: DataFrame,
+      materialize: Materialize,
+      persisted: Seq[DataFrame],
+  ): DataFrame = materialize match {
+    case Materialize.Lazy => result
+    case eager =>
+      val out =
+        if (eager == Materialize.Reliable) result.checkpoint()
+        else result.localCheckpoint()
+      persisted.foreach(_.unpersist())
+      out
   }
 
   /** Exact Jaccard similarity of two shingle arrays (as sets). */
@@ -285,6 +337,7 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 8,
       tables: Int = 8,
+      materialize: Materialize = Materialize.Local,
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -293,10 +346,10 @@ object Dedup {
       struct(lit(t).as("table"),
         Similarity.srpBucket(col("vec"), planes, dims, table = t).as("bucket"))
     }
-    val banded = base
+    val banded0 = base
       .select(col("id"), explode(array(tableStructs: _*)).as("tb"))
       .select(col("id"), col("tb.table"), col("tb.bucket"))
-      .persist()
+    val banded = if (materialize != Materialize.Lazy) banded0.persist() else banded0
     val left = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
     val candidates = left.join(right, Seq("table", "bucket"))
@@ -312,9 +365,8 @@ object Dedup {
       .withColumn("cosine", Similarity.cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-    // materialize, then release the cached banding (see minHashNearDups)
-    val out = result.localCheckpoint()
-    banded.unpersist()
-    out
+    // materialize per policy, then release the cached banding (see
+    // minHashNearDups)
+    materializeAndRelease(result, materialize, Seq(banded))
   }
 }

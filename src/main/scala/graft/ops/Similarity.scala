@@ -99,9 +99,16 @@ object Similarity {
     * in one window partition: |corpus| rows per probe, a scale-killer.)
     * Ordering matches `ORDER BY cosine DESC, neighbor_id`: ties break by
     * ascending neighbor id, ranks are 1-based positions.
+    *
+    * Null scores are dropped EXPLICITLY before ranking (the filter is
+    * visible in the plan): a null cosine means a corrupt/length-mismatched
+    * vector, which must not occupy a top-k slot. (A `row_number` window
+    * would have ranked nulls last and could emit them when a probe has
+    * fewer than k valid neighbors — that behavior is deliberately gone.)
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
+      .filter(col("cosine").isNotNull)
       .groupBy(col("probe_id"))
       .agg(graft.functions.GraftFunctions.topKByScore(
         col("cosine"), col("neighbor_id"), k).as("tk"))
@@ -129,11 +136,18 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Approximate top-k via SRP buckets: probes only meet corpus vectors in
-    * their own bucket, then exact cosine re-ranks. Recall < 1 by design;
-    * raise `planes` for smaller buckets (faster, lower recall) or hash with
-    * multiple tables for higher recall. This is the scale path: the corpus
-    * is shuffled once by bucket id instead of broadcast-crossed.
+  /** Approximate top-k via SRP buckets: probes only meet corpus vectors
+    * in their own bucket (per table), then exact cosine re-ranks. Recall
+    * < 1 by design; `planes`/`tables` are the precision/recall dials —
+    * a pair at angle θ collides in one table with p = (1-θ/π)^planes and
+    * is found with 1-(1-p)^tables, so more planes shrink buckets (faster,
+    * lower recall) and more tables OR independent hash families together
+    * (higher recall, `tables`× the banded rows). This is the scale path:
+    * the corpus shuffles once by (table, bucket) instead of being
+    * broadcast-crossed, so cost follows bucket collision counts, not
+    * corpus size. Candidate (probe, neighbor) pairs found by several
+    * tables are deduplicated before ranking — a multi-table hit must not
+    * occupy several top-k slots.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -142,15 +156,24 @@ object Similarity {
       idCol: String,
       k: Int,
       planes: Int = 12,
+      tables: Int = 1,
   ): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val dims = vecDims(corpus, vecCol)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("bucket", srpBucket(col("cvec"), planes, dims))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
-      .withColumn("bucket", srpBucket(col("pvec"), planes, dims))
-    val scored = c.join(p, Seq("bucket"))
+    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+      val tb = (0 until tables).map { t =>
+        struct(lit(t).as("table"), srpBucket(col(vec), planes, dims, table = t).as("bucket"))
+      }
+      df.select(col(id), col(vec), explode(array(tb: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.table"), col("tb.bucket"))
+    }
+    val c = banded(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+      "neighbor_id", "cvec")
+    val p = banded(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")),
+      "probe_id", "pvec")
+    val scored = c.join(p, Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
     rankTopK(scored, k)
   }
@@ -269,5 +292,23 @@ object Similarity {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
     rankTopK(scored, k)
+  }
+
+  /** Recall@k of an approximate top-k result against the exact one: the
+    * fraction of true (probe, neighbor) pairs the approximate search
+    * found. Both inputs are `(probe_id, neighbor_id, …)` as produced by
+    * [[bruteForceTopK]] / [[lshTopK]] / [[ivfSearch]]. One small row out —
+    * the number a pipeline watches to know its ANN index is still honest.
+    * Scale shape: a semi-join on (probe, neighbor) plus two counts; both
+    * sides are k rows per probe, never corpus-sized.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val pair = Seq("probe_id", "neighbor_id")
+    val truth = exact.select(pair.map(col): _*)
+    val found = truth.join(approx.select(pair.map(col): _*), pair, "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true"), 6).as("recall"))
   }
 }

@@ -114,6 +114,37 @@ class OpsSpec extends AnyFunSuite {
     assert(native.isNullAt(0) && hof.isNullAt(0))
   }
 
+  test("Materialize.Lazy returns the same pairs as the default and caches nothing") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val lazyPairs = Dedup.minHashNearDups(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5,
+        materialize = Dedup.Materialize.Lazy)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty) // pure lazy plan: no blocks left behind
+    val default = Dedup.minHashNearDups(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lazyPairs == default)
+  }
+
+  test("Materialize.Reliable checkpoints the result and matches the default") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = Dedup.minHashNearDups(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5,
+        materialize = Dedup.Materialize.Reliable)
+    // eager reliable checkpoint: files landed in the checkpoint dir and
+    // the returned plan is the materialized scan, not the dedup pipeline
+    def countFiles(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles.map(countFiles).sum else 1
+    assert(countFiles(new java.io.File(dir)) > 0)
+    assert(reliable.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LogicalRDD")))
+    val pairs = reliable.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+  }
+
   test("ngram jaccard near-dups at tight threshold keep only true dups") {
     val pairs = Dedup.ngramJaccardNearDups(docs, "text", "doc_id", n = 3, threshold = 0.95)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
@@ -143,6 +174,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains(4L))
   }
 
+  test("multi-table LSH recall dominates single-table; no duplicate slots") {
+    val probes = vecs.filter($"vec_id" < 2L)
+    val exact = Similarity.bruteForceTopK(vecs, probes, "embedding", "vec_id", k = 3)
+    def recall(tables: Int): Double =
+      Similarity.recallAtK(exact,
+        Similarity.lshTopK(vecs, probes, "embedding", "vec_id", k = 3,
+          planes = 4, tables = tables))
+        .collect().head.getAs[Double]("recall")
+    assert(recall(8) >= recall(1))
+    // a neighbor found by several tables must appear once, not k times
+    val multi = Similarity.lshTopK(vecs, probes, "embedding", "vec_id", k = 3,
+      planes = 4, tables = 8).collect()
+    val pairs = multi.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
   test("IVF top-k finds the exact duplicate; nprobe=nlist equals brute force") {
     val probes = vecs.filter($"vec_id" === 0L)
     val ivf = Similarity.ivfTopK(vecs, probes, "embedding", "vec_id", k = 3,
@@ -155,6 +202,18 @@ class OpsSpec extends AnyFunSuite {
     val exact = Similarity.bruteForceTopK(vecs, probes, "embedding", "vec_id", k = 3)
       .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id")).toList
     assert(all == exact)
+  }
+
+  test("recall@k is 1.0 against itself and counts misses correctly") {
+    val probes = vecs.filter($"vec_id" === 0L)
+    val exact = Similarity.bruteForceTopK(vecs, probes, "embedding", "vec_id", k = 3)
+    val self = Similarity.recallAtK(exact, exact).collect().head
+    assert(self.getAs[Long]("n_true") == 3L && self.getAs[Double]("recall") == 1.0)
+    // an "approximate" result missing one true pair → recall 2/3
+    val dropped = exact.filter($"neighbor_id" =!= 3L)
+    val partial = Similarity.recallAtK(exact, dropped).collect().head
+    assert(partial.getAs[Long]("n_found") == 2L)
+    assert(math.abs(partial.getAs[Double]("recall") - 2.0 / 3) < 1e-6)
   }
 
   test("embedding near-dups by cosine threshold") {
