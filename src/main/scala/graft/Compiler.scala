@@ -24,11 +24,16 @@ object Compiler {
       run: DataFrame => DataFrame,
   )
 
-  /** Compile against a decoded schema. */
-  def compile(schema: Schema, query: String): Either[String, Compiled] =
+  /** Compile against a decoded schema. `extensions = true` enables graft's
+    * dialect extensions beyond reference parity (currently: `SELECT
+    * DISTINCT`, the reference's own roadmap item — reference:
+    * README.md:299-304); the default keeps the parser bug-compatible with
+    * the reference (DISTINCT lexes but fails to parse).
+    */
+  def compile(schema: Schema, query: String, extensions: Boolean = false): Either[String, Compiled] =
     for {
       tokens <- Lexer.tokenize(query)
-      ast <- Parser.statement(tokens).map(_._1)
+      ast <- Parser.statement(tokens, extensions).map(_._1)
       out <- Semantic.analyze(schema, ast)
       fn <- Planner.plan(ast)
     } yield Compiled(ast, out, fn)
@@ -51,15 +56,15 @@ object Compiler {
     * physical types all present as the dialect's single Number type; fields
     * with no dialect equivalent are unreachable (closed world).
     */
-  def query(df: DataFrame, sql: String): Either[String, DataFrame] = {
+  def query(df: DataFrame, sql: String, extensions: Boolean = false): Either[String, DataFrame] = {
     // planned array reductions use graft's native expressions (array_sum)
     graft.functions.GraftFunctions.register(df.sparkSession)
-    compile(Schema.fromStructType(df.schema), sql).map(_.run(df))
+    compile(Schema.fromStructType(df.schema), sql, extensions).map(_.run(df))
   }
 
   /** Like `query` but throwing — convenient at call sites that treat a
     * compile error as fatal (tests, harness entries).
     */
-  def queryOrThrow(df: DataFrame, sql: String): DataFrame =
-    query(df, sql).fold(err => throw new IllegalArgumentException(err), identity)
+  def queryOrThrow(df: DataFrame, sql: String, extensions: Boolean = false): DataFrame =
+    query(df, sql, extensions).fold(err => throw new IllegalArgumentException(err), identity)
 }

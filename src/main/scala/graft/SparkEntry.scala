@@ -26,6 +26,10 @@ object SparkEntry {
   /** Dialect query against a table's own (closed-world) schema. */
   private def q(df: DataFrame, sql: String): DataFrame = Compiler.queryOrThrow(df, sql)
 
+  /** Dialect query with graft's extensions (SELECT DISTINCT) enabled. */
+  private def qx(df: DataFrame, sql: String): DataFrame =
+    Compiler.queryOrThrow(df, sql, extensions = true)
+
   /** Flagship query on sf=0.001: grouped revenue aggregate through the
     * full compile → analyze → plan pipeline.
     */
@@ -75,6 +79,10 @@ object SparkEntry {
     // ---- parity operators (SURVEY.md §2.3), via the dialect compiler ----
     "q_p1_project" -> ((s, dir) =>
       q(t(s, dir, "lineitem"), "SELECT l_orderkey, l_quantity AS qty, l_returnflag")),
+
+    // dialect extension (the reference's own roadmap item): SELECT DISTINCT
+    "q_p1_distinct" -> ((s, dir) =>
+      qx(t(s, dir, "lineitem"), "SELECT DISTINCT l_returnflag, l_linestatus")),
 
     "q_s3_derived" -> ((s, dir) =>
       q(t(s, dir, "lineitem"),
@@ -433,6 +441,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_p1_project" ->
       "SELECT l_orderkey, l_quantity AS qty, l_returnflag FROM lineitem",
+
+    "q_p1_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 
     "q_s3_derived" ->
       "SELECT qty FROM (SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A') WHERE qty > 30",

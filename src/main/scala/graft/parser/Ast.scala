@@ -28,6 +28,15 @@ object Statement {
       limit: Option[Int],
       offset: Option[Int],
   ) extends Statement
+
+  /** EXTENSION beyond reference parity: `SELECT DISTINCT …`. The reference
+    * lexes DISTINCT but never parses it (reference: src/Ifrit/Lexer.purs:129,
+    * 177) and lists it as a roadmap item (reference: README.md:299-304);
+    * graft implements it behind the parser's `extensions` flag so the
+    * default path stays bug-compatible (DISTINCT → "unexpected token", same
+    * as the reference).
+    */
+  final case class Distinct(inner: Statement) extends Statement
 }
 
 sealed trait Selector

@@ -40,12 +40,22 @@ object Parser {
       case (stmt, _)   => Right(stmt)
     }
 
-  def statement(ts: Tokens): P[Statement] = ts match {
-    case PosToken(_, Token.Key(Keyword.Select)) :: q =>
+  /** With `extensions = false` (default) this is bug-compatible with the
+    * reference: DISTINCT lexes but fails to parse ("unexpected token"),
+    * exactly as the reference's roadmap item sits unimplemented. With
+    * `extensions = true`, `SELECT DISTINCT …` wraps the parsed statement
+    * in [[Statement.Distinct]].
+    */
+  def statement(ts: Tokens, extensions: Boolean = false): P[Statement] = ts match {
+    case PosToken(_, Token.Key(Keyword.Select)) :: q0 =>
+      val (isDistinct, q) = q0 match {
+        case PosToken(_, Token.Key(Keyword.Distinct)) :: rest if extensions => (true, rest)
+        case _ => (false, q0)
+      }
       for {
         r1 <- selectorList(q)
         (selectors, q1) = r1
-        r2 <- maybeClause(q1, Keyword.From, statement)
+        r2 <- maybeClause(q1, Keyword.From, statement(_: Tokens, extensions))
         (from, q2) = r2
         r3 <- maybeClause(q2, Keyword.Where, condition)
         (where, q3) = r3
@@ -57,16 +67,20 @@ object Parser {
         (lim, q6) = r6
         r7 <- maybeClause(q6, Keyword.Offset, offset)
         (off, q7) = r7
-        res <- q7 match {
-          case PosToken(_, Token.EOF) :: Nil =>
-            Right((combine(selectors, from, where, groupBy, orderBy.getOrElse(Nil), lim, off), Nil))
-          case PosToken(_, Token.Close) :: q8 =>
-            Right((combine(selectors, from, where, groupBy, orderBy.getOrElse(Nil), lim, off), q8))
-          case _ => Left(errEOF)
+        res <- {
+          def done(rest: Tokens): P[Statement] = {
+            val stmt = combine(selectors, from, where, groupBy, orderBy.getOrElse(Nil), lim, off)
+            Right(((if (isDistinct) Statement.Distinct(stmt) else stmt), rest))
+          }
+          q7 match {
+            case PosToken(_, Token.EOF) :: Nil  => done(Nil)
+            case PosToken(_, Token.Close) :: q8 => done(q8)
+            case _                              => Left(errEOF)
+          }
         }
       } yield res
 
-    case PosToken(_, Token.Open) :: q => statement(q)
+    case PosToken(_, Token.Open) :: q => statement(q, extensions)
     case q                           => Left(errUnexpected(q))
   }
 

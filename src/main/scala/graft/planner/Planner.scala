@@ -43,6 +43,14 @@ object Planner {
   }
 
   def plan(stmt: Statement): Either[String, DataFrame => DataFrame] = stmt match {
+    // extension: row-level DISTINCT over the statement's output columns —
+    // dropDuplicates plans as a partial aggregation on all output columns
+    // followed by one shuffle on their hash (map-side combine collapses
+    // each partition's duplicates first), the same scale shape as any
+    // grouped aggregate
+    case Statement.Distinct(inner) =>
+      plan(inner).map(fn => (df: DataFrame) => fn(df).dropDuplicates())
+
     case Statement.Select(projections, from, where, orders, limit, offset) =>
       for {
         base <- planBase(from, where, orders, limit, offset)

@@ -63,6 +63,10 @@ object Semantic {
     * (reference: src/Ifrit/Semantic.purs:116-137).
     */
   def analyze(schema: Schema, stmt: Statement): Either[String, Schema] = stmt match {
+    // extension: DISTINCT deduplicates rows, the output schema is the
+    // inner statement's unchanged
+    case Statement.Distinct(inner) => analyze(schema, inner)
+
     case Statement.Select(projections, from, cond, orders, _, _) =>
       for {
         schema1 <- from.fold[Either[String, Schema]](Right(schema))(analyze(schema, _))

@@ -112,6 +112,21 @@ class DriverSuiteSpec extends AnyFunSuite {
     assert(df.schema.fieldNames.toSet == Set("_id", "count"))
   }
 
+  test("SELECT DISTINCT deduplicates rows (extension; reference roadmap README:299-304)") {
+    // default path stays bug-compatible: DISTINCT fails to parse
+    assert(Compiler.query(flat, "SELECT DISTINCT class").isLeft)
+    val got = Compiler.queryOrThrow(flat, "SELECT DISTINCT class", extensions = true)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("necromancer", "priest"))
+    // over two columns, and composed with WHERE
+    val pairs = Compiler.queryOrThrow(flat,
+        "SELECT DISTINCT class, lvl WHERE lvl > 3", extensions = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(pairs == Set(("necromancer", 4.0), ("necromancer", 6.0), ("priest", 4.0), ("priest", 6.0)))
+    // semantic gate still applies under the extension flag
+    assert(Compiler.query(flat, "SELECT DISTINCT nonexistent", extensions = true).isLeft)
+  }
+
   test("dotted path inside array element structs: MAX(spells.power.super) (ref :1419)") {
     val schema = StructType(Seq(
       StructField("spells", ArrayType(StructType(Seq(

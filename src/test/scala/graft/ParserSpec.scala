@@ -106,6 +106,21 @@ class ParserSpec extends AnyFunSuite {
   test("DISTINCT is lexed but unparseable") {
     assert(parse("SELECT DISTINCT a").isLeft)
   }
+
+  test("DISTINCT parses under the extensions flag, wrapping the statement") {
+    def parseExt(s: String) =
+      Lexer.tokenize(s).flatMap(ts => Parser.statement(ts, extensions = true).map(_._1))
+    assert(parseExt("SELECT DISTINCT a") == Right(Statement.Distinct(
+      Statement.Select(List(Selector.Field("a", None)), None, None, Nil, None, None))))
+    // extensions on does not change non-DISTINCT parses
+    assert(parseExt("SELECT a") == parse("SELECT a"))
+    // subqueries inherit the flag
+    assert(parseExt("SELECT a FROM (SELECT DISTINCT a)") == Right(
+      Statement.Select(List(Selector.Field("a", None)),
+        Some(Statement.Distinct(
+          Statement.Select(List(Selector.Field("a", None)), None, None, Nil, None, None))),
+        None, Nil, None, None)))
+  }
 }
 
 /** Edge cases of the generic list/paren rules (reference:
