@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sample, Similarity, TextOps}
 
 /** Driver contract — see SURVEY.md §2.3 for the operator inventory; every
   * inventory row has a `queries` entry here, plus the training-data
@@ -300,6 +300,27 @@ object SparkEntry {
       val metrics = TextOps.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: metrics: _*)
     }),
+
+    // PII scrubbing: counts per cascade stage + fingerprint of the
+    // scrubbed text (the synthetic corpus has no PII, so counts are 0 and
+    // fp equals md5(text) — the oracle still verifies the whole cascade
+    // expression; planted-input semantics live in OpsSpec)
+    "q_text_redact" -> ((s, dir) => {
+      val counts = TextOps.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(
+        (col("doc_id") +: counts :+
+          md5(TextOps.redactPii(col("text")).cast("binary")).as("fp_redacted")): _*)
+    }),
+
+    // deterministic 1-in-10 hash sample (rerun- and layout-stable)
+    "q_sample_hash" -> ((s, dir) =>
+      Sample.sampleByHash(t(s, dir, "documents"), "doc_id", oneIn = 10, salt = "r3")
+        .select(col("doc_id"))),
+
+    // per-group quota: at most 5 events per user, hash-chosen
+    "q_sample_cap_group" -> ((s, dir) =>
+      Sample.capPerGroup(events(s, dir), "user_id", "event_id", n = 5, salt = "r3")
+        .select(col("event_id"), col("user_id"))),
 
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -681,6 +702,28 @@ object SparkEntry {
 
     "q_text_fingerprint" ->
       s"SELECT doc_id, md5($oracleNorm) AS fp_md5 FROM documents",
+
+    "q_text_redact" -> {
+      val u = TextOps.urlPattern
+      val e = TextOps.emailPattern
+      val p = TextOps.phonePattern
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$u')) AS INTEGER) AS n_urls,
+         |  CAST(len(regexp_extract_all(regexp_replace(text, '$u', '<URL>', 'g'), '$e')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text, '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$p')) AS INTEGER) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text, '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g')) AS fp_redacted
+         |FROM documents""".stripMargin
+    },
+
+    "q_sample_hash" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r3'")} % 10 = 0""".stripMargin,
+
+    "q_sample_cap_group" ->
+      s"""SELECT event_id, user_id FROM events
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY user_id
+         |  ORDER BY ${oracleMd5Long("CAST(event_id AS VARCHAR) || '#r3'")}, event_id) <= 5""".stripMargin,
 
     // 1-hash MinHash over 5-word shingles with the md5-derived hash
     "q_text_fingerprint_rolling" ->

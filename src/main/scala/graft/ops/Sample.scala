@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Everything keys off a salted md5-derived hash rather than `rand()`:
+  * at 100 TB a sample must be REPRODUCIBLE — the same rows survive a task
+  * retry, a partition re-layout, or a full re-run (rand() gives none of
+  * those), and a salt change gives a fresh independent sample. The hash is
+  * the leading 60 bits of md5, bit-identical in DuckDB, so every operator
+  * here has a true SQL oracle.
+  */
+object Sample {
+
+  /** Salted 60-bit md5 hash of a key column (non-negative, so Spark
+    * `pmod` and SQL `%` agree). Mirror:
+    * `CAST('0x' || substr(md5(CAST(key AS VARCHAR) || '#' || salt), 1, 15) AS BIGINT)`.
+    */
+  def saltedHash(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("#" + salt)).cast("binary")), 1, 15),
+      16, 10).cast("long")
+
+  /** Keep ~1/`oneIn` of the rows, chosen by the salted hash of `keyCol` —
+    * a pure narrow filter (no shuffle, no state), evaluated at scan speed
+    * and pushed into the scan where the source supports it. Deterministic:
+    * the same (key, salt, oneIn) always selects the same rows, on any
+    * cluster layout.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, oneIn: Int, salt: String = ""): DataFrame = {
+    require(oneIn >= 1, "oneIn must be >= 1")
+    df.filter(pmod(saltedHash(col(keyCol), salt), lit(oneIn.toLong)) === 0)
+  }
+
+  /** Cap each group at `n` rows, keeping the `n` with the smallest salted
+    * hash (ties by `keyCol`) — the standard per-source/per-domain quota in
+    * corpus mixing ("at most N documents per domain"), made deterministic
+    * and rerun-stable by hash ordering. One shuffle on the group key; the
+    * window streams each group and emits at most `n` rows per group. A
+    * pathologically hot group concentrates on one task — the same caveat
+    * as any per-group window; AQE's skew handling and the bounded output
+    * keep it survivable at the quota sizes this is meant for.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      n: Int,
+      salt: String = "",
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(saltedHash(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+}

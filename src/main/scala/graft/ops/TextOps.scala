@@ -132,6 +132,43 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** PII scrubbing patterns — deliberately simple constructs (character
+    * classes, bounded quantifiers) that Java regex (Spark) and RE2
+    * (DuckDB) interpret identically, so the whole cascade is
+    * oracle-checkable. Order matters and is fixed: URLs first (an email
+    * or digit run inside a URL must become part of `<URL>`, not its own
+    * tag), then emails, then phone-like digit runs over what remains.
+    */
+  val urlPattern = """https?://[^\s]+"""
+  val emailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val phonePattern = """\+?[0-9][0-9()\-\s]{6,}[0-9]"""
+
+  /** Scrub URLs / emails / phone-like digit runs to `<URL>` / `<EMAIL>` /
+    * `<PHONE>` tags — the standard PII/noise pass before training. A pure
+    * codegen'd projection (three chained regexp_replace), zero shuffles;
+    * idempotent (tags contain no pattern characters).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Redaction counts, measured at the cascade stage where each pattern
+    * actually applies (emails counted after URL removal, phones after
+    * both) so they always equal the number of tags redactPii emits.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val afterUrl = regexp_replace(text, urlPattern, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, emailPattern, "<EMAIL>")
+    Seq(
+      "n_urls" -> regexp_count(text, lit(urlPattern)),
+      "n_emails" -> regexp_count(afterUrl, lit(emailPattern)),
+      "n_phones" -> regexp_count(afterEmail, lit(phonePattern)),
+    )
+  }
+
   /** Canonical text: lowercase, whitespace collapsed, trimmed. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

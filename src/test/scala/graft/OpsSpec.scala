@@ -287,6 +287,50 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(0L))
   }
 
+  test("PII redaction tags urls, emails, phones in cascade order; idempotent") {
+    val df = Seq(
+      (0L, "mail me at jane.doe+x@example.org or call +1 (415) 555-0100 today"),
+      (1L, "docs at https://ex.am/p?q=jane@x.io#frag and nothing else"),
+      (2L, "clean prose with no identifiers at all"),
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "mail me at <EMAIL> or call <PHONE> today")
+    // the email inside the URL is swallowed by <URL>, not tagged separately
+    assert(got(1L) == "docs at <URL> and nothing else")
+    assert(got(2L) == "clean prose with no identifiers at all")
+    // idempotence: tags contain nothing any pattern matches
+    val twice = df.select(TextOps.redactPii(TextOps.redactPii($"text")).as("r"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == got.values.toSet)
+    // counts line up with emitted tags
+    val counts = df.select(
+        $"doc_id" +: TextOps.piiCounts($"text").map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(counts(0L) == ((0, 1, 1)) && counts(1L) == ((1, 0, 0)) && counts(2L) == ((0, 0, 0)))
+  }
+
+  test("hash sampling is deterministic and roughly 1/N; per-group cap holds") {
+    val ids = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Sample.sampleByHash(ids, "doc_id", oneIn = 10, salt = "s").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sample.sampleByHash(ids, "doc_id", oneIn = 10, salt = "s").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)                      // rerun-stable
+    assert(a.size > 60 && a.size < 140) // ~100 of 1000
+    val other = Sample.sampleByHash(ids, "doc_id", oneIn = 10, salt = "t").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != a)                  // salt gives an independent sample
+
+    val grouped = (0L until 100L).map(i => (i, i % 4)).toDF("id", "grp")
+    val capped = Sample.capPerGroup(grouped, "grp", "id", n = 5, salt = "s")
+    val sizes = capped.groupBy($"grp").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ == 5L))
+    val again = Sample.capPerGroup(grouped, "grp", "id", n = 5, salt = "s")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select($"id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("md5 fingerprint is whitespace/case canonical") {
     val df = Seq((0L, "Hello   World"), (1L, "hello world"), (2L, "hello worlds")).toDF("doc_id", "text")
     val fps = df.select($"doc_id", TextOps.fingerprintMd5($"text").as("fp"))
