@@ -87,6 +87,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless ops (hash sample, PII redaction) compose with streams") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // narrow, stateless projections/filters are directly streamable —
+    // no watermark, no state store
+    val out = graft.ops.Sample.sampleByHash(docs, "doc_id", oneIn = 2, salt = "s")
+      .select($"doc_id", graft.ops.TextOps.redactPii($"text").as("r"))
+    val q = out.writeStream.format("memory").queryName("stateless_ops")
+      .outputMode("append").start()
+    try {
+      input.addData((0L until 20L).map(i => (i, s"mail x$i@y.zz now")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("stateless_ops").collect()
+      // same deterministic subset the batch operator keeps
+      val batchKept = graft.ops.Sample.sampleByHash(
+          (0L until 20L).map(i => (i, "")).toDF("doc_id", "text"), "doc_id", 2, "s")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(rows.map(_.getLong(0)).toSet == batchKept)
+      assert(rows.forall(_.getString(1).contains("<EMAIL>")))
+    } finally q.stop()
+  }
+
   test("streaming sessionization's closed sessions match the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

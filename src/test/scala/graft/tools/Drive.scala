@@ -72,6 +72,21 @@ object Drive {
     rep.show(5)
     rep.explain("formatted")
 
+    println("== round-3 operators: DISTINCT / sampling / redaction + plans ==")
+    graft.Compiler.queryOrThrow(li, "SELECT DISTINCT l_returnflag, l_linestatus",
+      extensions = true).show()
+    println("default path still rejects DISTINCT: " +
+      graft.Compiler.query(li, "SELECT DISTINCT l_returnflag"))
+    val sampled = graft.ops.Sample.sampleByHash(docs, "doc_id", oneIn = 10, salt = "r3")
+    println(s"hash sample kept ${sampled.count()} of ${docs.count()} docs; plan:")
+    sampled.select(col("doc_id")).explain("formatted")
+    docs.select(col("doc_id"),
+      graft.ops.TextOps.redactPii(col("text")).as("redacted")).show(2)
+    graft.ops.Sample.capPerGroup(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_returnflag", "l_orderkey",
+      n = 3, salt = "x")
+      .groupBy(col("l_returnflag")).count().show()
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
