@@ -191,6 +191,20 @@ object SparkEntry {
       Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // pairs → clusters: connected components over the verified near-dup
+    // graph (hash-min + pointer-jump label propagation); dup_group is the
+    // min id transitively reachable, so it doubles as the representative
+    "q_dedup_components" -> ((s, dir) =>
+      Dedup.nearDupGroups(t(s, dir, "documents"), "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("doc_id"), col("dup_group"))),
+
+    // the end-to-end near-dedup: one representative per duplicate cluster
+    "q_dedup_near_keep_first" -> ((s, dir) =>
+      Dedup.nearDupKeepFirst(t(s, dir, "documents"), "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("doc_id"))),
+
     // the keyBlocks=2 combination-keying scale dial: pigeonhole-exact
     // recall is banding-independent, so this must equal q_dedup_simhash
     // row for row (the driver sees the billion-doc configuration produce
@@ -454,6 +468,24 @@ object SparkEntry {
   private def oracleMd5Long(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** Connected components over the exact near-dup pair graph, as a
+    * recursive CTE: cc accumulates every (node, reachable-origin) pair —
+    * UNION dedups so the fixpoint is finite — and min(comp) per node is
+    * the component's minimum id, mirroring the hash-min label the Spark
+    * operator converges to.
+    */
+  private def oracleNearDupComponents: String =
+    s"""WITH RECURSIVE
+       |pairs AS (${oracleShingleJaccard(k = 5, threshold = 0.5)}),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |cc(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src
+       |)
+       |SELECT id AS doc_id, min(comp) AS dup_group FROM cc GROUP BY id""".stripMargin
+
   private val oracleWsTokens =
     "len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))"
   private val oracleStopEn = "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b'))"
@@ -521,6 +553,12 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1""".stripMargin,
 
     "q_dedup_minhash" -> oracleShingleJaccard(k = 5, threshold = 0.5),
+
+    "q_dedup_components" -> oracleNearDupComponents,
+
+    "q_dedup_near_keep_first" ->
+      s"""SELECT doc_id FROM ($oracleNearDupComponents)
+         |WHERE doc_id = dup_group""".stripMargin,
 
     "q_dedup_ngram_jaccard" -> oracleShingleJaccard(k = 3, threshold = 0.8),
 

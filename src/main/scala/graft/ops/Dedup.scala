@@ -301,6 +301,112 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-duplicate PAIRS into duplicate CLUSTERS (a document
+    * transitively near-duplicate of a kept one must also be dropped;
+    * pairwise filtering alone can't see that).
+    *
+    * Algorithm: hash-min label propagation with pointer-jumping
+    * shortcuts. Every node starts labeled with its own id; each round
+    *  (1) takes the min of its own and its neighbors' labels, and
+    *  (2) jumps: relabels to its current label's label,
+    * so labels race down edges AND shortcut through label chains —
+    * convergence in O(log d) rounds for diameter d (near-dup clusters
+    * are quasi-cliques, d is tiny; even a pure chain of length n needs
+    * only ~log n rounds thanks to the jump step). Each round is two
+    * equi-joins + one aggregation, all shuffling (id, label) longs only —
+    * never documents. The driver loop carries no data, just the
+    * converged? flag (the same shape as k-means iterations).
+    *
+    * The converged label IS the minimum id in the component, so the
+    * canonical keep-first representative falls out for free
+    * (`id == component`).
+    *
+    * Returns (id, component). Nodes absent from `edges` are their own
+    * singleton component.
+    */
+  def connectedComponents(
+      edges: DataFrame, // (id_a, id_b)
+      nodes: DataFrame, // (id)
+      maxIterations: Int = 50,
+  ): DataFrame = {
+    val both = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    // Lineage MUST be truncated every iteration (eager localCheckpoint):
+    // `jumped` references `pulled` twice, so the logical plan otherwise
+    // doubles per round and Catalyst analysis goes exponential by ~10
+    // iterations — caching alone does not help, the analyzer still walks
+    // the full tree. Checkpoint blocks are released on GC; with the
+    // iteration cap this is bounded. (On a cluster, swap for
+    // `checkpoint()` against a durable dir — same tradeoff as
+    // [[Materialize]].)
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      // (1) hash-min: pull the smallest label among self + neighbors
+      val neighborMin = both
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val pulled = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // (2) pointer jump: comp := label(comp) — shortcuts label chains
+      val jumped = pulled.alias("l")
+        .join(pulled.select(col("id").as("comp"), col("comp").as("jcomp")).alias("j"),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = jumped.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") =!= col("old")).count()
+      labels = jumped
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIterations iterations")
+    both.unpersist()
+    labels
+  }
+
+  /** Every row labeled with its near-duplicate cluster (`dup_group` = the
+    * minimum id transitively reachable through MinHash near-dup pairs at
+    * the threshold). Composition: banded candidate pairs → exact Jaccard
+    * verification → connected components — each stage the scale shape
+    * described on its operator.
+    */
+  def nearDupGroups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.7,
+  ): DataFrame = {
+    val pairs = minHashNearDups(df, textCol, idCol, numHashes, bands, shingleSize, threshold)
+    val comps = connectedComponents(pairs, df.select(col(idCol).as("id")))
+    df.join(comps.select(col("id").as(idCol), col("comp").as("dup_group")), Seq(idCol))
+  }
+
+  /** Keep one representative (the minimum id) per near-duplicate cluster —
+    * the end-to-end near-dedup a training pipeline actually applies.
+    * Because the component label is the cluster's min id, this is a
+    * simple `id == dup_group` filter over [[nearDupGroups]].
+    */
+  def nearDupKeepFirst(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.7,
+  ): DataFrame =
+    nearDupGroups(df, textCol, idCol, numHashes, bands, shingleSize, threshold)
+      .filter(col(idCol) === col("dup_group")).drop("dup_group")
+
   /** N-gram Jaccard near-duplicates: exact Jaccard over word n-gram sets,
     * with MinHash banding as the candidate generator (never all-pairs).
     * This is `minHashNearDups` re-verified with a different n — kept as its

@@ -114,6 +114,40 @@ class OpsSpec extends AnyFunSuite {
     assert(native.isNullAt(0) && hof.isNullAt(0))
   }
 
+  test("connected components: chains, pairs, singletons — label is min id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
+    val got = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components converges fast on a long chain (pointer jumping)") {
+    val n = 64L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L until n).map(Tuple1(_)).toDF("id")
+    // worst case for pure hash-min is n rounds; the jump step must get
+    // there well inside the iteration cap
+    val got = Dedup.connectedComponents(edges, nodes, maxIterations = 20)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(0L))
+  }
+
+  test("near-dup keep-first drops the whole transitive cluster, keeps min id") {
+    val kept = Dedup.nearDupKeepFirst(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // 0,1,2,3 form one near-dup cluster (0-1 exact, 0-2, 0-3 near) → keep 0;
+    // 4 and 5 are unrelated → kept
+    assert(kept == Set(0L, 4L, 5L))
+    val groups = Dedup.nearDupGroups(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .select($"doc_id", $"dup_group").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 0L && groups(2L) == 0L)
+    assert(groups(4L) == 4L && groups(5L) == 5L)
+  }
+
   test("Materialize.Lazy returns the same pairs as the default and caches nothing") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val lazyPairs = Dedup.minHashNearDups(docs, "text", "doc_id",
