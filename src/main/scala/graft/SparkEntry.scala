@@ -336,6 +336,14 @@ object SparkEntry {
       Sample.capPerGroup(events(s, dir), "user_id", "event_id", n = 5, salt = "r3")
         .select(col("event_id"), col("user_id"))),
 
+    // weighted corpus mixture: two pseudo-sources over the documents
+    // table at 50% / 25%, independently salted per source tag
+    "q_sample_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sample.mixCorpora(Seq(("web", docs, 0.5), ("books", docs, 0.25)), "doc_id", salt = "r3")
+        .select(col("source"), col("doc_id"))
+    }),
+
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -762,6 +770,13 @@ object SparkEntry {
          |QUALIFY row_number() OVER (
          |  PARTITION BY user_id
          |  ORDER BY ${oracleMd5Long("CAST(event_id AS VARCHAR) || '#r3'")}, event_id) <= 5""".stripMargin,
+
+    "q_sample_mix" ->
+      s"""SELECT 'web' AS source, doc_id FROM documents
+         |WHERE ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r3#web'")} % 1000000 < 500000
+         |UNION ALL
+         |SELECT 'books' AS source, doc_id FROM documents
+         |WHERE ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r3#books'")} % 1000000 < 250000""".stripMargin,
 
     // 1-hash MinHash over 5-word shingles with the md5-derived hash
     "q_text_fingerprint_rolling" ->

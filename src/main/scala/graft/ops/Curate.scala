@@ -18,14 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  /** Filter to documents that pass all quality gates, then keep the first
-    * (lowest-id) document per distinct normalized text. Returns the
-    * surviving rows with their gate signals attached.
+  /** The gate phase alone: language + composite-quality + repetition
+    * filters with the signals attached. Entirely STATELESS (narrow
+    * codegen'd projections + a filter), so it applies unchanged to batch
+    * DataFrames and streaming sources — both curate twins below build on
+    * it.
     */
-  def curate(
+  def gate(
       docs: DataFrame,
       textCol: String,
-      idCol: String,
       lang: String = "en",
       minQuality: Double = 0.6,
       maxDup3: Double = 0.05,
@@ -38,13 +39,45 @@ object Curate {
     // expression keeps that cheap where the interpreted HOF chain made
     // the whole gate CPU-bound
     val sh3 = graft.functions.GraftFunctions.wordShingles(text, 3)
-    val gated = docs
+    docs
       .withColumn("lang_pred", TextOps.languageId(text))
       .withColumn("quality", TextOps.qualityScore(text))
       .withColumn("dup_3gram_frac", TextOps.dupFracOfShingles(sh3))
       .filter(col("lang_pred") === lang &&
         col("quality") >= minQuality &&
         col("dup_3gram_frac") <= maxDup3)
-    Dedup.exactKeepFirst(gated, textCol, idCol)
   }
+
+  /** Filter to documents that pass all quality gates, then keep the first
+    * (lowest-id) document per distinct normalized text. Returns the
+    * surviving rows with their gate signals attached.
+    */
+  def curate(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      lang: String = "en",
+      minQuality: Double = 0.6,
+      maxDup3: Double = 0.05,
+  ): DataFrame =
+    Dedup.exactKeepFirst(gate(docs, textCol, lang, minQuality, maxDup3), textCol, idCol)
+
+  /** Streaming twin: the same stateless gates, then watermark-bounded
+    * exact dedup ([[Dedup.exactDedupStream]]) instead of the batch
+    * keep-first window — state tracks the arrival window, not the corpus,
+    * so the pipeline ingests indefinitely. The earliest-arriving document
+    * per distinct normalized text wins (micro-batch arrival order, not
+    * id order — the one semantic difference from the batch twin).
+    */
+  def curateStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String = "1 hour",
+      lang: String = "en",
+      minQuality: Double = 0.6,
+      maxDup3: Double = 0.05,
+  ): DataFrame =
+    Dedup.exactDedupStream(gate(docs, textCol, lang, minQuality, maxDup3),
+      textCol, tsCol, watermarkDelay)
 }

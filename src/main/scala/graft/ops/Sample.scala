@@ -34,6 +34,38 @@ object Sample {
     df.filter(pmod(saltedHash(col(keyCol), salt), lit(oneIn.toLong)) === 0)
   }
 
+  /** Keep approximately `fraction` of the rows (exactly: rows whose salted
+    * hash lands under `fraction` of the modulus) — the arbitrary-weight
+    * sibling of [[sampleByHash]], same determinism, same narrow-filter
+    * plan. The million-bucket modulus quantizes the fraction to 1e-6,
+    * which keeps the oracle integer-exact in both engines.
+    */
+  def sampleFraction(df: DataFrame, keyCol: String, fraction: Double, salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    val cut = math.round(fraction * 1000000L)
+    df.filter(pmod(saltedHash(col(keyCol), salt), lit(1000000L)) < cut)
+  }
+
+  /** Weighted corpus mixture: deterministically down-sample each source to
+    * its weight and union them under a `source` tag — the mixture step of
+    * training-data preparation ("30% web, 50% books, …"). Each source
+    * samples with its own salt (`salt#tag`), so mixtures over overlapping
+    * or identical sources stay independent. Union is plan-level only
+    * (no shuffle); every branch is a narrow hash filter at scan speed.
+    * Sources must share a schema.
+    */
+  def mixCorpora(
+      sources: Seq[(String, DataFrame, Double)], // (tag, df, fraction)
+      keyCol: String,
+      salt: String = "",
+  ): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    sources.map { case (tag, df, fraction) =>
+      sampleFraction(df, keyCol, fraction, s"$salt#$tag")
+        .withColumn("source", lit(tag))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cap each group at `n` rows, keeping the `n` with the smallest salted
     * hash (ties by `keyCol`) — the standard per-source/per-domain quota in
     * corpus mixing ("at most N documents per domain"), made deterministic

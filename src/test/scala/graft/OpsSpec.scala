@@ -365,6 +365,25 @@ class OpsSpec extends AnyFunSuite {
     assert(again == capped.select($"id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("weighted corpus mixture: per-source fractions, independent salts") {
+    val ids = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val mixed = Sample.mixCorpora(
+      Seq(("web", ids, 0.5), ("books", ids, 0.25)), "doc_id", salt = "m")
+    val bySource = mixed.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("web") > 400 && bySource("web") < 600)
+    assert(bySource("books") > 180 && bySource("books") < 320)
+    // each branch is exactly sampleFraction under the derived salt
+    val webIds = mixed.filter($"source" === "web").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = Sample.sampleFraction(ids, "doc_id", 0.5, salt = "m#web")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(webIds == expected)
+    // fraction edge cases
+    assert(Sample.sampleFraction(ids, "doc_id", 0.0).count() == 0L)
+    assert(Sample.sampleFraction(ids, "doc_id", 1.0).count() == 1000L)
+  }
+
   test("md5 fingerprint is whitespace/case canonical") {
     val df = Seq((0L, "Hello   World"), (1L, "hello world"), (2L, "hello worlds")).toDF("doc_id", "text")
     val fps = df.select($"doc_id", TextOps.fingerprintMd5($"text").as("fp"))

@@ -111,6 +111,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gates + dedups like the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val good = "The project is large and the design of the system is described in the documents " +
+      "that the team wrote to explain all of the moving parts in detail and to keep everyone informed."
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.ops.Curate.curateStream(docs, "text", "ts", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("curate_stream").outputMode("append").start()
+    try {
+      def t(sec: Long) = new java.sql.Timestamp((1000000L + sec) * 1000)
+      input.addData((0L, good, t(0)), (2L, "x", t(1)))
+      q.processAllAvailable()
+      // 1 duplicates 0 in a later micro-batch → dropped by streaming dedup;
+      // 3 is French → dropped by the gate; 4 passes
+      input.addData(
+        (1L, good, t(2)),
+        (3L, "le chat et le chien jouent dans le jardin de la maison pres de la riviere", t(3)),
+        (4L, good.replace("project", "library"), t(4)))
+      q.processAllAvailable()
+      val kept = spark.table("curate_stream").select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(0L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization's closed sessions match the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
