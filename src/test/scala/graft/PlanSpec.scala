@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sample, Similarity}
+
+/** Plan-shape regression guards: the scale-critical physical-plan
+  * properties (pushdown, pruning, partial aggregation, no cartesian
+  * products, broadcast where intended, shuffle-free narrow ops) asserted
+  * as tests, so a future refactor that silently degrades a plan fails CI
+  * rather than a 100 TB run. These inspect `queryExecution.executedPlan`
+  * (planning only — nothing is executed unless noted).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("dialect filter + projection reach the parquet scan (pushdown + pruning)") {
+    val p = plan(Compiler.queryOrThrow(li, "SELECT l_orderkey WHERE l_quantity < 3"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,3.0)]"), p)
+    // column pruning: the scan reads exactly the filter + projection columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("hash sampling is a shuffle-free narrow filter") {
+    val p = plan(Sample.sampleByHash(docs, "doc_id", 10, "s").select($"doc_id"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
+  test("corpus mixture stays a union of narrow filters (no shuffle)") {
+    val p = plan(Sample.mixCorpora(
+      Seq(("a", docs, 0.5), ("b", docs, 0.25)), "doc_id").select($"source", $"doc_id"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("grouped aggregation plans partial + final HashAggregate around one shuffle") {
+    val p = plan(Compiler.queryOrThrow(li,
+      "SELECT AVG(l_quantity) AS a GROUP BY l_returnflag"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // map-side combine + final
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("DISTINCT plans as hash aggregation, not a window") {
+    val p = plan(Compiler.queryOrThrow(li, "SELECT DISTINCT l_returnflag",
+      extensions = true))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("brute-force top-k broadcasts probes and aggregates with the bounded heap") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      "embedding", "vec_id", k = 5))
+    assert(p.contains("Broadcast"), p)          // probes broadcast, corpus streams
+    assert(p.contains("topk_by_score"), p)      // bounded-heap aggregate, no window
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("minhash near-dup candidate generation never plans a cartesian product") {
+    // Lazy keeps the full plan visible (the default materializes eagerly
+    // and returns a scan of the checkpointed result)
+    val p = plan(Dedup.minHashNearDups(docs, "text", "doc_id",
+      numHashes = 32, bands = 8, threshold = 0.5,
+      materialize = Dedup.Materialize.Lazy))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("exact keep-first is one window over one hash exchange") {
+    val p = plan(Dedup.exactKeepFirst(docs, "text", "doc_id"))
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("text gates are a single projection over a pruned scan (zero shuffles)") {
+    graft.functions.GraftFunctions.register(spark)
+    val metrics = graft.ops.TextOps.repetitionMetrics($"text".cast("string"))
+      .map { case (n, c) => c.as(n) }
+    val p = plan(docs.select($"doc_id" +: metrics: _*))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("word_shingles"), p) // native expression, not the HOF chain
+  }
+}
