@@ -344,6 +344,11 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))
     }),
 
+    // context-window packing: 64-token chunks with 16 tokens of overlap
+    "q_text_chunks" -> ((s, dir) =>
+      TextOps.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
+        chunkSize = 64, overlap = 16)),
+
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -745,6 +750,20 @@ object SparkEntry {
          |SELECT doc_id, quality, dup_3gram_frac FROM sig
          |WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_3gram_frac <= 0.05
          |QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1""".stripMargin,
+
+    // mirrors chunkTokens: stride 48, tail window shorter, no window
+    // fully contained in its predecessor
+    "q_text_chunks" ->
+      """SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+        |  array_to_string(list_slice(t, CAST(k*48+1 AS INTEGER), CAST(k*48+64 AS INTEGER)), ' ') AS chunk_text,
+        |  CAST(least(64, len(t) - k*48) AS INTEGER) AS n_tokens
+        |FROM (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST(1 + floor((greatest(0, len(t) - 64) + 47) / 48.0) AS BIGINT))) AS k
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |        FROM documents)
+        |  WHERE len(t) > 0
+        |)""".stripMargin,
 
     "q_text_fingerprint" ->
       s"SELECT doc_id, md5($oracleNorm) AS fp_md5 FROM documents",

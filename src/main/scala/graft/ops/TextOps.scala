@@ -16,9 +16,14 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** Whitespace tokens, case preserved (unlike [[tokens]] — chunking and
+    * counting must not rewrite the text).
+    */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => length(t) > 0))
+  def tokenCount(text: Column): Column = size(wsTokens(text))
 
   /** BPE-ish subword proxy count: runs of letters, runs of digits, and
     * single non-space symbols each count as one token — a cheap,
@@ -131,6 +136,44 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Split each document into token windows of `chunkSize` whitespace
+    * tokens with `overlap` tokens of shared context between consecutive
+    * chunks — the context-length packing step before tokenization. The
+    * final window is shorter rather than padded, and a window fully
+    * contained in its predecessor is never emitted (chunk count =
+    * `1 + ceil(max(0, n - chunkSize) / stride)`). Pure explode-projection:
+    * zero shuffles, output rows ≈ input tokens / stride. Documents with
+    * no tokens produce no chunks.
+    *
+    * Returns (idCol, chunk_idx, chunk_text, n_tokens); chunk_text is the
+    * window re-joined with single spaces (original inter-token whitespace
+    * is not preserved — downstream tokenizers split on whitespace anyway).
+    */
+  def chunkTokens(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkSize: Int,
+      overlap: Int = 0,
+  ): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
+    val toks = wsTokens(col(textCol))
+    val n = size(toks)
+    val nChunks =
+      (lit(1) + floor((greatest(lit(0), n - chunkSize) + lit(stride - 1)).cast("double") / stride))
+        .cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(
+        i.cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize), n - i * stride).cast("int").as("n_tokens")))
+    df.filter(n > 0)
+      .select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk_text"), col("c.n_tokens"))
+  }
 
   /** PII scrubbing patterns — deliberately simple constructs (character
     * classes, bounded quantifiers) that Java regex (Spark) and RE2

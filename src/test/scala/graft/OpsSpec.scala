@@ -321,6 +321,28 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(0L))
   }
 
+  test("token chunking: overlap windows, short tail, no redundant window") {
+    val df = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (1L, "only three tokens"),
+      (2L, "   "),                                     // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(df, "text", "doc_id", chunkSize = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(0L).map(c => (c._2, c._3, c._4)).sortBy(_._1).toList == List(
+      (0, (1 to 8).map(i => s"w$i").mkString(" "), 8),
+      (1, (5 to 10).map(i => s"w$i").mkString(" "), 6), // tail shorter, overlap 4
+    ))
+    assert(byDoc(1L).map(c => (c._2, c._3, c._4)).toList == List((0, "only three tokens", 3)))
+    assert(!byDoc.contains(2L))
+    // exact-fit document yields exactly one window (no empty successor)
+    val exact = TextOps.chunkTokens(
+      Seq((0L, (1 to 8).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"),
+      "text", "doc_id", chunkSize = 8, overlap = 4).collect()
+    assert(exact.length == 1)
+  }
+
   test("PII redaction tags urls, emails, phones in cascade order; idempotent") {
     val df = Seq(
       (0L, "mail me at jane.doe+x@example.org or call +1 (415) 555-0100 today"),
