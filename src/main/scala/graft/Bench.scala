@@ -57,15 +57,17 @@ object Bench {
     // full cleanup between measurements: SQL cache AND raw persisted RDD
     // blocks — localCheckpoint blocks live in the BlockManager, which
     // spark.catalog.clearCache() alone does not touch
+    // unpersisting a localCheckpointed RDD logs an irrelevant
+    // "lineage truncated" WARN; silence that logger rather than skip the
+    // unpersist — skipping would let dead checkpoint blocks accumulate
+    // across warmup + every rep and tax later measurements with
+    // eviction/spill pressure (the very cross-query leak clearAll exists
+    // to prevent)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
     def clearAll(): Unit = {
       spark.catalog.clearCache()
-      // skip checkpointed RDDs (the dedup operators' localCheckpoints):
-      // their lineage is truncated, so unpersisting them logs a scary
-      // (and irrelevant) WARN every rep; they are unreferenced after the
-      // query and dropped on GC anyway
-      spark.sparkContext.getPersistentRDDs.values
-        .filterNot(_.isCheckpointed)
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // warmup pass (untimed)
     SparkEntry.queries.foreach { case (_, fn) =>

@@ -486,6 +486,15 @@ object SparkEntry {
     * UNION dedups so the fixpoint is finite — and min(comp) per node is
     * the component's minimum id, mirroring the hash-min label the Spark
     * operator converges to.
+    *
+    * Caveat (inherited from the Jaccard oracles, amplified here): the
+    * Spark side generates candidate pairs by MinHash banding, which has
+    * recall < 1 for pairs sitting AT the threshold; one missed borderline
+    * edge would relabel its whole component and change the keep-first
+    * survivor set. On this corpus the planted duplicates sit far above
+    * the threshold (banding miss probability ≈ e-4), verified green at
+    * both SFs — a future corpus with exactly-at-threshold pairs could
+    * fail these rows without an engine bug.
     */
   private def oracleNearDupComponents: String =
     s"""WITH RECURSIVE

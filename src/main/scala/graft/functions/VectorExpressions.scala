@@ -221,6 +221,21 @@ object GraftFunctions {
     */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score", score, id, org.apache.spark.sql.functions.lit(k))
+
+  /** 60-bit non-negative integer from the leading 15 hex chars of the md5
+    * of a binary column — THE shared deterministic hash for every
+    * oracle-checkable operator (multimodal stub codec, rolling
+    * fingerprint, sampling). Pure builtins, no registration needed.
+    * 15 hex chars = 60 bits keeps the value positive in a signed long, so
+    * Spark `pmod` and SQL `%` agree; the DuckDB mirror is
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)` (both engines hash
+    * the UTF-8 bytes). Changing this derivation means changing
+    * `SparkEntry.oracleMd5Long` in lockstep.
+    */
+  def md5Long60(bytes: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(bytes), 1, 15), 16, 10).cast("long")
+  }
 }
 
 /** Runtime helper for WordShingles — shared by interpreted eval and

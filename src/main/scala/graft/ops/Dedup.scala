@@ -198,12 +198,22 @@ object Dedup {
       persisted: Seq[DataFrame],
   ): DataFrame = materialize match {
     case Materialize.Lazy => result
-    case eager =>
-      val out =
-        if (eager == Materialize.Reliable) result.checkpoint()
-        else result.localCheckpoint()
+    case Materialize.Local =>
+      val out = result.localCheckpoint()
       persisted.foreach(_.unpersist())
       out
+    case Materialize.Reliable =>
+      // persist before the reliable checkpoint: Dataset.checkpoint() runs
+      // an eager job AND a write job, which would otherwise recompute the
+      // whole verification pipeline from lineage a second time
+      val cached = result.persist()
+      try {
+        val out = cached.checkpoint()
+        out
+      } finally {
+        cached.unpersist()
+        persisted.foreach(_.unpersist())
+      }
   }
 
   /** Exact Jaccard similarity of two shingle arrays (as sets). */
@@ -344,29 +354,35 @@ object Dedup {
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIterations) {
-      // (1) hash-min: pull the smallest label among self + neighbors
-      val neighborMin = both
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("comp")).as("ncomp"))
-      val pulled = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // (2) pointer jump: comp := label(comp) — shortcuts label chains
-      val jumped = pulled.alias("l")
-        .join(pulled.select(col("id").as("comp"), col("comp").as("jcomp")).alias("j"),
-          Seq("comp"), "left")
-        .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
-        .localCheckpoint()
-      changed = jumped.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = jumped
-      iter += 1
-    }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIterations iterations")
-    both.unpersist()
+    try {
+      while (changed > 0 && iter < maxIterations) {
+        // (1) hash-min: pull the smallest label among self + neighbors.
+        // Persisted: the jump self-join reads `pulled` twice — without the
+        // cache the neighbor-min shuffle+aggregation (the dominant
+        // per-round cost) would execute twice per iteration.
+        val neighborMin = both
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("comp")).as("ncomp"))
+        val pulled = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          .persist()
+        // (2) pointer jump: comp := label(comp) — shortcuts label chains
+        val jumped = pulled.alias("l")
+          .join(pulled.select(col("id").as("comp"), col("comp").as("jcomp")).alias("j"),
+            Seq("comp"), "left")
+          .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
+          .localCheckpoint()
+        pulled.unpersist()
+        changed = jumped.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+          .filter(col("comp") =!= col("old")).count()
+        labels = jumped
+        iter += 1
+      }
+      require(changed == 0,
+        s"connectedComponents did not converge in $maxIterations iterations")
+    } finally both.unpersist() // release the edge cache even on non-convergence
     labels
   }
 

@@ -48,17 +48,12 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
     )
 
-  /** 60-bit non-negative integer from the leading 15 hex chars of the
-    * md5 of `c` — the deterministic hash behind the stub codec's
-    * pseudo-metadata. md5 agrees bit-for-bit between Spark and DuckDB
-    * (both hash the UTF-8 bytes), so every stub output derived from it
-    * earns a true DuckDB oracle (`CAST('0x' || substr(md5(x), 1, 15) AS
-    * BIGINT)`), unlike xxhash64 which DuckDB lacks. 15 hex chars = 60
-    * bits keeps the value positive in a signed long, so `pmod` and SQL
-    * `%` agree.
+  /** The shared md5-derived 60-bit hash (see
+    * [[graft.functions.GraftFunctions.md5Long60]]) — gives every stub
+    * output a true DuckDB oracle, unlike xxhash64 which DuckDB lacks.
     */
   private def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.GraftFunctions.md5Long60(c)
 
   /** STUB decode: deterministic pseudo-metadata from the payload hash.
     * A real implementation parses the container header instead; the output

@@ -15,13 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Sample {
 
-  /** Salted 60-bit md5 hash of a key column (non-negative, so Spark
-    * `pmod` and SQL `%` agree). Mirror:
+  /** Salted 60-bit md5 hash of a key column (the shared
+    * [[graft.functions.GraftFunctions.md5Long60]] derivation). Mirror:
     * `CAST('0x' || substr(md5(CAST(key AS VARCHAR) || '#' || salt), 1, 15) AS BIGINT)`.
     */
   def saltedHash(key: Column, salt: String): Column =
-    conv(substring(md5(concat(key.cast("string"), lit("#" + salt)).cast("binary")), 1, 15),
-      16, 10).cast("long")
+    graft.functions.GraftFunctions.md5Long60(
+      concat(key.cast("string"), lit("#" + salt)).cast("binary"))
 
   /** Keep ~1/`oneIn` of the rows, chosen by the salted hash of `keyCol` —
     * a pure narrow filter (no shuffle, no state), evaluated at scan speed
@@ -69,7 +69,9 @@ object Sample {
   /** Cap each group at `n` rows, keeping the `n` with the smallest salted
     * hash (ties by `keyCol`) — the standard per-source/per-domain quota in
     * corpus mixing ("at most N documents per domain"), made deterministic
-    * and rerun-stable by hash ordering. One shuffle on the group key; the
+    * and rerun-stable by hash ordering. PRECONDITION: `keyCol` must be
+    * unique within each group — rows sharing a key value have identical
+    * sort keys and `row_number` would pick among them arbitrarily. One shuffle on the group key; the
     * window streams each group and emits at most `n` rows per group. A
     * pathologically hot group concentrates on one task — the same caveat
     * as any per-group window; AQE's skew handling and the bounded output

@@ -160,20 +160,29 @@ object Similarity {
   ): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val dims = vecDims(corpus, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    // Banded rows carry IDS ONLY: the tables×-exploded LSH join and the
+    // candidate-pair dedup shuffle narrow (table, bucket, id) rows, never
+    // the embedding vectors — the same discipline as the Dedup banding
+    // (shuffling a vector `tables` times per row would multiply exchange
+    // volume by tables × vector width). Vectors re-join only for the much
+    // smaller deduplicated candidate set.
     def banded(df: DataFrame, id: String, vec: String): DataFrame = {
       val tb = (0 until tables).map { t =>
         struct(lit(t).as("table"), srpBucket(col(vec), planes, dims, table = t).as("bucket"))
       }
-      df.select(col(id), col(vec), explode(array(tb: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.table"), col("tb.bucket"))
+      df.select(col(id), explode(array(tb: _*)).as("tb"))
+        .select(col(id), col("tb.table"), col("tb.bucket"))
     }
-    val c = banded(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
-      "neighbor_id", "cvec")
-    val p = banded(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")),
-      "probe_id", "pvec")
-    val scored = c.join(p, Seq("table", "bucket"))
+    val candidates = banded(c, "neighbor_id", "cvec")
+      .join(banded(p, "probe_id", "pvec"), Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
       .dropDuplicates("probe_id", "neighbor_id")
+    val scored = candidates
+      .join(c, Seq("neighbor_id"))
+      .join(p, Seq("probe_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
     rankTopK(scored, k)
   }
@@ -304,7 +313,11 @@ object Similarity {
     */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val pair = Seq("probe_id", "neighbor_id")
-    val truth = exact.select(pair.map(col): _*)
+    // distinct guards against duplicate (probe, neighbor) rows in either
+    // input double-counting; recall is NULL (undefined) when the exact
+    // side is empty — a monitor should treat that as "no ground truth",
+    // not as 0 or 1
+    val truth = exact.select(pair.map(col): _*).dropDuplicates(pair)
     val found = truth.join(approx.select(pair.map(col): _*), pair, "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))

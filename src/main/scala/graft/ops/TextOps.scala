@@ -233,7 +233,7 @@ object TextOps {
   def fingerprintRolling(text: Column, shingleSize: Int = 5): Column =
     array_min(transform(
       graft.functions.GraftFunctions.wordShingles(text, shingleSize),
-      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")))
+      s => graft.functions.GraftFunctions.md5Long60(s.cast("binary"))))
 }
 
 /** Word-level shingling shared by text fingerprints and MinHash dedup. */

@@ -35,6 +35,14 @@ object Statement {
     * graft implements it behind the parser's `extensions` flag so the
     * default path stays bug-compatible (DISTINCT → "unexpected token", same
     * as the reference).
+    *
+    * Semantics: DISTINCT deduplicates the STATEMENT'S RESULT rows — it is
+    * the last stage, after the dialect's whole pipeline. Note this dialect
+    * runs ORDER BY / LIMIT / OFFSET on *input* rows before the projection
+    * (the reference's documented stage order), so `SELECT DISTINCT x ORDER
+    * BY y LIMIT 10` means "sort inputs by y, take 10, project x, dedup" —
+    * NOT ANSI's dedup-then-limit. The result's row order is unspecified
+    * (dedup is a hash aggregation). Pinned by a DriverSuiteSpec test.
     */
   final case class Distinct(inner: Statement) extends Statement
 }

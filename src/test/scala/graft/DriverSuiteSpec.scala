@@ -127,6 +127,18 @@ class DriverSuiteSpec extends AnyFunSuite {
     assert(Compiler.query(flat, "SELECT DISTINCT nonexistent", extensions = true).isLeft)
   }
 
+  test("DISTINCT dedups the pipeline RESULT: after the dialect's pre-projection LIMIT") {
+    // dialect stage order (reference quirk O1/O2): sort/limit INPUT rows,
+    // project, then — extension — dedup. With age-sorted inputs the first
+    // 3 rows are ages 12,15,15 → classes necromancer×2, priest → 2 rows.
+    // (ANSI would dedup first and then limit — documented divergence,
+    // consistent with the dialect's own limit semantics.)
+    val got = Compiler.queryOrThrow(flat,
+        "SELECT DISTINCT class ORDER BY age LIMIT 3", extensions = true)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("necromancer", "priest"))
+  }
+
   test("dotted path inside array element structs: MAX(spells.power.super) (ref :1419)") {
     val schema = StructType(Seq(
       StructField("spells", ArrayType(StructType(Seq(
