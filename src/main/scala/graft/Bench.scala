@@ -63,8 +63,10 @@ object Bench {
     // across warmup + every rep and tax later measurements with
     // eviction/spill pressure (the very cross-query leak clearAll exists
     // to prevent)
+    // (each RDD subclass logs under its own class name, so silence the
+    // whole rdd package)
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     def clearAll(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
