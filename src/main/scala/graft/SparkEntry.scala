@@ -14,9 +14,13 @@ import graft.ops.{Dedup, Multimodal, Sample, Similarity, TextOps}
   *    computed column is aliased identically in the Spark plan and the SQL;
   *  - double aggregates whose inputs are not integer-valued are rounded on
   *    both sides (float summation order differs between engines);
-  *  - operators built on xxhash64 (MinHash/SimHash/SRP) have no DuckDB
-  *    equivalent — they are listed without oracle (rows-only check) and
-  *    verified by planted-duplicate unit tests instead (OpsSpec).
+  *  - operators whose *signatures* are xxhash64-based (MinHash/SRP) have
+  *    no DuckDB hash equivalent, but the MinHash near-dup family is
+  *    oracle-checked anyway against all-pairs exact Jaccard; SimHash's
+  *    token hash is md5-derived precisely so DuckDB can recompute the
+  *    full sketch (see oracleSimHash). The only rows-only queries left
+  *    are the genuinely approximate ANN ones (SRP-LSH / IVF), verified
+  *    by recall meters and unit tests instead.
   */
 object SparkEntry {
 
@@ -481,6 +485,39 @@ object SparkEntry {
   private def oracleMd5Long(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** Full SimHash near-dup recomputation in DuckDB: per-token md5-derived
+    * 60-bit hash (the same derivation as oracleMd5Long — mirrors
+    * SimHashUtil.tokenHash60), ±count votes per bit lane, sign-vector
+    * pack, then all-pairs `bit_count(xor) <= r`. Tokenization mirrors
+    * SimHashUtil (lowercase alnum runs). A document with no tokens packs
+    * to the all-ones vector on the Spark side (every lane count is 0 ≥ 0),
+    * hence the coalesce. Exact — not an approximation contract: the
+    * Spark banding is pigeonhole-exact at the radius, so both engines
+    * must produce the identical pair set.
+    */
+  private def oracleSimHash(maxHamming: Int): String =
+    s"""WITH th AS (
+       |  SELECT doc_id, ${oracleMd5Long("tok")} AS h, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest($oracleTokens) AS tok FROM documents)
+       |  GROUP BY 1, 2
+       |), votes AS (
+       |  SELECT doc_id, CAST(j AS INTEGER) AS j,
+       |    sum(CASE WHEN ((h >> CAST(j AS INTEGER)) & 1) = 1 THEN cnt ELSE -cnt END) AS v
+       |  FROM th, range(0, 60) r(j)
+       |  GROUP BY 1, 2
+       |), packed AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim
+       |  FROM votes GROUP BY doc_id
+       |), sims AS (
+       |  SELECT d.doc_id, coalesce(p.sim, (CAST(1 AS BIGINT) << 60) - 1) AS sim
+       |  FROM documents d LEFT JOIN packed p USING (doc_id)
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming""".stripMargin
+
   /** Connected components over the exact near-dup pair graph, as a
     * recursive CTE: cc accumulates every (node, reachable-origin) pair —
     * UNION dedups so the fixpoint is finite — and min(comp) per node is
@@ -575,6 +612,11 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1""".stripMargin,
 
     "q_dedup_minhash" -> oracleShingleJaccard(k = 5, threshold = 0.5),
+
+    // both SimHash configurations recompute to the same exact pair set
+    // (banding-independence is part of the operator contract)
+    "q_dedup_simhash" -> oracleSimHash(maxHamming = 8),
+    "q_dedup_simhash_k2" -> oracleSimHash(maxHamming = 8),
 
     "q_dedup_components" -> oracleNearDupComponents,
 

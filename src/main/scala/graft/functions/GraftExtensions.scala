@@ -38,9 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(text) - 64-bit SimHash of the token stream"),
-      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+      FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(text) - 60-bit md5-derived SimHash of the token stream"),
+      (exprs: Seq[Expression]) => SimHash60(exprs(0))))
     ext.injectFunction((
       FunctionIdentifier("array_sum"),
       info("array_sum", "array_sum(arr) - sum of a numeric array, accumulated in double"),

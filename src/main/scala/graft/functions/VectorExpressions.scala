@@ -193,7 +193,7 @@ object GraftFunctions {
         ArrayMinHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
       add("word_shingles", exprs =>
         WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
-      add("simhash64", exprs => SimHash64(exprs(0)))
+      add("simhash60", exprs => SimHash60(exprs(0)))
       add("array_sum", exprs => ArraySum(exprs(0)))
       add("topk_by_score", exprs =>
         TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue()))
@@ -210,8 +210,8 @@ object GraftFunctions {
   def wordShingles(text: Column, k: Int): Column =
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(k))
 
-  /** SimHash column; requires `register(spark)` first. */
-  def simHash64(text: Column): Column = call_function("simhash64", text)
+  /** SimHash column (60-bit, md5-derived); requires `register(spark)` first. */
+  def simHash60(text: Column): Column = call_function("simhash60", text)
 
   /** Native numeric-array sum (double); requires `register(spark)` first. */
   def arraySum(arr: Column): Column = call_function("array_sum", arr)
@@ -300,22 +300,52 @@ case class WordShingles(child: Expression, k: Int)
   override def prettyName: String = "word_shingles"
 }
 
-/** Runtime helper for SimHash64: tokenize (lowercase alnum runs), hash
-  * each token (XXH64 over UTF-8 bytes, seed 42 like Spark's xxhash64),
-  * vote ±1 per bit, pack the sign vector.
+/** Runtime helper for SimHash60: tokenize (lowercase alnum runs), hash
+  * each token, vote ±1 per bit, pack the sign vector.
+  *
+  * The per-token hash is md5-derived — the integer value of the digest's
+  * leading 15 hex chars, the exact derivation of
+  * [[GraftFunctions.md5Long60]] — NOT xxhash64. Nothing in SimHash
+  * requires a particular hash family, and md5 is the one both engines
+  * share: DuckDB recomputes the full per-document simhash
+  * (`CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)` → 60-lane vote →
+  * pack) and checks all-pairs `bit_count(xor(a, b))` exactly, which turns
+  * the SimHash near-dup operator from rows-only into hash-verified.
+  * 60 bits (not 64) because 15 hex chars keep the value positive in a
+  * signed long on both engines; the ~3% Hamming resolution loss is
+  * irrelevant at radius 8.
   */
 object SimHashUtil {
+  /** Bit width of the simhash sign vector (and of the banding below). */
+  val Bits = 60
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5-derived 60-bit token hash: top 60 bits of the digest read
+    * big-endian = integer value of the leading 15 hex chars (the
+    * md5Long60 derivation, bit-identical in DuckDB).
+    */
+  def tokenHash60(token: String): Long = {
+    val d = md5.get().digest(
+      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
   def simhash(text: org.apache.spark.unsafe.types.UTF8String): Long = {
     val s = text.toString.toLowerCase
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](Bits)
     val sb = new java.lang.StringBuilder
     def vote(): Unit = {
       if (sb.length > 0) {
-        val tok = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-          tok.getBaseObject, tok.getBaseOffset, tok.numBytes, 42L)
+        val h = tokenHash60(sb.toString)
         var j = 0
-        while (j < 64) {
+        while (j < Bits) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
           j += 1
         }
@@ -331,15 +361,16 @@ object SimHashUtil {
     vote()
     var out = 0L
     var j = 0
-    while (j < 64) { if (counts(j) >= 0) out |= (1L << j); j += 1 }
+    while (j < Bits) { if (counts(j) >= 0) out |= (1L << j); j += 1 }
     out
   }
 }
 
-/** Native 64-bit SimHash of a document's token stream — single pass,
-  * no token array, no interpreted 64-lane voting tree.
+/** Native 60-bit SimHash of a document's token stream — single pass,
+  * no token array, no interpreted 60-lane voting tree. See [[SimHashUtil]]
+  * for why the token hash is md5-derived and the width is 60.
   */
-case class SimHash64(child: Expression)
+case class SimHash60(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -347,7 +378,7 @@ case class SimHash64(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 requires string, got ${other.simpleString}")
+      s"simhash60 requires string, got ${other.simpleString}")
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -356,8 +387,8 @@ case class SimHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.simhash($c)")
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = "simhash60"
 }

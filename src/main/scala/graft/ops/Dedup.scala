@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *  - verification (exact Jaccard / Hamming) runs only on candidate pairs.
   *
   * All signatures are built from deterministic hash expressions
-  * (xxhash64 + affine permutations), so results are stable across runs,
-  * partitionings, and cluster sizes.
+  * (seeded xxhash64 re-hashes for MinHash, md5-derived token hashes for
+  * SimHash), so results are stable across runs, partitionings, and
+  * cluster sizes.
   */
 object Dedup {
 
@@ -224,24 +225,30 @@ object Dedup {
     inter / (size(da) + size(db) - inter)
   }
 
-  /** 64-bit SimHash of the document's token multiset: each token hash
+  /** 60-bit SimHash of the document's token multiset: each token hash
     * votes ±1 per bit position; the sign vector packs into a long.
-    * Runs as the native SimHash64 expression (one pass over the text, no
-    * interpreted 64-lane voting tree). Requires GraftFunctions.register
+    * Runs as the native SimHash60 expression (one pass over the text, no
+    * interpreted voting tree); the token hash is md5-derived so an
+    * independent engine can recompute the sketch exactly (see
+    * [[graft.functions.SimHashUtil]]). Requires GraftFunctions.register
     * on the session (simHashNearDups does it).
     */
-  def simHash(text: Column): Column = graft.functions.GraftFunctions.simHash64(text)
+  def simHash(text: Column): Column = graft.functions.GraftFunctions.simHash60(text)
 
   /** SimHash near-duplicates within a Hamming radius.
     *
     * Banding is pigeonhole-exact (generalized combination keying, Manku
-    * et al., WWW'07 §3): the 64-bit hash splits into
+    * et al., WWW'07 §3): the low `SimHashUtil.Bits` (60) bits split into
     * `maxHamming + keyBlocks` disjoint blocks; a pair within the radius
     * has at most `maxHamming` differing bits, so at least `keyBlocks`
     * blocks match exactly, and since every `keyBlocks`-subset of blocks
     * is a table key, some table catches the pair. Recall is therefore
     * 1.0 at the requested radius for ANY `keyBlocks`; the exact
-    * `bit_count` check then filters false candidates.
+    * `bit_count` check then filters false candidates. Exactness holds
+    * even for caller-supplied sketches that use bits above the banded 60:
+    * differing bits OUTSIDE the banded region only reduce the number of
+    * differing bits inside it, so the pigeonhole argument is unaffected
+    * (the verification counts all 64 bits either way).
     *
     * `keyBlocks` is the selectivity/fan-out dial for scale:
     *  - `keyBlocks = 1` (default): `maxHamming + 1` tables with narrow
@@ -274,14 +281,15 @@ object Dedup {
       maxHamming: Int,
       keyBlocks: Int = 1,
   ): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val bits = graft.functions.SimHashUtil.Bits
+    require(maxHamming >= 0 && maxHamming < bits, s"maxHamming must be in [0, ${bits - 1}]")
     require(keyBlocks >= 1, "keyBlocks must be >= 1")
     val b = maxHamming + keyBlocks
-    require(b <= 64, s"maxHamming + keyBlocks must be <= 64, got $b")
-    val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
+    require(b <= bits, s"maxHamming + keyBlocks must be <= $bits, got $b")
+    val widths = Array.tabulate(b)(i => bits / b + (if (i < bits % b) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def blockBits(blk: Int): Column = {
-      val mask = if (widths(blk) == 64) -1L else (1L << widths(blk)) - 1
+      val mask = (1L << widths(blk)) - 1
       shiftright(col("sim"), offsets(blk)).bitwiseAND(lit(mask))
     }
     // all keyBlocks-subsets of blocks; each subset is one table whose key

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("vec_dot / simhash64 / word_shingles / minhash_sig usable from spark.sql") {
+  test("vec_dot / simhash60 / word_shingles / minhash_sig usable from spark.sql") {
     // force a genuinely new session so the extension path (not a leftover
     // per-session registration from another suite) is what resolves
     val prevDefault = SparkSession.getDefaultSession
@@ -37,7 +37,7 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(sig.length == 4)
 
       val same = spark.sql(
-        "SELECT simhash64('hello world') = simhash64('hello world') AS eq").collect().head.getBoolean(0)
+        "SELECT simhash60('hello world') = simhash60('hello world') AS eq").collect().head.getBoolean(0)
       assert(same)
     } finally {
       // restore the shared session for later suites (don't stop the

@@ -87,6 +87,13 @@ object Drive {
       n = 3, salt = "x")
       .groupBy(col("l_returnflag")).count().show()
 
+    println("== round-4: md5-derived 60-bit SimHash (oracle-checkable) ==")
+    docs.select(col("doc_id"), graft.ops.Dedup.simHash(col("text")).as("sim")).show(5)
+    val simPairs = graft.ops.Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 8)
+    println(s"simhash near-dup pairs at radius 8: ${simPairs.count()}")
+    simPairs.orderBy(col("id_a"), col("id_b")).show(5)
+    simPairs.explain("formatted")
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",

@@ -20,8 +20,8 @@ object DriveExtensions {
       .createOrReplaceTempView("documents")
     println("== vec_dot self-similarity (should be ~norm²) ==")
     spark.sql("SELECT vec_id, round(vec_dot(embedding, embedding), 4) AS norm2 FROM embeddings LIMIT 3").show()
-    println("== simhash64 + word_shingles over documents ==")
-    spark.sql("""SELECT doc_id, simhash64(text) AS sim,
+    println("== simhash60 + word_shingles over documents ==")
+    spark.sql("""SELECT doc_id, simhash60(text) AS sim,
                  size(word_shingles(text, 5)) AS n_shingles,
                  element_at(minhash_sig(transform(word_shingles(text, 5), s -> xxhash64(s)), 4), 1) AS mh1
                  FROM documents LIMIT 3""").show()
