@@ -347,19 +347,33 @@ object Dedup {
       edges: DataFrame, // (id_a, id_b)
       nodes: DataFrame, // (id)
       maxIterations: Int = 50,
+      materialize: Materialize = Materialize.Local,
   ): DataFrame = {
+    // Lineage MUST be truncated every iteration (eagerly): `jumped`
+    // references `pulled` twice, so the logical plan otherwise doubles per
+    // round and Catalyst analysis goes exponential by ~10 iterations —
+    // caching alone does not help, the analyzer still walks the full tree.
+    // That rules out Materialize.Lazy here; the dial chooses WHERE the
+    // truncated blocks live:
+    //  - Local: executor-storage localCheckpoint (single-JVM/interactive;
+    //    blocks are released on GC, an executor loss mid-job is fatal);
+    //  - Reliable: checkpoint() into the durable checkpoint dir (the
+    //    cluster choice — iterations survive executor loss). Persist
+    //    before the reliable checkpoint so its write job does not recompute
+    //    the round's joins from lineage a second time.
+    require(materialize != Materialize.Lazy,
+      "connectedComponents is iterative and must truncate lineage every " +
+        "round; Materialize.Lazy is not supported — use Local or Reliable")
+    def truncate(df: DataFrame): DataFrame = materialize match {
+      case Materialize.Local => df.localCheckpoint()
+      case _ =>
+        val cached = df.persist()
+        try cached.checkpoint() finally cached.unpersist()
+    }
     val both = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    // Lineage MUST be truncated every iteration (eager localCheckpoint):
-    // `jumped` references `pulled` twice, so the logical plan otherwise
-    // doubles per round and Catalyst analysis goes exponential by ~10
-    // iterations — caching alone does not help, the analyzer still walks
-    // the full tree. Checkpoint blocks are released on GC; with the
-    // iteration cap this is bounded. (On a cluster, swap for
-    // `checkpoint()` against a durable dir — same tradeoff as
-    // [[Materialize]].)
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var labels = truncate(nodes.select(col("id"), col("id").as("comp")))
     var changed = 1L
     var iter = 0
     try {
@@ -373,19 +387,20 @@ object Dedup {
           .groupBy(col("dst").as("id"))
           .agg(min(col("comp")).as("ncomp"))
         val pulled = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("comp").as("old"),
             least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
           .persist()
-        // (2) pointer jump: comp := label(comp) — shortcuts label chains
-        val jumped = pulled.alias("l")
+        // (2) pointer jump: comp := label(comp) — shortcuts label chains.
+        // The pre-round label rides along as `old` so the convergence
+        // check below is a filter over the just-materialized blocks, not
+        // another join against the previous iteration.
+        val jumped = truncate(pulled.alias("l")
           .join(pulled.select(col("id").as("comp"), col("comp").as("jcomp")).alias("j"),
             Seq("comp"), "left")
-          .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
-          .localCheckpoint()
+          .select(col("id"), col("old"), coalesce(col("jcomp"), col("comp")).as("comp")))
         pulled.unpersist()
-        changed = jumped.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-          .filter(col("comp") =!= col("old")).count()
-        labels = jumped
+        changed = jumped.filter(col("comp") =!= col("old")).count()
+        labels = jumped.select(col("id"), col("comp"))
         iter += 1
       }
       require(changed == 0,
@@ -398,7 +413,9 @@ object Dedup {
     * minimum id transitively reachable through MinHash near-dup pairs at
     * the threshold). Composition: banded candidate pairs → exact Jaccard
     * verification → connected components — each stage the scale shape
-    * described on its operator.
+    * described on its operator. `materialize` reaches both stages; the
+    * clustering loop rejects `Lazy` (iterative lineage must be truncated
+    * every round — see [[connectedComponents]]).
     */
   def nearDupGroups(
       df: DataFrame,
@@ -408,9 +425,12 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 5,
       threshold: Double = 0.7,
+      materialize: Materialize = Materialize.Local,
   ): DataFrame = {
-    val pairs = minHashNearDups(df, textCol, idCol, numHashes, bands, shingleSize, threshold)
-    val comps = connectedComponents(pairs, df.select(col(idCol).as("id")))
+    val pairs = minHashNearDups(df, textCol, idCol, numHashes, bands, shingleSize, threshold,
+      materialize)
+    val comps = connectedComponents(pairs, df.select(col(idCol).as("id")),
+      materialize = materialize)
     df.join(comps.select(col("id").as(idCol), col("comp").as("dup_group")), Seq(idCol))
   }
 
@@ -427,8 +447,9 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 5,
       threshold: Double = 0.7,
+      materialize: Materialize = Materialize.Local,
   ): DataFrame =
-    nearDupGroups(df, textCol, idCol, numHashes, bands, shingleSize, threshold)
+    nearDupGroups(df, textCol, idCol, numHashes, bands, shingleSize, threshold, materialize)
       .filter(col(idCol) === col("dup_group")).drop("dup_group")
 
   /** N-gram Jaccard near-duplicates: exact Jaccard over word n-gram sets,

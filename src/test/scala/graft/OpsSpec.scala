@@ -179,6 +179,40 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
   }
 
+  test("connected components Materialize.Reliable converges with identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    // a chain (forces several iterations) + a singleton
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 16L).map(Tuple1(_)).toDF("id")
+    val local = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(edges, nodes,
+        materialize = Dedup.Materialize.Reliable)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(reliable(15L) == 0L && reliable(16L) == 16L)
+    // the reliable path actually wrote durable checkpoint files
+    def countFiles(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles.map(countFiles).sum else 1
+    assert(countFiles(new java.io.File(dir)) > 0)
+    // and the end-to-end composition accepts the dial
+    val kept = Dedup.nearDupKeepFirst(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5,
+        materialize = Dedup.Materialize.Reliable)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 4L, 5L))
+  }
+
+  test("connected components rejects Materialize.Lazy") {
+    val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L).map(Tuple1(_)).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, nodes, materialize = Dedup.Materialize.Lazy)
+    }
+    assert(e.getMessage.contains("Lazy"))
+  }
+
   test("ngram jaccard near-dups at tight threshold keep only true dups") {
     val pairs = Dedup.ngramJaccardNearDups(docs, "text", "doc_id", n = 3, threshold = 0.95)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -94,6 +94,17 @@ object Drive {
     simPairs.orderBy(col("id_a"), col("id_b")).show(5)
     simPairs.explain("formatted")
 
+    println("== round-4: clustering with the Materialize dial ==")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("drive-ckpt").toString)
+    val keptLocal = graft.ops.Dedup.nearDupKeepFirst(docs, "text", "doc_id",
+      numHashes = 128, bands = 32, threshold = 0.5)
+    val keptReliable = graft.ops.Dedup.nearDupKeepFirst(docs, "text", "doc_id",
+      numHashes = 128, bands = 32, threshold = 0.5,
+      materialize = graft.ops.Dedup.Materialize.Reliable)
+    println(s"near-dedup keep-first: Local kept ${keptLocal.count()}, " +
+      s"Reliable kept ${keptReliable.count()} (must match)")
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
