@@ -25,18 +25,22 @@ object Compiler {
   )
 
   /** Compile against a decoded schema. `extensions = true` enables graft's
-    * dialect extensions beyond reference parity (currently: `SELECT
-    * DISTINCT`, the reference's own roadmap item — reference:
-    * README.md:299-304); the default keeps the parser bug-compatible with
-    * the reference (DISTINCT lexes but fails to parse).
+    * dialect extensions beyond reference parity — the reference's own
+    * roadmap items (reference: README.md:299-304): `SELECT DISTINCT` and
+    * the `<=` / `>=` comparison operators; the default keeps the
+    * lexer/parser bug-compatible with the reference (DISTINCT lexes but
+    * fails to parse, `<=` lexes as `<`, `=` and fails to parse).
     */
   def compile(schema: Schema, query: String, extensions: Boolean = false): Either[String, Compiled] =
     for {
-      tokens <- Lexer.tokenize(query)
+      tokens <- Lexer.tokenize(query, extensions)
       ast <- Parser.statement(tokens, extensions).map(_._1)
       out <- Semantic.analyze(schema, ast)
-      fn <- Planner.plan(ast)
-    } yield Compiled(ast, out, fn)
+      // extension: `SELECT *` expands statically against the closed-world
+      // schema (no-op for star-free statements, i.e. all parity-mode ASTs)
+      astX <- Semantic.expandStars(schema, ast)
+      fn <- Planner.plan(astX)
+    } yield Compiled(astX, out, fn)
 
   /** Compile against a JSON schema string — the reference's primary entry
     * point shape (reference: dist/index.js:23-30).

@@ -88,6 +88,18 @@ object SparkEntry {
     "q_p1_distinct" -> ((s, dir) =>
       qx(t(s, dir, "lineitem"), "SELECT DISTINCT l_returnflag, l_linestatus")),
 
+    // dialect extension (reference roadmap): SELECT * — static expansion
+    // against the closed-world schema, combined with the >= extension
+    "q_p1_star" -> ((s, dir) =>
+      qx(t(s, dir, "nation"), "SELECT * WHERE n_regionkey >= 2")),
+
+    // dialect extension (reference roadmap): arithmetic in projections —
+    // all-double IEEE ops, identical association both engines, so the
+    // values hash-match without rounding
+    "q_p1_arith" -> ((s, dir) =>
+      qx(t(s, dir, "lineitem"),
+        "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net_price, (l_quantity + 1) / 2 AS half_qty")),
+
     "q_s3_derived" -> ((s, dir) =>
       q(t(s, dir, "lineitem"),
         "SELECT qty FROM (SELECT l_quantity AS qty WHERE l_returnflag = \"A\") WHERE qty > 30")),
@@ -106,6 +118,11 @@ object SparkEntry {
 
     "q_f2_eq_null" -> ((s, dir) =>
       q(t(s, dir, "lineitem"), "SELECT l_orderkey WHERE l_returnflag = NULL")),
+
+    // dialect extension (reference roadmap): <= / >= comparison operators
+    "q_f2_lte" -> ((s, dir) =>
+      qx(t(s, dir, "lineitem"),
+        "SELECT l_orderkey, l_quantity WHERE (l_quantity <= 2) OR (l_quantity >= 50)")),
 
     "q_f3_and" -> ((s, dir) =>
       q(t(s, dir, "lineitem"),
@@ -557,6 +574,14 @@ object SparkEntry {
     "q_p1_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 
+    // the dialect's * expands to the DECLARED schema (closed world), so the
+    // oracle enumerates nation's columns explicitly
+    "q_p1_star" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 2",
+
+    "q_p1_arith" ->
+      "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net_price, (l_quantity + 1) / 2 AS half_qty FROM lineitem",
+
     "q_s3_derived" ->
       "SELECT qty FROM (SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A') WHERE qty > 30",
 
@@ -565,6 +590,8 @@ object SparkEntry {
     "q_f2_lt" -> "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 3",
     "q_f2_gt" -> "SELECT l_orderkey, l_discount FROM lineitem WHERE l_discount > 0.09",
     "q_f2_eq_null" -> "SELECT l_orderkey FROM lineitem WHERE l_returnflag IS NULL",
+    "q_f2_lte" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity <= 2 OR l_quantity >= 50",
     "q_f3_and" -> "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02",
     "q_f3_or" -> "SELECT l_orderkey FROM lineitem WHERE l_quantity > 49 OR l_discount > 0.09",
     "q_f4_not" -> "SELECT l_orderkey FROM lineitem WHERE l_returnflag <> 'A'",

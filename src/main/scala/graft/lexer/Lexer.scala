@@ -41,8 +41,12 @@ object Lexer {
     case object Sum extends Funktion { val show = "SUM" }
   }
 
-  /** Lte/Gte are never produced by the lexer; they exist as rewrite targets
-    * for NOT push-down (reference: src/Ifrit/Lexer.purs:96-103,190-195).
+  /** In reference-parity mode Lte/Gte are never produced by the lexer;
+    * they exist as rewrite targets for NOT push-down (reference:
+    * src/Ifrit/Lexer.purs:96-103,190-195 — `<=`/`>=` are on the
+    * reference's own roadmap, README.md:299-304). With `extensions =
+    * true` the lexer emits them directly; the semantic and planner
+    * layers always supported them (the NOT rewrite needed both).
     */
   sealed trait Binary { def show: String }
   object Binary {
@@ -67,6 +71,10 @@ object Lexer {
     case object Comma extends Token { val show = "," }
     case object Open extends Token { val show = "(" }
     case object Close extends Token { val show = ")" }
+    // extension tokens (lexed only with extensions = true): `*` doubles as
+    // the star projection and multiplication; `+ - /` are arithmetic only
+    case object Star extends Token { val show = "*" }
+    final case class Arith(op: String) extends Token { def show = op }
     case object EOF extends Token { val show = "EOF" }
   }
 
@@ -89,6 +97,13 @@ object Lexer {
   private val functionP = p("(AVG|COUNT|MAX|MIN|SUM)")
   private val unaryP    = p("(NOT)")
   private val binaryP   = p("(!=|=|<|>)")
+  // extensions mode: <= and >= must come before < and > in the alternation
+  // (first match wins); parity mode lexes "<=" as Lt, Eq and the parser
+  // rejects it exactly as the reference does
+  private val binaryPx  = p("(!=|<=|>=|=|<|>)")
+  // extensions mode only: star / arithmetic operators (`-` cannot collide
+  // with numberP, which never matches a leading minus)
+  private val arithP    = p("(\\*|\\+|-|/)")
   private val booleanP  = p("(true|false)")
   private val numberP   = p("([0-9]*\\.?[0-9]+)")
   private val stringP   = p("\"([a-zA-Z0-9_.]+)\"")
@@ -112,14 +127,18 @@ object Lexer {
     case "SUM" => Funktion.Sum
   }
 
-  private val table: List[(Pattern, String => Token)] = List(
+  private def table(extensions: Boolean): List[(Pattern, String => Token)] = List(
     keywordP  -> ((s: String) => Token.Key(keywordOf(s))),
     functionP -> ((s: String) => Token.Fn(functionOf(s))),
     unaryP    -> ((_: String) => Token.Not),
-    binaryP   -> ((s: String) => Token.Bin(s match {
+    (if (extensions) binaryPx else binaryP) -> ((s: String) => Token.Bin(s match {
       case "!=" => Binary.Neq; case "=" => Binary.Eq
+      case "<=" => Binary.Lte; case ">=" => Binary.Gte
       case "<"  => Binary.Lt;  case ">" => Binary.Gt
     })),
+  ) ++ (if (extensions) List(
+    arithP    -> ((s: String) => if (s == "*") Token.Star else Token.Arith(s)),
+  ) else Nil) ++ List(
     booleanP  -> ((s: String) => Token.Bool(s == "true")),
     numberP   -> ((s: String) => Token.Num(BigDecimal(s))),
     stringP   -> ((s: String) => Token.Str(s)),
@@ -131,12 +150,12 @@ object Lexer {
   /** Tokenize the whole input. Error string matches the reference
     * (reference: src/Ifrit/Lexer.purs:46-52, 348-352).
     */
-  def tokenize(input: String): Either[String, List[PosToken]] = {
+  def tokenize(input: String, extensions: Boolean = false): Either[String, List[PosToken]] = {
     val out = List.newBuilder[PosToken]
     var pos = 0
     while (true) {
       var matched = false
-      var it = table
+      var it = table(extensions)
       while (!matched && it.nonEmpty) {
         val (pat, mk) = it.head
         it = it.tail

@@ -51,6 +51,33 @@ sealed trait Selector
 object Selector {
   final case class Field(name: String, alias: Option[String]) extends Selector
   final case class Fn(fn: Funktion, arg: String, alias: Option[String]) extends Selector
+
+  /** EXTENSION (reference roadmap, README.md:299-304): `SELECT *`. Parsed
+    * only when the lexer ran with `extensions = true` (the `*` token does
+    * not otherwise exist). Expanded to the declared schema's fields, in
+    * declaration order, at analysis time (`Semantic.expandStars`) — the
+    * closed world makes the expansion static, never a runtime reflection
+    * on the frame. Rejected under GROUP BY.
+    */
+  case object Star extends Selector
+
+  /** EXTENSION (reference roadmap): arithmetic in projections — `+ - * /`
+    * over Number fields and literals, e.g. `SELECT a + 1 AS b`. An alias
+    * is mandatory (the dialect has no expression-naming convention to
+    * mirror). Plain SELECT only, like the other per-row projections.
+    */
+  final case class Expr(expr: NumExpr, alias: String) extends Selector
+}
+
+/** Numeric expression tree for [[Selector.Expr]] (extensions only).
+  * Operands are Number fields or literals; all arithmetic is double
+  * (the dialect's single numeric type).
+  */
+sealed trait NumExpr
+object NumExpr {
+  final case class NLit(value: BigDecimal) extends NumExpr
+  final case class NField(name: String) extends NumExpr
+  final case class NBin(op: String, left: NumExpr, right: NumExpr) extends NumExpr
 }
 
 /** Boolean grammar is strictly binary at each precedence level — `a AND b

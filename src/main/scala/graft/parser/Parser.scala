@@ -107,7 +107,7 @@ object Parser {
   // -- generic comma/paren list (reference: src/Ifrit/Parser.purs:405-437)
   private def list[A](ts: Tokens, p: Tokens => P[A]): P[List[A]] = ts match {
     case PosToken(_, Token.Open) :: q =>
-      list(q, p).flatMap { case (xs, rest) =>
+      val asParenList = list(q, p).flatMap { case (xs, rest) =>
         rest match {
           case PosToken(_, Token.Close) :: PosToken(_, Token.Comma) :: q2 =>
             list(q2, p).map { case (xs2, rest2) => (xs ++ xs2, rest2) }
@@ -115,21 +115,90 @@ object Parser {
           case q2                             => Left(errParenthesis(q2))
         }
       }
-    case _ =>
-      p(ts).flatMap { case (x, rest) =>
-        rest match {
-          case PosToken(_, Token.Comma) :: q =>
-            list(q, p).map { case (xs, rest2) => (x :: xs, rest2) }
-          case _ => Right((List(x), rest))
-        }
+      asParenList match {
+        case r @ Right(_) => r
+        // extensions: a leading-paren arithmetic selector — e.g.
+        // `(a + 1) / 2 AS x` — is not a parenthesized list; retry the
+        // element parser, which scopes its own parentheses. In parity
+        // mode an element starting with `(` parses as a one-element
+        // paren list whenever it parses at all, so this fallback can
+        // only fire for extension syntax; on double failure the
+        // original (reference-exact) error is kept.
+        case Left(err) => listDirect(ts, p).left.map(_ => err)
       }
+    case _ => listDirect(ts, p)
   }
+
+  private def listDirect[A](ts: Tokens, p: Tokens => P[A]): P[List[A]] =
+    p(ts).flatMap { case (x, rest) =>
+      rest match {
+        case PosToken(_, Token.Comma) :: q =>
+          list(q, p).map { case (xs, rest2) => (x :: xs, rest2) }
+        case _ => Right((List(x), rest))
+      }
+    }
 
   def selectorList(ts: Tokens): P[List[Selector]] = list(ts, selector)
   def orderList(ts: Tokens): P[List[Order]] = list(ts, order)
 
   // -- selector (reference: src/Ifrit/Parser.purs:356-402)
+  // Extension cases are inherently gated: Star/Arith tokens only exist when
+  // the lexer ran with extensions = true, so the parity grammar is unchanged.
   def selector(ts: Tokens): P[Selector] = ts match {
+    case PosToken(_, Token.Star) :: q => Right((Selector.Star, q))
+    case _ =>
+      numExpr(ts) match {
+        // a COMPOUND numeric expression claims the selector; an alias is
+        // mandatory (the dialect has no generated-name convention). A bare
+        // field/literal falls through to the reference grammar below.
+        case Right((e: NumExpr.NBin, rest)) =>
+          rest match {
+            case PosToken(_, Token.Key(Keyword.As)) :: PosToken(_, Token.Word(as)) :: q2 =>
+              Right((Selector.Expr(e, as), q2))
+            case q2 => Left(errArithAlias(q2))
+          }
+        case _ => selectorBase(ts)
+      }
+  }
+
+  private def errArithAlias(ts: Tokens): String = ts match {
+    case PosToken(pos, token) :: _ =>
+      s"arithmetic projection requires an AS alias but got: ${token.show} at position $pos"
+    case Nil => "arithmetic projection requires an AS alias but got end of input"
+  }
+
+  // -- numeric expressions (extensions only): + - over * / over atoms,
+  // left-associative, parenthesized subexpressions allowed
+  private def numExpr(ts: Tokens): P[NumExpr] =
+    numTerm(ts).flatMap { case (l, rest) => numExprLoop(l, rest) }
+  private def numExprLoop(acc: NumExpr, ts: Tokens): P[NumExpr] = ts match {
+    case PosToken(_, Token.Arith(op @ ("+" | "-"))) :: q =>
+      numTerm(q).flatMap { case (r, rest) => numExprLoop(NumExpr.NBin(op, acc, r), rest) }
+    case _ => Right((acc, ts))
+  }
+  private def numTerm(ts: Tokens): P[NumExpr] =
+    numAtom(ts).flatMap { case (l, rest) => numTermLoop(l, rest) }
+  private def numTermLoop(acc: NumExpr, ts: Tokens): P[NumExpr] = ts match {
+    case PosToken(_, Token.Star) :: q =>
+      numAtom(q).flatMap { case (r, rest) => numTermLoop(NumExpr.NBin("*", acc, r), rest) }
+    case PosToken(_, Token.Arith("/")) :: q =>
+      numAtom(q).flatMap { case (r, rest) => numTermLoop(NumExpr.NBin("/", acc, r), rest) }
+    case _ => Right((acc, ts))
+  }
+  private def numAtom(ts: Tokens): P[NumExpr] = ts match {
+    case PosToken(_, Token.Num(n)) :: q  => Right((NumExpr.NLit(n), q))
+    case PosToken(_, Token.Word(w)) :: q => Right((NumExpr.NField(w), q))
+    case PosToken(_, Token.Open) :: q =>
+      numExpr(q).flatMap { case (e, rest) =>
+        rest match {
+          case PosToken(_, Token.Close) :: q2 => Right((e, q2))
+          case q2                             => Left(errParenthesis(q2))
+        }
+      }
+    case q => Left(errUnexpected(q))
+  }
+
+  private def selectorBase(ts: Tokens): P[Selector] = ts match {
     case PosToken(_, Token.Word(w)) :: PosToken(_, Token.Key(Keyword.As)) :: PosToken(_, Token.Word(as)) :: q =>
       Right((Selector.Field(w, Some(as)), q))
     case PosToken(_, Token.Word(w)) :: q =>

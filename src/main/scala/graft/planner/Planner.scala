@@ -124,6 +124,16 @@ object Planner {
     case Selector.Field(key, as) =>
       Right(defaultAlias(key, as) -> col(key))
 
+    // extension: Star is statically expanded to Field selectors before
+    // planning (Semantic.expandStars); reaching one here means a caller
+    // skipped the expansion step
+    case Selector.Star =>
+      Left("unexpanded * projection: run Semantic.expandStars before planning")
+
+    // extension: per-row double arithmetic — plain codegen'd expressions
+    case Selector.Expr(e, alias) =>
+      Right(alias -> numExprColumn(e))
+
     case Selector.Fn(f, key, as) =>
       val alias = defaultAlias(key, as)
       val segments = key.split("\\.", 2).toList
@@ -163,6 +173,9 @@ object Planner {
   def aggregationColumn(sel: Selector): Either[String, (String, Column)] = sel match {
     case Selector.Field(key, as) =>
       Right(defaultAlias(key, as) -> collect_list(col(key)))
+    // defensive: semantic analysis rejects both under GROUP BY
+    case Selector.Star       => Left("incompatible * projection with GROUP BY expression")
+    case Selector.Expr(_, _) => Left("incompatible arithmetic projection with GROUP BY expression")
     case Selector.Fn(Funktion.Avg, key, as)   => Right(defaultAlias(key, as) -> avg(col(key)))
     case Selector.Fn(Funktion.Count, _, as)   => Right(defaultAlias("count", as) -> count(lit(1)).cast(DoubleType))
     case Selector.Fn(Funktion.Max, key, as)   => Right(defaultAlias(key, as) -> max(col(key)))
@@ -275,6 +288,22 @@ object Planner {
           case Binary.Gte => field >= v
         }
     }
+
+  /** Extension arithmetic: numbers are uniformly double (the dialect's one
+    * numeric type), so `+ - * /` are plain double ops — codegen'd, no UDF.
+    */
+  private def numExprColumn(e: NumExpr): Column = e match {
+    case NumExpr.NLit(n)   => lit(n.toDouble)
+    case NumExpr.NField(f) => col(f).cast(DoubleType)
+    case NumExpr.NBin(op, l, r) =>
+      val (a, b) = (numExprColumn(l), numExprColumn(r))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case _   => a / b
+      }
+  }
 
   private def operandColumn(o: Operand): Column = o match {
     case Operand.Str(s)   => lit(s)

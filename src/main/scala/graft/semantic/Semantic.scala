@@ -30,6 +30,14 @@ object Semantic {
     s"invalid field's name '$field'"
   private def errReservedFieldName(field: String) =
     s"reserved field's name '$field'"
+  // extension errors (no reference counterpart — Star/Expr never parse in
+  // parity mode)
+  private def errStarInGroup =
+    "incompatible * projection with GROUP BY expression"
+  private def errArithInGroup =
+    "incompatible arithmetic projection with GROUP BY expression"
+  private def errIncompatibleArith(t: Schema) =
+    s"incompatible type ${t.show} in arithmetic expression"
 
   /** Default output name: explicit alias, else the path with dots replaced
     * by underscores (reference: src/Ifrit/Semantic.purs:87-92).
@@ -123,6 +131,12 @@ object Semantic {
           case (Binary.Lt, SNumber, SNumber) => Right(SBoolean)
           case (Binary.Gt, _, _)             => Left(errIncompatibleBinaryTypes(op, s1, s2))
           case (Binary.Lt, _, _)             => Left(errIncompatibleBinaryTypes(op, s1, s2))
+          // extension ops (lexed only with extensions=true): same
+          // Number × Number rule as Lt/Gt
+          case (Binary.Gte, SNumber, SNumber) => Right(SBoolean)
+          case (Binary.Lte, SNumber, SNumber) => Right(SBoolean)
+          case (Binary.Gte, _, _)            => Left(errIncompatibleBinaryTypes(op, s1, s2))
+          case (Binary.Lte, _, _)            => Left(errIncompatibleBinaryTypes(op, s1, s2))
           case (_, SNumber, SNumber)         => Right(SBoolean)
           case (_, SBoolean, SBoolean)       => Right(SBoolean)
           case (_, SString, SString)         => Right(SBoolean)
@@ -153,6 +167,18 @@ object Semantic {
   ): Either[String, VectorMap[String, Schema]] = sel match {
     case Selector.Field(key, as) =>
       lookup(Keyword.Select, schema, key).map(s => acc.updated(defaultAlias(key, as), s))
+
+    // extension: * appends every declared field, in declaration order
+    case Selector.Star =>
+      schema match {
+        case SObject(fields) =>
+          Right(fields.foldLeft(acc) { case (m, (k, s)) => m.updated(k, s) })
+        case other => Left(errIncompatibleSchema(other))
+      }
+
+    // extension: arithmetic over Number fields/literals, always Number out
+    case Selector.Expr(e, alias) =>
+      analyzeNumExpr(schema, e).map(_ => acc.updated(alias, SNumber))
 
     case Selector.Fn(Funktion.Count, key, as) =>
       lookup(Keyword.Select, schema, key).flatMap {
@@ -200,6 +226,12 @@ object Semantic {
     case Selector.Fn(_, "_id", None)        => Left(errReservedFieldName("_id"))
     case Selector.Fn(_, _, Some("_id"))     => Left(errReservedFieldName("_id"))
 
+    // extensions are per-row projections; neither has a defined meaning as
+    // a grouped aggregation (the reference's $push collection has no * or
+    // arithmetic form) — both are rejected under GROUP BY
+    case Selector.Star       => Left(errStarInGroup)
+    case Selector.Expr(_, _) => Left(errArithInGroup)
+
     case Selector.Field(key, as) =>
       lookup(Keyword.Select, schema, key).map(s => acc.updated(defaultAlias(key, as), SArray(s)))
 
@@ -211,6 +243,49 @@ object Semantic {
         case SNumber => Right(acc.updated(defaultAlias(key, as), SNumber))
         case s       => Left(errIncompatibleFnType(f, s))
       }
+  }
+
+  /** Extension: every operand of an arithmetic projection must be Number
+    * (literals are; fields are looked up in SELECT scope).
+    */
+  def analyzeNumExpr(schema: Schema, e: NumExpr): Either[String, Schema] = e match {
+    case NumExpr.NLit(_) => Right(SNumber)
+    case NumExpr.NField(key) =>
+      lookup(Keyword.Select, schema, key).flatMap {
+        case SNumber => Right(SNumber)
+        case s       => Left(errIncompatibleArith(s))
+      }
+    case NumExpr.NBin(_, l, r) =>
+      for { _ <- analyzeNumExpr(schema, l); _ <- analyzeNumExpr(schema, r) } yield SNumber
+  }
+
+  /** Extension: statically expand `SELECT *` into the declared schema's
+    * fields (declaration order), recursing through derived tables with the
+    * same schema flow as [[analyze]]. Runs after analysis (which already
+    * validated the statement), so the planner never sees a Star. A no-op
+    * for statements without one — parity-mode ASTs cannot contain it.
+    */
+  def expandStars(schema: Schema, stmt: Statement): Either[String, Statement] = stmt match {
+    case Statement.Distinct(inner) => expandStars(schema, inner).map(Statement.Distinct(_))
+    case s: Statement.Select =>
+      for {
+        fromX <- s.from.fold[Either[String, Option[Statement]]](Right(None))(
+          f => expandStars(schema, f).map(Some(_)))
+        schema1 <- s.from.fold[Either[String, Schema]](Right(schema))(analyze(schema, _))
+        proj <- traverse(s.projections) {
+          case Selector.Star =>
+            schema1 match {
+              case SObject(fields) =>
+                Right(fields.toList.map { case (k, _) => Selector.Field(k, None): Selector })
+              case other => Left(errIncompatibleSchema(other))
+            }
+          case other => Right(List(other))
+        }.map(_.flatten)
+      } yield s.copy(projections = proj, from = fromX)
+    case g: Statement.Group =>
+      // aggregations reject Star at analysis; only the FROM can hold one
+      g.from.fold[Either[String, Statement]](Right(g))(
+        f => expandStars(schema, f).map(x => g.copy(from = Some(x))))
   }
 
   private def traverse[A, B](xs: List[A])(f: A => Either[String, B]): Either[String, List[B]] =

@@ -74,4 +74,28 @@ class LexerSpec extends AnyFunSuite {
     val ts = Lexer.tokenize("SELECT  a").fold(e => fail(e), identity)
     assert(ts.map(_.pos) == List(0, 8, 9))
   }
+
+  test("parity: <= lexes as Lt then Eq (reference never lexes Lte/Gte)") {
+    assert(toks("WHERE x <= 1") == List(
+      Token.Key(Keyword.Where), Token.Word("x"), Token.Bin(Binary.Lt),
+      Token.Bin(Binary.Eq), Token.Num(BigDecimal("1")), Token.EOF))
+    assert(toks("WHERE x >= 1") == List(
+      Token.Key(Keyword.Where), Token.Word("x"), Token.Bin(Binary.Gt),
+      Token.Bin(Binary.Eq), Token.Num(BigDecimal("1")), Token.EOF))
+  }
+
+  test("extensions: <= and >= lex as single Lte/Gte tokens") {
+    def toksExt(s: String): List[Token] =
+      Lexer.tokenize(s, extensions = true).fold(e => fail(e), _.map(_.token))
+    assert(toksExt("WHERE x <= 1") == List(
+      Token.Key(Keyword.Where), Token.Word("x"), Token.Bin(Binary.Lte),
+      Token.Num(BigDecimal("1")), Token.EOF))
+    assert(toksExt("WHERE x >= 1") == List(
+      Token.Key(Keyword.Where), Token.Word("x"), Token.Bin(Binary.Gte),
+      Token.Num(BigDecimal("1")), Token.EOF))
+    // plain < and > are unaffected by the extended alternation
+    assert(toksExt("WHERE x < 1") == List(
+      Token.Key(Keyword.Where), Token.Word("x"), Token.Bin(Binary.Lt),
+      Token.Num(BigDecimal("1")), Token.EOF))
+  }
 }

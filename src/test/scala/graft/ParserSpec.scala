@@ -164,4 +164,34 @@ class ParserEdgeSpec extends org.scalatest.funsuite.AnyFunSuite {
         List(Selector.Fn(graft.lexer.Lexer.Funktion.Avg, "x", None)),
         None, None, Nil, None, None)))
   }
+
+  private def parseX(s: String): Either[String, Statement] =
+    Lexer.tokenize(s, extensions = true)
+      .flatMap(ts => Parser.statement(ts, extensions = true).map(_._1))
+
+  test("extensions: SELECT * parses; parity mode cannot even lex it") {
+    assert(parse("SELECT *") == Left("invalid token '*' at position 7"))
+    assert(parseX("SELECT *") == Right(
+      Statement.Select(List(Selector.Star), None, None, Nil, None, None)))
+    assert(parseX("SELECT *, a") == Right(
+      Statement.Select(List(Selector.Star, Selector.Field("a", None)),
+        None, None, Nil, None, None)))
+  }
+
+  test("extensions: arithmetic projection with mandatory alias and precedence") {
+    import NumExpr._
+    assert(parseX("SELECT a + b * 2 AS x") == Right(
+      Statement.Select(List(Selector.Expr(
+        NBin("+", NField("a"), NBin("*", NField("b"), NLit(BigDecimal(2)))), "x")),
+        None, None, Nil, None, None)))
+    assert(parseX("SELECT (a - 1) / 2 AS y") == Right(
+      Statement.Select(List(Selector.Expr(
+        NBin("/", NBin("-", NField("a"), NLit(BigDecimal(1))), NLit(BigDecimal(2))), "y")),
+        None, None, Nil, None, None)))
+    // no alias → dedicated error
+    assert(parseX("SELECT a + 1") ==
+      Left("arithmetic projection requires an AS alias but got: EOF at position 12"))
+    // a bare field still parses exactly as before under extensions
+    assert(parseX("SELECT a AS b") == parse("SELECT a AS b"))
+  }
 }

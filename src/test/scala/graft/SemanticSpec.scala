@@ -138,4 +138,60 @@ class SemanticSpec extends AnyFunSuite {
       Left("can't decode array: exactly one element is expected"))
     assert(Schema.fromString("""{"a": "float"}""") == Left("unknown schema's typefloat"))
   }
+
+  private def analyzeExt(schemaJson: String, query: String): Either[String, Schema] =
+    for {
+      schema <- Schema.fromString(schemaJson)
+      tokens <- Lexer.tokenize(query, extensions = true)
+      ast <- Parser.statement(tokens, extensions = true).map(_._1)
+      out <- Semantic.analyze(schema, ast)
+    } yield out
+
+  test("extensions: SELECT * expands to the declared fields, in order") {
+    val schema = """{"a": "number", "b": "string", "c": "boolean"}"""
+    assert(analyzeExt(schema, "SELECT *").map(_.show) ==
+      Right("""{"a":"number","b":"string","c":"boolean"}"""))
+    // duplicate mention keeps first position (insertion-ordered map)
+    assert(analyzeExt(schema, "SELECT b, *").map(_.show) ==
+      Right("""{"b":"string","a":"number","c":"boolean"}"""))
+    // star over a derived table expands the INNER statement's output
+    assert(analyzeExt(schema, "SELECT * FROM (SELECT a AS x)").map(_.show) ==
+      Right("""{"x":"number"}"""))
+    assert(analyzeExt(schema, "SELECT * GROUP BY b") ==
+      Left("incompatible * projection with GROUP BY expression"))
+    // the expansion the planner consumes is static Field selectors
+    val expanded = for {
+      sch <- Schema.fromString(schema)
+      ts <- Lexer.tokenize("SELECT *", extensions = true)
+      ast <- Parser.statement(ts, extensions = true).map(_._1)
+      x <- Semantic.expandStars(sch, ast)
+    } yield x
+    assert(expanded == Right(graft.parser.Statement.Select(
+      List(graft.parser.Selector.Field("a", None), graft.parser.Selector.Field("b", None),
+        graft.parser.Selector.Field("c", None)), None, None, Nil, None, None)))
+  }
+
+  test("extensions: arithmetic projections are Number-only and Number-typed") {
+    val schema = """{"a": "number", "s": "string"}"""
+    assert(analyzeExt(schema, "SELECT a + 1 AS b").map(_.show) ==
+      Right("""{"b":"number"}"""))
+    assert(analyzeExt(schema, "SELECT s + 1 AS b") ==
+      Left("incompatible type \"string\" in arithmetic expression"))
+    assert(analyzeExt(schema, "SELECT a * 2 AS b GROUP BY s") ==
+      Left("incompatible arithmetic projection with GROUP BY expression"))
+  }
+
+  test("extensions: <= / >= type-check as Number x Number only") {
+    val schema = """{"a": "number", "s": "string"}"""
+    assert(analyzeExt(schema, "SELECT a WHERE a <= 14").map(_.show) ==
+      Right("""{"a":"number"}"""))
+    assert(analyzeExt(schema, "SELECT a WHERE a >= 14").map(_.show) ==
+      Right("""{"a":"number"}"""))
+    assert(analyzeExt(schema, "SELECT a WHERE s <= \"x\"") ==
+      Left("incompatible types \"string\", \"string\" with binary operator <="))
+    assert(analyzeExt(schema, "SELECT a WHERE a >= NULL") ==
+      Left("incompatible types \"number\", \"null\" with binary operator >="))
+    // parity mode still rejects at parse (lexes as two tokens)
+    assert(analyze(schema, "SELECT a WHERE a <= 14").isLeft)
+  }
 }

@@ -94,6 +94,24 @@ object Drive {
     simPairs.orderBy(col("id_a"), col("id_b")).show(5)
     simPairs.explain("formatted")
 
+    println("== round-4: dialect extensions <=/>= , SELECT *, arithmetic ==")
+    graft.Compiler.queryOrThrow(li,
+      "SELECT l_orderkey, l_quantity WHERE (l_quantity <= 2) OR (l_quantity >= 50)",
+      extensions = true).show(3)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    graft.Compiler.queryOrThrow(nation, "SELECT * WHERE n_regionkey >= 2",
+      extensions = true).show(3)
+    graft.Compiler.queryOrThrow(li,
+      "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net_price",
+      extensions = true).show(3)
+    println("parity probes (all must fail like the reference):")
+    println(graft.Compiler.query(li, "SELECT l_orderkey WHERE l_quantity <= 2"))
+    println(graft.Compiler.query(li, "SELECT *"))
+    println(graft.Compiler.query(li, "SELECT l_quantity + 1 AS q"))
+    println("extension probes (type errors):")
+    println(graft.Compiler.query(li, "SELECT l_returnflag + 1 AS q", extensions = true))
+    println(graft.Compiler.query(li, "SELECT l_quantity + 1", extensions = true))
+
     println("== round-4: clustering with the Materialize dial ==")
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("drive-ckpt").toString)
