@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   *    reference's Benchmark.js numbers;
   *  - per-query time is the min of `SPARK_GRAFT_REPS` timed runs (default
   *    2): min-of-N isolates plan cost from GC noise;
+  *  - outlier escalation: when a query's min-of-reps exceeds 10× its own
+  *    warmup time (and 1 s absolutely), one extra rep runs before
+  *    recording — a contention window spanning all regular reps then
+  *    cannot masquerade as a plan regression (warmup includes codegen
+  *    compilation, so steady state above 10× warmup is near-impossible
+  *    on an idle box); escalated queries are listed in the JSON;
   *  - the cache is cleared between queries so one operator's persisted
   *    intermediates can never tax another's measurement;
   *  - a fixed single-thread canary (a hash loop of constant work) runs
@@ -71,31 +77,46 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    // warmup pass (untimed)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // warmup pass — untimed in the report, but each query's warmup seconds
+    // calibrate the outlier escalation below
+    val warmup = SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
       clearAll()
+      name -> (if (ok) dt else Double.NaN)
     }
     val canaryBefore = canarySeconds()
+    val escalated = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // failed reps are excluded from the min (a fast failure must not
       // masquerade as a fast run); all-failed reports -1
-      val times = (1 to reps).flatMap { _ =>
+      def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         clearAll()
         if (ok) Some(dt) else None
       }
+      var times = (1 to reps).flatMap(_ => rep())
+      val w = warmup.getOrElse(name, Double.NaN)
+      if (times.nonEmpty && !w.isNaN && times.min > math.max(10 * w, 1.0)) {
+        // every regular rep was ≥10× the warmup of the SAME query in the
+        // SAME process — contention, not plans; take one more sample
+        escalated += name
+        times ++= rep()
+      }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val canaryAfter = canarySeconds()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val esc = escalated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter}"""
+        s""""canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter,""" +
+        s""""escalated":$esc}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")

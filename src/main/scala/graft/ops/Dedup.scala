@@ -51,6 +51,39 @@ object Dedup {
     case object Lazy extends Materialize
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Degenerate-bucket guard for the LSH self-joins: buckets whose row
+    * count exceeds `cap` are dropped before the within-bucket join — a
+    * pathological bucket (e.g. millions of byte-identical documents all
+    * landing in one (band, bucket)) would otherwise make the self-join
+    * quadratic in that bucket's size. Standard LSH practice: an over-full
+    * bucket carries no discriminating information, and exact-dedup-first
+    * composition keeps true duplicate groups from ever reaching this size.
+    * When `logMetric` (the eager paths), the dropped bucket/row counts are
+    * computed (one aggregation over the — persisted — banded frame) and
+    * logged as a warning so the recall sacrifice is observable.
+    */
+  private[ops] def dropOverfullBuckets(
+      banded: DataFrame,
+      keys: Seq[String],
+      cap: Int,
+      what: String,
+      logMetric: Boolean,
+  ): DataFrame = {
+    require(cap > 0, "maxBucketSize must be positive")
+    val overfull = banded
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+    if (logMetric) {
+      val m = overfull.agg(count(lit(1)).as("b"), sum(col("__n")).as("r")).collect().head
+      if (m.getLong(0) > 0)
+        log.warn(s"$what: dropping ${m.getLong(0)} over-full bucket(s) " +
+          s"(${m.getLong(1)} banded rows > cap $cap each) before the self-join")
+    }
+    banded.join(overfull.select(keys.map(col): _*), keys, "left_anti")
+  }
+
   /** Exact duplicate groups by content hash. Returns one row per distinct
     * normalized text: the representative (minimum) id and the duplicate
     * count. One shuffle on the 128-bit content hash; no skew risk beyond
@@ -137,6 +170,7 @@ object Dedup {
       shingleSize: Int = 5,
       threshold: Double = 0.7,
       materialize: Materialize = Materialize.Local,
+      maxBucketSize: Int = 10000,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -166,7 +200,12 @@ object Dedup {
     val banded0 = withSig
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val banded = if (eager) banded0.persist() else banded0
+    val banded1 = if (eager) banded0.persist() else banded0
+    // degenerate-bucket guard (see dropOverfullBuckets): the counts
+    // aggregation reads the persisted banded frame, so the guard costs one
+    // cached-scan aggregation, not a recompute of the signatures
+    val banded = dropOverfullBuckets(banded1, Seq("band", "bucket"), maxBucketSize,
+      "minHashNearDups", logMetric = eager)
 
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -186,7 +225,7 @@ object Dedup {
     // intermediates: persisted shingles/bands must not outlive the operator
     // — a long-lived session running many dedups would otherwise accumulate
     // dead cache blocks until executors spill or evict.
-    materializeAndRelease(result, materialize, Seq(shingled, banded))
+    materializeAndRelease(result, materialize, Seq(shingled, banded1))
   }
 
   /** Apply the [[Materialize]] policy to a result, then release the
@@ -489,6 +528,7 @@ object Dedup {
       planes: Int = 8,
       tables: Int = 8,
       materialize: Materialize = Materialize.Local,
+      maxBucketSize: Int = 10000,
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -500,7 +540,9 @@ object Dedup {
     val banded0 = base
       .select(col("id"), explode(array(tableStructs: _*)).as("tb"))
       .select(col("id"), col("tb.table"), col("tb.bucket"))
-    val banded = if (materialize != Materialize.Lazy) banded0.persist() else banded0
+    val banded1 = if (materialize != Materialize.Lazy) banded0.persist() else banded0
+    val banded = dropOverfullBuckets(banded1, Seq("table", "bucket"), maxBucketSize,
+      "embeddingNearDups", logMetric = materialize != Materialize.Lazy)
     val left = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
     val candidates = left.join(right, Seq("table", "bucket"))
@@ -518,6 +560,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     // materialize per policy, then release the cached banding (see
     // minHashNearDups)
-    materializeAndRelease(result, materialize, Seq(banded))
+    materializeAndRelease(result, materialize, Seq(banded1))
   }
 }

@@ -157,6 +157,7 @@ object Similarity {
       k: Int,
       planes: Int = 12,
       tables: Int = 1,
+      maxBucketSize: Int = 10000,
   ): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val dims = vecDims(corpus, vecCol)
@@ -175,7 +176,17 @@ object Similarity {
       df.select(col(id), explode(array(tb: _*)).as("tb"))
         .select(col(id), col("tb.table"), col("tb.bucket"))
     }
-    val candidates = banded(c, "neighbor_id", "cvec")
+    // Degenerate-bucket guard: a corpus bucket over `maxBucketSize` is
+    // dropped before the probe join (an over-full bucket is LSH noise — at
+    // useful plane counts it means the hash family cannot discriminate
+    // that region, and joining it costs |bucket| rows PER probe landing
+    // there). The guard is part of the lazy plan (no metric action on the
+    // interactive search path); its recall effect is observable through
+    // recallAtK, and the counts branch re-reads only the narrow banded
+    // ids, not the vectors.
+    val bandedC = Dedup.dropOverfullBuckets(banded(c, "neighbor_id", "cvec"),
+      Seq("table", "bucket"), maxBucketSize, "lshTopK", logMetric = false)
+    val candidates = bandedC
       .join(banded(p, "probe_id", "pvec"), Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"))

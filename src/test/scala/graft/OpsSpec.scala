@@ -179,6 +179,45 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
   }
 
+  test("degenerate-bucket guard bounds a pathological all-identical corpus") {
+    // 120 byte-identical documents: every (band, bucket) holds all 120
+    // rows, so the unguarded self-join is quadratic in the clone count
+    val clone = "the same exact document text repeated verbatim over and over again"
+    val clones = (0L until 120L).map(i => (i, clone)).toDF("doc_id", "text")
+    // default cap (10k) leaves them alone: all C(120,2) true pairs emerge
+    val unguarded = Dedup.minHashNearDups(clones, "text", "doc_id",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    assert(unguarded.count() == 120L * 119 / 2)
+    // a tight cap drops the over-full buckets: bounded candidates, no
+    // quadratic join (clones are exact dups — exact-dedup-first is the
+    // composition that owns them)
+    val guarded = Dedup.minHashNearDups(clones, "text", "doc_id",
+      numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 50)
+    assert(guarded.count() == 0)
+    // the guard does not disturb a healthy corpus
+    val healthy = Dedup.minHashNearDups(docs, "text", "doc_id",
+      numHashes = 128, bands = 32, threshold = 0.5, maxBucketSize = 50)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val default = Dedup.minHashNearDups(docs, "text", "doc_id",
+      numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(healthy == default)
+  }
+
+  test("lshTopK degenerate-bucket guard drops over-full corpus buckets") {
+    val clones = (0L until 100L).map(i => (i, Array(1.0f, 0.2f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val probes = clones.filter($"vec_id" < 2)
+    val full = Similarity.lshTopK(clones, probes, "embedding", "vec_id",
+      k = 3, planes = 2, tables = 2)
+    assert(full.count() == 6) // 2 probes × k
+    // identical vectors share every bucket: 100 > cap → dropped → no
+    // candidates (bounded), instead of 100 rows joined per probe
+    val guarded = Similarity.lshTopK(clones, probes, "embedding", "vec_id",
+      k = 3, planes = 2, tables = 2, maxBucketSize = 10)
+    assert(guarded.count() == 0)
+  }
+
   test("connected components Materialize.Reliable converges with identical labels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
