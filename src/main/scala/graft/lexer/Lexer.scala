@@ -127,7 +127,7 @@ object Lexer {
     case "SUM" => Funktion.Sum
   }
 
-  private def table(extensions: Boolean): List[(Pattern, String => Token)] = List(
+  private def buildTable(extensions: Boolean): List[(Pattern, String => Token)] = List(
     keywordP  -> ((s: String) => Token.Key(keywordOf(s))),
     functionP -> ((s: String) => Token.Fn(functionOf(s))),
     unaryP    -> ((_: String) => Token.Not),
@@ -147,15 +147,21 @@ object Lexer {
     commaP    -> ((_: String) => Token.Comma),
   )
 
+  // both alternation tables precomputed once — tokenize is the compile
+  // throughput hot path, one allocation-free list walk per token
+  private val tableParity = buildTable(extensions = false)
+  private val tableExt    = buildTable(extensions = true)
+
   /** Tokenize the whole input. Error string matches the reference
     * (reference: src/Ifrit/Lexer.purs:46-52, 348-352).
     */
   def tokenize(input: String, extensions: Boolean = false): Either[String, List[PosToken]] = {
+    val table = if (extensions) tableExt else tableParity
     val out = List.newBuilder[PosToken]
     var pos = 0
     while (true) {
       var matched = false
-      var it = table(extensions)
+      var it = table
       while (!matched && it.nonEmpty) {
         val (pat, mk) = it.head
         it = it.tail
