@@ -239,6 +239,17 @@ object SparkEntry {
       Dedup.ngramJaccardNearDups(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // incremental ingestion: dedupe the "new batch" (doc_id >= 250)
+    // against the "historical corpus" (doc_id < 250) by content digest,
+    // then keep-first within the batch
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactDedupIncrement(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        "text", "doc_id")
+        .select(col("doc_id"))
+    }),
+
     // the synthetic embeddings have no true near-dups (max pairwise cosine
     // ≈ 0.51), so the harness entry runs at a moderate threshold where
     // pairs exist; multi-table SRP keeps recall at that regime
@@ -378,6 +389,16 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextOps.fingerprintMd5(col("text")).as("fp_md5"))),
+
+    // benchmark decontamination: distinct 5-gram overlap of every corpus
+    // document with the "evaluation set" (every 50th document) — the
+    // planted near-dup clusters make nonzero overlaps exist
+    "q_text_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.contaminationCounts(docs, docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))
+    }),
 
     "q_text_fingerprint_rolling" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native word_shingles
@@ -656,6 +677,30 @@ object SparkEntry {
          |WHERE doc_id = dup_group""".stripMargin,
 
     "q_dedup_ngram_jaccard" -> oracleShingleJaccard(k = 3, threshold = 0.8),
+
+    "q_dedup_incremental" ->
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id, md5($oracleNorm) AS ch FROM documents WHERE doc_id >= 250
+         |) b
+         |WHERE ch NOT IN (SELECT md5($oracleNorm) FROM documents WHERE doc_id < 250)
+         |QUALIFY row_number() OVER (PARTITION BY ch ORDER BY doc_id) = 1""".stripMargin,
+
+    // mirrors contaminationCounts: distinct 5-gram sets per corpus doc
+    // joined against the union of benchmark 5-grams (string-keyed here;
+    // the Spark side joins 64-bit shingle hashes — equal counts barring
+    // astronomically unlikely collisions, which this row would surface)
+    "q_text_decontam" ->
+      s"""WITH csh AS (
+         |  SELECT doc_id, unnest(list_distinct(sh)) AS s FROM (
+         |    SELECT doc_id, ${oracleShingles(5)} AS sh
+         |    FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
+         |  )
+         |), bsh AS (
+         |  SELECT DISTINCT s FROM csh WHERE doc_id % 50 = 0
+         |)
+         |SELECT doc_id, count(*) AS n_overlap
+         |FROM csh JOIN bsh USING (s)
+         |GROUP BY doc_id""".stripMargin,
 
     "q_mm_resize" ->
       """SELECT media_id, width, height,

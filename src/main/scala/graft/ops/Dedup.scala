@@ -130,6 +130,36 @@ object Dedup {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Incremental exact dedup: the new batch's rows whose normalized
+    * content appears neither in the historical corpus nor earlier (by id)
+    * within the batch itself — the production shape for "dedupe today's
+    * crawl against everything already ingested" without re-reading any
+    * history text.
+    *
+    * Scale shape: the history side collapses to DISTINCT 16-byte content
+    * digests (`unhex(md5(..))` — ids and text never leave their scan), so
+    * a 100 TB history becomes a hash set a fraction of its size; the batch
+    * anti-joins on the digest (one shuffle, or a broadcast when the
+    * history hash set is small), then keep-first dedups within the batch
+    * with the same windowed stream as [[exactKeepFirst]]. Run history
+    * through [[exactKeepFirst]] once at bootstrap and this operator keeps
+    * the corpus exactly deduplicated forever at per-batch cost.
+    */
+  def exactDedupIncrement(
+      batch: DataFrame,
+      history: DataFrame,
+      textCol: String,
+      idCol: String,
+  ): DataFrame = {
+    def digest(c: Column) = unhex(md5(TextOps.normalized(c).cast("binary")))
+    val seen = history.select(digest(col(textCol)).as("__ch")).dropDuplicates("__ch")
+    val w = Window.partitionBy(col("__ch")).orderBy(col(idCol))
+    batch.withColumn("__ch", digest(col(textCol)))
+      .join(seen, Seq("__ch"), "left_anti")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__ch", "__rn")
+  }
+
   /** MinHash signature: `numHashes` minima of independently seeded
     * re-hashes of the shingles' base hashes. Each shingle string is hashed
     * once (builtin xxhash64); the family expansion runs in the native

@@ -234,6 +234,64 @@ object TextOps {
     array_min(transform(
       graft.functions.GraftFunctions.wordShingles(text, shingleSize),
       s => graft.functions.GraftFunctions.md5Long60(s.cast("binary"))))
+
+  /** Benchmark decontamination, step 1: per corpus document, the number of
+    * DISTINCT word `n`-grams it shares with the benchmark set (the union
+    * of all benchmark documents' n-grams). The canonical training-data
+    * hygiene op: a document overlapping an evaluation set must not be
+    * trained on.
+    *
+    * Scale shape: both sides shingle in the native `word_shingles`
+    * expression (one scan each); the join key is the 64-bit shingle hash,
+    * so the shuffle carries (hash, id) longs — never text. The benchmark
+    * side is a deduplicated hash set, typically a few million rows for a
+    * full eval-suite union, which AQE broadcasts; corpus-side cost is one
+    * scan + one narrow aggregation. Counts are over xxhash64 of the
+    * shingles (collision odds ~ (distinct shingles)²/2⁶⁴ — immaterial,
+    * and the oracle at test SFs confirms exact equality with string-keyed
+    * counts). Documents with zero overlap are absent from the result.
+    *
+    * Returns (idCol, n_overlap).
+    */
+  def contaminationCounts(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def shingleHashes(text: Column): Column =
+      array_distinct(transform(
+        graft.functions.GraftFunctions.wordShingles(text, n), s => xxhash64(s)))
+    val cs = corpus
+      .select(col(idCol), explode(shingleHashes(col(textCol))).as("__h"))
+    val bs = bench
+      .select(explode(shingleHashes(col(textCol))).as("__h"))
+      .dropDuplicates("__h")
+    cs.join(bs, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Benchmark decontamination, step 2: corpus rows NOT sharing at least
+    * `minOverlap` distinct n-grams with the benchmark — the documents that
+    * are safe to train on. Anti-join against the (small) contaminated id
+    * set; all columns of `corpus` pass through.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1,
+  ): DataFrame = {
+    val contaminated = contaminationCounts(corpus, bench, textCol, idCol, n)
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }
 
 /** Word-level shingling shared by text fingerprints and MinHash dedup. */

@@ -179,6 +179,39 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
   }
 
+  test("incremental dedup: batch anti-joins history digests, then keep-first") {
+    val history = Seq((0L, base), (1L, "old unique document text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "THE QUICK  brown fox " + base.drop(20)), // normalized dup of history → dropped
+      (11L, base + " with a genuinely new tail"),     // different content → kept
+      (12L, "fresh new batch document"),              // new → kept
+      (13L, "fresh  NEW batch DOCUMENT"),             // normalized dup of 12 within batch → dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactDedupIncrement(batch, history, "text", "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+  }
+
+  test("decontamination: n-gram overlap with a benchmark flags only true overlaps") {
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val counts = TextOps.contaminationCounts(docs, bench, "text", "doc_id", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    // 0,1 are the benchmark text itself; 3 contains it verbatim (all its
+    // 8-grams); 2 shares all but the windows spanning the edited word;
+    // 4,5 share none
+    assert(counts.keySet == Set(0L, 1L, 2L, 3L))
+    assert(counts(0L) == counts(1L) && counts(3L) == counts(0L))
+    assert(counts(2L) < counts(0L) && counts(2L) > 0)
+    val clean = TextOps.decontaminate(docs, bench, "text", "doc_id", n = 8)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(4L, 5L))
+    // a higher floor readmits the partial overlap but not verbatim content
+    val lax = TextOps.decontaminate(docs, bench, "text", "doc_id", n = 8,
+      minOverlap = counts(0L).toInt)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(lax == Set(2L, 4L, 5L))
+  }
+
   test("degenerate-bucket guard bounds a pathological all-identical corpus") {
     // 120 byte-identical documents: every (band, bucket) holds all 120
     // rows, so the unguarded self-join is quadratic in the clone count

@@ -123,6 +123,18 @@ object Drive {
     println(s"near-dedup keep-first: Local kept ${keptLocal.count()}, " +
       s"Reliable kept ${keptReliable.count()} (must match)")
 
+    println("== round-4: decontamination + incremental dedup ==")
+    val bench4 = docs.filter(col("doc_id") % 50 === 0)
+    graft.ops.TextOps.contaminationCounts(docs, bench4, "text", "doc_id", n = 5)
+      .orderBy(col("n_overlap").desc).show(5)
+    println(s"decontaminated survivors: " +
+      graft.ops.TextOps.decontaminate(docs, bench4, "text", "doc_id", n = 5).count() +
+      s" of ${docs.count()}")
+    println(s"incremental dedup kept: " +
+      graft.ops.Dedup.exactDedupIncrement(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
