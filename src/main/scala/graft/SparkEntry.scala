@@ -340,6 +340,11 @@ object SparkEntry {
     "q_text_top_tokens" -> ((s, dir) =>
       TextOps.topTokens(t(s, dir, "documents"), "text", k = 100)),
 
+    // per-language corpus profile with EXACT percentiles (Spark percentile
+    // ≡ DuckDB quantile_cont, same linear interpolation)
+    "q_text_profile" -> ((s, dir) =>
+      TextOps.corpusProfile(t(s, dir, "documents"), "text")),
+
     // the full curation pipeline (gates + keep-first dedup) in one pass
     "q_curate" -> ((s, dir) =>
       ops.Curate.curate(t(s, dir, "documents"), "text", "doc_id")
@@ -384,6 +389,16 @@ object SparkEntry {
     "q_text_chunks" -> ((s, dir) =>
       TextOps.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
         chunkSize = 64, overlap = 16)),
+
+    // sequence packing: the same chunks greedily packed into 256-token
+    // training sequences across 8 deterministic salted pack streams
+    "q_text_pack" -> ((s, dir) =>
+      TextOps.packChunks(
+        TextOps.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
+          chunkSize = 64, overlap = 16),
+        "doc_id", budget = 256, groups = 8, salt = "r4")
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("pack_group"), col("seq_idx"))),
 
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -589,6 +604,22 @@ object SparkEntry {
 
   private val oracleWsTokens =
     "len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))"
+
+  /** chunkTokens mirror: stride 48, tail window shorter, no window fully
+    * contained in its predecessor. Shared by the chunking and packing
+    * oracles.
+    */
+  private val oracleChunks =
+    """SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+      |  array_to_string(list_slice(t, CAST(k*48+1 AS INTEGER), CAST(k*48+64 AS INTEGER)), ' ') AS chunk_text,
+      |  CAST(least(64, len(t) - k*48) AS INTEGER) AS n_tokens
+      |FROM (
+      |  SELECT doc_id, t,
+      |    unnest(range(0, CAST(1 + floor((greatest(0, len(t) - 64) + 47) / 48.0) AS BIGINT))) AS k
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |        FROM documents)
+      |  WHERE len(t) > 0
+      |)""".stripMargin
   private val oracleStopEn = "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b'))"
   private val oracleNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -833,6 +864,32 @@ object SparkEntry {
          |  SELECT unnest($oracleTokens) AS token FROM documents
          |) GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
+    "q_text_profile" ->
+      s"""SELECT lang, count(*) AS n_docs, round(avg(nw), 6) AS avg_tokens,
+         |  round(quantile_cont(nw, 0.5), 6) AS p50_tokens,
+         |  round(quantile_cont(nw, 0.9), 6) AS p90_tokens,
+         |  max(nw) AS max_tokens
+         |FROM (
+         |  SELECT
+         |    CASE
+         |      WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+         |      WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+         |      WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+         |      WHEN s_de > 0 THEN 'de'
+         |      ELSE 'und'
+         |    END AS lang,
+         |    CAST($oracleWsTokens AS INTEGER) AS nw
+         |  FROM (
+         |    SELECT text,
+         |      $oracleStopEn AS s_en,
+         |      len(regexp_extract_all(lower(text), '\\b(le|la|les|et|de|un|une)\\b')) AS s_fr,
+         |      len(regexp_extract_all(lower(text), '\\b(el|los|las|y|en|un|una)\\b')) AS s_es,
+         |      len(regexp_extract_all(lower(text), '\\b(der|die|das|und|von|ein|ist)\\b')) AS s_de
+         |    FROM documents
+         |  )
+         |)
+         |GROUP BY lang""".stripMargin,
+
     "q_text_repetition" -> {
       s"""SELECT doc_id,
          |  ${oracleDupFrac("sh1")} AS dup_word_frac,
@@ -880,17 +937,20 @@ object SparkEntry {
 
     // mirrors chunkTokens: stride 48, tail window shorter, no window
     // fully contained in its predecessor
-    "q_text_chunks" ->
-      """SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
-        |  array_to_string(list_slice(t, CAST(k*48+1 AS INTEGER), CAST(k*48+64 AS INTEGER)), ' ') AS chunk_text,
-        |  CAST(least(64, len(t) - k*48) AS INTEGER) AS n_tokens
-        |FROM (
-        |  SELECT doc_id, t,
-        |    unnest(range(0, CAST(1 + floor((greatest(0, len(t) - 64) + 47) / 48.0) AS BIGINT))) AS k
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
-        |        FROM documents)
-        |  WHERE len(t) > 0
-        |)""".stripMargin,
+    "q_text_chunks" -> oracleChunks,
+
+    // mirrors packChunks over the same chunk set: salted pack stream +
+    // windowed token cumsum within the stream
+    "q_text_pack" ->
+      s"""WITH ch AS ($oracleChunks)
+         |SELECT doc_id, chunk_idx, n_tokens,
+         |  CAST(g AS INTEGER) AS pack_group,
+         |  CAST(floor((sum(n_tokens) OVER (
+         |        PARTITION BY g ORDER BY doc_id, chunk_idx
+         |        ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0) AS INTEGER) AS seq_idx
+         |FROM (SELECT doc_id, chunk_idx, n_tokens,
+         |        ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")} % 8 AS g
+         |      FROM ch)""".stripMargin,
 
     "q_text_fingerprint" ->
       s"SELECT doc_id, md5($oracleNorm) AS fp_md5 FROM documents",

@@ -175,6 +175,51 @@ object TextOps {
       .select(col(idCol), col("c.chunk_idx"), col("c.chunk_text"), col("c.n_tokens"))
   }
 
+  /** Sequence packing: assign token chunks (from [[chunkTokens]]) to
+    * fixed-budget training sequences — the step that turns a curated
+    * corpus into dense model inputs.
+    *
+    * Deterministic AND parallel, which naive greedy packing is not: a
+    * single global concatenation order serializes the whole corpus
+    * through one window partition (a scale-killer), while per-Spark-
+    * partition packing changes output with the cluster layout. Instead
+    * documents hash (salted md5, as in [[Sample.saltedHash]]) into
+    * `groups` independent packing streams; within a stream, chunks pack
+    * in (id, chunk_idx) order by cumulative token count — `groups`
+    * parallel window partitions, identical output on any layout. Size
+    * `groups` ≥ the cluster's parallelism; each stream's packing is
+    * sequential by construction (that IS packing), so more groups =
+    * more parallelism with no semantic change to any other stream.
+    *
+    * A chunk lands in sequence `floor(tokens_before_it / budget)`:
+    * sequences fill to at least `budget` and may overrun by up to one
+    * chunk (train-time truncation's usual contract). Exact no-overrun
+    * packing would require look-ahead; pick `budget` a multiple of the
+    * chunk size to make overrun impossible.
+    *
+    * Returns the chunk rows + (pack_group, seq_idx).
+    */
+  def packChunks(
+      chunks: DataFrame,
+      idCol: String,
+      budget: Int,
+      groups: Int = 64,
+      salt: String = "",
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(groups >= 1, "groups must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_group"))
+      .orderBy(col(idCol), col("chunk_idx"))
+    chunks
+      .withColumn("pack_group",
+        pmod(Sample.saltedHash(col(idCol), salt), lit(groups.toLong)).cast("int"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_idx",
+        floor((col("__cum") - col("n_tokens")).cast("double") / budget).cast("int"))
+      .drop("__cum")
+  }
+
   /** PII scrubbing patterns — deliberately simple constructs (character
     * classes, bounded quantifiers) that Java regex (Spark) and RE2
     * (DuckDB) interpret identically, so the whole cascade is
@@ -273,6 +318,32 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Corpus profile: per-language document counts and token-count
+    * statistics (mean + exact interpolated percentiles) — the "know your
+    * data" summary a pipeline runs before choosing mixture weights and
+    * length cutoffs.
+    *
+    * Scale shape: one scan computes (language, token count) per document,
+    * then a single shuffle groups by language. `percentile` is Spark's
+    * EXACT aggregate (same linear interpolation as DuckDB's
+    * `quantile_cont`, hence oracle-equal) — it buffers each group's
+    * values, which is right for the handful of language groups here; at
+    * extreme cardinalities swap in `approx_percentile` and drop the
+    * oracle expectation to tolerance.
+    */
+  def corpusProfile(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(languageId(col(textCol)).as("lang"),
+        tokenCount(col(textCol)).as("nw"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("nw")), 6).as("avg_tokens"),
+        round(percentile(col("nw"), lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(col("nw"), lit(0.9)), 6).as("p90_tokens"),
+        max(col("nw")).as("max_tokens"),
+      )
 
   /** Benchmark decontamination, step 2: corpus rows NOT sharing at least
     * `minOverlap` distinct n-grams with the benchmark — the documents that

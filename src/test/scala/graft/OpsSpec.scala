@@ -212,6 +212,45 @@ class OpsSpec extends AnyFunSuite {
     assert(lax == Set(2L, 4L, 5L))
   }
 
+  test("sequence packing fills the budget and is layout-deterministic") {
+    // 40 docs × 100 tokens → 2 chunks of 50 each; budget 100 = 2 chunks,
+    // so every sequence in every pack stream totals exactly 100 tokens
+    val corpus = (0L until 40L).map(i => (i, ("tok " * 100).trim)).toDF("doc_id", "text")
+    val chunks = TextOps.chunkTokens(corpus, "text", "doc_id", chunkSize = 50)
+    val packed = TextOps.packChunks(chunks, "doc_id", budget = 100, groups = 4, salt = "t")
+    val seqTotals = packed.groupBy($"pack_group", $"seq_idx")
+      .agg(sum($"n_tokens").as("t")).collect().map(_.getAs[Long]("t"))
+    assert(seqTotals.nonEmpty && seqTotals.forall(_ == 100L))
+    // identical output regardless of the input partition layout
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"chunk_idx", $"pack_group", $"seq_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(rows(packed) ==
+      rows(TextOps.packChunks(chunks.repartition(13), "doc_id", 100, 4, "t")))
+    // budget NOT a multiple of the chunk size: overrun bounded by one chunk
+    val odd = TextOps.packChunks(chunks, "doc_id", budget = 120, groups = 2, salt = "t")
+      .groupBy($"pack_group", $"seq_idx").agg(sum($"n_tokens").as("t"))
+      .collect().map(_.getAs[Long]("t"))
+    assert(odd.forall(_ <= 120 + 50))
+  }
+
+  test("corpus profile: per-language counts and exact percentiles") {
+    val corpus = Seq(
+      (0L, "the a"), (1L, "the a b"), (2L, "the a b c"), // en: 2,3,4 tokens
+      (3L, "zzz"),                                       // und: 1 token
+    ).toDF("doc_id", "text")
+    val got = TextOps.corpusProfile(corpus, "text").collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(got.keySet == Set("en", "und"))
+    assert(got("en").getAs[Long]("n_docs") == 3)
+    assert(got("en").getAs[Double]("avg_tokens") == 3.0)
+    assert(got("en").getAs[Double]("p50_tokens") == 3.0)
+    // linear interpolation: h = (3-1)*0.9 = 1.8 → 3 + 0.8*(4-3)
+    assert(got("en").getAs[Double]("p90_tokens") == 3.8)
+    assert(got("en").getAs[Int]("max_tokens") == 4)
+    assert(got("und").getAs[Long]("n_docs") == 1)
+  }
+
   test("degenerate-bucket guard bounds a pathological all-identical corpus") {
     // 120 byte-identical documents: every (band, bucket) holds all 120
     // rows, so the unguarded self-join is quadratic in the clone count

@@ -135,6 +135,15 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: corpus profile + sequence packing ==")
+    graft.ops.TextOps.corpusProfile(docs, "text").show()
+    graft.ops.TextOps.packChunks(
+      graft.ops.TextOps.chunkTokens(docs, "text", "doc_id", 64, 16),
+      "doc_id", budget = 256, groups = 8, salt = "r4")
+      .groupBy(col("pack_group"), col("seq_idx"))
+      .agg(sum(col("n_tokens")).as("seq_tokens"))
+      .orderBy(col("pack_group"), col("seq_idx")).show(5)
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
