@@ -220,6 +220,36 @@ object TextOps {
       .drop("__cum")
   }
 
+  /** Streaming twin of [[decontaminate]] at `minOverlap = 1`: drop any
+    * streamed document sharing ≥ 1 word n-gram with the static benchmark
+    * set. The batch inverted-index + count shape needs a streaming
+    * aggregation; the stream-native form is a stream-static LEFT ANTI
+    * join on `array_contains(doc_shingle_hashes, bench_hash)` — stateless
+    * (no watermark, no state store), with the deduplicated benchmark hash
+    * set broadcast. Cost is O(|bench hashes|) per document, the right
+    * trade for eval-set-sized benchmarks (≤ a few hundred k n-grams);
+    * decontaminating against something corpus-sized belongs in the batch
+    * operator.
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 8,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def shingleHashes(text: Column): Column =
+      array_distinct(transform(
+        graft.functions.GraftFunctions.wordShingles(text, n), s => xxhash64(s)))
+    val benchHashes = bench
+      .select(explode(shingleHashes(col(benchTextCol))).as("__bh"))
+      .dropDuplicates("__bh")
+    docs.withColumn("__sh", shingleHashes(col(textCol)))
+      .join(broadcast(benchHashes), expr("array_contains(__sh, __bh)"), "left_anti")
+      .drop("__sh")
+  }
+
   /** PII scrubbing patterns — deliberately simple constructs (character
     * classes, bounded quantifiers) that Java regex (Spark) and RE2
     * (DuckDB) interpret identically, so the whole cascade is

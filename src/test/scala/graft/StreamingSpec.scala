@@ -136,6 +136,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops overlapping docs like the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.ops.TextOps.decontaminateStream(docs, bench, "text", "text", n = 5)
+      .writeStream.format("memory").queryName("decontam_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (0L, benchText),                                  // verbatim → dropped
+        (1L, "totally different words about query planning and shuffles"),
+        (2L, "prefix then " + benchText + " then suffix"), // contains → dropped
+        (3L, "the quick brown fox appears briefly here")) // < 5-gram overlap → kept
+      q.processAllAvailable()
+      val kept = spark.table("decontam_stream").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L))
+      // exactly the batch operator's survivors at minOverlap = 1
+      val batchDocs = Seq(
+        (0L, benchText),
+        (1L, "totally different words about query planning and shuffles"),
+        (2L, "prefix then " + benchText + " then suffix"),
+        (3L, "the quick brown fox appears briefly here")).toDF("doc_id", "text")
+      val batchKept = graft.ops.TextOps.decontaminate(batchDocs, bench, "text", "doc_id", n = 5)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == batchKept)
+    } finally q.stop()
+  }
+
   test("streaming sessionization's closed sessions match the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
