@@ -163,6 +163,20 @@ object SparkEntry {
           array_join(transform(sort_array(col("l_quantity")),
             x => format_string("%.1f", round(x, 1))), ","))),
 
+    // dialect extension (reference roadmap): arithmetic over grouped
+    // aggregates — one partial-agg shuffle, same as any G3 aggregation
+    "q_g3_arith" -> ((s, dir) =>
+      qx(t(s, dir, "lineitem"),
+        "SELECT (SUM(l_extendedprice) / SUM(l_quantity)) AS price_per_unit GROUP BY l_returnflag")
+        .withColumn("price_per_unit", round(col("price_per_unit"), 6))),
+
+    // dialect extension: arithmetic over per-row array reductions
+    // (SUM/COUNT here recompute AVG, so the oracle is exact)
+    "q_p2_arith" -> ((s, dir) =>
+      qx(t(s, dir, "embeddings"),
+        "SELECT vec_id, (SUM(embedding) / COUNT(embedding)) AS mean_val")
+        .withColumn("mean_val", round(col("mean_val"), 6))),
+
     "q_o1_order_limit" -> ((s, dir) =>
       q(t(s, dir, "lineitem"),
         "SELECT l_orderkey, l_linenumber, l_quantity ORDER BY l_orderkey, l_linenumber LIMIT 100")),
@@ -664,6 +678,12 @@ object SparkEntry {
 
     "q_g5_push" ->
       "SELECT l_returnflag AS _id, array_to_string(list_transform(list_sort(list(l_quantity)), x -> printf('%.1f', round(x, 1))), ',') AS l_quantity FROM lineitem GROUP BY l_returnflag",
+
+    "q_g3_arith" ->
+      "SELECT l_returnflag AS _id, round(sum(l_extendedprice) / sum(l_quantity), 6) AS price_per_unit FROM lineitem GROUP BY l_returnflag",
+
+    "q_p2_arith" ->
+      "SELECT vec_id, round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_val FROM embeddings",
 
     "q_o1_order_limit" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",

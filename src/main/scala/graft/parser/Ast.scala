@@ -61,22 +61,27 @@ object Selector {
     */
   case object Star extends Selector
 
-  /** EXTENSION (reference roadmap): arithmetic in projections — `+ - * /`
-    * over Number fields and literals, e.g. `SELECT a + 1 AS b`. An alias
-    * is mandatory (the dialect has no expression-naming convention to
-    * mirror). Plain SELECT only, like the other per-row projections.
+  /** EXTENSION (reference roadmap): arithmetic in projections AND
+    * aggregations — `+ - * /` with standard precedence, e.g.
+    * `SELECT a + 1 AS b` or `SELECT SUM(a) / SUM(b) AS r GROUP BY c`.
+    * An alias is mandatory (the dialect has no expression-naming
+    * convention to mirror). Atom semantics follow the statement context:
+    * function atoms are the dialect's per-row ARRAY reductions (P2-P7)
+    * in a plain SELECT and grouped aggregates (G3/G4) under GROUP BY;
+    * bare field atoms are per-row values, valid only in a plain SELECT.
     */
   final case class Expr(expr: NumExpr, alias: String) extends Selector
 }
 
 /** Numeric expression tree for [[Selector.Expr]] (extensions only).
-  * Operands are Number fields or literals; all arithmetic is double
-  * (the dialect's single numeric type).
+  * Operands are Number fields, literals, or dialect function calls; all
+  * arithmetic is double (the dialect's single numeric type).
   */
 sealed trait NumExpr
 object NumExpr {
   final case class NLit(value: BigDecimal) extends NumExpr
   final case class NField(name: String) extends NumExpr
+  final case class NFn(fn: Funktion, arg: String) extends NumExpr
   final case class NBin(op: String, left: NumExpr, right: NumExpr) extends NumExpr
 }
 

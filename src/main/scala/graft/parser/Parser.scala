@@ -187,6 +187,12 @@ object Parser {
   }
   private def numAtom(ts: Tokens): P[NumExpr] = ts match {
     case PosToken(_, Token.Num(n)) :: q  => Right((NumExpr.NLit(n), q))
+    // dialect function call as an arithmetic atom: per-row array reduction
+    // in SELECT context, grouped aggregate under GROUP BY (semantic layer
+    // enforces the context rules)
+    case PosToken(_, Token.Fn(f)) :: PosToken(_, Token.Open) ::
+         PosToken(_, Token.Word(w)) :: PosToken(_, Token.Close) :: q =>
+      Right((NumExpr.NFn(f, w), q))
     case PosToken(_, Token.Word(w)) :: q => Right((NumExpr.NField(w), q))
     case PosToken(_, Token.Open) :: q =>
       numExpr(q).flatMap { case (e, rest) =>

@@ -132,35 +132,41 @@ object Planner {
 
     // extension: per-row double arithmetic — plain codegen'd expressions
     case Selector.Expr(e, alias) =>
-      Right(alias -> numExprColumn(e))
+      Right(alias -> numExprColumn(e, grouped = false))
 
     case Selector.Fn(f, key, as) =>
-      val alias = defaultAlias(key, as)
-      val segments = key.split("\\.", 2).toList
-      val arraySum = graft.functions.GraftFunctions.arraySum _
-      // dotted: project the element field out of the array-of-structs —
-      // GetArrayStructFields, a plain codegen'd expression, not a HOF
-      def dotted(source: String, target: String): Column =
-        target.split('.').foldLeft(col(source))(_.getField(_))
-      val column = (f, segments) match {
-        // flat array of numbers
-        case (Funktion.Avg, _ :: Nil) => arraySum(col(key)) / size(col(key))
-        case (Funktion.Sum, _ :: Nil) => arraySum(col(key))
-        case (Funktion.Max, _ :: Nil) => array_max(col(key))
-        case (Funktion.Min, _ :: Nil) => array_min(col(key))
-        // COUNT is always the array length regardless of path shape
-        // (reference: src/Ifrit/Driver/MongoDB.purs:201-214)
-        case (Funktion.Count, _) => size(col(key)).cast(DoubleType)
-        // array of objects, reduce over a field of each element
-        case (Funktion.Avg, source :: target :: Nil) =>
-          arraySum(dotted(source, target)) / size(col(source))
-        case (Funktion.Sum, source :: target :: Nil) =>
-          arraySum(dotted(source, target))
-        case (Funktion.Max, _ :: _ :: Nil) => array_max(col(key))
-        case (Funktion.Min, _ :: _ :: Nil) => array_min(col(key))
-        case _ => col(key)
-      }
-      Right(alias -> column)
+      Right(defaultAlias(key, as) -> reductionColumn(f, key))
+  }
+
+  /** The P2-P7 per-row array-reduction column for a projection-context
+    * function call — shared by plain Fn selectors and function atoms in
+    * extension arithmetic.
+    */
+  private def reductionColumn(f: Funktion, key: String): Column = {
+    val segments = key.split("\\.", 2).toList
+    val arraySum = graft.functions.GraftFunctions.arraySum _
+    // dotted: project the element field out of the array-of-structs —
+    // GetArrayStructFields, a plain codegen'd expression, not a HOF
+    def dotted(source: String, target: String): Column =
+      target.split('.').foldLeft(col(source))(_.getField(_))
+    (f, segments) match {
+      // flat array of numbers
+      case (Funktion.Avg, _ :: Nil) => arraySum(col(key)) / size(col(key))
+      case (Funktion.Sum, _ :: Nil) => arraySum(col(key))
+      case (Funktion.Max, _ :: Nil) => array_max(col(key))
+      case (Funktion.Min, _ :: Nil) => array_min(col(key))
+      // COUNT is always the array length regardless of path shape
+      // (reference: src/Ifrit/Driver/MongoDB.purs:201-214)
+      case (Funktion.Count, _) => size(col(key)).cast(DoubleType)
+      // array of objects, reduce over a field of each element
+      case (Funktion.Avg, source :: target :: Nil) =>
+        arraySum(dotted(source, target)) / size(col(source))
+      case (Funktion.Sum, source :: target :: Nil) =>
+        arraySum(dotted(source, target))
+      case (Funktion.Max, _ :: _ :: Nil) => array_max(col(key))
+      case (Funktion.Min, _ :: _ :: Nil) => array_min(col(key))
+      case _ => col(key)
+    }
   }
 
   // -- grouped aggregations --------------------------------------------------
@@ -173,9 +179,11 @@ object Planner {
   def aggregationColumn(sel: Selector): Either[String, (String, Column)] = sel match {
     case Selector.Field(key, as) =>
       Right(defaultAlias(key, as) -> collect_list(col(key)))
-    // defensive: semantic analysis rejects both under GROUP BY
-    case Selector.Star       => Left("incompatible * projection with GROUP BY expression")
-    case Selector.Expr(_, _) => Left("incompatible arithmetic projection with GROUP BY expression")
+    // defensive: semantic analysis rejects * under GROUP BY
+    case Selector.Star => Left("incompatible * projection with GROUP BY expression")
+    // extension: arithmetic over grouped aggregates (SUM(a) / SUM(b), …)
+    case Selector.Expr(e, alias) =>
+      Right(alias -> numExprColumn(e, grouped = true))
     case Selector.Fn(Funktion.Avg, key, as)   => Right(defaultAlias(key, as) -> avg(col(key)))
     case Selector.Fn(Funktion.Count, _, as)   => Right(defaultAlias("count", as) -> count(lit(1)).cast(DoubleType))
     case Selector.Fn(Funktion.Max, key, as)   => Right(defaultAlias(key, as) -> max(col(key)))
@@ -291,12 +299,25 @@ object Planner {
 
   /** Extension arithmetic: numbers are uniformly double (the dialect's one
     * numeric type), so `+ - * /` are plain double ops — codegen'd, no UDF.
+    * Function atoms follow the context: per-row array reductions in a
+    * plain SELECT, grouped aggregates (G3/G4 shapes) under GROUP BY —
+    * all map-side combinable, so grouped arithmetic stays one partial-agg
+    * shuffle like any other aggregation.
     */
-  private def numExprColumn(e: NumExpr): Column = e match {
+  private def numExprColumn(e: NumExpr, grouped: Boolean): Column = e match {
     case NumExpr.NLit(n)   => lit(n.toDouble)
     case NumExpr.NField(f) => col(f).cast(DoubleType)
+    case NumExpr.NFn(f, key) =>
+      if (!grouped) reductionColumn(f, key)
+      else f match {
+        case Funktion.Avg   => avg(col(key))
+        case Funktion.Count => count(lit(1)).cast(DoubleType)
+        case Funktion.Max   => max(col(key))
+        case Funktion.Min   => min(col(key))
+        case Funktion.Sum   => sum(col(key))
+      }
     case NumExpr.NBin(op, l, r) =>
-      val (a, b) = (numExprColumn(l), numExprColumn(r))
+      val (a, b) = (numExprColumn(l, grouped), numExprColumn(r, grouped))
       op match {
         case "+" => a + b
         case "-" => a - b

@@ -34,10 +34,10 @@ object Semantic {
   // parity mode)
   private def errStarInGroup =
     "incompatible * projection with GROUP BY expression"
-  private def errArithInGroup =
-    "incompatible arithmetic projection with GROUP BY expression"
   private def errIncompatibleArith(t: Schema) =
     s"incompatible type ${t.show} in arithmetic expression"
+  private def errFieldInArithAgg(field: String) =
+    s"unaggregated field '$field' in arithmetic aggregation"
 
   /** Default output name: explicit alias, else the path with dots replaced
     * by underscores (reference: src/Ifrit/Semantic.purs:87-92).
@@ -176,37 +176,49 @@ object Semantic {
         case other => Left(errIncompatibleSchema(other))
       }
 
-    // extension: arithmetic over Number fields/literals, always Number out
+    // extension: arithmetic over Number fields/literals/array-reductions,
+    // always Number out
     case Selector.Expr(e, alias) =>
-      analyzeNumExpr(schema, e).map(_ => acc.updated(alias, SNumber))
-
-    case Selector.Fn(Funktion.Count, key, as) =>
-      lookup(Keyword.Select, schema, key).flatMap {
-        case SArray(_) => Right(acc.updated(defaultAlias(key, as), SNumber))
-        case s         => Left(errIncompatibleFnType(Funktion.Count, s))
-      }
+      analyzeNumExpr(schema, e, grouped = false).map(_ => acc.updated(alias, SNumber))
 
     case Selector.Fn(f, key, as) =>
-      key.split("\\.", 2).toList match {
-        case _ :: Nil =>
-          lookup(Keyword.Select, schema, key).flatMap {
-            case SArray(SNumber) => Right(acc.updated(defaultAlias(key, as), SNumber))
-            case s               => Left(errIncompatibleFnType(f, s))
-          }
-        case base :: rest :: Nil =>
-          lookup(Keyword.Select, schema, base).flatMap {
-            case SArray(elem) =>
-              lookup(Keyword.Select, elem, rest).flatMap {
-                case SNumber => Right(acc.updated(defaultAlias(key, as), SNumber))
-                case s       => Left(errIncompatibleFnType(f, s))
-              }
-            // Reference reports the *whole* schema here, not the field's
-            // (reference: src/Ifrit/Semantic.purs:295-296).
-            case _ => Left(errIncompatibleFnType(f, schema))
-          }
-        case _ => Left(errInvalidFieldName(key))
-      }
+      projectionFnType(schema, f, key).map(s => acc.updated(defaultAlias(key, as), s))
   }
+
+  /** Type of a projection-context function call — the P2-P7 array
+    * reductions: COUNT needs any array; AVG/MAX/MIN/SUM need an array of
+    * numbers (flat path) or an array of objects whose target path is a
+    * number (dotted path). Shared by plain Fn selectors and function
+    * atoms inside extension arithmetic.
+    */
+  private def projectionFnType(schema: Schema, f: Funktion, key: String): Either[String, Schema] =
+    f match {
+      case Funktion.Count =>
+        lookup(Keyword.Select, schema, key).flatMap {
+          case SArray(_) => Right(SNumber)
+          case s         => Left(errIncompatibleFnType(Funktion.Count, s))
+        }
+      case _ =>
+        key.split("\\.", 2).toList match {
+          case _ :: Nil =>
+            lookup(Keyword.Select, schema, key).flatMap {
+              case SArray(SNumber) => Right(SNumber)
+              case s               => Left(errIncompatibleFnType(f, s))
+            }
+          case base :: rest :: Nil =>
+            lookup(Keyword.Select, schema, base).flatMap {
+              case SArray(elem) =>
+                lookup(Keyword.Select, elem, rest).flatMap {
+                  case SNumber => Right(SNumber)
+                  case s       => Left(errIncompatibleFnType(f, s))
+                }
+              // Reference reports the *whole* schema here, not the field's
+              // (reference: src/Ifrit/Semantic.purs:295-296).
+              case _ => Left(errIncompatibleFnType(f, schema))
+            }
+          case _ => Left(errInvalidFieldName(key))
+        }
+    }
 
   /** Aggregation rules (reference: src/Ifrit/Semantic.purs:305-359): `_id`
     * is reserved; plain selectors collect into arrays; COUNT takes any
@@ -226,11 +238,14 @@ object Semantic {
     case Selector.Fn(_, "_id", None)        => Left(errReservedFieldName("_id"))
     case Selector.Fn(_, _, Some("_id"))     => Left(errReservedFieldName("_id"))
 
-    // extensions are per-row projections; neither has a defined meaning as
-    // a grouped aggregation (the reference's $push collection has no * or
-    // arithmetic form) — both are rejected under GROUP BY
-    case Selector.Star       => Left(errStarInGroup)
-    case Selector.Expr(_, _) => Left(errArithInGroup)
+    // extension: * stays per-row-only (the reference's $push collection
+    // has no * form), but arithmetic IS defined under GROUP BY — atoms
+    // are grouped aggregates (`SUM(a) / SUM(b)`), enforced by the
+    // grouped = true context below
+    case Selector.Star           => Left(errStarInGroup)
+    case Selector.Expr(_, "_id") => Left(errReservedFieldName("_id"))
+    case Selector.Expr(e, alias) =>
+      analyzeNumExpr(schema, e, grouped = true).map(_ => acc.updated(alias, SNumber))
 
     case Selector.Field(key, as) =>
       lookup(Keyword.Select, schema, key).map(s => acc.updated(defaultAlias(key, as), SArray(s)))
@@ -245,19 +260,37 @@ object Semantic {
       }
   }
 
-  /** Extension: every operand of an arithmetic projection must be Number
-    * (literals are; fields are looked up in SELECT scope).
+  /** Extension: every operand of an arithmetic expression must be Number.
+    * Context decides the atom rules — in a plain SELECT (`grouped =
+    * false`) fields are per-row Numbers and function calls are the P2-P7
+    * array reductions; under GROUP BY (`grouped = true`) function calls
+    * are the G3/G4 grouped aggregates over scalar Number fields (COUNT
+    * over any field) and bare fields are rejected (no implicit
+    * aggregation).
     */
-  def analyzeNumExpr(schema: Schema, e: NumExpr): Either[String, Schema] = e match {
-    case NumExpr.NLit(_) => Right(SNumber)
-    case NumExpr.NField(key) =>
-      lookup(Keyword.Select, schema, key).flatMap {
-        case SNumber => Right(SNumber)
-        case s       => Left(errIncompatibleArith(s))
-      }
-    case NumExpr.NBin(_, l, r) =>
-      for { _ <- analyzeNumExpr(schema, l); _ <- analyzeNumExpr(schema, r) } yield SNumber
-  }
+  def analyzeNumExpr(schema: Schema, e: NumExpr, grouped: Boolean): Either[String, Schema] =
+    e match {
+      case NumExpr.NLit(_) => Right(SNumber)
+      case NumExpr.NField(key) =>
+        if (grouped) Left(errFieldInArithAgg(key))
+        else lookup(Keyword.Select, schema, key).flatMap {
+          case SNumber => Right(SNumber)
+          case s       => Left(errIncompatibleArith(s))
+        }
+      case NumExpr.NFn(f, key) =>
+        if (!grouped) projectionFnType(schema, f, key)
+        else if (f == Funktion.Count)
+          lookup(Keyword.Select, schema, key).map(_ => SNumber)
+        else lookup(Keyword.Select, schema, key).flatMap {
+          case SNumber => Right(SNumber)
+          case s       => Left(errIncompatibleFnType(f, s))
+        }
+      case NumExpr.NBin(_, l, r) =>
+        for {
+          _ <- analyzeNumExpr(schema, l, grouped)
+          _ <- analyzeNumExpr(schema, r, grouped)
+        } yield SNumber
+    }
 
   /** Extension: statically expand `SELECT *` into the declared schema's
     * fields (declaration order), recursing through derived tables with the

@@ -177,8 +177,29 @@ class SemanticSpec extends AnyFunSuite {
       Right("""{"b":"number"}"""))
     assert(analyzeExt(schema, "SELECT s + 1 AS b") ==
       Left("incompatible type \"string\" in arithmetic expression"))
+    // under GROUP BY bare fields are not implicitly aggregated
     assert(analyzeExt(schema, "SELECT a * 2 AS b GROUP BY s") ==
-      Left("incompatible arithmetic projection with GROUP BY expression"))
+      Left("unaggregated field 'a' in arithmetic aggregation"))
+  }
+
+  test("extensions: arithmetic over aggregates and array reductions") {
+    val schema = """{"a": "number", "b": "number", "s": "string", "arr": ["number"]}"""
+    // grouped: aggregate atoms compose
+    assert(analyzeExt(schema, "SELECT (SUM(a) / SUM(b)) AS r GROUP BY s").map(_.show) ==
+      Right("""{"r":"number","_id":"string"}"""))
+    assert(analyzeExt(schema, "SELECT COUNT(s) * 2 AS n GROUP BY s").map(_.show) ==
+      Right("""{"n":"number","_id":"string"}"""))
+    // grouped: AVG of a string field is the G3 scalar-Number rule
+    assert(analyzeExt(schema, "SELECT AVG(s) + 1 AS x GROUP BY s") ==
+      Left("incompatible type \"string\" with function AVG"))
+    // plain SELECT: function atoms are the P2-P7 array reductions
+    assert(analyzeExt(schema, "SELECT SUM(arr) / COUNT(arr) AS m").map(_.show) ==
+      Right("""{"m":"number"}"""))
+    assert(analyzeExt(schema, "SELECT SUM(a) + 1 AS x") ==
+      Left("incompatible type \"number\" with function SUM"))
+    // reserved alias still applies to arithmetic aggregations
+    assert(analyzeExt(schema, "SELECT SUM(a) + 1 AS _id GROUP BY s") ==
+      Left("reserved field's name '_id'"))
   }
 
   test("extensions: <= / >= type-check as Number x Number only") {

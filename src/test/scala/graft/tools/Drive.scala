@@ -108,6 +108,9 @@ object Drive {
     println(graft.Compiler.query(li, "SELECT l_orderkey WHERE l_quantity <= 2"))
     println(graft.Compiler.query(li, "SELECT *"))
     println(graft.Compiler.query(li, "SELECT l_quantity + 1 AS q"))
+    graft.Compiler.queryOrThrow(li,
+      "SELECT (SUM(l_extendedprice) / SUM(l_quantity)) AS price_per_unit GROUP BY l_returnflag",
+      extensions = true).show(3)
     println("extension probes (type errors):")
     println(graft.Compiler.query(li, "SELECT l_returnflag + 1 AS q", extensions = true))
     println(graft.Compiler.query(li, "SELECT l_quantity + 1", extensions = true))
