@@ -177,6 +177,21 @@ object SparkEntry {
         "SELECT vec_id, (SUM(embedding) / COUNT(embedding)) AS mean_val")
         .withColumn("mean_val", round(col("mean_val"), 6))),
 
+    // dialect extension (reference roadmap "augment functions"): STDDEV +
+    // MEDIAN as grouped aggregates
+    "q_g3_stats" -> ((s, dir) =>
+      qx(t(s, dir, "lineitem"),
+        "SELECT STDDEV(l_quantity) AS sd_qty, MEDIAN(l_quantity) AS med_qty GROUP BY l_returnflag")
+        .withColumn("sd_qty", round(col("sd_qty"), 6))
+        .withColumn("med_qty", round(col("med_qty"), 6))),
+
+    // same functions as per-row array reductions (P-family extension)
+    "q_p5_stats" -> ((s, dir) =>
+      qx(t(s, dir, "embeddings"),
+        "SELECT vec_id, STDDEV(embedding) AS sd_val, MEDIAN(embedding) AS med_val")
+        .withColumn("sd_val", round(col("sd_val"), 6))
+        .withColumn("med_val", round(col("med_val"), 6))),
+
     "q_o1_order_limit" -> ((s, dir) =>
       q(t(s, dir, "lineitem"),
         "SELECT l_orderkey, l_linenumber, l_quantity ORDER BY l_orderkey, l_linenumber LIMIT 100")),
@@ -684,6 +699,29 @@ object SparkEntry {
 
     "q_p2_arith" ->
       "SELECT vec_id, round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_val FROM embeddings",
+
+    "q_g3_stats" ->
+      "SELECT l_returnflag AS _id, round(stddev_samp(l_quantity), 6) AS sd_qty, round(quantile_cont(l_quantity, 0.5), 6) AS med_qty FROM lineitem GROUP BY l_returnflag",
+
+    // mirrors the planner's per-row formulas exactly: stddev via the
+    // two-sums identity over the same left-to-right list_sum fold;
+    // median via sort + middle element(s), elements cast to double
+    // BEFORE the even-case addition (float-add first would differ)
+    "q_p5_stats" ->
+      """SELECT vec_id,
+        |  round(CASE WHEN n < 2 THEN NULL
+        |        ELSE sqrt(greatest((s2 - s * s / n) / (n - 1), 0.0)) END, 6) AS sd_val,
+        |  round(CASE WHEN n = 0 THEN NULL
+        |        WHEN n % 2 = 1 THEN CAST(d[CAST((n + 1) // 2 AS INTEGER)] AS DOUBLE)
+        |        ELSE (CAST(d[CAST(n // 2 AS INTEGER)] AS DOUBLE)
+        |              + CAST(d[CAST(n // 2 + 1 AS INTEGER)] AS DOUBLE)) / 2.0 END, 6) AS med_val
+        |FROM (
+        |  SELECT vec_id, len(embedding) AS n,
+        |    list_sort(embedding) AS d,
+        |    list_sum(CAST(embedding AS DOUBLE[])) AS s,
+        |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS s2
+        |  FROM embeddings
+        |)""".stripMargin,
 
     "q_o1_order_limit" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",

@@ -39,6 +39,10 @@ object Lexer {
     case object Max extends Funktion { val show = "MAX" }
     case object Min extends Funktion { val show = "MIN" }
     case object Sum extends Funktion { val show = "SUM" }
+    // extension functions (reference roadmap "augment projections &
+    // aggregations functions") — lexed only with extensions = true
+    case object Stddev extends Funktion { val show = "STDDEV" }
+    case object Median extends Funktion { val show = "MEDIAN" }
   }
 
   /** In reference-parity mode Lte/Gte are never produced by the lexer;
@@ -95,6 +99,8 @@ object Lexer {
   private val keywordP =
     p("(DISTINCT|GROUP BY|ORDER BY|OFFSET|SELECT|WHERE|LIMIT|NULL|FROM|WHERE|AND|ASC|AS|OR|DESC)")
   private val functionP = p("(AVG|COUNT|MAX|MIN|SUM)")
+  // extensions mode adds the roadmap functions
+  private val functionPx = p("(AVG|COUNT|MAX|MIN|SUM|STDDEV|MEDIAN)")
   private val unaryP    = p("(NOT)")
   private val binaryP   = p("(!=|=|<|>)")
   // extensions mode: <= and >= must come before < and > in the alternation
@@ -125,11 +131,12 @@ object Lexer {
     case "AVG" => Funktion.Avg; case "COUNT" => Funktion.Count
     case "MAX" => Funktion.Max; case "MIN" => Funktion.Min
     case "SUM" => Funktion.Sum
+    case "STDDEV" => Funktion.Stddev; case "MEDIAN" => Funktion.Median
   }
 
   private def buildTable(extensions: Boolean): List[(Pattern, String => Token)] = List(
     keywordP  -> ((s: String) => Token.Key(keywordOf(s))),
-    functionP -> ((s: String) => Token.Fn(functionOf(s))),
+    (if (extensions) functionPx else functionP) -> ((s: String) => Token.Fn(functionOf(s))),
     unaryP    -> ((_: String) => Token.Not),
     (if (extensions) binaryPx else binaryP) -> ((s: String) => Token.Bin(s match {
       case "!=" => Binary.Neq; case "=" => Binary.Eq

@@ -158,6 +158,9 @@ object Planner {
       // COUNT is always the array length regardless of path shape
       // (reference: src/Ifrit/Driver/MongoDB.purs:201-214)
       case (Funktion.Count, _) => size(col(key)).cast(DoubleType)
+      // extension functions, flat
+      case (Funktion.Stddev, _ :: Nil) => stddevOfArray(col(key))
+      case (Funktion.Median, _ :: Nil) => medianOfArray(col(key))
       // array of objects, reduce over a field of each element
       case (Funktion.Avg, source :: target :: Nil) =>
         arraySum(dotted(source, target)) / size(col(source))
@@ -165,8 +168,43 @@ object Planner {
         arraySum(dotted(source, target))
       case (Funktion.Max, _ :: _ :: Nil) => array_max(col(key))
       case (Funktion.Min, _ :: _ :: Nil) => array_min(col(key))
+      case (Funktion.Stddev, source :: target :: Nil) =>
+        stddevOfArray(dotted(source, target))
+      case (Funktion.Median, source :: target :: Nil) =>
+        medianOfArray(dotted(source, target))
       case _ => col(key)
     }
+  }
+
+  /** Per-row interpolated median of a numeric array (`quantile_cont(0.5)`
+    * semantics — DuckDB-mirrorable for oracle parity): sort, take the
+    * middle element or the mean of the middle two. Null for empty arrays.
+    */
+  private def medianOfArray(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    val n = size(arr)
+    // Column `/` is double division; the element indices must be int
+    val mid = ((n + lit(1)) / 2).cast("int")
+    val lo = (n / 2).cast("int")
+    when(n === 0, lit(null).cast(DoubleType))
+      .when(pmod(n, lit(2)) === 1, element_at(sorted, mid).cast(DoubleType))
+      .otherwise((element_at(sorted, lo).cast(DoubleType) +
+        element_at(sorted, lo + 1).cast(DoubleType)) / 2.0)
+  }
+
+  /** Per-row sample standard deviation of a numeric array via the
+    * two-sums identity sqrt((Σx² − (Σx)²/n)/(n−1)) — both sums fold
+    * left-to-right in the native array_sum, so a DuckDB mirror using the
+    * same identity over `list_sum` is bit-comparable. Null when n < 2;
+    * the inner term clamps at 0 against negative float residue.
+    */
+  private def stddevOfArray(arr: Column): Column = {
+    val arraySum = graft.functions.GraftFunctions.arraySum _
+    val n = size(arr).cast(DoubleType)
+    val s = arraySum(arr)
+    val s2 = arraySum(transform(arr, x => x.cast(DoubleType) * x.cast(DoubleType)))
+    when(size(arr) < 2, lit(null).cast(DoubleType))
+      .otherwise(sqrt(greatest((s2 - s * s / n) / (n - lit(1.0)), lit(0.0))))
   }
 
   // -- grouped aggregations --------------------------------------------------
@@ -189,6 +227,13 @@ object Planner {
     case Selector.Fn(Funktion.Max, key, as)   => Right(defaultAlias(key, as) -> max(col(key)))
     case Selector.Fn(Funktion.Min, key, as)   => Right(defaultAlias(key, as) -> min(col(key)))
     case Selector.Fn(Funktion.Sum, key, as)   => Right(defaultAlias(key, as) -> sum(col(key)))
+    // extension functions (lexed only with extensions = true): sample
+    // stddev and the exact interpolated median (percentile ≡ DuckDB
+    // quantile_cont) — both map-side combinable aggregates
+    case Selector.Fn(Funktion.Stddev, key, as) =>
+      Right(defaultAlias(key, as) -> stddev_samp(col(key)))
+    case Selector.Fn(Funktion.Median, key, as) =>
+      Right(defaultAlias(key, as) -> percentile(col(key), lit(0.5)))
   }
 
   // -- conditions ------------------------------------------------------------
@@ -310,11 +355,13 @@ object Planner {
     case NumExpr.NFn(f, key) =>
       if (!grouped) reductionColumn(f, key)
       else f match {
-        case Funktion.Avg   => avg(col(key))
-        case Funktion.Count => count(lit(1)).cast(DoubleType)
-        case Funktion.Max   => max(col(key))
-        case Funktion.Min   => min(col(key))
-        case Funktion.Sum   => sum(col(key))
+        case Funktion.Avg    => avg(col(key))
+        case Funktion.Count  => count(lit(1)).cast(DoubleType)
+        case Funktion.Max    => max(col(key))
+        case Funktion.Min    => min(col(key))
+        case Funktion.Sum    => sum(col(key))
+        case Funktion.Stddev => stddev_samp(col(key))
+        case Funktion.Median => percentile(col(key), lit(0.5))
       }
     case NumExpr.NBin(op, l, r) =>
       val (a, b) = (numExprColumn(l, grouped), numExprColumn(r, grouped))

@@ -202,6 +202,21 @@ class SemanticSpec extends AnyFunSuite {
       Left("reserved field's name '_id'"))
   }
 
+  test("extensions: STDDEV / MEDIAN functions in both contexts") {
+    val schema = """{"a": "number", "s": "string", "arr": ["number"]}"""
+    assert(analyzeExt(schema, "SELECT STDDEV(a) AS sd, MEDIAN(a) AS md GROUP BY s").map(_.show) ==
+      Right("""{"sd":"number","md":"number","_id":"string"}"""))
+    assert(analyzeExt(schema, "SELECT STDDEV(arr) AS sd, MEDIAN(arr) AS md").map(_.show) ==
+      Right("""{"sd":"number","md":"number"}"""))
+    assert(analyzeExt(schema, "SELECT STDDEV(s) AS x GROUP BY s") ==
+      Left("incompatible type \"string\" with function STDDEV"))
+    assert(analyzeExt(schema, "SELECT MEDIAN(a) AS x") ==
+      Left("incompatible type \"number\" with function MEDIAN"))
+    // parity mode: STDDEV is just a word (the reference's closed function
+    // set), so it resolves as an unknown field
+    assert(analyze(schema, "SELECT STDDEV(a) AS x").isLeft)
+  }
+
   test("extensions: <= / >= type-check as Number x Number only") {
     val schema = """{"a": "number", "s": "string"}"""
     assert(analyzeExt(schema, "SELECT a WHERE a <= 14").map(_.show) ==
