@@ -508,6 +508,25 @@ object SparkEntry {
     // batch twin of the streaming sessionization (gap = 30 min)
     "q_events_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(events(s, dir), gapMinutes = 30)),
+
+    // as-of join: every purchase enriched with the user's latest
+    // at-or-before click (right side pre-deduped to one row per
+    // (user, ts) — the operator's documented precondition)
+    "q_events_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"), col("value"))
+      ops.Joins.asofJoin(purchases, clicks, "user_id", "ts", "value", prefix = "last_click_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("last_click_value"),
+          unix_micros(col("last_click_ts")).as("last_click_ts_us"))
+    }),
   )
 
   // Shared SQL fragments for the text oracles (must mirror TextOps exactly).
@@ -1055,5 +1074,22 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+    // as-of implementation (both inclusive at equal timestamps)
+    "q_events_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+        |    ORDER BY event_id DESC) = 1
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.value AS last_click_value, c.ts_us AS last_click_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
   )
 }

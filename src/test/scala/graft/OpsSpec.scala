@@ -251,6 +251,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got("und").getAs[Long]("n_docs") == 1)
   }
 
+  test("as-of join: latest at-or-before right row per left row, null when none") {
+    val l = Seq((1L, 5L, "a"), (1L, 10L, "b"), (2L, 3L, "c")).toDF("k", "t", "tag")
+    val r = Seq((1L, 4L, 40.0), (1L, 10L, 100.0), (2L, 9L, 90.0)).toDF("k", "t", "v")
+    def run(lf: org.apache.spark.sql.DataFrame, rf: org.apache.spark.sql.DataFrame) =
+      Joins.asofJoin(lf, rf, "k", "t", "v")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+          Option(x.get(3)), Option(x.get(4)))).toSet
+    val got = run(l, r)
+    assert(got == Set(
+      (1L, 5L, "a", Some(40.0), Some(4L)),
+      (1L, 10L, "b", Some(100.0), Some(10L)), // inclusive at equal ts
+      (2L, 3L, "c", None, None)))             // no prior right row
+    // identical output on any partition layout
+    assert(run(l.repartition(7), r.repartition(5)) == got)
+  }
+
   test("degenerate-bucket guard bounds a pathological all-identical corpus") {
     // 120 byte-identical documents: every (band, bucket) holds all 120
     // rows, so the unguarded self-join is quadratic in the clone count

@@ -147,6 +147,10 @@ object Drive {
       .agg(sum(col("n_tokens")).as("seq_tokens"))
       .orderBy(col("pack_group"), col("seq_idx")).show(5)
 
+    println("== round-4: as-of join (purchases enriched with latest click) ==")
+    graft.SparkEntry.queries("q_events_asof")(spark, sfDir)
+      .orderBy(col("event_id")).show(5)
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
