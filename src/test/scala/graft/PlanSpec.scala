@@ -92,4 +92,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
     assert(p.contains("word_shingles"), p) // native expression, not the HOF chain
   }
+
+  test("decontamination broadcasts the benchmark hash set") {
+    val p = plan(graft.ops.TextOps.contaminationCounts(
+      docs, docs.filter($"doc_id" % 50 === 0), "text", "doc_id", n = 5))
+    assert(p.contains("BroadcastHashJoin"), p) // bench side small → broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sequence packing is one window per salted pack stream (one exchange)") {
+    val p = plan(graft.ops.TextOps.packChunks(
+      graft.ops.TextOps.chunkTokens(docs, "text", "doc_id", 64, 16),
+      "doc_id", budget = 256, groups = 8, salt = "t"))
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("as-of join is one exchange + one window — never a range join blow-up") {
+    val l = Seq((1L, 5L, "a")).toDF("k", "t", "tag")
+    val r = Seq((1L, 4L, 40.0)).toDF("k", "t", "v")
+    val p = plan(graft.ops.Joins.asofJoin(l, r, "k", "t", "v"))
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("incremental dedup prunes the history scan to the digest inputs") {
+    val p = plan(Dedup.exactDedupIncrement(
+      docs.filter($"doc_id" >= 250), docs.filter($"doc_id" < 250), "text", "doc_id"))
+    // the history branch reads only the digest input + the caller's filter
+    // column — lang/source/n_chars must be pruned away (the batch side
+    // passes all columns through by contract, so exactly one full scan)
+    assert("ReadSchema: struct<doc_id:bigint,text:string>".r.findAllIn(p).size == 1, p)
+    assert("ReadSchema: struct<doc_id:bigint,text:string,lang".r.findAllIn(p).size == 1, p)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,250)]"), p)
+  }
 }
