@@ -76,12 +76,22 @@ object Dedup {
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
     if (logMetric) {
+      // the metric aggregation doubles as the guard decision: on a
+      // healthy corpus (no over-full bucket — the overwhelmingly common
+      // case) the anti-join never enters the plan, so the guard's only
+      // steady-state cost is this one cached-scan aggregation
       val m = overfull.agg(count(lit(1)).as("b"), sum(col("__n")).as("r")).collect().head
-      if (m.getLong(0) > 0)
+      if (m.getLong(0) == 0) banded
+      else {
         log.warn(s"$what: dropping ${m.getLong(0)} over-full bucket(s) " +
           s"(${m.getLong(1)} banded rows > cap $cap each) before the self-join")
+        banded.join(overfull.select(keys.map(col): _*), keys, "left_anti")
+      }
+    } else {
+      // lazy/interactive paths run no actions: the guard stays a plan
+      // node unconditionally
+      banded.join(overfull.select(keys.map(col): _*), keys, "left_anti")
     }
-    banded.join(overfull.select(keys.map(col): _*), keys, "left_anti")
   }
 
   /** Exact duplicate groups by content hash. Returns one row per distinct
