@@ -98,7 +98,7 @@ object SparkEntry {
     // values hash-match without rounding
     "q_p1_arith" -> ((s, dir) =>
       qx(t(s, dir, "lineitem"),
-        "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net_price, (l_quantity + 1) / 2 AS half_qty")),
+        "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net_price, (l_quantity + 1) / 2 AS half_qty, -l_tax AS neg_tax")),
 
     "q_s3_derived" -> ((s, dir) =>
       q(t(s, dir, "lineitem"),
@@ -684,7 +684,7 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 2",
 
     "q_p1_arith" ->
-      "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net_price, (l_quantity + 1) / 2 AS half_qty FROM lineitem",
+      "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net_price, (l_quantity + 1) / 2 AS half_qty, -l_tax AS neg_tax FROM lineitem",
 
     "q_s3_derived" ->
       "SELECT qty FROM (SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A') WHERE qty > 30",

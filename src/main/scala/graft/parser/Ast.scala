@@ -82,6 +82,7 @@ object NumExpr {
   final case class NLit(value: BigDecimal) extends NumExpr
   final case class NField(name: String) extends NumExpr
   final case class NFn(fn: Funktion, arg: String) extends NumExpr
+  final case class NNeg(expr: NumExpr) extends NumExpr
   final case class NBin(op: String, left: NumExpr, right: NumExpr) extends NumExpr
 }
 

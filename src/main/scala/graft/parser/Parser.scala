@@ -151,7 +151,7 @@ object Parser {
         // a COMPOUND numeric expression claims the selector; an alias is
         // mandatory (the dialect has no generated-name convention). A bare
         // field/literal falls through to the reference grammar below.
-        case Right((e: NumExpr.NBin, rest)) =>
+        case Right((e @ (_: NumExpr.NBin | _: NumExpr.NNeg), rest)) =>
           rest match {
             case PosToken(_, Token.Key(Keyword.As)) :: PosToken(_, Token.Word(as)) :: q2 =>
               Right((Selector.Expr(e, as), q2))
@@ -186,6 +186,9 @@ object Parser {
     case _ => Right((acc, ts))
   }
   private def numAtom(ts: Tokens): P[NumExpr] = ts match {
+    // prefix minus binds tighter than the binary operators: -a * b = (-a) * b
+    case PosToken(_, Token.Arith("-")) :: q =>
+      numAtom(q).map { case (e, rest) => (NumExpr.NNeg(e), rest) }
     case PosToken(_, Token.Num(n)) :: q  => Right((NumExpr.NLit(n), q))
     // dialect function call as an arithmetic atom: per-row array reduction
     // in SELECT context, grouped aggregate under GROUP BY (semantic layer

@@ -363,6 +363,7 @@ object Planner {
         case Funktion.Stddev => stddev_samp(col(key))
         case Funktion.Median => percentile(col(key), lit(0.5))
       }
+    case NumExpr.NNeg(inner) => -numExprColumn(inner, grouped)
     case NumExpr.NBin(op, l, r) =>
       val (a, b) = (numExprColumn(l, grouped), numExprColumn(r, grouped))
       op match {

@@ -285,6 +285,7 @@ object Semantic {
           case SNumber => Right(SNumber)
           case s       => Left(errIncompatibleFnType(f, s))
         }
+      case NumExpr.NNeg(inner) => analyzeNumExpr(schema, inner, grouped)
       case NumExpr.NBin(_, l, r) =>
         for {
           _ <- analyzeNumExpr(schema, l, grouped)

@@ -194,4 +194,19 @@ class ParserEdgeSpec extends org.scalatest.funsuite.AnyFunSuite {
     // a bare field still parses exactly as before under extensions
     assert(parseX("SELECT a AS b") == parse("SELECT a AS b"))
   }
+
+  test("extensions: unary minus binds tighter than the binary operators") {
+    import NumExpr._
+    assert(parseX("SELECT -a AS x") == Right(
+      Statement.Select(List(Selector.Expr(NNeg(NField("a")), "x")),
+        None, None, Nil, None, None)))
+    assert(parseX("SELECT -a * 2 AS x") == Right(
+      Statement.Select(List(Selector.Expr(
+        NBin("*", NNeg(NField("a")), NLit(BigDecimal(2))), "x")),
+        None, None, Nil, None, None)))
+    assert(parseX("SELECT 1 - -2 AS x") == Right(
+      Statement.Select(List(Selector.Expr(
+        NBin("-", NLit(BigDecimal(1)), NNeg(NLit(BigDecimal(2)))), "x")),
+        None, None, Nil, None, None)))
+  }
 }
