@@ -451,6 +451,14 @@ object SparkEntry {
         TextOps.fingerprintRolling(col("text")).as("fp_roll"))
     }),
 
+    // line-level boilerplate removal: the synthetic corpus is single-line,
+    // so " the " stands in as the line separator (43 segments repeat
+    // across >= 2 docs at sf0.01 — the operator genuinely rewrites text
+    // here); real newline-separated corpora pass sep = "\n"
+    "q_text_boilerplate" -> ((s, dir) =>
+      TextOps.removeBoilerplate(t(s, dir, "documents"), "text", "doc_id",
+        sep = " the ", minDocs = 2)),
+
     // ---- training-data pipeline: multimodal (stub codec, real plumbing) ----
     "q_mm_decode_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaTable(t(s, dir, "documents"))
@@ -527,6 +535,40 @@ object SparkEntry {
           col("last_click_value"),
           unix_micros(col("last_click_ts")).as("last_click_ts_us"))
     }),
+
+    // keyed range join: attribute every click to the 30-min-gap session
+    // interval it falls in (sessions over ALL events, so each click has
+    // exactly one home). Half-open [lo, hi) core, so the inclusive
+    // session end passes end+1 on the µs domain; bucketWidth = 1 h ≈ the
+    // session-length scale
+    "q_events_range" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sessions = graft.streaming.EventStream.sessionizeBatch(ev, gapMinutes = 30)
+        .select(col("user_id"), col("session_id"), col("session_start_us"),
+          (col("session_end_us") + 1).as("session_end_excl"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      ops.Joins.rangeJoin(clicks, sessions, "ts_us", "session_start_us", "session_end_excl",
+        bucketWidth = 3600e6, keyCols = Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("session_id"))
+    }),
+
+    // ---- embedding hygiene / statistics ----
+    // L2 normalization: norm + unit vector, canonicalized to fixed-format
+    // strings (pre-rounded so half-up vs half-even formatting can't differ)
+    "q_emb_normalize" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        format_string("%.6f", round(sqrt(ops.Embeddings.normSq(col("embedding"))), 6)).as("norm"),
+        array_join(transform(ops.Embeddings.l2Normalize(col("embedding")),
+          x => format_string("%.6f", round(x, 6))), ",").as("unit_vec"))),
+
+    // per-label centroid via the exploded-cell aggregation
+    "q_emb_centroid" -> ((s, dir) =>
+      ops.Embeddings.groupCentroids(t(s, dir, "embeddings"), "embedding", "label")
+        .select(col("label"), col("n"),
+          array_join(transform(col("centroid"),
+            m => format_string("%.6f", round(m, 6))), ",").as("centroid"))),
   )
 
   // Shared SQL fragments for the text oracles (must mirror TextOps exactly).
@@ -670,6 +712,32 @@ object SparkEntry {
       |)""".stripMargin
   private val oracleStopEn = "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b'))"
   private val oracleNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** [[oracleNorm]] over an arbitrary expression (mirrors TextOps.normalized). */
+  private def oracleNormExpr(e: String) =
+    s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+
+  /** Gap-sessionization CTE chain (mirrors EventStream.sessionizeBatch,
+    * gap = 30 min), ending in `sessagg` — shared by the sessionize oracle
+    * and the range-join oracle that attributes clicks to sessions.
+    */
+  private val oracleSessionCtes =
+    """e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts_us, value,
+      |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |), sess AS (
+      |  SELECT user_id, ts_us, value,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM flagged
+      |), sessagg AS (
+      |  SELECT user_id, session_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+      |    count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |  FROM sess GROUP BY 1, 2
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_p1_project" ->
@@ -866,21 +934,23 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_events_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events
-        |), flagged AS (
-        |  SELECT user_id, ts_us, value,
-        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM e
-        |), sess AS (
-        |  SELECT user_id, ts_us, value,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM flagged
-        |)
-        |SELECT user_id, session_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM sess GROUP BY 1, 2""".stripMargin,
+      s"""WITH $oracleSessionCtes
+         |SELECT user_id, session_id, session_start_us, session_end_us, n_events, sum_value
+         |FROM sessagg""".stripMargin,
+
+    // keyed range join oracle: plain range-predicate join (DuckDB handles
+    // the quadratic pairing fine at oracle scale; the operator's bucketed
+    // equi-join must produce the identical pair set)
+    "q_events_range" ->
+      s"""WITH $oracleSessionCtes,
+         |c AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events WHERE event_type = 'click'
+         |)
+         |SELECT c.event_id, c.user_id, c.ts_us, s.session_id
+         |FROM c JOIN sessagg s
+         |  ON c.user_id = s.user_id
+         | AND c.ts_us >= s.session_start_us AND c.ts_us < s.session_end_us + 1""".stripMargin,
 
     "q_sim_bruteforce_topk" ->
       """SELECT probe_id, neighbor_id, round(round(cosine, 6), 4) AS cosine, rank FROM (
@@ -1091,5 +1161,65 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts_us,
         |  c.value AS last_click_value, c.ts_us AS last_click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    // boilerplate removal: recompute the >= minDocs normalized-segment
+    // set and filter each document's segments against it (string
+    // membership here ≡ the operator's md5-digest membership, modulo md5
+    // collisions)
+    "q_text_boilerplate" ->
+      s"""WITH ls AS (
+         |  SELECT doc_id, string_split(text, ' the ') AS segs FROM documents
+         |), freq AS (
+         |  SELECT nl, count(*) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(segs, l -> ${oracleNormExpr("l")}))) AS nl
+         |    FROM ls
+         |  ) WHERE nl <> '' GROUP BY nl
+         |), blarr AS (
+         |  SELECT coalesce(list(nl), CAST([] AS VARCHAR[])) AS bl FROM freq WHERE df >= 2
+         |)
+         |SELECT doc_id,
+         |  -- DuckDB's array_to_string of an EMPTY list is NULL; Spark's
+         |  -- array_join is '' — coalesce to the Spark (and sensible) value
+         |  coalesce(array_to_string(kept, ' the '), '') AS text_clean,
+         |  CAST(len(segs) - len(kept) AS BIGINT) AS n_removed
+         |FROM (
+         |  SELECT doc_id, segs,
+         |    list_filter(segs, l -> NOT list_contains(bl, ${oracleNormExpr("l")})) AS kept
+         |  FROM ls CROSS JOIN blarr
+         |)""".stripMargin,
+
+    // L2 normalization: per-row fold in double precision on both sides
+    // (list_sum over a double-cast list ≡ the Spark aggregate() fold);
+    // values pre-rounded before fixed-format printing
+    "q_emb_normalize" ->
+      """SELECT vec_id,
+        |  printf('%.6f', round(sqrt(nsq), 6)) AS norm,
+        |  CASE WHEN nsq = 0 THEN NULL ELSE
+        |    array_to_string(list_transform(embedding,
+        |      x -> printf('%.6f', round(CAST(x AS DOUBLE) / sqrt(nsq), 6))), ',')
+        |  END AS unit_vec
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        |  FROM embeddings
+        |)""".stripMargin,
+
+    // per-label centroid: per-(label, dim) averages reassembled in
+    // dimension order (embeddings are fixed 64-dim in this corpus, hence
+    // range(1, 65); DuckDB lists are 1-based, Spark posexplode 0-based —
+    // only the order matters)
+    "q_emb_centroid" ->
+      """WITH cells AS (
+        |  SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS m
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d)
+        |  GROUP BY label, d
+        |), cents AS (
+        |  SELECT label,
+        |    array_to_string(list_transform(list(m ORDER BY d), v -> printf('%.6f', round(v, 6))), ',') AS centroid
+        |  FROM cells GROUP BY label
+        |)
+        |SELECT n.label, n.n, c.centroid
+        |FROM (SELECT label, count(*) AS n FROM embeddings GROUP BY label) n
+        |JOIN cents c ON n.label = c.label""".stripMargin,
   )
 }

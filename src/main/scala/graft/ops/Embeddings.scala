@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column transforms for training-data pipelines: vector
+  * hygiene (normalization) and per-group statistics (centroids) over an
+  * `array<float>` column. The search-side operators (top-k, LSH, IVF)
+  * live in [[Similarity]]; these are the projection/aggregation
+  * primitives that prepare and summarize the vectors themselves.
+  */
+object Embeddings {
+
+  /** Squared L2 norm, accumulated in double left-to-right — the same
+    * order-deterministic per-row sum DuckDB's `list_sum` produces, so
+    * results compare exactly across engines (a per-row fold has no
+    * parallel reassociation, unlike a grouped aggregate).
+    */
+  def normSq(vec: Column): Column =
+    aggregate(vec, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** L2-normalize a vector to unit length, in double precision. Null
+    * vectors stay null; all-zero vectors (norm 0) become null rather than
+    * NaN-filled — downstream cosine math treats both as "no embedding".
+    * A pure scan-side projection: zero shuffles at any scale.
+    */
+  def l2Normalize(vec: Column): Column = {
+    val n = sqrt(normSq(vec))
+    when(vec.isNull || n === 0.0, lit(null).cast("array<double>"))
+      .otherwise(transform(vec, x => x.cast("double") / n))
+  }
+
+  /** Per-group centroid (dimension-wise mean) + member count of an
+    * embedding column: the corpus-summary / cluster-quality primitive.
+    *
+    * Scale shape: `posexplode` flattens to (group, dim, value) and ONE
+    * grouped aggregation averages each (group, dim) cell — map-side
+    * partial aggregation collapses every partition to at most
+    * |groups|×dims cells before the single shuffle, and no executor ever
+    * holds a group's vectors (the collect_list-then-fold alternative
+    * does, and dies on a billion-member group). The dims× row
+    * amplification is pre-shuffle and partial-agg-absorbed. A second,
+    * tiny aggregation (|groups|×dims rows) reassembles the centroid
+    * arrays in dimension order.
+    *
+    * Rows with null embeddings count toward `n` but not the centroid
+    * (their dims never explode); groups whose every vector is null are
+    * absent from the result. Mixed-length vectors within a group average
+    * per-dimension over the vectors that have that dimension.
+    *
+    * Returns (groupCols..., n, centroid: array<double>).
+    */
+  def groupCentroids(df: DataFrame, vecCol: String, groupCols: String*): DataFrame = {
+    require(groupCols.nonEmpty, "groupCentroids needs at least one group column")
+    val gcols = groupCols.map(col)
+    val n = df.groupBy(gcols: _*).agg(count(lit(1)).as("n"))
+    df.select(gcols :+ posexplode(col(vecCol)).as(Seq("__d", "__x")): _*)
+      .groupBy(gcols :+ col("__d"): _*)
+      .agg(avg(col("__x").cast("double")).as("__m"))
+      .groupBy(gcols: _*)
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__dm"))
+      .select(gcols :+ transform(col("__dm"), s => s.getField("__m")).as("centroid"): _*)
+      .join(n, groupCols)
+      .select(gcols ++ Seq(col("n"), col("centroid")): _*)
+  }
+}

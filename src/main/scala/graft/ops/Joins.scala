@@ -62,4 +62,56 @@ object Joins {
       .select(left.columns.map(c => col("__lrow." + c).as(c)) ++
         Seq(col("__v").as(prefix + valueCol), col("__vts").as(prefix + tsCol)): _*)
   }
+
+  /** Range (interval) join: every (point, interval) pair — optionally
+    * within the same `keyCols` — with `lo <= point < hi` (half-open;
+    * callers wanting inclusive `hi` pass `hi + 1` on integer domains).
+    * The interval-attribution primitive: "which session / price band /
+    * validity window does each event fall into".
+    *
+    * Why not `a.join(b, p >= lo && p < hi)`: a bare range predicate
+    * (even with equi-keys, when per-key row counts are large) degenerates
+    * to a nested-loop pairing of everything against everything in scope —
+    * quadratic, and with no keys Spark literally plans
+    * BroadcastNestedLoopJoin. This instead discretizes the domain into
+    * `bucketWidth`-sized buckets: each point lands in exactly one bucket,
+    * each interval replicates to the buckets it overlaps, and the match
+    * becomes an EQUI-join on (keys, bucket) + a residual range filter —
+    * one hash shuffle, partition-parallel, no blow-up. Each true pair
+    * meets in exactly one bucket (the point's), so no post-join dedup is
+    * needed.
+    *
+    * Pick `bucketWidth` near the typical interval length: replication
+    * factor per interval is `(hi - lo) / bucketWidth + 1` (so cost scales
+    * with `intervals × spans`), while a too-wide bucket piles unrelated
+    * rows into the same join partition. Degenerate inputs (an interval
+    * spanning millions of buckets) belong pre-split or capped upstream —
+    * the replication is visible as the `sequence()` length in the plan.
+    *
+    * Points and intervals pass all their columns through; `intervalPrefix`
+    * renames interval-side columns on collision with point-side names.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double,
+      keyCols: Seq[String] = Nil,
+      intervalPrefix: String = "",
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucket(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+    def pfx(c: String): String = if (keyCols.contains(c)) c else intervalPrefix + c
+    val pointSide = points.withColumn("__b", bucket(col(pointCol)))
+    val ivSide = intervals
+      .select(intervals.columns.map(c => col(c).as(pfx(c))): _*)
+      .withColumn("__b", explode(sequence(bucket(col(pfx(loCol))), bucket(col(pfx(hiCol))))))
+    pointSide
+      .join(ivSide, keyCols :+ "__b")
+      .filter(col(pointCol) >= col(pfx(loCol)) && col(pointCol) < col(pfx(hiCol)))
+      .drop("__b")
+  }
 }

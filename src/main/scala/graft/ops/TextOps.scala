@@ -375,6 +375,57 @@ object TextOps {
         max(col("nw")).as("max_tokens"),
       )
 
+  /** Line-level boilerplate removal (the CCNet/C4 hygiene pass): drop
+    * every line whose normalized form appears in at least `minDocs`
+    * distinct documents — navigation chrome, cookie banners, headers and
+    * footers repeat across a crawl; real prose does not. Documents are
+    * split on the literal `sep` (newline for real corpora), lines compare
+    * by normalized form ([[normalized]]), and empty-normalized lines are
+    * structural, never boilerplate.
+    *
+    * Scale shape, two passes: (1) the line document-frequency aggregate
+    * groups by the 16-byte `unhex(md5(normalized(line)))` digest — the
+    * map side hashes and partially aggregates, so the one wide exchange
+    * carries (digest, count), never line text; (2) the boilerplate digest
+    * set — by construction the head of the line-frequency distribution,
+    * vocabulary-bounded, small — collapses to ONE row via `collect_list`
+    * and cross-joins back broadcast, so the corpus pass is a pure
+    * scan-side projection: each line re-hashes and drops if its digest is
+    * in the broadcast array. Zero shuffles touch document text; membership
+    * cost is O(|boilerplate|) per line (the [[decontaminateStream]]
+    * trade — fine for the frequency head; a corpus-sized deny-list
+    * belongs in an anti-join).
+    *
+    * Documents keep their row even when every line is removed
+    * (`text_clean` = empty string). Returns (idCol, text_clean,
+    * n_removed); kept lines re-join with `sep`, preserving order.
+    */
+  def removeBoilerplate(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String,
+      minDocs: Int,
+  ): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would mark every non-empty line boilerplate")
+    val segs = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    def digest(c: Column): Column = unhex(md5(normalized(c).cast("binary")))
+    val blDigests = docs
+      .select(explode(array_distinct(
+        filter(transform(segs, l => normalized(l)), l => length(l) > 0))).as("__nl"))
+      .groupBy(digest(col("__nl")).as("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .agg(collect_list(col("__h")).as("__bl")) // one row, possibly empty array
+    docs
+      .crossJoin(broadcast(blDigests))
+      .withColumn("__kept", filter(segs, l => !array_contains(col("__bl"), digest(l))))
+      .select(
+        col(idCol),
+        array_join(col("__kept"), sep).as("text_clean"),
+        (size(segs) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Benchmark decontamination, step 2: corpus rows NOT sharing at least
     * `minOverlap` distinct n-grams with the benchmark — the documents that
     * are safe to train on. Anti-join against the (small) contaminated id

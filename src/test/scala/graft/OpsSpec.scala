@@ -645,4 +645,95 @@ class OpsSpec extends AnyFunSuite {
     assert(rw <= 256 && rh <= 256)
     assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.05)
   }
+
+  test("boilerplate removal drops shared lines, keeps unique ones in order") {
+    val pages = Seq(
+      (0L, "Subscribe to our newsletter\nfirst article body\nCopyright 2026 Example"),
+      (1L, "Subscribe to our newsletter\nsecond article body\nCopyright 2026 Example"),
+      (2L, "subscribe   to our NEWSLETTER\nthird article body"), // normalized match
+      (3L, "an island document with no shared lines at all"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplate(pages, "text", "doc_id", sep = "\n", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(0L) == (("first article body", 2L)))
+    assert(out(1L) == (("second article body", 2L)))
+    assert(out(2L) == (("third article body", 1L))) // case/ws-insensitive match
+    assert(out(3L) == (("an island document with no shared lines at all", 0L)))
+  }
+
+  test("boilerplate removal keeps fully-boilerplate docs with empty text, and empty lines") {
+    val pages = Seq(
+      (0L, "header\n\nbody a\nheader"), // duplicate line WITHIN one doc counts once
+      (1L, "header\n\nbody b"),
+      (2L, "header"),                   // nothing left after removal
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplate(pages, "text", "doc_id", sep = "\n", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // empty lines are structural: never boilerplate, always kept
+    assert(out(0L) == (("\nbody a", 2L)))
+    assert(out(1L) == (("\nbody b", 1L)))
+    assert(out(2L) == (("", 1L))) // row survives, text empties
+    // within-doc repetition alone (doc 0's two headers) must not create
+    // boilerplate: rerun with doc 1 and 2 removed
+    val solo = TextOps.removeBoilerplate(pages.filter($"doc_id" === 0L), "text", "doc_id",
+      sep = "\n", minDocs = 2).collect().head
+    assert(solo.getString(1) == "header\n\nbody a\nheader" && solo.getLong(2) == 0L)
+  }
+
+  test("range join: half-open bounds, keyed scoping, multi-bucket intervals") {
+    val points = Seq((1L, "k1", 10.0), (2L, "k1", 25.0), (3L, "k2", 10.0), (4L, "k1", 99.0))
+      .toDF("pid", "k", "x")
+    val ivs = Seq(("k1", "a", 10.0, 25.0), ("k1", "b", 20.0, 120.0), ("k2", "c", 50.0, 60.0))
+      .toDF("k", "iv", "lo", "hi")
+    val got = Joins.rangeJoin(points, ivs, "x", "lo", "hi",
+      bucketWidth = 7.0, keyCols = Seq("k"))
+      .select($"pid", $"iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "a"),            // x == lo is IN (closed low end)
+      (2L, "b"),            // x == hi of "a" is OUT (open high end); in "b"
+      (4L, "b"),            // interval spans many buckets — still exactly one match row
+    ))                      // pid 3: k2 point outside k2's interval
+    // every true pair appears exactly once regardless of bucket width
+    for (w <- Seq(1.0, 3.0, 50.0, 1000.0)) {
+      val again = Joins.rangeJoin(points, ivs, "x", "lo", "hi", w, Seq("k"))
+        .select($"pid", $"iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(again == got, s"bucketWidth $w changed the result")
+    }
+  }
+
+  test("range join without keys and with overlapping intervals emits one row per pair") {
+    val points = Seq((1L, 5.0), (2L, 15.0)).toDF("pid", "x")
+    val ivs = Seq(("a", 0.0, 10.0), ("b", 4.0, 20.0)).toDF("iv", "lo", "hi")
+    val got = Joins.rangeJoin(points, ivs, "x", "lo", "hi", bucketWidth = 2.0)
+      .select($"pid", $"iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (1L, "b"), (2L, "b")))
+  }
+
+  test("l2 normalize: unit norm, zero vector -> null, null stays null") {
+    val df = Seq(
+      (1L, Some(Seq(3.0f, 4.0f))),
+      (2L, Some(Seq(0.0f, 0.0f))),
+      (3L, None: Option[Seq[Float]]),
+    ).toDF("id", "v")
+    val rows = df.select($"id", Embeddings.l2Normalize($"v").as("u")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val u = rows(1L).get.asInstanceOf[scala.collection.Seq[Double]]
+    assert(math.abs(u(0) - 0.6) < 1e-12 && math.abs(u(1) - 0.8) < 1e-12)
+    assert(rows(2L).isEmpty && rows(3L).isEmpty)
+  }
+
+  test("group centroids: dimension-wise means; null vectors count in n only") {
+    val df = Seq(
+      ("a", Some(Seq(1.0f, 2.0f))),
+      ("a", Some(Seq(3.0f, 6.0f))),
+      ("a", None: Option[Seq[Float]]),
+      ("b", Some(Seq(10.0f, 0.0f))),
+    ).toDF("g", "v")
+    val got = Embeddings.groupCentroids(df, "v", "g").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        r.getSeq[Double](2).toList))).toMap
+    assert(got("a")._1 == 3L) // null row counts toward n
+    assert(got("a")._2 == List(2.0, 4.0)) // but not the centroid
+    assert(got("b") == ((1L, List(10.0, 0.0))))
+  }
 }

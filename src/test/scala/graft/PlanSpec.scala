@@ -128,4 +128,24 @@ class PlanSpec extends AnyFunSuite {
     assert("ReadSchema: struct<doc_id:bigint,text:string,lang".r.findAllIn(p).size == 1, p)
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,250)]"), p)
   }
+
+  test("range join plans as a hash equi-join on buckets, never a nested loop") {
+    val points = Seq((1L, "k1", 10.0)).toDF("pid", "k", "x")
+    val ivs = Seq(("k1", "a", 10.0, 25.0)).toDF("k", "iv", "lo", "hi")
+    val p = plan(graft.ops.Joins.rangeJoin(points, ivs, "x", "lo", "hi", 7.0, Seq("k")))
+    // the bucketed rewrite exists precisely so Spark does NOT fall back to
+    // BroadcastNestedLoopJoin (its only native plan for a bare range
+    // predicate) — the residual lo/hi filter must ride on an equi-join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("boilerplate removal: corpus pass is scan-side; only digests shuffle") {
+    val p = plan(graft.ops.TextOps.removeBoilerplate(docs, "text", "doc_id", "\n", 2))
+    // one wide exchange (the line-digest frequency aggregate); the
+    // boilerplate set then broadcasts back, so document text never shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }

@@ -151,6 +151,26 @@ object Drive {
     graft.SparkEntry.queries("q_events_asof")(spark, sfDir)
       .orderBy(col("event_id")).show(5)
 
+    println("== round-4b: boilerplate removal (' the '-separated segments) ==")
+    val bp = graft.ops.TextOps.removeBoilerplate(docs, "text", "doc_id", " the ", 2)
+    bp.filter(col("n_removed") > 0).orderBy(col("n_removed").desc).show(3, truncate = 40)
+    println(s"docs rewritten: ${bp.filter(col("n_removed") > 0).count()} of ${bp.count()}")
+
+    println("== round-4b: keyed range join (clicks -> sessions) ==")
+    val rj = graft.SparkEntry.queries("q_events_range")(spark, sfDir)
+    rj.orderBy(col("event_id")).show(5)
+    println(s"clicks attributed: ${rj.count()}")
+    rj.explain("formatted")
+
+    println("== round-4b: embedding normalize + per-label centroids ==")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.select(col("vec_id"),
+      round(sqrt(graft.ops.Embeddings.normSq(col("embedding"))), 4).as("norm")).show(3)
+    graft.ops.Embeddings.groupCentroids(emb, "embedding", "label")
+      .select(col("label"), col("n"), expr("round(centroid[0], 4)").as("c0"),
+        expr("round(centroid[1], 4)").as("c1"))
+      .orderBy(col("label")).show(5)
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
