@@ -65,4 +65,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() == li.filter($"l_returnflag" === "R").count())
     assert(scan.contains("PartitionFilters") || scan.contains("partitionFilters"))
   }
+
+  test("sorted sink clusters rows within every file (row-group stats usable)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink_sorted").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    GraftSource.writeParquetSorted(li, tmp,
+      sortCols = Seq("l_orderkey"), partitionCols = Seq("l_returnflag"))
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == li.count())
+    // every physical file individually is sorted by l_orderkey — that is
+    // what makes parquet's per-row-group min/max stats selective
+    val files = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val keys = spark.read.parquet(f).select($"l_orderkey")
+        .collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), s"$f is not sorted")
+    }
+  }
 }

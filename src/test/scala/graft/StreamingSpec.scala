@@ -111,6 +111,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("range join is stream-static composable and matches the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val points = input.toDF().toDF("pid", "k", "x")
+    val ivs = Seq(("k1", "a", 10.0, 25.0), ("k1", "b", 20.0, 120.0), ("k2", "c", 5.0, 15.0))
+      .toDF("k", "iv", "lo", "hi")
+    // the bucketed rewrite is an equi-join + residual filter, which Spark
+    // supports stream-static with no watermark or state store — interval
+    // attribution works on a live stream unchanged
+    val out = graft.ops.Joins.rangeJoin(points, ivs, "x", "lo", "hi",
+      bucketWidth = 7.0, keyCols = Seq("k")).select($"pid", $"iv")
+    val q = out.writeStream.format("memory").queryName("range_stream")
+      .outputMode("append").start()
+    try {
+      val data = Seq((1L, "k1", 10.0), (2L, "k1", 25.0), (3L, "k2", 10.0), (4L, "k0", 7.0))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("range_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = graft.ops.Joins.rangeJoin(data.toDF("pid", "k", "x"), ivs,
+          "x", "lo", "hi", 7.0, Seq("k"))
+        .select($"pid", $"iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch && batch == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("streaming curation gates + dedups like the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -171,6 +171,15 @@ object Drive {
         expr("round(centroid[1], 4)").as("c1"))
       .orderBy(col("label")).show(5)
 
+    println("== round-4b: sorted clustered sink (row-group stats) ==")
+    val sinkTmp = java.nio.file.Files.createTempDirectory("drive_sorted_sink").toString
+    graft.sources.GraftSource.writeParquetSorted(
+      li.select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+      sinkTmp, sortCols = Seq("l_orderkey"), partitionCols = Seq("l_returnflag"))
+    val sinkBack = spark.read.parquet(sinkTmp)
+    println(s"round-trip rows: ${sinkBack.count()} (source ${li.count()})")
+    sinkBack.filter(col("l_orderkey") < 100).groupBy(col("l_returnflag")).count().show()
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
