@@ -406,6 +406,13 @@ object SparkEntry {
       Sample.capPerGroup(events(s, dir), "user_id", "event_id", n = 5, salt = "r3")
         .select(col("event_id"), col("user_id"))),
 
+    // token-budget quota: each language capped at ~30k chars of documents,
+    // hash-ordered prefix (may overrun by one doc — the packChunks contract)
+    "q_sample_cap_tokens" -> ((s, dir) =>
+      Sample.capTokensPerGroup(t(s, dir, "documents"), "lang", "doc_id", "n_chars",
+        budget = 30000L, salt = "r4")
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // weighted corpus mixture: two pseudo-sources over the documents
     // table at 50% / 25%, independently salted per source tag
     "q_sample_mix" -> ((s, dir) => {
@@ -450,6 +457,12 @@ object SparkEntry {
         col("doc_id"),
         TextOps.fingerprintRolling(col("text")).as("fp_roll"))
     }),
+
+    // corpus-level duplication meter: fraction of each doc's distinct
+    // 8-shingles that occur in >= 2 documents (nonzero via the planted
+    // near-dup clusters)
+    "q_text_corpus_dup" -> ((s, dir) =>
+      TextOps.corpusDupStats(t(s, dir, "documents"), "text", "doc_id", k = 8, minDocs = 2)),
 
     // line-level boilerplate removal: the synthetic corpus is single-line,
     // so " the " stands in as the line separator (43 segments repeat
@@ -1124,6 +1137,13 @@ object SparkEntry {
          |  PARTITION BY user_id
          |  ORDER BY ${oracleMd5Long("CAST(event_id AS VARCHAR) || '#r3'")}, event_id) <= 5""".stripMargin,
 
+    "q_sample_cap_tokens" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |QUALIFY sum(n_chars) OVER (
+         |  PARTITION BY lang
+         |  ORDER BY ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")}, doc_id
+         |  ROWS UNBOUNDED PRECEDING) - n_chars < 30000""".stripMargin,
+
     "q_sample_mix" ->
       s"""SELECT 'web' AS source, doc_id FROM documents
          |WHERE ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r3#web'")} % 1000000 < 500000
@@ -1161,6 +1181,31 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts_us,
         |  c.value AS last_click_value, c.ts_us AS last_click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    // corpus duplication meter: recompute the distinct-shingle inverted
+    // index with the same md5-derived 60-bit hash and count per-doc
+    // shingles whose doc-frequency reaches minDocs
+    "q_text_corpus_dup" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(${oracleShingles(8)}, s -> ${oracleMd5Long("s")})) AS hl
+         |  FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
+         |), inv AS (
+         |  SELECT doc_id, unnest(hl) AS h FROM hs
+         |), dup AS (
+         |  SELECT h FROM inv GROUP BY h HAVING count(*) >= 2
+         |), dc AS (
+         |  SELECT doc_id, count(*) AS n_dup FROM inv
+         |  WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(len(hs.hl), 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(dc.n_dup, 0) AS BIGINT) AS n_dup,
+         |  round(CASE WHEN coalesce(len(hs.hl), 0) = 0 THEN 0.0
+         |        ELSE CAST(coalesce(dc.n_dup, 0) AS DOUBLE) / len(hs.hl) END, 6) AS dup_frac
+         |FROM documents d
+         |LEFT JOIN hs ON d.doc_id = hs.doc_id
+         |LEFT JOIN dc ON d.doc_id = dc.doc_id""".stripMargin,
 
     // boilerplate removal: recompute the >= minDocs normalized-segment
     // set and filter each document's segments against it (string

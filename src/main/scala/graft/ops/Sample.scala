@@ -89,4 +89,35 @@ object Sample {
       .orderBy(saltedHash(col(keyCol), salt), col(keyCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
+
+  /** Token-budget quota per group: keep a hash-ordered prefix of each
+    * group's rows whose cumulative `tokenCol` stays within `budget` —
+    * corpus mixing when the recipe is written in tokens, not documents
+    * ("at most 1B tokens per source"). The row-count sibling is
+    * [[capPerGroup]]; determinism and rerun-stability come from the same
+    * salted-hash ordering (ties by `keyCol`, same uniqueness
+    * PRECONDITION).
+    *
+    * A row is kept iff the tokens BEFORE it (in hash order) are under the
+    * budget, so each group fills to at least `budget` and may overrun by
+    * up to one row — the [[TextOps.packChunks]] contract, which also
+    * guarantees a group's largest-first document can't starve it. One
+    * shuffle on the group key; the running sum streams each group.
+    */
+  def capTokensPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      tokenCol: String,
+      budget: Long,
+      salt: String = "",
+  ): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(saltedHash(col(keyCol), salt), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") - col(tokenCol) < budget)
+      .drop("__cum")
+  }
 }

@@ -375,6 +375,60 @@ object TextOps {
         max(col("nw")).as("max_tokens"),
       )
 
+  /** Corpus-level duplication meter: per document, how many of its
+    * DISTINCT word `k`-shingles occur in at least `minDocs` documents —
+    * the span-level signal behind substring-dedup decisions (Lee et al.
+    * 2021 "Deduplicating Training Data Makes Language Models Better"
+    * measure duplication by spans repeated across the corpus, not within
+    * a document — the within-doc twin is [[repetitionMetrics]]). High
+    * `dup_frac` means the document is largely assembled from text that
+    * exists elsewhere: quote farms, mirrors, template spam.
+    *
+    * Scale shape: shingles hash to the 60-bit md5-derived key
+    * ([[graft.functions.GraftFunctions.md5Long60]], SQL-recomputable), so
+    * every wide operation moves (id, hash) longs, never text: one
+    * aggregation counts doc-frequency per hash, a semi-join keeps each
+    * document's corpus-duplicated hashes, and a per-doc count + join back
+    * produces the meter. The duplicated-hash set is corpus-sized, so it
+    * is NOT broadcast — unlike [[removeBoilerplate]]'s line head, this
+    * flows through partitioned joins at any scale.
+    *
+    * Returns every input row's (idCol, n_shingles, n_dup, dup_frac) —
+    * documents shorter than `k` words report (0, 0, 0.0). Callers must
+    * `GraftFunctions.register` the session (native `word_shingles`).
+    */
+  def corpusDupStats(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      minDocs: Int = 2,
+  ): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would count every shingle as duplicated")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val hashes = array_distinct(transform(
+      graft.functions.GraftFunctions.wordShingles(col(textCol), k),
+      s => graft.functions.GraftFunctions.md5Long60(s.cast("binary"))))
+    val perDoc = docs.select(col(idCol), hashes.as("__hs"))
+    val inv = perDoc.select(col(idCol), explode(col("__hs")).as("__h"))
+    val dupHashes = inv.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val dupCounts = inv.join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nd"))
+    perDoc.select(col(idCol), size(col("__hs")).cast("long").as("n_shingles"))
+      .join(dupCounts, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup"),
+        round(when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(coalesce(col("__nd"), lit(0L)).cast("double") / col("n_shingles")), 6)
+          .as("dup_frac"))
+  }
+
   /** Line-level boilerplate removal (the CCNet/C4 hygiene pass): drop
     * every line whose normalized form appears in at least `minDocs`
     * distinct documents — navigation chrome, cookie banners, headers and

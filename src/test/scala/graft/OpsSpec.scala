@@ -722,6 +722,50 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(2L).isEmpty && rows(3L).isEmpty)
   }
 
+  test("corpus duplication meter: exact dups fully duplicated, unique docs zero") {
+    graft.functions.GraftFunctions.register(spark)
+    val stats = TextOps.corpusDupStats(docs, "text", "doc_id", k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(stats.size == 6) // every input row reports
+    // docs 0 and 1 are byte-identical: every shingle occurs in >= 2 docs
+    assert(stats(0L)._3 == 1.0 && stats(1L)._3 == 1.0)
+    // doc 2 differs by one word: most but not all shingles shared
+    assert(stats(2L)._3 > 0.5 && stats(2L)._3 < 1.0)
+    // docs 4 and 5 share nothing with anyone
+    assert(stats(4L) == ((stats(4L)._1, 0L, 0.0)) && stats(4L)._1 > 0)
+    assert(stats(5L)._2 == 0L)
+    // a document shorter than k words reports (0, 0, 0.0)
+    val short = TextOps.corpusDupStats(
+      docs.union(Seq((9L, "too short")).toDF("doc_id", "text")),
+      "text", "doc_id", k = 8, minDocs = 2)
+      .filter($"doc_id" === 9L).collect().head
+    assert((short.getLong(1), short.getLong(2), short.getDouble(3)) == ((0L, 0L, 0.0)))
+  }
+
+  test("token-budget cap keeps a hash-ordered prefix, overruns by at most one row") {
+    val rows = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L + (i % 7)))
+    val df = rows.toDF("id", "g", "toks")
+    val budget = 60L
+    val kept = Sample.capTokensPerGroup(df, "g", "id", "toks", budget, salt = "t")
+    val byGroup = kept.collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+    byGroup.foreach { case (g, rs) =>
+      val total = rs.map(_._3).sum
+      val maxRow = rs.map(_._3).max
+      assert(total < budget + maxRow, s"group $g exceeded budget + one row: $total")
+      assert(total >= budget.min(rows.filter(_._2 == g).map(_._3).sum),
+        s"group $g underfilled: $total")
+    }
+    // deterministic across partition layouts
+    val again = Sample.capTokensPerGroup(df.repartition(13), "g", "id", "toks", budget, "t")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select($"id").collect().map(_.getLong(0)).toSet)
+    // a different salt picks a different (same-budget) prefix
+    val other = Sample.capTokensPerGroup(df, "g", "id", "toks", budget, salt = "u")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(other != again)
+  }
+
   test("group centroids: dimension-wise means; null vectors count in n only") {
     val df = Seq(
       ("a", Some(Seq(1.0f, 2.0f))),

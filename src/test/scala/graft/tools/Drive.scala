@@ -171,6 +171,14 @@ object Drive {
         expr("round(centroid[1], 4)").as("c1"))
       .orderBy(col("label")).show(5)
 
+    println("== round-4b: corpus duplication meter + token-budget quota ==")
+    graft.ops.TextOps.corpusDupStats(docs, "text", "doc_id", k = 8, minDocs = 2)
+      .orderBy(col("dup_frac").desc).show(3)
+    val capped = graft.ops.Sample.capTokensPerGroup(docs, "lang", "doc_id", "n_chars",
+      budget = 30000L, salt = "r4")
+    capped.groupBy(col("lang")).agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang")).show()
+
     println("== round-4b: sorted clustered sink (row-group stats) ==")
     val sinkTmp = java.nio.file.Files.createTempDirectory("drive_sorted_sink").toString
     graft.sources.GraftSource.writeParquetSorted(
