@@ -458,6 +458,14 @@ object SparkEntry {
         TextOps.fingerprintRolling(col("text")).as("fp_roll"))
     }),
 
+    // encoding-hygiene metrics (this corpus is clean ASCII, so counts are
+    // 0 and the ratio 0.0 — the oracle still verifies every expression;
+    // planted mojibake semantics live in OpsSpec)
+    "q_text_encoding" -> ((s, dir) => {
+      val m = TextOps.encodingMetrics(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(col("doc_id") +: m: _*)
+    }),
+
     // corpus-level duplication meter: fraction of each doc's distinct
     // 8-shingles that occur in >= 2 documents (nonzero via the planted
     // near-dup clusters)
@@ -1181,6 +1189,14 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts_us,
         |  c.value AS last_click_value, c.ts_us AS last_click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    "q_text_encoding" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS INTEGER) AS n_control,
+        |  CAST(len(regexp_extract_all(text, '�')) AS INTEGER) AS n_replacement,
+        |  round(CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS DOUBLE)
+        |    / greatest(length(text), 1), 6) AS nonascii_ratio
+        |FROM documents""".stripMargin,
 
     // corpus duplication meter: recompute the distinct-shingle inverted
     // index with the same md5-derived 60-bit hash and count per-doc

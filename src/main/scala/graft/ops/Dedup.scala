@@ -72,7 +72,7 @@ object Dedup {
       logMetric: Boolean,
   ): DataFrame = {
     require(cap > 0, "maxBucketSize must be positive")
-    val overfull = banded
+    lazy val overfull = banded
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
     if (logMetric) {
@@ -88,9 +88,20 @@ object Dedup {
         banded.join(overfull.select(keys.map(col): _*), keys, "left_anti")
       }
     } else {
-      // lazy/interactive paths run no actions: the guard stays a plan
-      // node unconditionally
-      banded.join(overfull.select(keys.map(col): _*), keys, "left_anti")
+      // lazy/interactive paths run no actions, so the guard must stay a
+      // plan node unconditionally — but NOT as the anti-join above, which
+      // would recompute the banding for its build side and add its own
+      // shuffle (measured ~2× on the lshTopK search path). A count window
+      // over the bucket key sizes every bucket in one pass, and its hash
+      // exchange is exactly the partitioning the downstream bucket join
+      // needs, so Spark reuses it instead of exchanging again. The one
+      // pathological bucket this drops does sort/spill inside a single
+      // window task first — bounded by the same rows the anti-join build
+      // would have shuffled anyway.
+      val w = Window.partitionBy(keys.map(col): _*)
+      banded.withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= cap)
+        .drop("__bn")
     }
   }
 

@@ -287,6 +287,30 @@ object TextOps {
     )
   }
 
+  /** Encoding-hygiene patterns, shared with the oracle SQL: bare control
+    * characters (tab/newline/CR are legitimate text structure and
+    * excluded), the U+FFFD replacement character (the smoking gun of a
+    * mis-decoded byte stream — "mojibake"), and non-ASCII generally.
+    * Simple character classes only, so Java regex and RE2 agree.
+    */
+  val controlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  val replacementChar = "�"
+
+  /** Encoding-quality metrics: control-char count, replacement-char count,
+    * and non-ASCII ratio — the decode-sanity gate a crawl pipeline runs
+    * before any language or quality scoring (a document full of U+FFFD
+    * scores "fluent" on length metrics while being garbage). Pure
+    * codegen'd projections, zero shuffles; non-ASCII ratio is a signal to
+    * pair with [[languageId]], not a filter by itself (CJK text is
+    * legitimately ~100% non-ASCII).
+    */
+  def encodingMetrics(text: Column): Seq[(String, Column)] = Seq(
+    "n_control" -> regexp_count(text, lit(controlPattern)),
+    "n_replacement" -> regexp_count(text, lit(replacementChar)),
+    "nonascii_ratio" -> round(
+      regexp_count(text, lit("[^\\x00-\\x7F]")).cast("double") / greatest(length(text), lit(1)), 6),
+  )
+
   /** Canonical text: lowercase, whitespace collapsed, trimmed. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

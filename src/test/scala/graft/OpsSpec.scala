@@ -722,6 +722,24 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(2L).isEmpty && rows(3L).isEmpty)
   }
 
+  test("encoding metrics flag control chars, mojibake, and non-ascii text") {
+    val rows = Seq(
+      (0L, "clean ascii prose here"),
+      (1L, "bro\u0000ken with \u0007 bells"),           // bare control chars
+      (2L, "caf�s and na�ve decoding"),       // replacement chars
+      (3L, "中文文本"),                 // CJK: 100% non-ascii
+      (4L, "tabs\tand\nnewlines\rare fine"),            // structural ws excluded
+    ).toDF("doc_id", "text")
+    val m = TextOps.encodingMetrics($"text").map { case (n, c) => c.as(n) }
+    val got = rows.select($"doc_id" +: m: _*).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((0, 0, 0.0)))
+    assert(got(1L)._1 == 2 && got(1L)._2 == 0)
+    assert(got(2L) == ((0, 2, 0.083333))) // round(2/24, 6)
+    assert(got(3L)._3 == 1.0)
+    assert(got(4L) == ((0, 0, 0.0)))
+  }
+
   test("corpus duplication meter: exact dups fully duplicated, unique docs zero") {
     graft.functions.GraftFunctions.register(spark)
     val stats = TextOps.corpusDupStats(docs, "text", "doc_id", k = 8, minDocs = 2)

@@ -129,6 +129,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,250)]"), p)
   }
 
+  test("token-budget quota is one running-sum window over one exchange") {
+    val p = plan(Sample.capTokensPerGroup(docs, "lang", "doc_id", "n_chars", 30000L, "t"))
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("range join plans as a hash equi-join on buckets, never a nested loop") {
     val points = Seq((1L, "k1", 10.0)).toDF("pid", "k", "x")
     val ivs = Seq(("k1", "a", 10.0, 25.0)).toDF("k", "iv", "lo", "hi")

@@ -98,6 +98,40 @@ class PropertySpec extends AnyFunSuite {
     s"SELECT ${sels.mkString(", ")}$w$o$l"
   }
 
+  test("rangeJoin equals the naive cross-filter on random inputs and widths") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val caseGen = for {
+      nP <- Gen.chooseNum(0, 40)
+      nI <- Gen.chooseNum(0, 15)
+      points <- Gen.listOfN(nP, for {
+        k <- Gen.oneOf("k1", "k2", "k3")
+        x <- Gen.chooseNum(-50.0, 50.0).map(v => math.rint(v * 4) / 4.0) // hits bounds often
+      } yield (k, x))
+      ivs <- Gen.listOfN(nI, for {
+        k <- Gen.oneOf("k1", "k2", "k3")
+        lo <- Gen.chooseNum(-50.0, 50.0).map(v => math.rint(v * 4) / 4.0)
+        len <- Gen.chooseNum(0.0, 40.0).map(v => math.rint(v * 4) / 4.0) // zero-length too
+      } yield (k, lo, lo + len))
+      width <- Gen.oneOf(0.25, 1.0, 7.0, 100.0)
+    } yield (points, ivs, width)
+    samples(caseGen, 12).foreach { case (ps, ivs, width) =>
+      val pdf = ps.zipWithIndex.map { case ((k, x), i) => (i.toLong, k, x) }
+        .toDF("pid", "k", "x")
+      val idf = ivs.zipWithIndex.map { case ((k, lo, hi), i) => (i.toLong, k, lo, hi) }
+        .toDF("iid", "k", "lo", "hi")
+      val got = graft.ops.Joins.rangeJoin(pdf, idf, "x", "lo", "hi", width, Seq("k"))
+        .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (p, pi) <- ps.zipWithIndex
+        (iv, ii) <- ivs.zipWithIndex
+        if p._1 == iv._1 && p._2 >= iv._2 && p._2 < iv._3
+      } yield (pi.toLong, ii.toLong)).toSet
+      assert(got == expect, s"width=$width points=$ps ivs=$ivs")
+    }
+  }
+
   test("compiled queries: inferred output schema == planned DataFrame schema") {
     samples(queryGen, 60).foreach { q =>
       Compiler.compile(schema, q) match {

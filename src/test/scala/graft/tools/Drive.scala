@@ -171,6 +171,14 @@ object Drive {
         expr("round(centroid[1], 4)").as("c1"))
       .orderBy(col("label")).show(5)
 
+    println("== round-4b: encoding metrics (planted mojibake) ==")
+    import spark.implicits._
+    val mojirows = Seq((0L, "clean prose"), (1L, "caf�s na�ve"), (2L, "中文文本"))
+      .toDF("doc_id", "text")
+    mojirows.select((col("doc_id") +:
+      graft.ops.TextOps.encodingMetrics(col("text")).map { case (n, c) => c.as(n) }): _*)
+      .show()
+
     println("== round-4b: corpus duplication meter + token-budget quota ==")
     graft.ops.TextOps.corpusDupStats(docs, "text", "doc_id", k = 8, minDocs = 2)
       .orderBy(col("dup_frac").desc).show(3)
