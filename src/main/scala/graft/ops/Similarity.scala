@@ -270,6 +270,29 @@ object Similarity {
     IvfIndex(km.fit(training).clusterCenters.map(_.toArray))
   }
 
+  /** Persist a trained IVF index as a tiny parquet table of
+    * (cell, centroid) rows — the production lifecycle: train once,
+    * save, and let every later session / job [[loadIvf]] instead of
+    * retraining. Centroids are a few KB; the write is one task.
+    */
+  def saveIvf(index: IvfIndex, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load an IVF index saved by [[saveIvf]]. Cell order is restored from
+    * the stored ids, so a loaded index searches identically to the
+    * in-memory original (asserted by the round-trip test).
+    */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(path)
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray))
+
   /** Search a trained IVF index: assign corpus rows to their cell, explode
     * probes to their `nprobe` best cells, equi-join on the cell id, exact
     * cosine re-rank via the bounded top-k aggregate.

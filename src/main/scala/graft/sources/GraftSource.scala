@@ -54,6 +54,16 @@ object GraftSource {
       spark.read.option("header", "true").schema(Schema.toStructType(schema)).csv(path)
     }
 
+  /** Read ORC through the same closed-world gate as [[parquet]] — ORC
+    * carries a physical schema, so declared-vs-physical validation applies
+    * at load, and column pruning + predicate pushdown reach the ORC scan
+    * exactly as for parquet.
+    */
+  def orc(spark: SparkSession, path: String, schemaJson: String): Either[String, DataFrame] =
+    Schema.fromString(schemaJson).flatMap { schema =>
+      gate(spark.read.orc(path), schema)
+    }
+
   /** Project a loaded DataFrame down to the declared fields, validating
     * declared-vs-physical type compatibility field by field.
     */

@@ -399,6 +399,21 @@ class OpsSpec extends AnyFunSuite {
     assert(all == exact)
   }
 
+  test("IVF index save/load round-trips and searches identically") {
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 37.0 + d).toFloat))).toDF("id", "v")
+    val idx = Similarity.trainIvf(vecs, "v", "id", nlist = 4)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/index"
+    Similarity.saveIvf(idx, spark, path)
+    val back = Similarity.loadIvf(spark, path)
+    assert(back.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    val probes = vecs.filter($"id" < 3)
+    def run(i: Similarity.IvfIndex) =
+      Similarity.ivfSearch(i, vecs, probes, "v", "id", k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(run(back) == run(idx))
+  }
+
   test("recall@k is 1.0 against itself and counts misses correctly") {
     val probes = vecs.filter($"vec_id" === 0L)
     val exact = Similarity.bruteForceTopK(vecs, probes, "embedding", "vec_id", k = 3)

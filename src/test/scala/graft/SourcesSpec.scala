@@ -66,6 +66,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") || scan.contains("partitionFilters"))
   }
 
+  test("orc source gates like parquet: declared fields, load-time mismatch errors") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    spark.read.parquet(s"$dir/nation.parquet").write.mode("overwrite").orc(tmp)
+    val got = GraftSource.orc(spark, tmp,
+      """{ "n_nationkey": "number", "n_name": "string" }""").fold(e => fail(e), identity)
+    assert(got.columns.toList == List("n_nationkey", "n_name"))
+    assert(got.count() == 25)
+    // pruning reaches the ORC scan
+    val scan = got.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<n_nationkey:int,n_name:string>"), scan)
+    // physical-schema validation applies at load, as for parquet
+    assert(GraftSource.orc(spark, tmp, """{ "nope": "number" }""").isLeft)
+    assert(GraftSource.orc(spark, tmp, """{ "n_name": "number" }""").isLeft)
+  }
+
   test("sorted sink clusters rows within every file (row-group stats usable)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink_sorted").toString
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

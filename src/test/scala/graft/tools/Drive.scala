@@ -196,6 +196,22 @@ object Drive {
     println(s"round-trip rows: ${sinkBack.count()} (source ${li.count()})")
     sinkBack.filter(col("l_orderkey") < 100).groupBy(col("l_returnflag")).count().show()
 
+    println("== round-4b: orc source gate + IVF index persistence ==")
+    val orcTmp = java.nio.file.Files.createTempDirectory("drive_orc").toString
+    spark.read.parquet(s"$sfDir/nation.parquet").write.mode("overwrite").orc(orcTmp)
+    graft.sources.GraftSource.orc(spark, orcTmp,
+      """{ "n_nationkey": "number", "n_name": "string" }""")
+      .fold(e => sys.error(e), identity).show(3)
+    println("orc gate probe: " +
+      graft.sources.GraftSource.orc(spark, orcTmp, """{ "n_name": "number" }"""))
+    val ivfIdx = graft.ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 8)
+    val ivfPath = java.nio.file.Files.createTempDirectory("drive_ivf").toString + "/idx"
+    graft.ops.Similarity.saveIvf(ivfIdx, spark, ivfPath)
+    val loaded = graft.ops.Similarity.loadIvf(spark, ivfPath)
+    println(s"ivf round-trip: nlist=${loaded.nlist}, " +
+      s"search rows=${graft.ops.Similarity.ivfSearch(loaded, emb,
+        emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 5).count()}")
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
