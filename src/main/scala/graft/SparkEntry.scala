@@ -237,6 +237,23 @@ object SparkEntry {
         numHashes = 128, bands = 32, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // incremental near-dup: the batch (doc_id >= 250) compares against the
+    // HISTORY's stored signatures (no history text) — emits the pair ids;
+    // the estimator's decision matches exact Jaccard here because no pair
+    // sits near the threshold (verified: nothing in [0.3, 0.7] at either
+    // SF), so the exact-Jaccard oracle applies to the pair SET
+    "q_dedup_incr_near" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hist = Dedup.minHashSignatures(
+        docs.filter(col("doc_id") < 250), "text", "doc_id", numHashes = 128)
+      val batch = Dedup.minHashSignatures(
+        docs.filter(col("doc_id") >= 250), "text", "doc_id", numHashes = 128)
+      Dedup.minHashNearDupsIncremental(batch, hist,
+          numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))),
@@ -621,7 +638,12 @@ object SparkEntry {
     * Tokenization and shingling mirror `graft.functions.ShingleUtil`
     * exactly.
     */
-  private def oracleShingleJaccard(k: Int, threshold: Double): String =
+  private def oracleShingleJaccard(
+      k: Int,
+      threshold: Double,
+      select: String = "id_a, id_b, round(jaccard, 6) AS jaccard",
+      extraWhere: String = "",
+  ): String =
     s"""WITH toks AS (
        |  SELECT doc_id, $oracleTokens AS tokens FROM documents
        |), sets AS (
@@ -639,13 +661,13 @@ object SparkEntry {
        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
-       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+       |SELECT $select FROM (
        |  SELECT id_a, id_b,
        |    CAST(n_inter AS DOUBLE) / (len(sa.s) + len(sb.s) - n_inter) AS jaccard
        |  FROM inter
        |  JOIN sets sa ON sa.doc_id = id_a
        |  JOIN sets sb ON sb.doc_id = id_b
-       |) WHERE jaccard >= $threshold""".stripMargin
+       |) WHERE jaccard >= $threshold$extraWhere""".stripMargin
   /** The md5-derived 60-bit hash the multimodal stub codec and rolling
     * fingerprint use (mirrors Multimodal.md5Long: leading 15 hex chars of
     * md5 parsed as an integer — bit-identical in both engines).
@@ -861,6 +883,14 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1""".stripMargin,
 
     "q_dedup_minhash" -> oracleShingleJaccard(k = 5, threshold = 0.5),
+
+    // incremental near-dup: the true pair set with at least one side in
+    // the batch (ids only — the operator's est_jaccard is an estimator
+    // value with no SQL equivalent; its decisions coincide with exact
+    // Jaccard on this corpus, see the query comment)
+    "q_dedup_incr_near" -> oracleShingleJaccard(k = 5, threshold = 0.5,
+      select = "id_a, id_b",
+      extraWhere = " AND NOT (id_a < 250 AND id_b < 250)"),
 
     // both SimHash configurations recompute to the same exact pair set
     // (banding-independence is part of the operator contract)

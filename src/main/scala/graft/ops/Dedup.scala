@@ -279,6 +279,93 @@ object Dedup {
     materializeAndRelease(result, materialize, Seq(shingled, banded1))
   }
 
+  /** MinHash signatures as a storable (id, sig) table — the state an
+    * incremental near-dedup pipeline persists per corpus increment
+    * ([[graft.sources.GraftSource.writeParquet]] it next to the corpus) so
+    * future batches compare against history WITHOUT re-reading, or even
+    * retaining, historical text. Signature derivation is exactly
+    * [[minHashNearDups]]'s (same seeded hash family, so tables built at
+    * different times on different clusters are comparable); documents with
+    * no shingles are absent, matching its behavior.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 5,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), signatureOfShingles(col("shingles"), numHashes).as("sig"))
+  }
+
+  /** Incremental near-dup at the signature level: pairs of a NEW batch
+    * against the historical signature store, plus within-batch pairs —
+    * history×history pairs are excluded (history was deduplicated when it
+    * was the batch). This is the daily-crawl shape: the corpus grows by
+    * increments, and each increment compares against all prior state at
+    * the cost of banding only.
+    *
+    * History has no text anymore, so verification is the signature-
+    * estimated Jaccard (component agreement rate: E[est] = J, sd =
+    * sqrt(J(1-J)/numHashes) ≈ 0.044 at J = 0.5 with 128 hashes). That
+    * makes this operator APPROXIMATE at the decision boundary: keep the
+    * threshold ~3-4 sd away from where real pair densities sit, or
+    * exactly re-verify borderline survivors where batch text exists.
+    *
+    * PRECONDITION: ids unique across batch ∪ history. Both inputs are
+    * (id, sig) as produced by [[minHashSignatures]] with the same
+    * numHashes/shingleSize. Scale shape is [[minHashNearDups]]'s: banding
+    * shuffles (band, bucket, id, side) rows; signatures re-join only for
+    * the deduplicated candidate set; the window-based degenerate-bucket
+    * guard rides the banding exchange.
+    *
+    * Returns (id_a, id_b, est_jaccard), id_a < id_b.
+    */
+  def minHashNearDupsIncremental(
+      batchSigs: DataFrame,
+      historySigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val all = batchSigs.select(col("id"), col("sig"), lit(1).as("side"))
+      .unionByName(historySigs.select(col("id"), col("sig"), lit(0).as("side")))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+    val banded0 = all
+      .select(col("id"), col("side"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("side"), col("bb.band"), col("bb.bucket"))
+    val banded = dropOverfullBuckets(banded0, Seq("band", "bucket"), maxBucketSize,
+      "minHashNearDupsIncremental", logMetric = false)
+    val left = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("side").as("side_a"))
+    val right = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("side").as("side_b"))
+    val candidates = left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("side_a") + col("side_b") >= 1) // at least one new-batch row
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sigs = all.select(col("id"), col("sig"))
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
   /** Apply the [[Materialize]] policy to a result, then release the
     * operator's persisted intermediates (no-op for Lazy, which never
     * persisted them).

@@ -192,6 +192,22 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(11L, 12L))
   }
 
+  test("incremental near-dup: batch vs signature history, history pairs excluded") {
+    val hist = Dedup.minHashSignatures(docs.filter($"doc_id" <= 2), "text", "doc_id",
+      numHashes = 128)
+    val batch = Dedup.minHashSignatures(docs.filter($"doc_id" >= 3), "text", "doc_id",
+      numHashes = 128)
+    val got = Dedup.minHashNearDupsIncremental(batch, hist,
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 3 near-dups the whole history cluster {0,1,2}; 4 and 5 match nothing
+    assert(got.keySet == Set((0L, 3L), (1L, 3L), (2L, 3L)))
+    assert(got((0L, 3L)) > 0.5 && got((0L, 3L)) <= 1.0)
+    // identical docs agree on every signature component
+    val sigs = hist.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+  }
+
   test("decontamination: n-gram overlap with a benchmark flags only true overlaps") {
     val bench = Seq((100L, base)).toDF("doc_id", "text")
     val counts = TextOps.contaminationCounts(docs, bench, "text", "doc_id", n = 8)

@@ -196,6 +196,15 @@ object Drive {
     println(s"round-trip rows: ${sinkBack.count()} (source ${li.count()})")
     sinkBack.filter(col("l_orderkey") < 100).groupBy(col("l_returnflag")).count().show()
 
+    println("== round-4b: incremental near-dup (batch vs signature history) ==")
+    val histSigs = graft.ops.Dedup.minHashSignatures(
+      docs.filter(col("doc_id") < 250), "text", "doc_id", numHashes = 128)
+    val batchSigs = graft.ops.Dedup.minHashSignatures(
+      docs.filter(col("doc_id") >= 250), "text", "doc_id", numHashes = 128)
+    graft.ops.Dedup.minHashNearDupsIncremental(batchSigs, histSigs,
+      numHashes = 128, bands = 32, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b")).show(5)
+
     println("== round-4b: orc source gate + IVF index persistence ==")
     val orcTmp = java.nio.file.Files.createTempDirectory("drive_orc").toString
     spark.read.parquet(s"$sfDir/nation.parquet").write.mode("overwrite").orc(orcTmp)

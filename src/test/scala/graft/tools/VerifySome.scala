@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dump a subset of SparkEntry.queries + oracle_sql.json for the local
-  * DuckDB oracle simulation (/tmp/oracle_check.py) — iterate on one
+  * DuckDB oracle simulation (tools/oracle_check.py) — iterate on one
   * oracle without running the full Verify sweep.
   *   sbt "Test/runMain graft.tools.VerifySome /root/testdata/sf0.01 /tmp/vsome q_dedup_simhash"
   */

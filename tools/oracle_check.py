@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's DuckDB oracle compare.
+
+Usage: oracle_check.py <spark_out_dir> <sf_dir> [query ...]
+Reads <out_dir>/<q>/ parquet + <out_dir>/oracle_sql.json, registers the
+sf tables as DuckDB views, runs each oracle SQL, sorts columns by name
+and rows by value, and reports rows/schema/values match per query.
+"""
+import sys, json, glob, os
+import duckdb
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+    oracles = json.load(f)
+
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+def canon(df):
+    cols = sorted(df.columns)
+    rows = [tuple(r[df.columns.index(c)] for c in cols) for r in df.fetchall()] \
+        if hasattr(df, 'fetchall') else None
+    return cols, rows
+
+fails = 0
+for q, sql in sorted(oracles.items()):
+    if only and q not in only:
+        continue
+    spark_glob = glob.glob(os.path.join(out_dir, q, "*.parquet"))
+    if not spark_glob:
+        print(f"{q}: NO SPARK OUTPUT"); fails += 1; continue
+    sdf = con.execute(f"SELECT * FROM read_parquet({spark_glob!r})")
+    scols = sdf.description and [d[0] for d in sdf.description]
+    srows = sdf.fetchall()
+    try:
+        odf = con.execute(sql)
+        ocols = [d[0] for d in odf.description]
+        orows = odf.fetchall()
+    except Exception as e:
+        print(f"{q}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+    def norm(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = sorted(tuple(str(r[i]) for i in order) for r in rows)
+        return sorted(c for c in cols), out
+    sc, sr = norm(scols, srows)
+    oc, orr = norm(ocols, orows)
+    ok_schema = sc == oc
+    ok_rows = len(sr) == len(orr)
+    ok_vals = sr == orr
+    if ok_schema and ok_rows and ok_vals:
+        print(f"{q}: PASS ({len(sr)} rows)")
+    else:
+        fails += 1
+        print(f"{q}: FAIL schema={ok_schema} rows={len(sr)}/{len(orr)} vals={ok_vals}")
+        if not ok_schema:
+            print(f"  spark cols:  {sc}\n  oracle cols: {oc}")
+        if ok_schema and not ok_vals:
+            diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+            for a, b in diffs:
+                print(f"  spark:  {a}\n  oracle: {b}")
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
