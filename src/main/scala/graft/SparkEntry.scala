@@ -594,12 +594,14 @@ object SparkEntry {
     // ---- embedding hygiene / statistics ----
     // L2 normalization: norm + unit vector, canonicalized to fixed-format
     // strings (pre-rounded so half-up vs half-even formatting can't differ)
-    "q_emb_normalize" -> ((s, dir) =>
+    "q_emb_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // native vec_l2normalize
       t(s, dir, "embeddings").select(
         col("vec_id"),
         format_string("%.6f", round(sqrt(ops.Embeddings.normSq(col("embedding"))), 6)).as("norm"),
         array_join(transform(ops.Embeddings.l2Normalize(col("embedding")),
-          x => format_string("%.6f", round(x, 6))), ",").as("unit_vec"))),
+          x => format_string("%.6f", round(x, 6))), ",").as("unit_vec"))
+    }),
 
     // per-label centroid via the exploded-cell aggregation
     "q_emb_centroid" -> ((s, dir) =>

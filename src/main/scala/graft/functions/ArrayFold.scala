@@ -90,3 +90,90 @@ case class ArraySum(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "array_sum"
 }
+
+/** Native L2 normalization of a numeric array: `x / sqrt(Σ x²)`, both
+  * passes in double.
+  *
+  * Why custom: the HOF form `transform(vec, x -> x / sqrt(aggregate(vec,
+  * …)))` embeds the norm fold inside the lambda, and higher-order
+  * functions re-evaluate the captured tree per element — O(dims²) per row
+  * on what should be the scan hot path. This is the fused two-pass loop
+  * (norm, then divide) inside whole-stage codegen.
+  *
+  * Semantics: null for a null input, a zero norm (includes the empty
+  * array), or a null element — downstream cosine math treats all of these
+  * as "no embedding". Accumulation is sequential left-to-right from 0.0,
+  * matching the `list_sum` fold the DuckDB oracle mirrors.
+  */
+case class VecL2Normalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_l2normalize requires array<float> or array<double>, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val x = if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    if (s == 0.0) return null
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = (if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)) / norm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val get = if (isFloat) "getFloat" else "getDouble"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double ${s}_x = (double) $a.$get($i);
+         |  $s += ${s}_x * ${s}_x;
+         |}
+         |if (!${ev.isNull} && $s == 0.0) ${ev.isNull} = true;
+         |if (!${ev.isNull}) {
+         |  double $norm = Math.sqrt($s);
+         |  double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = ((double) $a.$get($i)) / $norm;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecL2Normalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_l2normalize"
+}

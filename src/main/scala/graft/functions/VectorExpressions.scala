@@ -195,6 +195,7 @@ object GraftFunctions {
         WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
       add("simhash60", exprs => SimHash60(exprs(0)))
       add("array_sum", exprs => ArraySum(exprs(0)))
+      add("vec_l2normalize", exprs => VecL2Normalize(exprs(0)))
       add("topk_by_score", exprs =>
         TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue()))
     }
@@ -215,6 +216,11 @@ object GraftFunctions {
 
   /** Native numeric-array sum (double); requires `register(spark)` first. */
   def arraySum(arr: Column): Column = call_function("array_sum", arr)
+
+  /** Native L2 normalization (array<double>, null on zero/null vectors);
+    * requires `register(spark)` first.
+    */
+  def vecL2Normalize(vec: Column): Column = call_function("vec_l2normalize", vec)
 
   /** Bounded top-k aggregate by (score desc, id asc); requires
     * `register(spark)` first. Evaluates to `array<struct<id, score>>`.

@@ -335,8 +335,16 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val all = batchSigs.select(col("id"), col("sig"), lit(1).as("side"))
-      .unionByName(historySigs.select(col("id"), col("sig"), lit(0).as("side")))
+    // a stored table built with a different numHashes would mis-band and
+    // mis-estimate SILENTLY (empty band slices collapse buckets; the
+    // agreement rate divides by the wrong length) — fail loudly on the
+    // first wrong-length signature instead, plan-side (no action here)
+    def lengthChecked(df: DataFrame): DataFrame = df.withColumn("sig",
+      when(size(col("sig")) === numHashes, col("sig")).otherwise(raise_error(concat(
+        lit(s"minHashNearDupsIncremental: signature length != numHashes=$numHashes (found "),
+        size(col("sig")).cast("string"), lit(")")))))
+    val all = lengthChecked(batchSigs).select(col("id"), col("sig"), lit(1).as("side"))
+      .unionByName(lengthChecked(historySigs).select(col("id"), col("sig"), lit(0).as("side")))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bucket"))

@@ -23,12 +23,14 @@ object Embeddings {
     * vectors stay null; all-zero vectors (norm 0) become null rather than
     * NaN-filled — downstream cosine math treats both as "no embedding".
     * A pure scan-side projection: zero shuffles at any scale.
+    *
+    * Runs as the native codegen'd [[graft.functions.VecL2Normalize]] —
+    * the HOF form (`transform` dividing by an embedded `aggregate` fold)
+    * re-evaluates the norm per element, O(dims²) per row. Callers must
+    * `GraftFunctions.register` the session first (as for `vec_dot`).
     */
-  def l2Normalize(vec: Column): Column = {
-    val n = sqrt(normSq(vec))
-    when(vec.isNull || n === 0.0, lit(null).cast("array<double>"))
-      .otherwise(transform(vec, x => x.cast("double") / n))
-  }
+  def l2Normalize(vec: Column): Column =
+    graft.functions.GraftFunctions.vecL2Normalize(vec)
 
   /** Per-group centroid (dimension-wise mean) + member count of an
     * embedding column: the corpus-summary / cluster-quality primitive.

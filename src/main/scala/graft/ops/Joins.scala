@@ -88,8 +88,11 @@ object Joins {
     * spanning millions of buckets) belong pre-split or capped upstream —
     * the replication is visible as the `sequence()` length in the plan.
     *
-    * Points and intervals pass all their columns through; `intervalPrefix`
-    * renames interval-side columns on collision with point-side names.
+    * Points and intervals pass all their columns through. A non-empty
+    * `intervalPrefix` renames EVERY non-key interval column; it is
+    * REQUIRED (enforced) whenever a non-key interval column shares a name
+    * with a point column — an unprefixed collision would make the
+    * residual filter's references ambiguous at analysis time.
     */
   def rangeJoin(
       points: DataFrame,
@@ -102,6 +105,11 @@ object Joins {
       intervalPrefix: String = "",
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val collisions = intervals.columns.filterNot(keyCols.contains)
+      .toSet.intersect(points.columns.toSet)
+    require(intervalPrefix.nonEmpty || collisions.isEmpty,
+      s"interval columns ${collisions.mkString(", ")} collide with point columns; " +
+        "pass a non-empty intervalPrefix")
     def bucket(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / bucketWidth).cast("long")
     def pfx(c: String): String = if (keyCols.contains(c)) c else intervalPrefix + c

@@ -103,6 +103,8 @@ object Sample {
     * up to one row — the [[TextOps.packChunks]] contract, which also
     * guarantees a group's largest-first document can't starve it. One
     * shuffle on the group key; the running sum streams each group.
+    * Rows with a null `tokenCol` count as 0 tokens and are kept (like
+    * [[capPerGroup]], token metadata never silently drops a row).
     */
   def capTokensPerGroup(
       df: DataFrame,
@@ -113,11 +115,12 @@ object Sample {
       salt: String = "",
   ): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
+    val tok = coalesce(col(tokenCol), lit(0L))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(saltedHash(col(keyCol), salt), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCol)).over(w))
-      .filter(col("__cum") - col(tokenCol) < budget)
+    df.withColumn("__cum", sum(tok).over(w))
+      .filter(col("__cum") - tok < budget)
       .drop("__cum")
   }
 }

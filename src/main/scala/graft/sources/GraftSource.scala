@@ -109,8 +109,18 @@ object GraftSource {
       path: String,
       partitionCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 5000000L,
+  ): Unit =
+    writeTail(
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df,
+      path, partitionCols, maxRecordsPerFile)
+
+  /** Shared writer tail of the parquet sinks (options, mode, partitioning). */
+  private def writeTail(
+      out: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long,
   ): Unit = {
-    val out = if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
     val writer = out.write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
@@ -144,10 +154,6 @@ object GraftSource {
     require(sortCols.nonEmpty, "writeParquetSorted needs at least one sort column")
     val out = (if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-    val writer = out.write
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(path)
+    writeTail(out, path, partitionCols, maxRecordsPerFile)
   }
 }

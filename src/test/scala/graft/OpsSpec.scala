@@ -732,6 +732,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("range join rejects unprefixed column collisions; prefix resolves them") {
+    val points = Seq((1L, 5.0, 0.0)).toDF("pid", "x", "lo") // 'lo' collides
+    val ivs = Seq(("a", 0.0, 10.0)).toDF("iv", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(points, ivs, "x", "lo", "hi", bucketWidth = 2.0)
+    }
+    assert(e.getMessage.contains("intervalPrefix"))
+    // a non-empty prefix renames EVERY non-key interval column
+    val got = Joins.rangeJoin(points, ivs, "x", "lo", "hi", 2.0, intervalPrefix = "iv_")
+    assert(got.columns.toList == List("pid", "x", "lo", "iv_iv", "iv_lo", "iv_hi"))
+    assert(got.count() == 1)
+  }
+
+  test("incremental near-dup fails loudly on a signature-length mismatch") {
+    val hist = Dedup.minHashSignatures(docs.filter($"doc_id" <= 2), "text", "doc_id",
+      numHashes = 64) // stored with a DIFFERENT family size
+    val batch = Dedup.minHashSignatures(docs.filter($"doc_id" >= 3), "text", "doc_id",
+      numHashes = 128)
+    val e = intercept[Exception] {
+      Dedup.minHashNearDupsIncremental(batch, hist,
+        numHashes = 128, bands = 32, threshold = 0.5).count()
+    }
+    assert(e.getMessage.contains("signature length"))
+  }
+
+  test("token-budget cap keeps null-token rows (they count as 0)") {
+    val df = Seq((1L, "g", Some(10L)), (2L, "g", None), (3L, "g", Some(10L)))
+      .toDF("id", "g", "toks")
+    val kept = Sample.capTokensPerGroup(df, "g", "id", "toks", budget = 100L, salt = "t")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L)) // all fit; the null row is not dropped
+  }
+
   test("range join without keys and with overlapping intervals emits one row per pair") {
     val points = Seq((1L, 5.0), (2L, 15.0)).toDF("pid", "x")
     val ivs = Seq(("a", 0.0, 10.0), ("b", 4.0, 20.0)).toDF("iv", "lo", "hi")
@@ -741,6 +774,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("l2 normalize: unit norm, zero vector -> null, null stays null") {
+    graft.functions.GraftFunctions.register(spark) // native vec_l2normalize
     val df = Seq(
       (1L, Some(Seq(3.0f, 4.0f))),
       (2L, Some(Seq(0.0f, 0.0f))),

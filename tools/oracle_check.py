@@ -20,12 +20,6 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
-def canon(df):
-    cols = sorted(df.columns)
-    rows = [tuple(r[df.columns.index(c)] for c in cols) for r in df.fetchall()] \
-        if hasattr(df, 'fetchall') else None
-    return cols, rows
-
 fails = 0
 for q, sql in sorted(oracles.items()):
     if only and q not in only:
