@@ -387,15 +387,36 @@ object TextOps {
     * oracle expectation to tolerance.
     */
   def corpusProfile(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .select(languageId(col(textCol)).as("lang"),
-        tokenCount(col(textCol)).as("nw"))
+    profiled(docs, textCol)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg(col("nw")), 6).as("avg_tokens"),
         round(percentile(col("nw"), lit(0.5)), 6).as("p50_tokens"),
         round(percentile(col("nw"), lit(0.9)), 6).as("p90_tokens"),
+        max(col("nw")).as("max_tokens"),
+      )
+
+  /** The per-document (lang, token count) projection both profile shapes
+    * aggregate over.
+    */
+  private def profiled(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(languageId(col(textCol)).as("lang"),
+      tokenCount(col(textCol)).as("nw"))
+
+  /** Streaming twin of [[corpusProfile]]: the same per-language counts,
+    * mean, and max over an unbounded stream (complete output mode — the
+    * state is one row per language, which is what makes this streamable).
+    * The exact percentiles are batch-only: they buffer every group value,
+    * unbounded state on a stream; monitor percentile drift with periodic
+    * batch profiles over closed windows instead.
+    */
+  def corpusProfileStream(docs: DataFrame, textCol: String): DataFrame =
+    profiled(docs, textCol)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("nw")), 6).as("avg_tokens"),
         max(col("nw")).as("max_tokens"),
       )
 

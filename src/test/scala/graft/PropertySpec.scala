@@ -132,6 +132,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("capTokensPerGroup equals the naive per-group prefix on random inputs") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        t <- Gen.chooseNum(1L, 40L)
+      } yield (g, t))
+      budget <- Gen.oneOf(1L, 25L, 100L, 10000L)
+    } yield (rows, budget)
+    samples(caseGen, 10).foreach { case (rows, budget) =>
+      val df = rows.zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+        .toDF("id", "g", "toks")
+      val got = graft.ops.Sample.capTokensPerGroup(df, "g", "id", "toks", budget, salt = "p")
+        .select($"id").collect().map(_.getLong(0)).toSet
+      // reference: per group, walk rows in (salted md5-hash, id) order and
+      // keep while the running total BEFORE the row is under budget
+      def hash60(id: Long): BigInt =
+        BigInt(java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id#p".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+          .take(15), 16)
+      val expect = rows.zipWithIndex.groupBy(_._1._1).values.flatMap { grp =>
+        var cum = 0L
+        grp.sortBy { case (_, i) => (hash60(i.toLong), i.toLong) }.flatMap {
+          case ((_, t), i) =>
+            val keep = cum < budget
+            cum += t
+            if (keep) Some(i.toLong) else None
+        }
+      }.toSet
+      assert(got == expect, s"budget=$budget rows=$rows")
+    }
+  }
+
   test("compiled queries: inferred output schema == planned DataFrame schema") {
     samples(queryGen, 60).foreach { q =>
       Compiler.compile(schema, q) match {

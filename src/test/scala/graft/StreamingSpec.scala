@@ -138,6 +138,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus profile matches the batch profile (minus percentiles)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.ops.TextOps.corpusProfileStream(docs, "text")
+      .writeStream.format("memory").queryName("profile_stream")
+      .outputMode("complete").start()
+    try {
+      val data = Seq(
+        (0L, "the cat and the dog sleep in the house"),
+        (1L, "le chat et le chien dorment dans la maison de la ville"),
+        (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      )
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("profile_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val batch = graft.ops.TextOps.corpusProfileStream(data.toDF("doc_id", "text"), "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Set("en", "fr"))
+    } finally q.stop()
+  }
+
   test("streaming curation gates + dedups like the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

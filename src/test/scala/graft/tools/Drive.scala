@@ -140,6 +140,8 @@ object Drive {
 
     println("== round-4: corpus profile + sequence packing ==")
     graft.ops.TextOps.corpusProfile(docs, "text").show()
+    // streaming twin (same expressions, complete-mode-safe aggregate set)
+    graft.ops.TextOps.corpusProfileStream(docs, "text").show()
     graft.ops.TextOps.packChunks(
       graft.ops.TextOps.chunkTokens(docs, "text", "doc_id", 64, 16),
       "doc_id", budget = 256, groups = 8, salt = "r4")
