@@ -391,6 +391,24 @@ object SparkEntry {
     "q_text_profile" -> ((s, dir) =>
       TextOps.corpusProfile(t(s, dir, "documents"), "text")),
 
+    // CCNet-style unigram LM self-scoring: bits-per-token of every
+    // document under an add-one-smoothed model trained on the corpus
+    // itself (train == score is the standard self-perplexity quality
+    // meter; a held-out training set is the same call with a second table)
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Lm.unigramBits(docs, docs, "text", "doc_id")
+    }),
+
+    // CCNet head/middle/tail split over the LM score (tercile cutoffs +
+    // value-based bucket, no global window)
+    "q_lm_bucket" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Lm.perplexityBuckets(
+        ops.Lm.unigramBits(docs, docs, "text", "doc_id"), "bits_per_token")
+        .select(col("doc_id"), col("bucket"))
+    }),
+
     // the full curation pipeline (gates + keep-first dedup) in one pass
     "q_curate" -> ((s, dir) =>
       ops.Curate.curate(t(s, dir, "documents"), "text", "doc_id")
@@ -1089,6 +1107,55 @@ object SparkEntry {
          |  )
          |)
          |GROUP BY lang""".stripMargin,
+
+    // unigram-LM self-scoring: the full model (counts, totals, add-one
+    // smoothing, log2) recomputed in SQL over the mirrored tokenization.
+    // train == docs, so every scored token is in-vocabulary and the
+    // coalesce in Lm.unigramBits never fires here.
+    "q_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oracleTokens) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), cnt AS (
+         |  SELECT token, count(*) AS n FROM toks GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_total,
+         |    CAST(count(DISTINCT token) AS DOUBLE) AS vocab
+         |  FROM toks
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(sum(tf * -log2((n + 1.0) / (n_total + vocab))) / sum(tf), 6)
+         |    AS bits_per_token
+         |FROM tf JOIN cnt USING (token), tot
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_lm_bucket" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oracleTokens) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), cnt AS (
+         |  SELECT token, count(*) AS n FROM toks GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_total,
+         |    CAST(count(DISTINCT token) AS DOUBLE) AS vocab
+         |  FROM toks
+         |), scored AS (
+         |  SELECT doc_id,
+         |    round(sum(tf * -log2((n + 1.0) / (n_total + vocab))) / sum(tf), 6)
+         |      AS bits
+         |  FROM tf JOIN cnt USING (token), tot
+         |  GROUP BY doc_id
+         |), cuts AS (
+         |  SELECT quantile_cont(bits, 1.0/3) AS c1, quantile_cont(bits, 2.0/3) AS c2
+         |  FROM scored
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN bits <= c1 THEN 'head'
+         |       WHEN bits <= c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored, cuts""".stripMargin,
 
     "q_text_repetition" -> {
       s"""SELECT doc_id,

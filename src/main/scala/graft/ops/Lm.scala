@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus language-model scoring — the CCNet-style quality signal: train
+  * token statistics on a reference corpus, score every document by its
+  * bits-per-token under the model, and split the corpus into
+  * head / middle / tail quality buckets (Wenzek et al., "CCNet:
+  * Extracting High Quality Monolingual Datasets from Web Crawl Data").
+  *
+  * The model here is an add-one-smoothed unigram LM over the shared
+  * lowercase-alnum tokenization ([[TextOps.tokens]]) — deliberately the
+  * simplest member of the family, because every piece (counts, smoothing,
+  * log2, the percentile cut) is expressible in ANSI SQL, which buys the
+  * operator a true DuckDB oracle. A production 5-gram KenLM slots into the
+  * same shape: the per-token join below becomes a per-n-gram join against
+  * a bigger count table; nothing else changes.
+  *
+  * Scale shape (100 TB): training is one explode + one map-side-combinable
+  * count shuffle; scoring pre-aggregates per-document term frequencies
+  * (compressing the join to distinct tokens per doc), joins on the token
+  * key (AQE broadcasts the count table when the vocabulary is small), and
+  * reduces per document. The only driver-sized piece is the 1-row totals
+  * aggregate, broadcast explicitly.
+  */
+object Lm {
+
+  /** Unigram counts over a training corpus: one row per distinct token.
+    * One shuffle, partial-aggregated map-side.
+    */
+  def unigramCounts(train: DataFrame, textCol: String): DataFrame =
+    train
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document bits-per-token under an add-one-smoothed unigram LM
+    * trained on `train`: `-avg(log2 P(token))` with
+    * `P(t) = (n(t) + 1) / (N + V)` (N = training token count, V = training
+    * vocabulary size; unseen tokens get count 0). Lower = more like the
+    * training corpus. Documents with zero tokens have no defined score and
+    * are dropped (explode of an empty token list emits nothing).
+    *
+    * Output: (idCol, n_tokens, bits_per_token), bits rounded to 6 dp so
+    * the score is comparable across engines (same convention as the other
+    * float oracles).
+    */
+  def unigramBits(
+      docs: DataFrame,
+      train: DataFrame,
+      textCol: String,
+      idCol: String,
+  ): DataFrame = {
+    val counts = unigramCounts(train, textCol)
+    val totals = counts.agg(
+      sum(col("n")).cast("double").as("lm_n_total"),
+      count(lit(1)).cast("double").as("lm_vocab"))
+    val tf = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(counts, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("bits",
+        col("tf") * -log2(
+          (coalesce(col("n"), lit(0L)) + lit(1.0)) /
+            (col("lm_n_total") + col("lm_vocab"))))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(sum(col("bits")) / sum(col("tf")), 6).as("bits_per_token"))
+  }
+
+  /** CCNet head/middle/tail split: tercile cutoffs over `bitsCol`, then a
+    * value-based bucket per row (head = lowest bits = closest to the
+    * training corpus). Cutoffs-then-compare rather than a global ntile:
+    * a partition-less ntile window funnels the whole corpus through one
+    * task, while the cutoff aggregate is one reduction + a broadcast —
+    * the shape that survives 100 TB. `exact = true` uses exact
+    * percentiles (oracle parity: DuckDB `quantile_cont` interpolates
+    * identically); at scale flip to `exact = false` for
+    * `approx_percentile` and the same plan with bounded memory.
+    */
+  def perplexityBuckets(
+      scored: DataFrame,
+      bitsCol: String,
+      exact: Boolean = true,
+  ): DataFrame = {
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val cuts = scored.agg(
+      expr(s"$fn($bitsCol, 1.0D / 3)").as("lm_cut_head"),
+      expr(s"$fn($bitsCol, 2.0D / 3)").as("lm_cut_mid"))
+    scored
+      .crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col(bitsCol) <= col("lm_cut_head"), lit("head"))
+          .when(col(bitsCol) <= col("lm_cut_mid"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("lm_cut_head", "lm_cut_mid")
+  }
+}

@@ -863,4 +863,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got("a")._2 == List(2.0, 4.0)) // but not the centroid
     assert(got("b") == ((1L, List(10.0, 0.0))))
   }
+
+  test("unigram LM: common-token docs score fewer bits than gibberish; OOV heaviest") {
+    val train = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the rug"),
+      (2L, "the cat and the dog sat"),
+    ).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the the the"),          // most frequent training token only
+      (11L, "cat dog rug mat"),      // mid-frequency training tokens
+      (12L, "zyx qwv jkp"),          // all OOV -> max smoothed bits
+      (13L, ""),                     // no tokens -> dropped, not scored
+    ).toDF("doc_id", "text")
+    val got = Lm.unigramBits(score, train, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L)._1 == 3L && got(11L)._1 == 4L)
+    assert(got(10L)._2 < got(11L)._2 && got(11L)._2 < got(12L)._2)
+    // OOV bits are exactly -log2(1 / (N + V)): N=18 tokens, V=8 distinct
+    assert(math.abs(got(12L)._2 - (math.log(18 + 8) / math.log(2))) < 1e-6)
+    // layout-independence: same scores from a repartitioned input
+    val again = Lm.unigramBits(score.repartition(7), train.repartition(5), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.map { case (k, v) => k -> v._2 } == again)
+  }
+
+  test("perplexity buckets: terciles split head/middle/tail by score") {
+    val scored = (0 until 9).map(i => (i.toLong, i.toDouble)).toDF("id", "bits")
+    val got = Lm.perplexityBuckets(scored, "bits").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // percentile(1/3) over 0..8 = 8/3 ≈ 2.67, percentile(2/3) ≈ 5.33
+    assert((0L to 2L).forall(got(_) == "head"))
+    assert((3L to 5L).forall(got(_) == "middle"))
+    assert((6L to 8L).forall(got(_) == "tail"))
+    // approx path: same buckets on this small, well-separated input
+    val approx = Lm.perplexityBuckets(scored, "bits", exact = false).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(approx == got)
+  }
 }

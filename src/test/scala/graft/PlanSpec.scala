@@ -154,4 +154,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("LM scoring: partial-agg counts, token-keyed join, broadcast totals only") {
+    val p = plan(graft.ops.Lm.unigramBits(docs, docs, "text", "doc_id"))
+    // every aggregate (train counts, per-doc tf, per-doc reduce) is
+    // partial-final — no unaggregated token stream crosses an exchange
+    assert("partial_count".r.findAllIn(p).nonEmpty, p)
+    // the 1-row totals frame is the only nested-loop member, as an
+    // explicit broadcast; the token join itself must be a hash equi-join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
 }

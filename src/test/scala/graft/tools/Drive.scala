@@ -138,6 +138,13 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: unigram LM scoring + perplexity buckets ==")
+    val lmScored = graft.ops.Lm.unigramBits(docs, docs, "text", "doc_id")
+    graft.ops.Lm.perplexityBuckets(lmScored, "bits_per_token")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("bits_per_token")), 3).as("avg_bits"))
+      .orderBy(col("avg_bits")).show()
+
     println("== round-4: corpus profile + sequence packing ==")
     graft.ops.TextOps.corpusProfile(docs, "text").show()
     // streaming twin (same expressions, complete-mode-safe aggregate set)
