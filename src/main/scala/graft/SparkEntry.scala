@@ -391,6 +391,13 @@ object SparkEntry {
     "q_text_profile" -> ((s, dir) =>
       TextOps.corpusProfile(t(s, dir, "documents"), "text")),
 
+    // substring-span dedup (Lee et al.): remove every k-token span that
+    // occurs in >= 2 distinct documents, reconstruct the survivors
+    "q_text_span_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      TextOps.dedupSpans(t(s, dir, "documents"), "text", "doc_id", k = 8, minDocs = 2)
+    }),
+
     // CCNet-style unigram LM self-scoring: bits-per-token of every
     // document under an add-one-smoothed model trained on the corpus
     // itself (train == score is the standard self-perplexity quality
@@ -1107,6 +1114,44 @@ object SparkEntry {
          |  )
          |)
          |GROUP BY lang""".stripMargin,
+
+    // substring-span dedup: positions of >=2-doc shingles recomputed via
+    // the same md5-derived shingle hashes, covered tokens dropped, kept
+    // tokens re-joined in order — the reconstruction must match Spark's
+    // byte for byte
+    "q_text_span_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $oracleTokens AS tokens FROM documents
+         |), sh AS (
+         |  -- aligned unnests (expression-context range emits a list):
+         |  -- shingle start positions paired with their md5-derived hashes
+         |  SELECT doc_id,
+         |    unnest(range(0, greatest(len(tokens) - 7, 0))) AS pos,
+         |    unnest(list_transform(range(0, greatest(len(tokens) - 7, 0)),
+         |      p -> ${oracleMd5Long("array_to_string(list_slice(tokens, p + 1, p + 8), ' ')")})) AS h
+         |  FROM toks
+         |), dup AS (
+         |  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+         |), starts AS (
+         |  SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)
+         |), tokpos AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(tokens))) AS i,
+         |    unnest(tokens) AS tok
+         |  FROM toks
+         |), kept AS (
+         |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.i) AS txt,
+         |    count(*) AS nk
+         |  FROM tokpos t
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM starts s
+         |    WHERE s.doc_id = t.doc_id AND s.pos <= t.i AND t.i < s.pos + 8)
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT x.doc_id, coalesce(k.txt, '') AS text_dedup,
+         |  CAST(len(x.tokens) AS BIGINT) AS n_tokens,
+         |  CAST(len(x.tokens) - coalesce(k.nk, 0) AS BIGINT) AS n_removed
+         |FROM toks x LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     // unigram-LM self-scoring: the full model (counts, totals, add-one
     // smoothing, log2) recomputed in SQL over the mirrored tokenization.

@@ -474,6 +474,67 @@ object TextOps {
           .as("dup_frac"))
   }
 
+  /** Substring-span dedup (the span-level rewrite behind
+    * [[corpusDupStats]]'s meter — Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): remove from every document the
+    * token spans covered by a word `k`-shingle that occurs in at least
+    * `minDocs` DISTINCT documents, and reconstruct the survivors. Unlike
+    * document-level dedup, BOTH copies lose the duplicated span — the
+    * goal is that no duplicated passage is trained on twice, not that one
+    * canonical copy survives.
+    *
+    * Output per input row: (idCol, text_dedup, n_tokens, n_removed),
+    * where `text_dedup` is the kept tokens of the shared lowercase-alnum
+    * tokenization joined by single spaces (span dedup operates on the
+    * normalized token stream, the same normalization every dedup operator
+    * here uses). Documents shorter than `k` tokens pass through whole;
+    * within-document repetition alone never triggers removal (that's
+    * [[repetitionMetrics]]'s job).
+    *
+    * Scale shape: shingle hashes ([[graft.functions.GraftFunctions.md5Long60]] —
+    * 60-bit, collision-safe to ~2^30 distinct shingles; widen to full md5
+    * beyond) explode to an (id, pos, hash) inverted index; the
+    * document-frequency aggregate and the start-position semi-join
+    * shuffle only longs; document text shuffles exactly once, for the
+    * final (id → starts) join, and the covered-position test is a per-row
+    * higher-order filter over the compact sorted starts array. Callers
+    * must `GraftFunctions.register` the session (native `word_shingles`).
+    */
+  def dedupSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      minDocs: Int = 2,
+  ): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would remove every document's every span")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val shingleHashes = transform(
+      graft.functions.GraftFunctions.wordShingles(col(textCol), k),
+      s => graft.functions.GraftFunctions.md5Long60(s.cast("binary")))
+    val inv = docs
+      .select(col(idCol), posexplode(shingleHashes).as(Seq("__pos", "__h")))
+    val dupHashes = inv.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val starts = inv.join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    val toks = tokens(col(textCol))
+    docs
+      .join(starts, Seq(idCol), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array()))
+      .withColumn("__kept", filter(toks, (t, i) =>
+        !exists(col("__starts"), s => s <= i && i < s + k)))
+      .select(
+        col(idCol),
+        array_join(col("__kept"), " ").as("text_dedup"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Line-level boilerplate removal (the CCNet/C4 hygiene pass): drop
     * every line whose normalized form appears in at least `minDocs`
     * distinct documents — navigation chrome, cookie banners, headers and

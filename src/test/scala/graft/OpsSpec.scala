@@ -864,6 +864,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got("b") == ((1L, List(10.0, 0.0))))
   }
 
+  test("span dedup removes cross-doc spans from BOTH docs; short/within-doc repeats survive") {
+    graft.functions.GraftFunctions.register(spark)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly k=8 tokens
+    val corpus = Seq(
+      (0L, s"one two $shared three four"),
+      (1L, s"$shared five six seven"),
+      (2L, "unique prose that repeats repeats repeats repeats nothing shared across documents here"),
+      (3L, "tiny doc"), // < k tokens: passes through whole
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupSpans(corpus, "text", "doc_id", k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the shared 8-token span vanishes from BOTH documents (no canonical
+    // survivor — that's the Lee-et-al semantics), neighbors survive
+    assert(got(0L) == (("one two three four", 12L, 8L)))
+    assert(got(1L) == (("five six seven", 11L, 8L)))
+    // within-document repetition alone is not cross-document duplication
+    assert(got(2L)._3 == 0L && got(2L)._1.startsWith("unique prose"))
+    assert(got(3L) == (("tiny doc", 2L, 0L)))
+    // overlapping duplicated shingles merge into one covered region:
+    // doc 4/5 share a 9-token run = two overlapping 8-shingles
+    val overlap = Seq(
+      (4L, "x alpha beta gamma delta epsilon zeta eta theta iota y"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    ).toDF("doc_id", "text")
+    val got2 = TextOps.dedupSpans(corpus.union(overlap), "text", "doc_id", 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(4L) == "x y")
+    assert(got2(5L) == "")
+  }
+
   test("unigram LM: common-token docs score fewer bits than gibberish; OOV heaviest") {
     val train = Seq(
       (0L, "the cat sat on the mat"),

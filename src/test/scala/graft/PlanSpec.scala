@@ -155,6 +155,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("span dedup: hash-only inverted index, no cartesian, pruned scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = plan(graft.ops.TextOps.dedupSpans(docs, "text", "doc_id"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the scan reads exactly the two columns the operator touches
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // the document-frequency side never exchanges text: every
+    // hashpartitioning key set is over ids/positions/hashes (longs/ints)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty, p)
+    val textExchanges = exchanges.filter(_.contains("text#"))
+    // text participates in exactly one exchange: the final starts join
+    assert(textExchanges.size <= 1, s"text shuffled ${textExchanges.size}x:\n$p")
+  }
+
   test("LM scoring: partial-agg counts, token-keyed join, broadcast totals only") {
     val p = plan(graft.ops.Lm.unigramBits(docs, docs, "text", "doc_id"))
     // every aggregate (train counts, per-doc tf, per-doc reduce) is

@@ -138,6 +138,11 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: substring-span dedup (Lee et al.) ==")
+    graft.ops.TextOps.dedupSpans(docs, "text", "doc_id")
+      .agg(count(lit(1)).as("docs"), sum(col("n_removed")).as("tokens_removed"),
+        sum(col("n_tokens")).as("tokens_total")).show()
+
     println("== round-4: unigram LM scoring + perplexity buckets ==")
     val lmScored = graft.ops.Lm.unigramBits(docs, docs, "text", "doc_id")
     graft.ops.Lm.perplexityBuckets(lmScored, "bits_per_token")
