@@ -493,6 +493,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // bloom-prefiltered decontamination: bloom prunes, exact join
+    // verifies — by contract row-identical to plain decontaminate, which
+    // is what the oracle checks (DuckDB recomputes the EXACT overlap; the
+    // bloom must not change the answer)
+    "q_text_decontam_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminateBloom(docs, docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 5, minOverlap = 1, fpp = 0.01)
+        .select(col("doc_id"))
+    }),
+
     "q_text_fingerprint_rolling" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native word_shingles
       t(s, dir, "documents").select(
@@ -1114,6 +1125,23 @@ object SparkEntry {
          |  )
          |)
          |GROUP BY lang""".stripMargin,
+
+    // bloom decontamination: the bloom is a pure work-pruner, so the
+    // oracle is the exact semantics — documents with zero 5-gram overlap
+    // against the benchmark slice
+    "q_text_decontam_bloom" ->
+      s"""WITH csh AS (
+         |  SELECT doc_id, unnest(list_distinct(sh)) AS s FROM (
+         |    SELECT doc_id, ${oracleShingles(5)} AS sh
+         |    FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
+         |  )
+         |), bsh AS (
+         |  SELECT DISTINCT s FROM csh WHERE doc_id % 50 = 0
+         |), cont AS (
+         |  SELECT DISTINCT doc_id FROM csh JOIN bsh USING (s)
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
 
     // substring-span dedup: positions of >=2-doc shingles recomputed via
     // the same md5-derived shingle hashes, covered tokens dropped, kept

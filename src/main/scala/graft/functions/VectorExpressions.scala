@@ -164,6 +164,68 @@ case class ArrayMinHash(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** Bloom-filter membership over a 64-bit hash column, against a
+  * pre-built, serialized `org.apache.spark.util.sketch.BloomFilter`
+  * (Spark's own sketch — the same one `DataFrameStatFunctions
+  * .bloomFilter` builds and runtime row-level filtering ships to scans).
+  *
+  * The filter arrives as a FOLDABLE binary expression (a literal): it is
+  * deserialized once per executor at plan init, never per row, and the
+  * generated code is a single `mightContainLong` call — a few L1 probes —
+  * inside whole-stage codegen. This is the membership primitive for
+  * deny-lists too big to broadcast as exact hash sets (a 1e9-item set at
+  * 1% FPP is ~1.2 GB of exact longs but ~1.1 GB bloom... at 1e8 items:
+  * ~800 MB exact vs ~115 MB bloom); the bloom's false positives are
+  * resolved by an exact verify pass on the (tiny) hit set.
+  */
+case class BloomMightContain(bloomExpr: Expression, valueExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = bloomExpr
+  override def right: Expression = valueExpr
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bloomExpr.dataType, valueExpr.dataType) match {
+      case (BinaryType, LongType) if bloomExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, LongType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "bloom_might_contain requires a foldable (literal) bloom filter")
+      case (b, v) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires (binary, bigint), got " +
+          s"(${b.simpleString}, ${v.simpleString})")
+    }
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = bloomExpr.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  // null bloom bytes or null hash → null (BinaryExpression's null
+  // propagation); the serialized filter itself is only touched via the
+  // lazily-deserialized `bloom`, never per row
+  override protected def nullSafeEval(bloomBytes: Any, value: Any): Any =
+    bloom.mightContainLong(value.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference the DESERIALIZED filter: the generated row loop is one
+    // mightContainLong call (a few cache-line probes), no per-row decode.
+    // When the bloom literal is null the body never runs (null-safe gen).
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, (_, v) => s"${ev.value} = $ref.mightContainLong($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(bloomExpr = newLeft, valueExpr = newRight)
+
+  override def prettyName: String = "bloom_might_contain"
+}
+
 /** Registration + Column-level API for graft's native expressions. */
 object GraftFunctions {
 
@@ -198,6 +260,7 @@ object GraftFunctions {
       add("vec_l2normalize", exprs => VecL2Normalize(exprs(0)))
       add("topk_by_score", exprs =>
         TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue()))
+      add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -227,6 +290,15 @@ object GraftFunctions {
     */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score", score, id, org.apache.spark.sql.functions.lit(k))
+
+  /** Bloom membership of a 64-bit hash against a serialized
+    * `org.apache.spark.util.sketch.BloomFilter`; requires
+    * `register(spark)` first. The bytes ship as a literal into the plan
+    * (deserialized once per executor, probed per row in codegen).
+    */
+  def bloomMightContain(bloomBytes: Array[Byte], hash: Column): Column =
+    call_function("bloom_might_contain",
+      org.apache.spark.sql.functions.lit(bloomBytes), hash)
 
   /** 60-bit non-negative integer from the leading 15 hex chars of the md5
     * of a binary column — THE shared deterministic hash for every

@@ -604,6 +604,63 @@ object TextOps {
       .select(col(idCol))
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Bloom-prefiltered decontamination — [[decontaminate]] for benchmark
+    * sets too big to handle as exact in-memory hash sets. Returns EXACTLY
+    * the same rows as `decontaminate(corpus, bench, …)`: the bloom only
+    * prunes work, never changes the answer.
+    *
+    * Three phases: (1) build a bloom filter over the benchmark's distinct
+    * shingle hashes (`DataFrameStatFunctions.bloomFilter` — built
+    * distributed, merged as a sketch; ~1.2 bytes/item at 1% FPP, so a
+    * 100M-n-gram benchmark is ~115 MB where the exact long set is 800 MB);
+    * (2) scan the corpus once, probing each document's shingle hashes
+    * against the broadcast-literal bloom in codegen
+    * ([[graft.functions.BloomMightContain]]) — documents with ZERO hits
+    * (the overwhelming majority: P(any FP) ≈ shingles × fpp) are
+    * definitively clean, no false negatives, and pass through with no
+    * shuffle at all; (3) only the hit sliver goes through the exact
+    * inverted-index verify of [[decontaminate]], which also clears the
+    * bloom's false positives and enforces `minOverlap`.
+    *
+    * The benchmark is scanned twice (hash-count sizing + bloom build);
+    * both passes reduce to sketch-sized driver state, never collected
+    * rows.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1,
+      fpp: Double = 0.01,
+  ): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def shingleHashes(text: Column): Column =
+      array_distinct(transform(
+        graft.functions.GraftFunctions.wordShingles(text, n), s => xxhash64(s)))
+    val benchHashes = bench
+      .select(explode(shingleHashes(col(textCol))).as("__bh"))
+      .dropDuplicates("__bh")
+    val expected = math.max(benchHashes.count(), 1L)
+    val bloom = benchHashes.stat.bloomFilter("__bh", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // null text can never be contaminated (it has no shingles): coalesce
+    // keeps such rows on the clean path rather than dropping them from
+    // BOTH filter branches (exact-parity with decontaminate)
+    val hit = coalesce(
+      exists(shingleHashes(col(textCol)),
+        h => graft.functions.GraftFunctions.bloomMightContain(bytes, h)),
+      lit(false))
+    corpus.filter(!hit).unionByName(
+      decontaminate(corpus.filter(hit), bench, textCol, idCol, n, minOverlap))
+  }
 }
 
 /** Word-level shingling shared by text fingerprints and MinHash dedup. */

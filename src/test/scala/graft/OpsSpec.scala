@@ -864,6 +864,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got("b") == ((1L, List(10.0, 0.0))))
   }
 
+  test("bloom_might_contain: no false negatives; FPs bounded on a planted set") {
+    graft.functions.GraftFunctions.register(spark)
+    val members = (0L until 200L).map(_ * 7919L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(200, 0.01)
+    members.foreach(bloom.putLong)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray
+    }
+    val probes = (members ++ (1L to 2000L).map(_ * 7919L + 3L)).toDF("h")
+    val got = probes.withColumn("hit",
+      graft.functions.GraftFunctions.bloomMightContain(bytes, $"h"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(members.forall(got(_)), "bloom false negative")
+    val fps = (1L to 2000L).map(_ * 7919L + 3L).count(got(_))
+    assert(fps < 100, s"implausible FP count for 1% target: $fps")
+  }
+
+  test("bloom decontamination equals exact decontamination, even at high FPP") {
+    // every token carries its doc index, so no 5-gram crosses documents:
+    // the ONLY benchmark overlap is the exact copies of docs 7 and 19
+    def words(i: Long) = ('a' to 'h').map(c => s"w$i$c").mkString(" ")
+    val corpus = (0L until 30L).map(i => (i, words(i))).toDF("doc_id", "text")
+    val bench = Seq((100L, words(7L)), (101L, words(19L))).toDF("doc_id", "text")
+    for (fpp <- Seq(0.01, 0.4); minOv <- Seq(1, 2)) {
+      val exact = TextOps.decontaminate(corpus, bench, "text", "doc_id", n = 5, minOv)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val bloomed = TextOps.decontaminateBloom(corpus, bench, "text", "doc_id", n = 5, minOv, fpp)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloomed == exact, s"fpp=$fpp minOverlap=$minOv")
+    }
+    // sanity: the planted contaminated docs really are dropped at minOverlap=1
+    val kept = TextOps.decontaminateBloom(corpus, bench, "text", "doc_id", n = 5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(7L) && !kept.contains(19L) && kept.contains(3L))
+  }
+
   test("span dedup removes cross-doc spans from BOTH docs; short/within-doc repeats survive") {
     graft.functions.GraftFunctions.register(spark)
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly k=8 tokens

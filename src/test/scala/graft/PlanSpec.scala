@@ -155,6 +155,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("bloom decontamination: codegen bloom probe at the scan, no cartesian") {
+    graft.functions.GraftFunctions.register(spark)
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val p = plan(graft.ops.TextOps.decontaminateBloom(docs, bench, "text", "doc_id", n = 5))
+    // the clean fast path is a bloom_might_contain filter directly over
+    // the scan — the filter must appear (both branches), and nothing may
+    // degenerate into a cartesian product
+    assert(p.contains("bloom_might_contain"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the prefilter itself runs before any exchange: the plan segment up
+    // to the first Exchange already contains the bloom probe
+    val firstExchange = p.indexOf("Exchange")
+    val firstProbe = p.indexOf("bloom_might_contain")
+    assert(firstExchange == -1 || firstProbe < firstExchange,
+      s"bloom probe not scan-side (probe@$firstProbe exchange@$firstExchange)")
+  }
+
   test("span dedup: hash-only inverted index, no cartesian, pruned scan") {
     graft.functions.GraftFunctions.register(spark)
     val p = plan(graft.ops.TextOps.dedupSpans(docs, "text", "doc_id"))

@@ -138,6 +138,12 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: bloom-prefiltered decontamination ==")
+    println("bloom-decontaminated kept: " +
+      graft.ops.TextOps.decontaminateBloom(
+        docs, docs.filter(col("doc_id") % 50 === 0), "text", "doc_id", n = 5)
+        .count() + " of " + docs.count())
+
     println("== round-4: substring-span dedup (Lee et al.) ==")
     graft.ops.TextOps.dedupSpans(docs, "text", "doc_id")
       .agg(count(lit(1)).as("docs"), sum(col("n_removed")).as("tokens_removed"),
