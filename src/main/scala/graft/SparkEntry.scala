@@ -407,6 +407,11 @@ object SparkEntry {
       ops.Lm.unigramBits(docs, docs, "text", "doc_id")
     }),
 
+    // TF-IDF top-5 salient terms per document (rank on rounded score for
+    // cross-engine order determinism)
+    "q_lm_tfidf" -> ((s, dir) =>
+      ops.Lm.tfIdfTopTerms(t(s, dir, "documents"), "text", "doc_id", k = 5)),
+
     // CCNet head/middle/tail split over the LM score (tercile cutoffs +
     // value-based bucket, no global window)
     "q_lm_bucket" -> ((s, dir) => {
@@ -1202,6 +1207,27 @@ object SparkEntry {
          |    AS bits_per_token
          |FROM tf JOIN cnt USING (token), tot
          |GROUP BY doc_id""".stripMargin,
+
+    "q_lm_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oracleTokens) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), dft AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+         |), nd AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+         |), sc AS (
+         |  SELECT doc_id, token,
+         |    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+         |  FROM tf JOIN dft USING (token), nd
+         |)
+         |SELECT doc_id, token, score, rank FROM (
+         |  SELECT doc_id, token, score,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank
+         |  FROM sc
+         |) WHERE rank <= 5""".stripMargin,
 
     "q_lm_bucket" ->
       s"""WITH toks AS (

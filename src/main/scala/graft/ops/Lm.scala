@@ -72,6 +72,84 @@ object Lm {
         round(sum(col("bits")) / sum(col("tf")), 6).as("bits_per_token"))
   }
 
+  /** Streaming twin of [[unigramBits]]: score an unbounded document
+    * stream against a PRETRAINED static model (the (token, n) frame
+    * [[unigramCounts]] produces) — completely STATELESS. The model
+    * collects once at query-build time into a single map literal that
+    * ships with the plan (the [[TextOps.decontaminateStream]] trade:
+    * right for vocabulary-sized models, up to a few million entries; a
+    * corpus-sized model belongs in the batch operator's join), and each
+    * document scores in one projection — token fold via the `aggregate`
+    * higher-order function, no explode, no streaming aggregation, no
+    * state store, any output mode.
+    *
+    * Zero-token documents are dropped (undefined score), matching the
+    * batch twin's explode semantics. Works identically on a batch frame
+    * (used by the parity test).
+    */
+  def unigramBitsStream(
+      docs: DataFrame,
+      model: DataFrame,
+      textCol: String,
+      idCol: String,
+  ): DataFrame = {
+    val entries = model.select(col("token").cast("string"), col("n").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val nTotal = entries.iterator.map(_._2).sum.toDouble
+    val vocab = entries.length.toDouble
+    val m = typedLit(entries.toMap)
+    val toks = TextOps.tokens(col(textCol))
+    val bitsSum = aggregate(toks, lit(0.0), (acc, t) =>
+      acc + -log2((coalesce(element_at(m, t), lit(0L)) + lit(1.0)) / lit(nTotal + vocab)))
+    docs
+      .filter(size(toks) > 0)
+      .select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        round(bitsSum / size(toks), 6).as("bits_per_token"))
+  }
+
+  /** TF-IDF top-`k` terms per document — the classic keyword/topic signal
+    * (salient-term extraction, per-document tagging, index keys).
+    * `score = tf × (ln((n_docs + 1) / (df + 1)) + 1)` (the smoothed idf
+    * that never goes negative); terms rank by (rounded score desc, token
+    * asc) — ranking on the 6-dp-rounded score makes the order, and hence
+    * the selected set, identical across engines (raw doubles can differ
+    * in the last ulp between ln implementations).
+    *
+    * Scale shape: per-doc term frequencies and per-token document
+    * frequencies are both map-side-combinable aggregates; the df join is
+    * token-keyed (AQE broadcasts when the vocabulary is small); the 1-row
+    * doc count broadcasts; the final top-k is a per-document window —
+    * partitioned by id, so no global funnel.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is one row per (doc, token), so counting rows per token IS the
+    // document frequency
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("tfidf_n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * (log((col("tfidf_n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("score"), col("rank"))
+  }
+
   /** CCNet head/middle/tail split: tercile cutoffs over `bitsCol`, then a
     * value-based bucket per row (head = lowest bits = closest to the
     * training corpus). Cutoffs-then-compare rather than a global ntile:

@@ -956,6 +956,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map { case (k, v) => k -> v._2 } == again)
   }
 
+  test("tf-idf: rare repeated terms outrank ubiquitous ones; k bounds output") {
+    val corpus = Seq(
+      (0L, "shared shared quantum quantum quantum word"),
+      (1L, "shared shared word other thing"),
+      (2L, "shared word plasma plasma"),
+    ).toDF("doc_id", "text")
+    val got = Lm.tfIdfTopTerms(corpus, "text", "doc_id", k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    // per doc at most k rows, ranks 1..k contiguous
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= 2)
+    }
+    val top = got.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    // doc-unique repeated terms win over "shared" (df = 3, idf at floor 1.0)
+    assert(top(0L) == "quantum")
+    assert(top(2L) == "plasma")
+    // doc 1 has no unique repeated term: tf=2 "shared" (idf=1) vs tf=1
+    // uniques (idf = ln(4/2)+1 ≈ 1.69) → "shared" score 2.0 wins
+    assert(top(1L) == "shared")
+  }
+
   test("perplexity buckets: terciles split head/middle/tail by score") {
     val scored = (0 until 9).map(i => (i.toLong, i.toDouble)).toDF("id", "bits")
     val got = Lm.perplexityBuckets(scored, "bits").collect()

@@ -163,6 +163,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM scoring matches the batch twin on a static pretrained model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the rug"),
+    ).toDF("doc_id", "text")
+    val model = graft.ops.Lm.unigramCounts(train, "text")
+    val data = Seq(
+      (10L, "the cat and the dog"),
+      (11L, "completely novel gibberish tokens"),
+      (12L, ""), // zero tokens: dropped by both twins
+    )
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.Lm.unigramBitsStream(
+      input.toDF().toDF("doc_id", "text"), model, "text", "doc_id")
+      .writeStream.format("memory").queryName("lm_stream").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("lm_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = graft.ops.Lm.unigramBits(
+        data.toDF("doc_id", "text"), train, "text", "doc_id").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed.keySet == Set(10L, 11L) && batch.keySet == streamed.keySet)
+      streamed.foreach { case (id, (n, bits)) =>
+        assert(n == batch(id)._1)
+        // both twins round to 6 dp; summation order may differ in the
+        // last ulp before rounding, so compare at the rounded precision
+        assert(math.abs(bits - batch(id)._2) <= 1e-6, s"doc $id: $bits vs ${batch(id)._2}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming curation gates + dedups like the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -155,6 +155,8 @@ object Drive {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), round(avg(col("bits_per_token")), 3).as("avg_bits"))
       .orderBy(col("avg_bits")).show()
+    graft.ops.Lm.tfIdfTopTerms(docs, "text", "doc_id", k = 3)
+      .filter(col("doc_id") < 2).show()
 
     println("== round-4: corpus profile + sequence packing ==")
     graft.ops.TextOps.corpusProfile(docs, "text").show()
