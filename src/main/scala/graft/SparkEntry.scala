@@ -448,6 +448,16 @@ object SparkEntry {
       Sample.sampleByHash(t(s, dir, "documents"), "doc_id", oneIn = 10, salt = "r3")
         .select(col("doc_id"))),
 
+    // deterministic growth-stable train/val/test split (88/6/6)
+    "q_sample_split" -> ((s, dir) =>
+      Sample.splitByHash(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.88, "val" -> 0.06, "test" -> 0.06), salt = "r4")
+        .select(col("doc_id"), col("split"))),
+
+    // cross-source duplication matrix (distinct shared content per pair)
+    "q_dedup_source_overlap" -> ((s, dir) =>
+      ops.Dedup.crossSourceOverlap(t(s, dir, "documents"), "text", "source")),
+
     // per-group quota: at most 5 events per user, hash-chosen
     "q_sample_cap_group" -> ((s, dir) =>
       Sample.capPerGroup(events(s, dir), "user_id", "event_id", n = 5, salt = "r3")
@@ -1336,6 +1346,23 @@ object SparkEntry {
     "q_sample_hash" ->
       s"""SELECT doc_id FROM documents
          |WHERE ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r3'")} % 10 = 0""".stripMargin,
+
+    "q_sample_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN b < 880000 THEN 'train'
+         |       WHEN b < 940000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")} % 1000000 AS b
+         |FROM documents)""".stripMargin,
+
+    "q_dedup_source_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT source AS src, md5($oracleNorm) AS ch FROM documents
+         |)
+         |SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+         |FROM h a JOIN h b ON a.ch = b.ch AND a.src <= b.src
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_sample_cap_group" ->
       s"""SELECT event_id, user_id FROM events

@@ -181,6 +181,33 @@ object Dedup {
       .drop("__ch", "__rn")
   }
 
+  /** Cross-source duplication matrix — the corpus-governance view ("how
+    * much of the web crawl is already in the books set"): for every
+    * source pair (a ≤ b), the number of DISTINCT normalized content
+    * hashes present in both. The diagonal (a = b) is each source's
+    * distinct-content count, the natural denominator for overlap rates.
+    *
+    * Scale shape: documents collapse to distinct (source, 16-byte digest)
+    * rows at the scan (text never shuffles); the self-join keys on the
+    * digest, where each group is at most #sources rows, so the join is
+    * linear in distinct content — no quadratic corner. Output is
+    * #sources² rows at most: driver-sized by construction.
+    */
+  def crossSourceOverlap(
+      docs: DataFrame,
+      textCol: String,
+      srcCol: String,
+  ): DataFrame = {
+    val hashed = docs
+      .select(col(srcCol).as("src"),
+        unhex(md5(TextOps.normalized(col(textCol)).cast("binary"))).as("__ch"))
+      .dropDuplicates("src", "__ch")
+    hashed.as("a").join(hashed.as("b"),
+        col("a.__ch") === col("b.__ch") && col("a.src") <= col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash signature: `numHashes` minima of independently seeded
     * re-hashes of the shingles' base hashes. Each shingle string is hashed
     * once (builtin xxhash64); the family expansion runs in the native

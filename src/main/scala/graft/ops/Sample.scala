@@ -123,4 +123,39 @@ object Sample {
       .filter(col("__cum") - tok < budget)
       .drop("__cum")
   }
+
+  /** Deterministic train/validation/test split: every row gets a `split`
+    * tag from the salted hash of its key — a pure projection (no shuffle,
+    * no sampling job), reproducible across reruns, retries, and partition
+    * layouts, and STABLE UNDER CORPUS GROWTH: a row's assignment depends
+    * only on (key, salt), so adding documents never migrates existing
+    * ones between splits (the property rand-based splits lack that makes
+    * them leak eval data across training runs).
+    *
+    * `weights` are (tag, weight) pairs; weights must be positive and sum
+    * to ≤ 1 + 1e-9 (quantized to millionths — the [[sampleFraction]]
+    * modulus, integer-exact in both engines). Rows whose hash bucket
+    * falls past the last cut (when weights sum < 1) get tag `rest`.
+    */
+  def splitByHash(
+      df: DataFrame,
+      keyCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      rest: String = "rest",
+  ): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    val cuts = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 1000000L)
+    }.tail
+    require(cuts.last <= 1000000L, "weights must sum to <= 1")
+    val bucket = pmod(saltedHash(col(keyCol), salt), lit(1000000L))
+    // build the CASE from the last cut backwards so the FIRST matching
+    // cut wins: bucket < cut_i → tag_i
+    val assigned = weights.zip(cuts).reverse.foldLeft(lit(rest)) {
+      case (fallthrough, ((t, _), cut)) => when(bucket < cut, lit(t)).otherwise(fallthrough)
+    }
+    df.withColumn("split", assigned)
+  }
 }

@@ -864,6 +864,49 @@ class OpsSpec extends AnyFunSuite {
     assert(got("b") == ((1L, List(10.0, 0.0))))
   }
 
+  test("hash split: exact partition, growth-stable, rest tag when weights < 1") {
+    val df = (0L until 2000L).toDF("id")
+    val got = Sample.splitByHash(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every row gets exactly one tag; proportions are hash-approximate
+    assert(got.size == 2000)
+    val byTag = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byTag.keySet == Set("train", "val", "test"))
+    assert(byTag("train") > 1500 && byTag("val") > 130 && byTag("test") > 130)
+    // growth stability: a corpus PREFIX gets identical assignments
+    val sub = Sample.splitByHash((0L until 500L).toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (k, v) => got(k) == v })
+    // weights summing under 1 leave a 'rest' remainder
+    val withRest = Sample.splitByHash(df, "id", Seq("train" -> 0.5), salt = "s")
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(withRest.keySet == Set("train", "rest"))
+    assert(math.abs(withRest("train") - withRest("rest")) < 200)
+  }
+
+  test("cross-source overlap counts shared distinct content per source pair") {
+    val corpus = Seq(
+      (0L, "web", "shared one"),
+      (1L, "web", "shared  ONE "),   // same normalized content, same source
+      (2L, "web", "web only text"),
+      (3L, "books", "shared one"),   // duplicated across web/books
+      (4L, "books", "books only text"),
+      (5L, "wiki", "wiki only text"),
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.crossSourceOverlap(corpus, "text", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // diagonal: distinct content per source (web's two "shared one" collapse)
+    assert(got(("web", "web")) == 2L)
+    assert(got(("books", "books")) == 2L)
+    assert(got(("wiki", "wiki")) == 1L)
+    // off-diagonal: only the planted web/books overlap, ordered a <= b
+    assert(got(("books", "web")) == 1L)
+    assert(!got.contains(("web", "books")))
+    assert(!got.contains(("books", "wiki")) && !got.contains(("web", "wiki")))
+  }
+
   test("bloom_might_contain: no false negatives; FPs bounded on a planted set") {
     graft.functions.GraftFunctions.register(spark)
     val members = (0L until 200L).map(_ * 7919L)

@@ -155,6 +155,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("hash split is a shuffle-free narrow projection") {
+    val p = plan(graft.ops.Sample.splitByHash(
+      docs.select($"doc_id"), "doc_id", Seq("train" -> 0.9, "val" -> 0.1)))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
   test("bloom decontamination: codegen bloom probe at the scan, no cartesian") {
     graft.functions.GraftFunctions.register(spark)
     val bench = docs.filter($"doc_id" % 50 === 0)

@@ -138,6 +138,13 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: hash split + cross-source overlap ==")
+    graft.ops.Sample.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.88, "val" -> 0.06, "test" -> 0.06), salt = "r4")
+      .groupBy(col("split")).count().orderBy(col("split")).show()
+    graft.ops.Dedup.crossSourceOverlap(docs, "text", "source")
+      .orderBy(col("src_a"), col("src_b")).show()
+
     println("== round-4: bloom-prefiltered decontamination ==")
     println("bloom-decontaminated kept: " +
       graft.ops.TextOps.decontaminateBloom(
