@@ -407,6 +407,13 @@ object SparkEntry {
       ops.Lm.unigramBits(docs, docs, "text", "doc_id")
     }),
 
+    // bigram LM self-scoring: word-ORDER-sensitive quality signal (the
+    // bigram upgrade of q_lm_score)
+    "q_lm_bigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Lm.bigramBits(docs, docs, "text", "doc_id")
+    }),
+
     // TF-IDF top-5 salient terms per document (rank on rounded score for
     // cross-engine order determinism)
     "q_lm_tfidf" -> ((s, dir) =>
@@ -457,6 +464,13 @@ object SparkEntry {
     // cross-source duplication matrix (distinct shared content per pair)
     "q_dedup_source_overlap" -> ((s, dir) =>
       ops.Dedup.crossSourceOverlap(t(s, dir, "documents"), "text", "source")),
+
+    // key-distribution diagnostics on the natural join key of events
+    "q_stats_heavy_hitters" -> ((s, dir) =>
+      ops.Stats.heavyHitters(events(s, dir), "user_id", k = 20)),
+
+    "q_stats_key_skew" -> ((s, dir) =>
+      ops.Stats.keySkew(events(s, dir), "user_id")),
 
     // per-group quota: at most 5 events per user, hash-chosen
     "q_sample_cap_group" -> ((s, dir) =>
@@ -1218,6 +1232,33 @@ object SparkEntry {
          |FROM tf JOIN cnt USING (token), tot
          |GROUP BY doc_id""".stripMargin,
 
+    // bigram LM: counts, vocabulary, add-one conditional and log2 all
+    // recomputed in SQL; first word of a 2-shingle via split_part
+    // (tokens are alnum runs — never contain the separator)
+    "q_lm_bigram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $oracleTokens AS tokens FROM documents
+         |), bg AS (
+         |  SELECT doc_id, unnest(${oracleShingles(2)}) AS bigram FROM toks
+         |), tf AS (
+         |  SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2
+         |), cb AS (
+         |  SELECT bigram, count(*) AS n12 FROM bg GROUP BY 1
+         |), cu AS (
+         |  SELECT token, count(*) AS n1
+         |  FROM (SELECT unnest(tokens) AS token FROM toks) GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v
+         |  FROM (SELECT unnest(tokens) AS token FROM toks)
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
+         |  round(sum(tf * -log2((n12 + 1.0) / (n1 + v))) / sum(tf), 6)
+         |    AS bits_per_transition
+         |FROM tf
+         |JOIN cb USING (bigram)
+         |JOIN cu ON cu.token = split_part(tf.bigram, ' ', 1), tot
+         |GROUP BY doc_id""".stripMargin,
+
     "q_lm_tfidf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($oracleTokens) AS token FROM documents
@@ -1355,6 +1396,21 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |  ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")} % 1000000 AS b
          |FROM documents)""".stripMargin,
+
+    "q_stats_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n,
+        |  round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM events), 6) AS share
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    "q_stats_key_skew" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  max(n) AS max_per_key,
+        |  round(avg(n), 6) AS avg_per_key,
+        |  round(quantile_cont(n, 0.99), 6) AS p99_per_key,
+        |  round(max(n) / avg(n), 6) AS skew_ratio
+        |FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1)""".stripMargin,
 
     "q_dedup_source_overlap" ->
       s"""WITH h AS (

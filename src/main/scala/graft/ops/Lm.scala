@@ -72,6 +72,62 @@ object Lm {
         round(sum(col("bits")) / sum(col("tf")), 6).as("bits_per_token"))
   }
 
+  /** Corpus bigram counts: one row per distinct word pair (stored as the
+    * 2-shingle string "w1 w2" — the native [[graft.functions.GraftFunctions.wordShingles]]
+    * form the oracles mirror). One map-side-combinable shuffle.
+    */
+  def bigramCounts(train: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    train
+      .select(explode(
+        graft.functions.GraftFunctions.wordShingles(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-document bits-per-transition under an add-one-smoothed BIGRAM
+    * LM: `-avg(log2 P(w2 | w1))` over the document's `T - 1` adjacent
+    * word pairs, with `P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)`
+    * (c = training counts, V = training unigram vocabulary). The bigram
+    * upgrade of [[unigramBits]] — sensitive to word ORDER, so shuffled or
+    * concatenated text scores high even when its token histogram looks
+    * natural. Documents with fewer than 2 tokens have no transitions and
+    * are dropped.
+    *
+    * Scale shape mirrors [[unigramBits]]: two count shuffles at train
+    * time, per-doc transition frequencies compress the joins (one on the
+    * bigram, one on its first word), the 1-row totals broadcast.
+    */
+  def bigramBits(
+      docs: DataFrame,
+      train: DataFrame,
+      textCol: String,
+      idCol: String,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val big = bigramCounts(train, textCol)
+    val uni = unigramCounts(train, textCol)
+    val totals = uni.agg(count(lit(1)).cast("double").as("lm_vocab"))
+    val tf = docs
+      .select(col(idCol), explode(
+        graft.functions.GraftFunctions.wordShingles(col(textCol), 2)).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    tf.join(big.withColumnRenamed("n", "n12"), Seq("bigram"), "left")
+      .join(uni.withColumnRenamed("token", "w1").withColumnRenamed("n", "n1"),
+        Seq("w1"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("bits",
+        col("tf") * -log2(
+          (coalesce(col("n12"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("n1"), lit(0L)) + col("lm_vocab"))))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_transitions"),
+        round(sum(col("bits")) / sum(col("tf")), 6).as("bits_per_transition"))
+  }
+
   /** Streaming twin of [[unigramBits]]: score an unbounded document
     * stream against a PRETRAINED static model (the (token, n) frame
     * [[unigramCounts]] produces) — completely STATELESS. The model

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Key-distribution diagnostics — the "look before you shuffle" checks a
+  * 100 TB pipeline runs before committing to a join/partition key: a
+  * pathological key (the null user, the empty string, one bot account)
+  * concentrates a partition onto one task and stalls the stage; these two
+  * operators surface that BEFORE the expensive job, from one cheap
+  * map-side-combinable count.
+  */
+object Stats {
+
+  /** Top-`k` heaviest values of `keyCol` with their row counts and corpus
+    * share — the candidates for salting, filtering, or broadcast-side
+    * special-casing. Deterministic order: (count desc, value asc), so the
+    * boundary tie picks the same rows on any engine or layout.
+    *
+    * One partial-aggregated shuffle + a TakeOrdered over per-key counts
+    * (never rows); the 1-row total broadcasts.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).cast("double").as("__total"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("__total"), 6))
+      .drop("__total")
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+  }
+
+  /** One-row skew summary of `keyCol`: distinct keys, total rows, the
+    * max / mean / exact-p99 rows-per-key, and the skew ratio
+    * (max / mean — 1.0 is perfectly uniform; a join key in the hundreds
+    * wants salting or AQE skew handling). Exact percentile buffers the
+    * per-KEY counts (not rows), which is the cardinality of the key
+    * space — switch the aggregation to `approx_percentile` past ~1e8
+    * distinct keys.
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_per_key"),
+        round(avg(col("n")), 6).as("avg_per_key"),
+        round(expr("percentile(n, 0.99D)"), 6).as("p99_per_key"),
+        round(max(col("n")) / avg(col("n")), 6).as("skew_ratio"))
+}

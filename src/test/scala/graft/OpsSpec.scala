@@ -864,6 +864,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got("b") == ((1L, List(10.0, 0.0))))
   }
 
+  test("key-skew diagnostics: hot key surfaces with exact share and ratio") {
+    // key 0 is hot (60 rows); keys 1..8 get 5 each; keys 10/11 tie at 5
+    val rows = Seq.fill(60)(0L) ++ (1L to 8L).flatMap(k => Seq.fill(5)(k)) ++
+      Seq.fill(5)(10L) ++ Seq.fill(5)(11L)
+    val df = rows.toDF("k")
+    val hh = Stats.heavyHitters(df, "k", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hh.head == ((0L, 60L, 0.545455))) // share rounds to 6 dp
+    // boundary ties resolve by value ascending: keys 1 and 2 (both 5)
+    assert(hh.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    val sk = Stats.keySkew(df, "k").collect().head
+    assert(sk.getLong(0) == 11L && sk.getLong(1) == 110L && sk.getLong(2) == 60L)
+    assert(sk.getDouble(3) == 10.0)   // avg 110/11
+    assert(sk.getDouble(5) == 6.0)    // skew = 60/10
+  }
+
   test("hash split: exact partition, growth-stable, rest tag when weights < 1") {
     val df = (0L until 2000L).toDF("id")
     val got = Sample.splitByHash(df, "id",
@@ -997,6 +1013,28 @@ class OpsSpec extends AnyFunSuite {
     val again = Lm.unigramBits(score.repartition(7), train.repartition(5), "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got.map { case (k, v) => k -> v._2 } == again)
+  }
+
+  test("bigram LM is word-order sensitive where the unigram LM is blind") {
+    val train = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the rug"),
+      (2L, "the dog sat on the mat"),
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (10L, "the cat sat on the mat"),  // natural order, seen transitions
+      (11L, "mat the on sat cat the"),  // same token HISTOGRAM, scrambled
+      (12L, "one"),                     // single token: no transitions -> dropped
+    ).toDF("doc_id", "text")
+    val bg = Lm.bigramBits(probes, train, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(bg.keySet == Set(10L, 11L))
+    assert(bg(10L)._1 == 5L) // 6 tokens -> 5 transitions
+    assert(bg(10L)._2 < bg(11L)._2, s"natural ${bg(10L)._2} !< scrambled ${bg(11L)._2}")
+    // the unigram model cannot tell them apart (identical histograms)
+    val uni = Lm.unigramBits(probes, train, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uni(10L) - uni(11L)) < 1e-9)
   }
 
   test("tf-idf: rare repeated terms outrank ubiquitous ones; k bounds output") {

@@ -155,6 +155,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("heavy hitters: partial-agg counts + bounded TakeOrdered, rows never sort") {
+    val p = plan(graft.ops.Stats.heavyHitters(docs, "doc_id", 20))
+    assert("partial_count".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // share rounding must not force a global sort of raw rows
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("hash split is a shuffle-free narrow projection") {
     val p = plan(graft.ops.Sample.splitByHash(
       docs.select($"doc_id"), "doc_id", Seq("train" -> 0.9, "val" -> 0.1)))

@@ -138,6 +138,13 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: bigram LM + key-skew diagnostics ==")
+    graft.ops.Lm.bigramBits(docs, docs, "text", "doc_id")
+      .agg(count(lit(1)).as("docs"),
+        round(avg(col("bits_per_transition")), 3).as("avg_bits")).show()
+    graft.ops.Stats.keySkew(docs, "source").show()
+    graft.ops.Stats.heavyHitters(docs, "source", 3).show()
+
     println("== round-4: hash split + cross-source overlap ==")
     graft.ops.Sample.splitByHash(docs, "doc_id",
       Seq("train" -> 0.88, "val" -> 0.06, "test" -> 0.06), salt = "r4")
