@@ -472,6 +472,16 @@ object SparkEntry {
     "q_stats_key_skew" -> ((s, dir) =>
       ops.Stats.keySkew(events(s, dir), "user_id")),
 
+    // temperature-scaled source mixture weights (alpha = 0.7, the
+    // standard up-weight-the-tail setting)
+    "q_sample_temperature" -> ((s, dir) =>
+      Sample.temperatureWeights(t(s, dir, "documents"), "source", alpha = 0.7)),
+
+    // one-pass numeric table profile (data-QA)
+    "q_stats_profile" -> ((s, dir) =>
+      ops.Stats.profileColumns(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // per-group quota: at most 5 events per user, hash-chosen
     "q_sample_cap_group" -> ((s, dir) =>
       Sample.capPerGroup(events(s, dir), "user_id", "event_id", n = 5, salt = "r3")
@@ -1396,6 +1406,22 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |  ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")} % 1000000 AS b
          |FROM documents)""".stripMargin,
+
+    "q_sample_temperature" ->
+      """SELECT source, n_rows,
+        |  round(pow(n_rows, 0.7) / (SELECT sum(pow(n_rows, 0.7)) FROM
+        |    (SELECT count(*) AS n_rows FROM documents GROUP BY source)), 6) AS weight
+        |FROM (SELECT source, count(*) AS n_rows FROM documents GROUP BY source)""".stripMargin,
+
+    "q_stats_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count($c) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+           |  round(avg($c), 6) AS mean, round(stddev_samp($c), 6) AS stddev
+           |FROM lineitem""".stripMargin).mkString("\n", "\nUNION ALL\n", "")
+    },
 
     "q_stats_heavy_hitters" ->
       """SELECT user_id, count(*) AS n,

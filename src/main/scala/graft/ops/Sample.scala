@@ -124,6 +124,32 @@ object Sample {
       .drop("__cum")
   }
 
+  /** Temperature-scaled mixture weights: given the corpus's per-source
+    * row counts, the sampling weight each source gets under temperature
+    * `alpha` — `w(s) ∝ share(s)^alpha`, normalized to sum to 1. The
+    * standard multi-source recipe knob (alpha = 1 keeps natural
+    * proportions, alpha → 0 approaches uniform over sources, in between
+    * up-weights small high-quality sources without flattening entirely).
+    * Feed the output straight into [[mixCorpora]] as per-source
+    * fractions scaled to a token budget.
+    *
+    * One count shuffle; the per-source frame is #sources rows (driver-
+    * sized by construction), so the normalizing total broadcasts.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      srcCol: String,
+      alpha: Double,
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(pow(col("n_rows"), alpha)).as("__z"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("weight", round(pow(col("n_rows"), alpha) / col("__z"), 6))
+      .drop("__z")
+  }
+
   /** Deterministic train/validation/test split: every row gets a `split`
     * tag from the salted hash of its key — a pure projection (no shuffle,
     * no sampling job), reproducible across reruns, retries, and partition

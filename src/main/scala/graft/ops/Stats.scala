@@ -32,6 +32,30 @@ object Stats {
       .limit(k)
   }
 
+  /** Numeric data-QA profile: one output row per requested column with
+    * non-null count, null count, min/max/mean/sample-stddev — the
+    * "know your data" health check run before trusting a new drop. ONE
+    * pass over the table: every column's aggregates compute in a single
+    * aggregation (no per-column scans), and the 1-row result unpivots to
+    * rows with `stack` — plan-level, nothing recomputes.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__${c}_n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
+      min(col(c)).cast("double").as(s"__${c}_min"),
+      max(col(c)).cast("double").as(s"__${c}_max"),
+      round(avg(col(c)), 6).as(s"__${c}_mean"),
+      round(stddev_samp(col(c)), 6).as(s"__${c}_std")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __${c}_n, __${c}_nulls, __${c}_min, __${c}_max, __${c}_mean, __${c}_std"
+    ).mkString(", ")
+    one.select(expr(
+      s"stack(${cols.length}, $stackArgs) AS (column, n, n_null, min, max, mean, stddev)"))
+  }
+
   /** One-row skew summary of `keyCol`: distinct keys, total rows, the
     * max / mean / exact-p99 rows-per-key, and the skew ratio
     * (max / mean — 1.0 is perfectly uniform; a join key in the hundreds

@@ -864,6 +864,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got("b") == ((1L, List(10.0, 0.0))))
   }
 
+  test("temperature weights: alpha=1 keeps shares, smaller alpha lifts the tail") {
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("src")
+    val natural = Sample.temperatureWeights(df, "src", alpha = 1.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(natural("big") == 0.9 && natural("small") == 0.1)
+    val cooled = Sample.temperatureWeights(df, "src", alpha = 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // sqrt scaling: 90^.5 : 10^.5 ≈ 0.75 : 0.25 — the tail triples
+    assert(cooled("small") > 0.2 && cooled("small") < 0.3)
+    assert(math.abs(cooled.values.sum - 1.0) < 1e-5)
+  }
+
+  test("column profiler: one-pass stats incl. nulls; stddev null on single value") {
+    val df = Seq(
+      (Some(1.0), Some(10L)),
+      (Some(3.0), None),
+      (None, None),
+    ).toDF("a", "b")
+    val got = Stats.profileColumns(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 1L) // n non-null, n_null
+    assert(a.getDouble(3) == 1.0 && a.getDouble(4) == 3.0 && a.getDouble(5) == 2.0)
+    assert(math.abs(a.getDouble(6) - 1.414214) < 1e-6)
+    val b = got("b")
+    assert(b.getLong(1) == 1L && b.getLong(2) == 2L)
+    assert(b.isNullAt(6)) // stddev_samp of one value
+  }
+
   test("key-skew diagnostics: hot key surfaces with exact share and ratio") {
     // key 0 is hot (60 rows); keys 1..8 get 5 each; keys 10/11 tie at 5
     val rows = Seq.fill(60)(0L) ++ (1L to 8L).flatMap(k => Seq.fill(5)(k)) ++

@@ -155,6 +155,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("column profiler reads the table exactly once for all columns") {
+    val p = plan(graft.ops.Stats.profileColumns(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount")))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"), p)
+  }
+
   test("heavy hitters: partial-agg counts + bounded TakeOrdered, rows never sort") {
     val p = plan(graft.ops.Stats.heavyHitters(docs, "doc_id", 20))
     assert("partial_count".r.findAllIn(p).nonEmpty, p)

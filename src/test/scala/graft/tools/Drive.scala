@@ -138,6 +138,12 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: temperature weights + column profile ==")
+    graft.ops.Sample.temperatureWeights(docs, "source", alpha = 0.7)
+      .orderBy(col("source")).show(3)
+    graft.ops.Stats.profileColumns(li,
+      Seq("l_quantity", "l_extendedprice")).show()
+
     println("== round-4: bigram LM + key-skew diagnostics ==")
     graft.ops.Lm.bigramBits(docs, docs, "text", "doc_id")
       .agg(count(lit(1)).as("docs"),
