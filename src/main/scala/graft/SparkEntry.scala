@@ -550,6 +550,17 @@ object SparkEntry {
         TextOps.fingerprintRolling(col("text")).as("fp_roll"))
     }),
 
+    // winnowing (MOSS) fingerprint: distinct window-min shingle hashes,
+    // canonicalized to a sorted joined string for the array-free compare
+    "q_text_fingerprint_winnow" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val fp = TextOps.fingerprintWinnow(col("text"), k = 5, w = 4)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(transform(fp, h => h.cast("string")), ",").as("fp_winnow"),
+        size(fp).cast("long").as("n_selected"))
+    }),
+
     // encoding-hygiene metrics (this corpus is clean ASCII, so counts are
     // 0 and the ratio 0.0 — the oracle still verifies every expression;
     // planted mojibake semantics live in OpsSpec)
@@ -1473,6 +1484,31 @@ object SparkEntry {
          |FROM (
          |  SELECT doc_id, ${oracleShingles(5)} AS sh
          |  FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
+         |)""".stripMargin,
+
+    // winnowing: the same window-min selection over the same md5-derived
+    // hashes (list_slice is 1-based inclusive: window i covers i..i+w-1)
+    "q_text_fingerprint_winnow" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len(hs) = 0 THEN ''
+         |       WHEN len(hs) < 4 THEN CAST(list_min(hs) AS VARCHAR)
+         |       ELSE array_to_string(
+         |         list_sort(list_distinct(list_transform(
+         |           range(1, len(hs) - 2),
+         |           i -> list_min(list_slice(hs, i, i + 3))))), ',')
+         |  END AS fp_winnow,
+         |  CAST(CASE WHEN len(hs) = 0 THEN 0
+         |       WHEN len(hs) < 4 THEN 1
+         |       ELSE len(list_distinct(list_transform(
+         |         range(1, len(hs) - 2),
+         |         i -> list_min(list_slice(hs, i, i + 3)))))
+         |  END AS BIGINT) AS n_selected
+         |FROM (
+         |  SELECT doc_id, list_transform(sh, s -> ${oracleMd5Long("s")}) AS hs
+         |  FROM (
+         |    SELECT doc_id, ${oracleShingles(5)} AS sh
+         |    FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
+         |  )
          |)""".stripMargin,
 
     "q_events_window" ->

@@ -334,6 +334,36 @@ object TextOps {
       graft.functions.GraftFunctions.wordShingles(text, shingleSize),
       s => graft.functions.GraftFunctions.md5Long60(s.cast("binary"))))
 
+  /** Winnowing fingerprint (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): slide a window of `w` consecutive k-shingle hashes
+    * and keep each window's minimum; the DISTINCT selected values, sorted,
+    * are the fingerprint. The winnowing guarantee: any two documents
+    * sharing a token run of at least `w + k - 1` words share at least one
+    * fingerprint hash — positional robustness [[fingerprintRolling]]'s
+    * single global minimum cannot give — while keeping the fingerprint a
+    * bounded ~`2/(w+1)` fraction of the shingle count.
+    *
+    * Documents with fewer than `w` shingles keep their global minimum
+    * (never an empty fingerprint while any shingle exists); documents
+    * shorter than `k` tokens fingerprint to the empty array. Entirely a
+    * per-row projection over the native shingler + md5-derived hashes
+    * (bit-identical in DuckDB — true SQL oracle): zero shuffles, scan
+    * speed. Callers must `GraftFunctions.register` first.
+    */
+  def fingerprintWinnow(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val hs = transform(
+      graft.functions.GraftFunctions.wordShingles(text, k),
+      s => graft.functions.GraftFunctions.md5Long60(s.cast("binary")))
+    val n = size(hs)
+    sort_array(
+      when(n === 0, array().cast("array<bigint>"))
+        .when(n < w, array(array_min(hs)))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), n - w),
+            i => array_min(slice(hs, i + 1, lit(w)))))))
+  }
+
   /** Benchmark decontamination, step 1: per corpus document, the number of
     * DISTINCT word `n`-grams it shares with the benchmark set (the union
     * of all benchmark documents' n-grams). The canonical training-data

@@ -864,6 +864,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got("b") == ((1L, List(10.0, 0.0))))
   }
 
+  test("winnowing: shared w+k-1 run guarantees a shared fingerprint; density bounded") {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 5; val w = 4
+    // docs 0/1: completely different except one shared 8-token run
+    // (= w + k - 1, the guarantee threshold)
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (0L, s"aa0 bb0 cc0 dd0 ee0 $run ff0 gg0 hh0"),
+      (1L, s"xx1 yy1 zz1 $run qq1 rr1 ss1 tt1 uu1"),
+      (2L, "totally unrelated words in this one only here"),
+      (3L, "tiny"),                       // < k tokens: empty fingerprint
+      (4L, "just five little words here"), // exactly k: 1 shingle < w
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        graft.ops.TextOps.fingerprintWinnow(col("text"), k, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(0L) intersect fps(1L)).nonEmpty, "guarantee violated")
+    assert((fps(0L) intersect fps(2L)).isEmpty)
+    assert(fps(3L).isEmpty)
+    assert(fps(4L).size == 1)
+    // sorted, distinct, and far denser than the raw shingle stream isn't:
+    // winnowing keeps roughly 2/(w+1) of shingles, never more than n-w+1
+    val doc0Shingles = 14 - k + 1
+    assert(fps(0L).size <= doc0Shingles - w + 1)
+  }
+
   test("temperature weights: alpha=1 keeps shares, smaller alpha lifts the tail") {
     val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("src")
     val natural = Sample.temperatureWeights(df, "src", alpha = 1.0).collect()

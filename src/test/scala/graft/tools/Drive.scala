@@ -138,6 +138,11 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: winnowing fingerprint density ==")
+    docs.select(org.apache.spark.sql.functions.size(
+        graft.ops.TextOps.fingerprintWinnow(col("text"))).as("n_sel"))
+      .agg(count(lit(1)).as("docs"), round(avg(col("n_sel")), 2).as("avg_selected")).show()
+
     println("== round-4: temperature weights + column profile ==")
     graft.ops.Sample.temperatureWeights(docs, "source", alpha = 0.7)
       .orderBy(col("source")).show(3)
