@@ -550,6 +550,11 @@ object SparkEntry {
         TextOps.fingerprintRolling(col("text")).as("fp_roll"))
     }),
 
+    // winnow-fingerprint overlap: near-dup candidates from fingerprints
+    // alone (>= 2 shared winnowed hashes)
+    "q_text_winnow_overlap" -> ((s, dir) =>
+      TextOps.winnowOverlap(t(s, dir, "documents"), "text", "doc_id")),
+
     // winnowing (MOSS) fingerprint: distinct window-min shingle hashes,
     // canonicalized to a sorted joined string for the array-free compare
     "q_text_fingerprint_winnow" -> ((s, dir) => {
@@ -1485,6 +1490,30 @@ object SparkEntry {
          |  SELECT doc_id, ${oracleShingles(5)} AS sh
          |  FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
          |)""".stripMargin,
+
+    // winnow overlap: same winnowed sets, inverted-index self-join on the
+    // selected hashes, pair counts at minShared = 2
+    "q_text_winnow_overlap" ->
+      s"""WITH hss AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${oracleMd5Long("s")}) AS hs
+         |  FROM (
+         |    SELECT doc_id, ${oracleShingles(5)} AS sh
+         |    FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
+         |  )
+         |), fp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+         |         ELSE list_distinct(list_transform(
+         |           range(1, len(hs) - 2),
+         |           i -> list_min(list_slice(hs, i, i + 3))))
+         |    END AS f
+         |  FROM hss WHERE len(hs) > 0
+         |), inv AS (
+         |  SELECT doc_id, unnest(f) AS h FROM fp
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // winnowing: the same window-min selection over the same md5-derived
     // hashes (list_slice is 1-based inclusive: window i covers i..i+w-1)

@@ -364,6 +364,41 @@ object TextOps {
             i => array_min(slice(hs, i + 1, lit(w)))))))
   }
 
+  /** Winnow-fingerprint overlap: pairs of documents sharing at least
+    * `minShared` winnowed hashes — near-dup / plagiarism CANDIDATES from
+    * fingerprints alone, at ~2/(w+1) the inverted-index rows a
+    * full-shingle overlap would cost. The winnowing guarantee bounds what
+    * the thinning can miss: any shared run of `w + k - 1` or more tokens
+    * still collides; only shorter overlaps can escape.
+    *
+    * Scale shape: the inverted index carries (id, hash) longs only
+    * (fingerprints are already distinct per doc); the self-join keys on
+    * the hash, with the shared [[Dedup.dropOverfullBuckets]] safety valve
+    * capping a pathological hash before the join turns quadratic; the
+    * pair aggregate is map-side combinable.
+    */
+  def winnowOverlap(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val inv = Dedup.dropOverfullBuckets(
+      docs.select(col(idCol), explode(fingerprintWinnow(col(textCol), k, w)).as("__h")),
+      Seq("__h"), maxBucketSize, "winnowOverlap", logMetric = false)
+    inv.as("a").join(inv.as("b"),
+        col("a.__h") === col("b.__h") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Benchmark decontamination, step 1: per corpus document, the number of
     * DISTINCT word `n`-grams it shares with the benchmark set (the union
     * of all benchmark documents' n-grams). The canonical training-data

@@ -890,6 +890,17 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0L).size <= doc0Shingles - w + 1)
   }
 
+  test("winnow overlap surfaces near-dup pairs, not unrelated docs") {
+    val pairs = graft.ops.TextOps.winnowOverlap(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted fixtures: 1 is an exact dup of 0, 2/3 near dups of 0
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 3L)))
+    // the unrelated docs (4, 5) never appear in any pair
+    val clustered = pairs.flatMap(p => Set(p._1, p._2))
+    assert(!clustered.contains(4L) && !clustered.contains(5L))
+  }
+
   test("temperature weights: alpha=1 keeps shares, smaller alpha lifts the tail") {
     val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("src")
     val natural = Sample.temperatureWeights(df, "src", alpha = 1.0).collect()

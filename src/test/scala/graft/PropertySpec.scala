@@ -132,6 +132,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing fingerprint properties on random token streams") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val k = 3; val w = 4
+    val textGen = for {
+      n <- Gen.chooseNum(0, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+    } yield toks.mkString(" ")
+    val texts = samples(textGen, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val rows = df.select(col("id"),
+        graft.ops.TextOps.fingerprintWinnow(col("text"), k, w).as("fp"),
+        graft.functions.GraftFunctions.wordShingles(col("text"), k).as("sh"))
+      .collect()
+    rows.foreach { r =>
+      val fp = r.getSeq[Long](1)
+      val shingles = r.getSeq[String](2)
+      // sorted + distinct
+      assert(fp == fp.sorted && fp.distinct == fp)
+      // every selected hash is a real shingle hash; nonempty iff shingles exist
+      val hashSet = shingles.map { s =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      }.toSet
+      assert(fp.forall(hashSet), s"selected hash not in shingle set: $r")
+      assert(fp.nonEmpty == shingles.nonEmpty)
+      // density: never more selections than windows (or 1 for short docs)
+      val bound = if (shingles.isEmpty) 0 else math.max(shingles.size - w + 1, 1)
+      assert(fp.size <= bound)
+    }
+  }
+
+  test("splitByHash partitions every row and never migrates under growth") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 80)
+      w1 <- Gen.chooseNum(0.1, 0.6)
+      w2 <- Gen.chooseNum(0.1, 0.3)
+      salt <- Gen.oneOf("a", "b", "c")
+    } yield (n, w1, w2, salt)
+    samples(caseGen, 12).foreach { case (n, w1, w2, salt) =>
+      val weights = Seq("x" -> w1, "y" -> w2)
+      val full = graft.ops.Sample.splitByHash((0L until n.toLong).toDF("id"), "id", weights, salt)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(full.size == n) // exactly one tag per row
+      assert(full.values.forall(Set("x", "y", "rest")))
+      val half = graft.ops.Sample.splitByHash((0L until (n / 2).toLong).toDF("id"), "id", weights, salt)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(half.forall { case (k2, v) => full(k2) == v })
+    }
+  }
+
   test("capTokensPerGroup equals the naive per-group prefix on random inputs") {
     val spark = SparkSpec.spark
     import spark.implicits._

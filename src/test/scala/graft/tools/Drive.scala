@@ -138,6 +138,10 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: winnow overlap candidates ==")
+    println("winnow near-dup pairs: " +
+      graft.ops.TextOps.winnowOverlap(docs, "text", "doc_id").count())
+
     println("== round-4: winnowing fingerprint density ==")
     docs.select(org.apache.spark.sql.functions.size(
         graft.ops.TextOps.fingerprintWinnow(col("text"))).as("n_sel"))
