@@ -87,27 +87,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("stateless ops (hash sample, PII redaction) compose with streams") {
+  test("stateless ops (hash sample, PII redaction, split, winnow) compose with streams") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
     val input = MemoryStream[(Long, String)]
     val docs = input.toDF().toDF("doc_id", "text")
     // narrow, stateless projections/filters are directly streamable —
     // no watermark, no state store
-    val out = graft.ops.Sample.sampleByHash(docs, "doc_id", oneIn = 2, salt = "s")
-      .select($"doc_id", graft.ops.TextOps.redactPii($"text").as("r"))
+    val out = graft.ops.Sample.splitByHash(
+        graft.ops.Sample.sampleByHash(docs, "doc_id", oneIn = 2, salt = "s"),
+        "doc_id", Seq("train" -> 0.5, "val" -> 0.5), salt = "sp")
+      .select($"doc_id", graft.ops.TextOps.redactPii($"text").as("r"),
+        $"split", graft.ops.TextOps.fingerprintWinnow($"text").as("fp"))
     val q = out.writeStream.format("memory").queryName("stateless_ops")
       .outputMode("append").start()
     try {
       input.addData((0L until 20L).map(i => (i, s"mail x$i@y.zz now")): _*)
       q.processAllAvailable()
       val rows = spark.table("stateless_ops").collect()
-      // same deterministic subset the batch operator keeps
-      val batchKept = graft.ops.Sample.sampleByHash(
-          (0L until 20L).map(i => (i, "")).toDF("doc_id", "text"), "doc_id", 2, "s")
-        .select($"doc_id").collect().map(_.getLong(0)).toSet
-      assert(rows.map(_.getLong(0)).toSet == batchKept)
+      // same deterministic subset + assignments the batch operators produce
+      val batchDf = (0L until 20L).map(i => (i, "")).toDF("doc_id", "text")
+      val batchKept = graft.ops.Sample.splitByHash(
+          graft.ops.Sample.sampleByHash(batchDf, "doc_id", 2, "s"),
+          "doc_id", Seq("train" -> 0.5, "val" -> 0.5), salt = "sp")
+        .select($"doc_id", $"split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.map(_.getLong(0)).toSet == batchKept.keySet)
+      assert(rows.forall(r => batchKept(r.getLong(0)) == r.getString(2)))
       assert(rows.forall(_.getString(1).contains("<EMAIL>")))
+      assert(rows.forall(!_.isNullAt(3))) // winnow projects per row
     } finally q.stop()
   }
 
