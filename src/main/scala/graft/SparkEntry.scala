@@ -433,6 +433,16 @@ object SparkEntry {
       ops.Curate.curate(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("quality"), col("dup_3gram_frac"))),
 
+    // the one-call pipeline: gates -> keep-first dedup -> benchmark
+    // decontamination -> deterministic split, oracled END TO END
+    "q_pipeline_prepare" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Pipeline.prepare(docs, docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "r4")
+        .select(col("doc_id"), col("split"))
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native word_shingles
       val metrics = TextOps.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }
@@ -1180,6 +1190,60 @@ object SparkEntry {
          |  )
          |)
          |GROUP BY lang""".stripMargin,
+
+    // the composed pipeline end to end: the q_curate chain (gates +
+    // QUALIFY keep-first), then 5-gram NOT-IN decontamination of the
+    // SURVIVORS, then the salted-hash CASE split — one DuckDB query
+    "q_pipeline_prepare" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    CAST($oracleWsTokens AS INTEGER) AS n_words,
+         |    round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |    round(CAST($oracleStopEn AS DOUBLE) / greatest($oracleWsTokens, 1), 6) AS stopword_ratio,
+         |    ${oracleShingles(3).replace("tokens", oracleTokens)} AS sh3,
+         |    $oracleStopEn AS s_en,
+         |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|de|un|une)\\b')) AS s_fr,
+         |    len(regexp_extract_all(lower(text), '\\b(el|los|las|y|en|un|una)\\b')) AS s_es,
+         |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|von|ein|ist)\\b')) AS s_de
+         |  FROM documents
+         |), sig AS (
+         |  SELECT doc_id, text,
+         |    CASE
+         |      WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+         |      WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+         |      WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+         |      WHEN s_de > 0 THEN 'de'
+         |      ELSE 'und'
+         |    END AS lang_pred,
+         |    round(least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.5
+         |        + least(stopword_ratio * 5.0, 1.0) * 0.4
+         |        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 6) AS quality,
+         |    ${oracleDupFrac("sh3")} AS dup_3gram_frac
+         |  FROM m
+         |), kept AS (
+         |  SELECT doc_id, text FROM sig
+         |  WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_3gram_frac <= 0.05
+         |  QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1
+         |), ksh AS (
+         |  SELECT doc_id, unnest(list_distinct(${oracleShingles(5)})) AS s0
+         |  FROM (SELECT doc_id, $oracleTokens AS tokens FROM kept)
+         |), bsh AS (
+         |  SELECT DISTINCT s0 FROM (
+         |    SELECT unnest(list_distinct(${oracleShingles(5)})) AS s0
+         |    FROM (SELECT $oracleTokens AS tokens FROM documents WHERE doc_id % 50 = 0)
+         |  )
+         |), cont AS (
+         |  SELECT DISTINCT doc_id FROM ksh JOIN bsh USING (s0)
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN b < 900000 THEN 'train'
+         |       WHEN b < 950000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id,
+         |    ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")} % 1000000 AS b
+         |  FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |)""".stripMargin,
 
     // bloom decontamination: the bloom is a pure work-pruner, so the
     // oracle is the exact semantics — documents with zero 5-gram overlap

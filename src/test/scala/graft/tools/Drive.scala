@@ -138,6 +138,11 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: one-call preparation pipeline ==")
+    graft.ops.Pipeline.prepare(docs, docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), "r4")
+      .groupBy(col("split")).count().orderBy(col("split")).show()
+
     println("== round-4: winnow overlap candidates ==")
     println("winnow near-dup pairs: " +
       graft.ops.TextOps.winnowOverlap(docs, "text", "doc_id").count())
