@@ -172,6 +172,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed probes against a static IVF index match the batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = graft.ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 8)
+    val probeRows = emb.filter($"vec_id" < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    // stream-static: streamed probes join the static (indexed) corpus;
+    // per-probe bounded top-k state, complete output — the continuous
+    // query-serving shape
+    val q = graft.ops.Similarity.ivfSearch(index, emb,
+        input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id", k = 3)
+      .writeStream.format("memory").queryName("ivf_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(probeRows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ivf_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val batch = graft.ops.Similarity.ivfSearch(index, emb,
+          emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == probeRows.map(_._1).toSet)
+    } finally q.stop()
+  }
+
   test("streaming LM scoring matches the batch twin on a static pretrained model") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
