@@ -433,6 +433,15 @@ object SparkEntry {
       ops.Curate.curate(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("quality"), col("dup_3gram_frac"))),
 
+    // feature-hashing document embedding (model-free, md5-derived, L2
+    // normalized); canonicalized to a joined %.6f string for the compare
+    "q_emb_hash_embed" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = ops.Embeddings.hashEmbedding(col("text"), dim = 64)
+      t(s, dir, "documents").select(col("doc_id"),
+        array_join(transform(e, x => format_string("%.6f", round(x, 6))), ",").as("emb"))
+    }),
+
     // the one-call pipeline: gates -> keep-first dedup -> benchmark
     // decontamination -> deterministic split, oracled END TO END
     "q_pipeline_prepare" -> ((s, dir) => {
@@ -1190,6 +1199,35 @@ object SparkEntry {
          |  )
          |)
          |GROUP BY lang""".stripMargin,
+
+    // hash embedding: bucket = h % dim, sign = (h // dim) % 2, dense grid
+    // via constant range, L2 norm, %.6f canonicalization — all integer
+    // counts until the final division, so both engines are bit-identical
+    "q_emb_hash_embed" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $oracleTokens AS tokens FROM documents
+         |), th AS (
+         |  SELECT doc_id, ${oracleMd5Long("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+         |), cells AS (
+         |  SELECT doc_id, CAST(h % 64 AS INTEGER) AS b,
+         |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+         |  FROM th GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT doc_id, CAST(j AS INTEGER) AS b
+         |  FROM toks, range(0, 64) r(j) WHERE len(tokens) > 0
+         |), dense AS (
+         |  SELECT g.doc_id, g.b, coalesce(c.v, 0.0) AS v
+         |  FROM grid g LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.b = g.b
+         |), nm AS (
+         |  SELECT doc_id, sqrt(sum(v * v)) AS n FROM dense GROUP BY 1
+         |), emb AS (
+         |  SELECT d.doc_id,
+         |    string_agg(printf('%.6f', round(d.v / nm.n, 6)), ',' ORDER BY d.b) AS emb
+         |  FROM dense d JOIN nm USING (doc_id) WHERE nm.n > 0
+         |  GROUP BY d.doc_id
+         |)
+         |SELECT t.doc_id, e.emb FROM toks t LEFT JOIN emb e USING (doc_id)""".stripMargin,
 
     // the composed pipeline end to end: the q_curate chain (gates +
     // QUALIFY keep-first), then 5-gram NOT-IN decontamination of the

@@ -164,6 +164,60 @@ case class ArrayMinHash(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** Runtime helper for HashEmbed — one pass over the token array, O(T + d):
+  * each token's md5-derived hash picks a bucket (`h mod dim`) and a sign
+  * (`(h / dim) mod 2` — signed hashing, Weinberger et al. 2009, keeps the
+  * folded counts unbiased), accumulated into a primitive double array.
+  */
+object HashEmbedUtil {
+  def embed(tokens: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Double](dim)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val h = SimHashUtil.tokenHash60(tokens.getUTF8String(i).toString)
+      val b = (h % dim).toInt
+      out(b) += (if (((h / dim) & 1L) == 0L) 1.0 else -1.0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Feature-hashing embedding (the hashing trick): fold a token array into
+  * a fixed `dim`-length signed-count vector — a model-free document
+  * embedding for cosine clustering / near-dup when no learned encoder
+  * exists. md5-derived per-token hash (the shared [[GraftFunctions.md5Long60]]
+  * derivation), so DuckDB recomputes the vector exactly: a true SQL
+  * oracle, unlike any xxhash64-based fold. Codegen'd single pass; the HOF
+  * formulation (`transform(sequence(0, dim-1), b -> aggregate(...))`)
+  * would be O(dim × T) interpreted — this is O(T + dim) compiled.
+  */
+case class HashEmbed(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if dim >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"hash_embed requires dim >= 1, got $dim")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hash_embed requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashEmbedUtil.embed(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashEmbedUtil.embed($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+
+  override def prettyName: String = "hash_embed"
+}
+
 /** Bloom-filter membership over a 64-bit hash column, against a
   * pre-built, serialized `org.apache.spark.util.sketch.BloomFilter`
   * (Spark's own sketch — the same one `DataFrameStatFunctions
@@ -261,6 +315,8 @@ object GraftFunctions {
       add("topk_by_score", exprs =>
         TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue()))
       add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
+      add("hash_embed", exprs =>
+        HashEmbed(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -290,6 +346,12 @@ object GraftFunctions {
     */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score", score, id, org.apache.spark.sql.functions.lit(k))
+
+  /** Feature-hashing embedding of a token array; requires
+    * `register(spark)` first.
+    */
+  def hashEmbed(tokens: Column, dim: Int): Column =
+    call_function("hash_embed", tokens, org.apache.spark.sql.functions.lit(dim))
 
   /** Bloom membership of a 64-bit hash against a serialized
     * `org.apache.spark.util.sketch.BloomFilter`; requires

@@ -32,6 +32,19 @@ object Embeddings {
   def l2Normalize(vec: Column): Column =
     graft.functions.GraftFunctions.vecL2Normalize(vec)
 
+  /** Model-free document embedding by feature hashing (the hashing
+    * trick): tokens fold into a `dim`-length signed-count vector (native
+    * codegen'd [[graft.functions.HashEmbed]], O(tokens + dim) per row),
+    * then L2-normalize — ready for cosine similarity, clustering, or the
+    * [[Similarity]] ANN operators when no learned encoder exists. All
+    * md5-derived, hence exactly reproducible in SQL. Zero-token documents
+    * embed to null (the zero vector normalizes to null, the shared
+    * "no embedding" convention). A pure scan-side projection.
+    * Callers must `GraftFunctions.register` the session first.
+    */
+  def hashEmbedding(text: Column, dim: Int = 64): Column =
+    l2Normalize(graft.functions.GraftFunctions.hashEmbed(TextOps.tokens(text), dim))
+
   /** Per-group centroid (dimension-wise mean) + member count of an
     * embedding column: the corpus-summary / cluster-quality primitive.
     *

@@ -890,6 +890,25 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0L).size <= doc0Shingles - w + 1)
   }
 
+  test("hash embedding: unit norm, near-dups close, unrelated far, empty -> null") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = docs.union(Seq((9L, "")).toDF("doc_id", "text"))
+      .select($"doc_id", Embeddings.hashEmbedding($"text", 64).as("e"))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(got(9L).isEmpty) // no tokens -> null embedding
+    def cos(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    got.collect { case (_, Some(v)) => v }.foreach { v =>
+      assert(math.abs(cos(v, v) - 1.0) < 1e-9) // unit norm
+    }
+    val c01 = cos(got(0L).get, got(1L).get) // exact dups
+    val c02 = cos(got(0L).get, got(2L).get) // near dup (one word changed)
+    val c04 = cos(got(0L).get, got(4L).get) // unrelated
+    assert(math.abs(c01 - 1.0) < 1e-9)
+    assert(c02 > 0.9 && c02 < 1.0)
+    assert(c04 < 0.5, s"unrelated cosine too high: $c04")
+  }
+
   test("winnow overlap surfaces near-dup pairs, not unrelated docs") {
     val pairs = graft.ops.TextOps.winnowOverlap(docs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

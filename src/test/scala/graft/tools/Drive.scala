@@ -138,6 +138,12 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: feature-hash embeddings -> brute-force top-k ==")
+    val he = docs.select(col("doc_id").as("vec_id"),
+      graft.ops.Embeddings.hashEmbedding(col("text"), 64).as("embedding"))
+    graft.ops.Similarity.bruteForceTopK(
+      he, he.filter(col("vec_id") < 2), "embedding", "vec_id", k = 3).show()
+
     println("== round-4: one-call preparation pipeline ==")
     graft.ops.Pipeline.prepare(docs, docs.filter(col("doc_id") % 50 === 0),
         "text", "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), "r4")
