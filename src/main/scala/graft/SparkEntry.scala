@@ -79,6 +79,12 @@ object SparkEntry {
     ivfIndexCache.computeIfAbsent(s"$dir#$nlist", _ =>
       ops.Similarity.trainIvf(t(s, dir, "embeddings"), "embedding", "vec_id", nlist))
 
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ops.Similarity.PqCodebooks]()
+  private def pqFor(s: SparkSession, dir: String, m: Int, ksub: Int): ops.Similarity.PqCodebooks =
+    pqCache.computeIfAbsent(s"$dir#$m#$ksub", _ =>
+      ops.Similarity.trainPq(t(s, dir, "embeddings"), "embedding", "vec_id", m, ksub))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity operators (SURVEY.md §2.3), via the dialect compiler ----
     "q_p1_project" -> ((s, dir) =>
@@ -340,6 +346,24 @@ object SparkEntry {
       Similarity.ivfSearch(ivfIndexFor(s, dir, nlist = 16), emb,
         emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, nprobe = 4)
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // PQ-compressed ANN (asymmetric distance + exact re-rank): the
+    // memory-compression path — approximate by contract, rows-only
+    "q_sim_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(pqFor(s, dir, m = 16, ksub = 16), emb,
+        emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, rerank = 8)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    "q_sim_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
+        Similarity.pqTopK(pqFor(s, dir, m = 16, ksub = 16), emb, probes,
+          "embedding", "vec_id", 5, rerank = 8))
     }),
 
     // driver-visible approximation quality: recall@5 of each ANN path

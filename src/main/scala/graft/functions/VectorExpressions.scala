@@ -218,6 +218,137 @@ case class HashEmbed(child: Expression, dim: Int)
   override def prettyName: String = "hash_embed"
 }
 
+/** Runtime helper for the PQ expressions — compiled loops shared by
+  * interpreted eval and generated code.
+  */
+object PqUtil {
+  /** Nearest-codeword index per subspace: argmax of `dot − ‖c‖²/2`
+    * (≡ min L2), first index wins ties. O(m·ksub·dsub), one pass over the
+    * vector, no allocation beyond the m-int result.
+    */
+  def encode(vec: ArrayData, cb: Array[Array[Array[Double]]],
+      halfNorms: Array[Array[Double]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Int](m)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val words = cb(j)
+      val dsub = words(0).length
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < words.length) {
+        val w = words(c)
+        var s = 0.0
+        var d = 0
+        while (d < dsub) { s += vec.getDouble(off + d) * w(d); d += 1 }
+        s -= halfNorms(j)(c)
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += dsub
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC score: m table lookups, `Σ_j luts[j][code[j]]`. */
+  def adc(luts: ArrayData, code: ArrayData): Double = {
+    var s = 0.0
+    var j = 0
+    val m = code.numElements()
+    while (j < m) {
+      s += luts.getArray(j).getDouble(code.getInt(j))
+      j += 1
+    }
+    s
+  }
+}
+
+/** PQ encoding as ONE native expression: the codebook rides along as a
+  * plan reference object (a foldable nested-array literal at the call
+  * site, converted once at plan init), and the generated row code is a
+  * single compiled call — NOT `m × ksub` inlined literal dot products,
+  * which blow whole-stage codegen past the JVM method limit for
+  * production codebook sizes (observed at m=16, ksub=16) and force an
+  * interpreted fallback of the entire stage.
+  */
+case class PqEncode(vecExpr: Expression, cbExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = vecExpr
+  override def right: Expression = cbExpr
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vecExpr.dataType, cbExpr.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) if cbExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq_encode requires (array<double>, foldable array<array<array<double>>>)")
+    }
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] = {
+    val a = cbExpr.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements()) { j =>
+      val sub = a.getArray(j)
+      Array.tabulate(sub.numElements())(c => sub.getArray(c).toDoubleArray())
+    }
+  }
+  @transient private lazy val halfNorms: Array[Array[Double]] =
+    cb.map(_.map(w => w.map(x => x * x).sum / 2.0))
+
+  override protected def nullSafeEval(vec: Any, cbIgnored: Any): Any =
+    PqUtil.encode(vec.asInstanceOf[ArrayData], cb, halfNorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "double[][][]")
+    val hnRef = ctx.addReferenceObj("pqHn", halfNorms, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.PqUtil.encode($v, $cbRef, $hnRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(vecExpr = newLeft, cbExpr = newRight)
+
+  override def prettyName: String = "pq_encode"
+}
+
+/** ADC score of a PQ code against a probe's per-subspace lookup tables —
+  * the per-row work of a compressed ANN scan, as one compiled loop.
+  */
+case class PqAdc(lutsExpr: Expression, codeExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = lutsExpr
+  override def right: Expression = codeExpr
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (lutsExpr.dataType, codeExpr.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq_adc requires (array<array<double>>, array<int>)")
+    }
+
+  override protected def nullSafeEval(luts: Any, code: Any): Any =
+    PqUtil.adc(luts.asInstanceOf[ArrayData], code.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, c) => s"graft.functions.PqUtil.adc($l, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(lutsExpr = newLeft, codeExpr = newRight)
+
+  override def prettyName: String = "pq_adc"
+}
+
 /** Bloom-filter membership over a 64-bit hash column, against a
   * pre-built, serialized `org.apache.spark.util.sketch.BloomFilter`
   * (Spark's own sketch — the same one `DataFrameStatFunctions
@@ -317,6 +448,8 @@ object GraftFunctions {
       add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
       add("hash_embed", exprs =>
         HashEmbed(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
+      add("pq_encode", exprs => PqEncode(exprs(0), exprs(1)))
+      add("pq_adc", exprs => PqAdc(exprs(0), exprs(1)))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -352,6 +485,18 @@ object GraftFunctions {
     */
   def hashEmbed(tokens: Column, dim: Int): Column =
     call_function("hash_embed", tokens, org.apache.spark.sql.functions.lit(dim))
+
+  /** PQ code of a (normalized, array<double>) vector against a codebook
+    * literal; requires `register(spark)` first.
+    */
+  def pqEncode(vec: Column, codebooks: Column): Column =
+    call_function("pq_encode", vec, codebooks)
+
+  /** ADC score of a PQ code against per-subspace lookup tables; requires
+    * `register(spark)` first.
+    */
+  def pqAdc(luts: Column, code: Column): Column =
+    call_function("pq_adc", luts, code)
 
   /** Bloom membership of a 64-bit hash against a serialized
     * `org.apache.spark.util.sketch.BloomFilter`; requires

@@ -337,6 +337,136 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * space splits into `m` subspaces of `dsub = dim / m` dims, each with
+    * its own `ksub`-codeword quantizer. A vector compresses to `m` small
+    * codes — with m=8, ksub=16 that is 8 nibbles (~4 bytes) per vector
+    * instead of 256 bytes of floats, the memory lever that lets a
+    * billion-vector index live where raw vectors cannot.
+    */
+  final case class PqCodebooks(
+      dim: Int, m: Int, ksub: Int,
+      codewords: Array[Array[Array[Double]]], // m × ksub × dsub
+  ) {
+    def dsub: Int = dim / m
+  }
+
+  /** Train PQ codebooks: per subspace, k-means over the (hash-sampled,
+    * L2-normalized) corpus's subvectors — `m` small driver-coordinated
+    * fits at build time, the [[trainIvf]] lifecycle (train once, search
+    * many; persist like [[saveIvf]] if needed).
+    */
+  def trainPq(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleOneIn: Int = 1,
+  ): PqCodebooks = {
+    val dim = vecDims(corpus, vecCol)
+    require(dim > 0, "cannot train PQ on an all-null vector column")
+    require(dim % m == 0, s"m=$m must divide the vector dim $dim")
+    val dsub = dim / m
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val normed = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn.toLong)) === 0)
+      .select(Embeddings.l2Normalize(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    val codebooks = (0 until m).map { j =>
+      val sub = normed.select(
+        org.apache.spark.ml.functions.array_to_vector(
+          slice(col("v"), j * dsub + 1, dsub)).as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(ksub).setSeed(42L + j).setMaxIter(20).setFeaturesCol("features")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    PqCodebooks(dim, m, ksub, codebooks)
+  }
+
+  /** The codebook as ONE nested-array literal — a single plan constant
+    * shared by encode and the probe LUT build. Inlining per-codeword
+    * literal dot products instead (m × ksub of them) blows whole-stage
+    * codegen past the JVM method limit at production codebook sizes.
+    */
+  private def cbLiteral(cb: PqCodebooks): Column =
+    typedLit(cb.codewords.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Encode vectors to PQ codes: per subspace, the nearest codeword
+    * (argmax of `dot − ‖c‖²/2` ≡ min L2), as the single native
+    * [[graft.functions.PqEncode]] expression — a pure scan-side codegen'd
+    * projection, no shuffle, O(m·ksub·dsub) per row in one compiled loop.
+    * Null / zero vectors encode to null and are dropped (same
+    * "no embedding" convention as [[Embeddings.l2Normalize]]).
+    * Returns (idCol, pq_code: array<int>).
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cb: PqCodebooks,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val v = Embeddings.l2Normalize(col(vecCol))
+    corpus
+      .filter(v.isNotNull)
+      .select(col(idCol),
+        graft.functions.GraftFunctions.pqEncode(v, cbLiteral(cb)).as("pq_code"))
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): each probe builds
+    * per-subspace lookup tables of its subvector's dot products with
+    * every codeword; a corpus CODE then scores with `m` table lookups —
+    * no vector arithmetic, no vector IO. The scan touches `m` small codes
+    * per corpus row (the compression is also the bandwidth win); the
+    * `rerank × k` best candidates per probe re-join their TRUE vectors by
+    * id for exact cosine re-ranking, which both fixes quantization error
+    * at the top and keeps vector fetches candidate-sized. Probes
+    * broadcast (same contract as [[bruteForceTopK]]). Approximate by
+    * contract — monitor with [[recallAtK]].
+    */
+  def pqTopK(
+      cb: PqCodebooks,
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rerank: Int = 4,
+  ): DataFrame = {
+    require(k >= 1 && rerank >= 1, "need k >= 1 and rerank >= 1")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import graft.functions.GraftFunctions.topKByScore
+    val codes = pqEncode(corpus, vecCol, idCol, cb)
+      .select(col(idCol).as("neighbor_id"), col("pq_code"))
+    val pv = Embeddings.l2Normalize(col(vecCol))
+    // per-probe LUTs from the ONE codebook literal: probe rows are few,
+    // so the interpreted HOF here is irrelevant — what matters is the
+    // per-corpus-row ADC below staying a compiled loop
+    val cbl = cbLiteral(cb)
+    val luts = transform(sequence(lit(0), lit(cb.m - 1)), j =>
+      transform(element_at(cbl, j + 1), cw =>
+        aggregate(zip_with(slice(pv, j * cb.dsub + 1, lit(cb.dsub)), cw,
+          (x, y) => x * y), lit(0.0), (acc, v) => acc + v)))
+    val p = probes
+      .filter(pv.isNotNull)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pvec"), luts.as("luts"))
+    val adc = codes.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        graft.functions.GraftFunctions.pqAdc(col("luts"), col("pq_code")))
+    val candidates = adc
+      .groupBy(col("probe_id"))
+      .agg(topKByScore(col("approx"), col("neighbor_id"), k * rerank).as("tk"))
+      .select(col("probe_id"), explode(col("tk").getField("id")).as("neighbor_id"))
+    val scored = candidates
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), Seq("neighbor_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))), Seq("probe_id"))
+      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
+    rankTopK(scored, k)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one: the
     * fraction of true (probe, neighbor) pairs the approximate search
     * found. Both inputs are `(probe_id, neighbor_id, …)` as produced by

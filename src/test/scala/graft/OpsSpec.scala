@@ -415,6 +415,36 @@ class OpsSpec extends AnyFunSuite {
     assert(all == exact)
   }
 
+  test("PQ: encode deterministic, exact dup shares the code, top-k finds it") {
+    // 8-dim vectors in two planted clusters + an exact dup of the probe
+    val pv = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
+                 else Array(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f)
+      (i, base.zipWithIndex.map { case (x, d) =>
+        x + 0.05f * math.sin(i * 13.0 + d).toFloat })
+    }.toDF("vec_id", "embedding")
+    val dup = Seq((100L, pv.filter($"vec_id" === 0L)
+      .collect().head.getSeq[Float](1).toArray)).toDF("vec_id", "embedding")
+    val all = pv.union(dup)
+    val cb = Similarity.trainPq(all, "embedding", "vec_id", m = 4, ksub = 4)
+    val codes = Similarity.pqEncode(all, "embedding", "vec_id", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 41 && codes.values.forall(_.length == 4))
+    assert(codes(0L) == codes(100L)) // identical vectors, identical codes
+    // re-encoding is deterministic
+    val again = Similarity.pqEncode(all.repartition(7), "embedding", "vec_id", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(again == codes)
+    // the exact dup tops the probe's neighbors after re-rank
+    val top = Similarity.pqTopK(cb, all, all.filter($"vec_id" === 0L),
+        "embedding", "vec_id", k = 3, rerank = 4)
+      .orderBy($"rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 100L)
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+    // same-cluster neighbors fill the remaining slots
+    assert(top.tail.forall(_.getAs[Long]("neighbor_id") % 2 == 0))
+  }
+
   test("IVF index save/load round-trips and searches identically") {
     val vecs = (0L until 60L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 37.0 + d).toFloat))).toDF("id", "v")

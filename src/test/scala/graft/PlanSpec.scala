@@ -155,6 +155,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("PQ search: code scan + broadcast probes; candidate re-join is an equi-join") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = graft.ops.Similarity.trainPq(emb, "embedding", "vec_id", m = 8, ksub = 4)
+    val p = plan(graft.ops.Similarity.pqTopK(cb, emb,
+      emb.filter($"vec_id" < 3), "embedding", "vec_id", k = 3))
+    assert(!p.contains("CartesianProduct"), p)
+    // probes ride a broadcast; the candidate -> vector re-join must be a
+    // hash equi-join on the id, never a nested loop over the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("column profiler reads the table exactly once for all columns") {
     val p = plan(graft.ops.Stats.profileColumns(li,
       Seq("l_quantity", "l_extendedprice", "l_discount")))

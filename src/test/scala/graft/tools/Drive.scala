@@ -138,6 +138,15 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: PQ-compressed ANN (ADC + exact re-rank) ==")
+    val embDrive = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pqCb = graft.ops.Similarity.trainPq(embDrive, "embedding", "vec_id", m = 16, ksub = 16)
+    val pqProbes = embDrive.filter(col("vec_id") < 5)
+    graft.ops.Similarity.recallAtK(
+      graft.ops.Similarity.bruteForceTopK(embDrive, pqProbes, "embedding", "vec_id", 5),
+      graft.ops.Similarity.pqTopK(pqCb, embDrive, pqProbes, "embedding", "vec_id", 5, rerank = 8))
+      .show()
+
     println("== round-4: feature-hash embeddings -> brute-force top-k ==")
     val he = docs.select(col("doc_id").as("vec_id"),
       graft.ops.Embeddings.hashEmbedding(col("text"), 64).as("embedding"))
