@@ -385,6 +385,31 @@ object Similarity {
     PqCodebooks(dim, m, ksub, codebooks)
   }
 
+  /** Persist PQ codebooks as a tiny parquet table of (subspace, code,
+    * codeword) rows — the [[saveIvf]] lifecycle: train once, every later
+    * session [[loadPq]]s instead of retraining. m × ksub rows of dsub
+    * doubles: kilobytes.
+    */
+  def savePq(cb: PqCodebooks, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    (for (j <- cb.codewords.indices; c <- cb.codewords(j).indices)
+      yield (j, c, cb.codewords(j)(c).toSeq)).toDF("subspace", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load PQ codebooks saved by [[savePq]] (order restored from the
+    * subspace/code columns).
+    */
+  def loadPq(spark: org.apache.spark.sql.SparkSession, path: String): PqCodebooks = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("subspace"), col("code"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    val cws = rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
+    require(cws.nonEmpty, s"no PQ codebooks at $path")
+    PqCodebooks(cws.map(_.head.length).sum, cws.length, cws.head.length, cws)
+  }
+
   /** The codebook as ONE nested-array literal — a single plan constant
     * shared by encode and the probe LUT build. Inlining per-codeword
     * literal dot products instead (m × ksub of them) blows whole-stage

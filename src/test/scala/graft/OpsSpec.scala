@@ -445,6 +445,22 @@ class OpsSpec extends AnyFunSuite {
     assert(top.tail.forall(_.getAs[Long]("neighbor_id") % 2 == 0))
   }
 
+  test("PQ codebooks save/load round-trip and encode identically") {
+    val pv = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 31.0 + d).toFloat))).toDF("id", "v")
+    val cb = Similarity.trainPq(pv, "v", "id", m = 4, ksub = 4)
+    val path = java.nio.file.Files.createTempDirectory("pq_cb").toString + "/cb"
+    Similarity.savePq(cb, spark, path)
+    val back = Similarity.loadPq(spark, path)
+    assert(back.dim == cb.dim && back.m == cb.m && back.ksub == cb.ksub)
+    assert(back.codewords.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.codewords.map(_.map(_.toSeq).toSeq).toSeq)
+    def enc(c: Similarity.PqCodebooks) =
+      Similarity.pqEncode(pv, "v", "id", c).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(back) == enc(cb))
+  }
+
   test("IVF index save/load round-trips and searches identically") {
     val vecs = (0L until 60L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 37.0 + d).toFloat))).toDF("id", "v")

@@ -291,6 +291,12 @@ object Drive {
     println(s"ivf round-trip: nlist=${loaded.nlist}, " +
       s"search rows=${graft.ops.Similarity.ivfSearch(loaded, emb,
         emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 5).count()}")
+    val pqPath = java.nio.file.Files.createTempDirectory("drive_pq").toString + "/cb"
+    graft.ops.Similarity.savePq(pqCb, spark, pqPath)
+    val pqBack = graft.ops.Similarity.loadPq(spark, pqPath)
+    println(s"pq round-trip: m=${pqBack.m} ksub=${pqBack.ksub} dim=${pqBack.dim}, " +
+      s"search rows=${graft.ops.Similarity.pqTopK(pqBack, emb,
+        emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 5).count()}")
 
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
