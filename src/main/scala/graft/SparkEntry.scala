@@ -366,6 +366,27 @@ object SparkEntry {
           "embedding", "vec_id", 5, rerank = 8))
     }),
 
+    // IVF+PQ combined (FAISS IVFADC layout): cell pruning bounds the
+    // scan, PQ bounds bytes per scanned row — rows-only (approximate)
+    "q_sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(ivfIndexFor(s, dir, nlist = 16),
+        pqFor(s, dir, m = 16, ksub = 16), emb,
+        emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, nprobe = 8, rerank = 8)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    "q_sim_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
+        Similarity.ivfPqTopK(ivfIndexFor(s, dir, nlist = 16),
+          pqFor(s, dir, m = 16, ksub = 16), emb, probes,
+          "embedding", "vec_id", 5, nprobe = 8, rerank = 8))
+    }),
+
     // driver-visible approximation quality: recall@5 of each ANN path
     // against the exact brute-force result — one row the driver can watch
     // across rounds. CONTRACT: recall >= 0.6 at the driver configs, at

@@ -312,25 +312,12 @@ object Similarity {
     // requested nlist centroids on small or duplicate-heavy samples
     val nprobeEff = math.min(nprobe, index.nlist)
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    import graft.functions.GraftFunctions.vecDot
-
-    // cell score per centroid as a literal-weight dot product; argmax via
-    // array_max over (score, cell) structs — lexicographic, codegen'd
-    def cellScores(vec: Column): Column = array(index.centroids.zipWithIndex.map {
-      case (c, i) =>
-        val norm2 = c.map(x => x * x).sum
-        struct((vecDot(vec, typedLit(c)) - lit(norm2 / 2.0)).as("score"),
-          lit(i).as("cell"))
-    }: _*)
-    def bestCell(vec: Column): Column = array_max(cellScores(vec)).getField("cell")
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("cell", bestCell(col("cvec")))
+      .withColumn("cell", bestCell(index, col("cvec")))
     // probes explode to their nprobe best cells (sort desc, take nprobe)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
-      .withColumn("cell",
-        explode(slice(reverse(sort_array(cellScores(col("pvec")))), 1, nprobeEff)
-          .getField("cell")))
+      .withColumn("cell", probeCells(index, col("pvec"), nprobeEff))
     val scored = c.join(p, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
@@ -384,6 +371,28 @@ object Similarity {
     }.toArray
     PqCodebooks(dim, m, ksub, codebooks)
   }
+
+  /** Cell score per centroid as a literal-weight dot product; argmax via
+    * array_max over (score, cell) structs — lexicographic, codegen'd.
+    * Shared by [[ivfSearch]] and [[ivfPqTopK]].
+    */
+  private def cellScores(index: IvfIndex, vec: Column): Column = {
+    import graft.functions.GraftFunctions.vecDot
+    array(index.centroids.zipWithIndex.map {
+      case (c, i) =>
+        val norm2 = c.map(x => x * x).sum
+        struct((vecDot(vec, typedLit(c)) - lit(norm2 / 2.0)).as("score"),
+          lit(i).as("cell"))
+    }: _*)
+  }
+
+  private def bestCell(index: IvfIndex, vec: Column): Column =
+    array_max(cellScores(index, vec)).getField("cell")
+
+  /** The probe's `nprobe` best cells, exploded (sort desc, take nprobe). */
+  private def probeCells(index: IvfIndex, vec: Column, nprobe: Int): Column =
+    explode(slice(reverse(sort_array(cellScores(index, vec))), 1, nprobe)
+      .getField("cell"))
 
   /** Persist PQ codebooks as a tiny parquet table of (subspace, code,
     * codeword) rows — the [[saveIvf]] lifecycle: train once, every later
@@ -478,6 +487,62 @@ object Similarity {
       .filter(pv.isNotNull)
       .select(col(idCol).as("probe_id"), col(vecCol).as("pvec"), luts.as("luts"))
     val adc = codes.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        graft.functions.GraftFunctions.pqAdc(col("luts"), col("pq_code")))
+    val candidates = adc
+      .groupBy(col("probe_id"))
+      .agg(topKByScore(col("approx"), col("neighbor_id"), k * rerank).as("tk"))
+      .select(col("probe_id"), explode(col("tk").getField("id")).as("neighbor_id"))
+    val scored = candidates
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), Seq("neighbor_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))), Seq("probe_id"))
+      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
+    rankTopK(scored, k)
+  }
+
+  /** IVF + PQ combined — the canonical billion-scale ANN layout (FAISS's
+    * IVFADC): the IVF quantizer prunes the corpus to `nprobe` cells per
+    * probe, and WITHIN the matched cells the scan reads PQ codes, not
+    * vectors — cell pruning bounds how much is scanned, PQ bounds the
+    * bytes per scanned row, and the exact re-rank of `rerank × k`
+    * candidates fixes quantization error at the top. One scan projects
+    * (id, cell, code); the cell equi-join replaces [[pqTopK]]'s
+    * broadcast-cross of the whole corpus; everything downstream is the
+    * same candidate-sized machinery.
+    */
+  def ivfPqTopK(
+      index: IvfIndex,
+      cb: PqCodebooks,
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerank: Int = 4,
+  ): DataFrame = {
+    require(k >= 1 && rerank >= 1 && nprobe >= 1, "need k, rerank, nprobe >= 1")
+    require(index.nlist >= 1, "index has no centroids (empty training sample?)")
+    val nprobeEff = math.min(nprobe, index.nlist)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import graft.functions.GraftFunctions.topKByScore
+    val v = Embeddings.l2Normalize(col(vecCol))
+    val c = corpus
+      .filter(v.isNotNull)
+      .select(col(idCol).as("neighbor_id"),
+        bestCell(index, col(vecCol)).as("cell"),
+        graft.functions.GraftFunctions.pqEncode(v, cbLiteral(cb)).as("pq_code"))
+    val cbl = cbLiteral(cb)
+    val luts = transform(sequence(lit(0), lit(cb.m - 1)), j =>
+      transform(element_at(cbl, j + 1), cw =>
+        aggregate(zip_with(slice(v, j * cb.dsub + 1, lit(cb.dsub)), cw,
+          (x, y) => x * y), lit(0.0), (acc, w) => acc + w)))
+    val p = probes
+      .filter(v.isNotNull)
+      .select(col(idCol).as("probe_id"), luts.as("luts"),
+        probeCells(index, col(vecCol), nprobeEff).as("cell"))
+    val adc = c.join(p, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("approx",
         graft.functions.GraftFunctions.pqAdc(col("luts"), col("pq_code")))

@@ -162,7 +162,8 @@ class DriverSuiteSpec extends AnyFunSuite {
     // a drop below 0.6 means the hash families or the corpus shifted, not
     // noise (the pipeline is deterministic end to end).
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
-         q <- Seq("q_sim_lsh_recall", "q_sim_ivf_recall", "q_sim_pq_recall")) {
+         q <- Seq("q_sim_lsh_recall", "q_sim_ivf_recall", "q_sim_pq_recall",
+           "q_sim_ivfpq_recall")) {
       val row = SparkEntry.queries(q)(spark, dir).collect().head
       val recall = row.getAs[Double]("recall")
       assert(recall >= 0.6, s"$q at $dir: recall $recall below the 0.6 floor")

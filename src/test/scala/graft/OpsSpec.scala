@@ -445,6 +445,27 @@ class OpsSpec extends AnyFunSuite {
     assert(top.tail.forall(_.getAs[Long]("neighbor_id") % 2 == 0))
   }
 
+  test("IVF-PQ finds the planted duplicate through cell pruning + ADC") {
+    val pv = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
+                 else Array(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f)
+      (i, base.zipWithIndex.map { case (x, d) =>
+        x + 0.05f * math.sin(i * 17.0 + d).toFloat })
+    }.toDF("vec_id", "embedding")
+    val dup = Seq((100L, pv.filter($"vec_id" === 0L)
+      .collect().head.getSeq[Float](1).toArray)).toDF("vec_id", "embedding")
+    val all = pv.union(dup)
+    val ivf = Similarity.trainIvf(all, "embedding", "vec_id", nlist = 2)
+    val cb = Similarity.trainPq(all, "embedding", "vec_id", m = 4, ksub = 4)
+    val top = Similarity.ivfPqTopK(ivf, cb, all, all.filter($"vec_id" === 0L),
+        "embedding", "vec_id", k = 3, nprobe = 1, rerank = 4)
+      .orderBy($"rank").collect()
+    // the identical vector lands in the probe's own cell and tops the list
+    assert(top.head.getAs[Long]("neighbor_id") == 100L)
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+    assert(top.tail.forall(_.getAs[Long]("neighbor_id") % 2 == 0))
+  }
+
   test("PQ codebooks save/load round-trip and encode identically") {
     val pv = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(d => math.cos(i * 31.0 + d).toFloat))).toDF("id", "v")

@@ -169,6 +169,20 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("IVF-PQ: the ADC scan joins on the CELL — never a corpus-wide cross") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = graft.ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 4)
+    val cb = graft.ops.Similarity.trainPq(emb, "embedding", "vec_id", m = 8, ksub = 4)
+    val p = plan(graft.ops.Similarity.ivfPqTopK(ivf, cb, emb,
+      emb.filter($"vec_id" < 3), "embedding", "vec_id", k = 3, nprobe = 2))
+    assert(!p.contains("CartesianProduct"), p)
+    // the compressed scan meets probes through a cell equi-join
+    assert(p.contains("cell"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("column profiler reads the table exactly once for all columns") {
     val p = plan(graft.ops.Stats.profileColumns(li,
       Seq("l_quantity", "l_extendedprice", "l_discount")))

@@ -146,6 +146,9 @@ object Drive {
       graft.ops.Similarity.bruteForceTopK(embDrive, pqProbes, "embedding", "vec_id", 5),
       graft.ops.Similarity.pqTopK(pqCb, embDrive, pqProbes, "embedding", "vec_id", 5, rerank = 8))
       .show()
+    val ivfForPq = graft.ops.Similarity.trainIvf(embDrive, "embedding", "vec_id", nlist = 8)
+    println("ivf+pq rows: " + graft.ops.Similarity.ivfPqTopK(ivfForPq, pqCb,
+      embDrive, pqProbes, "embedding", "vec_id", k = 5, nprobe = 4, rerank = 8).count())
 
     println("== round-4: feature-hash embeddings -> brute-force top-k ==")
     val he = docs.select(col("doc_id").as("vec_id"),
