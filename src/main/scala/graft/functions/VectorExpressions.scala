@@ -218,6 +218,77 @@ case class HashEmbed(child: Expression, dim: Int)
   override def prettyName: String = "hash_embed"
 }
 
+/** Runtime helper for WinnowSelect: O(n) sliding-window minimum via a
+  * monotonic deque, distinct + sort on the selected values.
+  */
+object WinnowUtil {
+  def select(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (n < w) {
+      var m = hashes.getLong(0)
+      var i = 1
+      while (i < n) { val x = hashes.getLong(i); if (x < m) m = x; i += 1 }
+      out.add(m)
+    } else {
+      // deque of candidate indices, values increasing front -> back
+      val dq = new Array[Int](n)
+      var head = 0
+      var tail = 0 // exclusive
+      var i = 0
+      while (i < n) {
+        val x = hashes.getLong(i)
+        while (tail > head && hashes.getLong(dq(tail - 1)) >= x) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) out.add(hashes.getLong(dq(head)))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** Winnowing selection (the MOSS window-min rule) as ONE native pass:
+  * sorted distinct minima of every `w`-window over a hash sequence;
+  * fewer than `w` hashes → the global minimum. Why custom: the HOF
+  * formulation (`transform(sequence(0, n-w), i -> array_min(slice(hs,
+  * i+1, w)))`) re-evaluates the ENTIRE `hs` child — shingling plus one
+  * md5 per shingle — for every window index inside the lambda, O(n²)
+  * hashing per document (measured 150× on the sf0.1 corpus); this
+  * expression evaluates its child once and runs a monotonic deque, O(n).
+  */
+case class WinnowSelect(child: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"winnow_select requires w >= 1, got $w")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_select requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowUtil.select(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowUtil.select($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_select"
+}
+
 /** Runtime helper for the PQ expressions — compiled loops shared by
   * interpreted eval and generated code.
   */
@@ -450,6 +521,8 @@ object GraftFunctions {
         HashEmbed(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
       add("pq_encode", exprs => PqEncode(exprs(0), exprs(1)))
       add("pq_adc", exprs => PqAdc(exprs(0), exprs(1)))
+      add("winnow_select", exprs =>
+        WinnowSelect(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -485,6 +558,12 @@ object GraftFunctions {
     */
   def hashEmbed(tokens: Column, dim: Int): Column =
     call_function("hash_embed", tokens, org.apache.spark.sql.functions.lit(dim))
+
+  /** Winnowed (sorted distinct window-min) selection over a hash array;
+    * requires `register(spark)` first.
+    */
+  def winnowSelect(hashes: Column, w: Int): Column =
+    call_function("winnow_select", hashes, org.apache.spark.sql.functions.lit(w))
 
   /** PQ code of a (normalized, array<double>) vector against a codebook
     * literal; requires `register(spark)` first.

@@ -349,20 +349,17 @@ object TextOps {
     * shorter than `k` tokens fingerprint to the empty array. Entirely a
     * per-row projection over the native shingler + md5-derived hashes
     * (bit-identical in DuckDB — true SQL oracle): zero shuffles, scan
-    * speed. Callers must `GraftFunctions.register` first.
+    * speed. The window-min selection runs in the native O(n)
+    * [[graft.functions.WinnowSelect]] deque — the HOF formulation
+    * re-evaluated the whole hash chain per window, O(n²) md5s per
+    * document. Callers must `GraftFunctions.register` first.
     */
-  def fingerprintWinnow(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val hs = transform(
-      graft.functions.GraftFunctions.wordShingles(text, k),
-      s => graft.functions.GraftFunctions.md5Long60(s.cast("binary")))
-    val n = size(hs)
-    sort_array(
-      when(n === 0, array().cast("array<bigint>"))
-        .when(n < w, array(array_min(hs)))
-        .otherwise(array_distinct(
-          transform(sequence(lit(0), n - w),
-            i => array_min(slice(hs, i + 1, lit(w)))))))
-  }
+  def fingerprintWinnow(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.GraftFunctions.winnowSelect(
+      transform(
+        graft.functions.GraftFunctions.wordShingles(text, k),
+        s => graft.functions.GraftFunctions.md5Long60(s.cast("binary"))),
+      w)
 
   /** Winnow-fingerprint overlap: pairs of documents sharing at least
     * `minShared` winnowed hashes — near-dup / plagiarism CANDIDATES from
