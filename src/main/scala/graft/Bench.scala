@@ -79,9 +79,15 @@ object Bench {
     }
     // warmup pass — untimed in the report, but each query's warmup seconds
     // calibrate the outlier escalation below
+    // evaluate() forces EVERY column of every row through the noop sink:
+    // .count() lets Catalyst prune a projection-only query down to its
+    // scan, timing IO instead of the operator (hid a 150x regression in
+    // the winnowing projection until a join forced evaluation)
+    def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val warmup = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       clearAll()
       name -> (if (ok) dt else Double.NaN)
@@ -93,7 +99,7 @@ object Bench {
       // masquerade as a fast run); all-failed reports -1
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         clearAll()
         if (ok) Some(dt) else None
