@@ -218,6 +218,65 @@ case class HashEmbed(child: Expression, dim: Int)
   override def prettyName: String = "hash_embed"
 }
 
+/** O(1) hash lookup of a string key in a FOLDABLE map literal —
+  * `element_at` on a Catalyst map literal is `GetMapValue` over
+  * `ArrayBasedMapData`, a LINEAR scan of the keys per call, which turns
+  * a vocabulary-sized model lookup into O(tokens × vocab) per row. This
+  * expression builds a `java.util.HashMap` from the literal once at plan
+  * init (a reference object, like the bloom filter) and probes it per
+  * row. Missing keys → `default` (so the caller's smoothing term stays
+  * an expression-free constant).
+  */
+case class MapLookupLong(mapExpr: Expression, keyExpr: Expression, default: Long)
+    extends BinaryExpression {
+
+  override def left: Expression = mapExpr
+  override def right: Expression = keyExpr
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (mapExpr.dataType, keyExpr.dataType) match {
+      case (MapType(StringType, LongType, _), StringType) if mapExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "map_lookup_long requires (foldable map<string,bigint>, string)")
+    }
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    val md = mapExpr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    if (md != null) {
+      val ks = md.keyArray(); val vs = md.valueArray()
+      var i = 0
+      while (i < md.numElements()) {
+        m.put(ks.getUTF8String(i).toString, vs.getLong(i))
+        i += 1
+      }
+    }
+    m
+  }
+
+  /** Runtime probe shared by eval and codegen. */
+  def look(key: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val v = table.get(key.toString)
+    if (v == null) default else v.longValue()
+  }
+
+  override protected def nullSafeEval(mapIgnored: Any, key: Any): Any =
+    look(key.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lookup", this, classOf[MapLookupLong].getName)
+    nullSafeCodeGen(ctx, ev, (_, k) => s"${ev.value} = $ref.look($k);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MapLookupLong =
+    copy(mapExpr = newLeft, keyExpr = newRight)
+
+  override def prettyName: String = "map_lookup_long"
+}
+
 /** Runtime helper for WinnowSelect: O(n) sliding-window minimum via a
   * monotonic deque, distinct + sort on the selected values.
   */
@@ -523,6 +582,8 @@ object GraftFunctions {
       add("pq_adc", exprs => PqAdc(exprs(0), exprs(1)))
       add("winnow_select", exprs =>
         WinnowSelect(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
+      add("map_lookup_long", exprs =>
+        MapLookupLong(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].longValue()))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -564,6 +625,13 @@ object GraftFunctions {
     */
   def winnowSelect(hashes: Column, w: Int): Column =
     call_function("winnow_select", hashes, org.apache.spark.sql.functions.lit(w))
+
+  /** O(1) hash probe of a foldable map<string,bigint> literal (missing
+    * keys → `default`); requires `register(spark)` first.
+    */
+  def mapLookupLong(mapLit: Column, key: Column, default: Long): Column =
+    call_function("map_lookup_long", mapLit, key,
+      org.apache.spark.sql.functions.lit(default))
 
   /** PQ code of a (normalized, array<double>) vector against a codebook
     * literal; requires `register(spark)` first.

@@ -127,6 +127,16 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** THE normalized-content digest every exact-dedup operator keys on:
+    * the 16-byte binary `unhex(md5(normalized(text)))`. One definition so
+    * exact dedup, streaming dedup, incremental dedup, and the
+    * cross-source matrix can never disagree on what "same content" means.
+    * ([[exact]] keeps md5's hex-string form — its digest is part of its
+    * OUTPUT schema, not just a key.)
+    */
+  private[ops] def contentDigest(text: Column): Column =
+    unhex(md5(TextOps.normalized(text).cast("binary")))
+
   /** Streaming exact dedup: emit one representative per distinct
     * normalized text — the earliest-arriving micro-batch wins; within a
     * single micro-batch the representative is arbitrary (no ordering
@@ -147,7 +157,7 @@ object Dedup {
       watermarkDelay: String = "1 hour",
   ): DataFrame =
     docs
-      .withColumn("content_hash", unhex(md5(TextOps.normalized(col(textCol)).cast("binary"))))
+      .withColumn("content_hash", contentDigest(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
@@ -172,7 +182,7 @@ object Dedup {
       textCol: String,
       idCol: String,
   ): DataFrame = {
-    def digest(c: Column) = unhex(md5(TextOps.normalized(c).cast("binary")))
+    def digest(c: Column) = contentDigest(c)
     val seen = history.select(digest(col(textCol)).as("__ch")).dropDuplicates("__ch")
     val w = Window.partitionBy(col("__ch")).orderBy(col(idCol))
     batch.withColumn("__ch", digest(col(textCol)))
@@ -200,7 +210,7 @@ object Dedup {
   ): DataFrame = {
     val hashed = docs
       .select(col(srcCol).as("src"),
-        unhex(md5(TextOps.normalized(col(textCol)).cast("binary"))).as("__ch"))
+        contentDigest(col(textCol)).as("__ch"))
       .dropDuplicates("src", "__ch")
     hashed.as("a").join(hashed.as("b"),
         col("a.__ch") === col("b.__ch") && col("a.src") <= col("b.src"))

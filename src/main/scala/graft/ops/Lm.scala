@@ -149,14 +149,23 @@ object Lm {
       textCol: String,
       idCol: String,
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val entries = model.select(col("token").cast("string"), col("n").cast("long"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    // an empty model would smooth every token to -log2(1/0) = -Infinity
+    // silently; fail at build time instead
+    require(entries.nonEmpty, "unigramBitsStream: the model has no token counts")
     val nTotal = entries.iterator.map(_._2).sum.toDouble
     val vocab = entries.length.toDouble
     val m = typedLit(entries.toMap)
     val toks = TextOps.tokens(col(textCol))
+    // map_lookup_long probes a hash table built once from the literal —
+    // element_at on a map literal is a LINEAR key scan per call, turning
+    // vocabulary-sized models into O(tokens × vocab) per document
     val bitsSum = aggregate(toks, lit(0.0), (acc, t) =>
-      acc + -log2((coalesce(element_at(m, t), lit(0L)) + lit(1.0)) / lit(nTotal + vocab)))
+      acc + -log2(
+        (graft.functions.GraftFunctions.mapLookupLong(m, t, default = 0L) + lit(1.0)) /
+          lit(nTotal + vocab)))
     docs
       .filter(size(toks) > 0)
       .select(

@@ -176,6 +176,10 @@ object Sample {
       acc + math.round(w * 1000000L)
     }.tail
     require(cuts.last <= 1000000L, "weights must sum to <= 1")
+    // a weight under 5e-7 quantizes to a ZERO-width bucket: the split tag
+    // would silently never be assigned — reject rather than surprise
+    require(cuts.zip(0L +: cuts.init).forall { case (hi, lo) => hi > lo },
+      s"every weight must quantize to >= 1e-6: ${weights.mkString(", ")}")
     val bucket = pmod(saltedHash(col(keyCol), salt), lit(1000000L))
     // build the CASE from the last cut backwards so the FIRST matching
     // cut wins: bucket < cut_i → tag_i

@@ -260,6 +260,7 @@ object Similarity {
       nlist: Int = 32,
       sampleOneIn: Int = 1,
   ): IvfIndex = {
+    require(sampleOneIn >= 1, "sampleOneIn must be >= 1")
     val training = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn.toLong)) === 0)
       .select(org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
@@ -352,6 +353,7 @@ object Similarity {
       ksub: Int = 16,
       sampleOneIn: Int = 1,
   ): PqCodebooks = {
+    require(sampleOneIn >= 1, "sampleOneIn must be >= 1")
     val dim = vecDims(corpus, vecCol)
     require(dim > 0, "cannot train PQ on an all-null vector column")
     require(dim % m == 0, s"m=$m must divide the vector dim $dim")
@@ -361,6 +363,8 @@ object Similarity {
       .filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn.toLong)) === 0)
       .select(Embeddings.l2Normalize(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
+    require(!normed.isEmpty,
+      s"PQ training sample is empty (corpus empty, all-null vectors, or sampleOneIn=$sampleOneIn too aggressive)")
     val codebooks = (0 until m).map { j =>
       val sub = normed.select(
         org.apache.spark.ml.functions.array_to_vector(
@@ -460,6 +464,44 @@ object Similarity {
     * broadcast (same contract as [[bruteForceTopK]]). Approximate by
     * contract — monitor with [[recallAtK]].
     */
+  /** Per-probe ADC lookup tables from the ONE codebook literal: LUT[j][c]
+    * = dot(probe subvector j, codeword c). Probe rows are few, so the
+    * interpreted HOF is irrelevant — what matters is the per-corpus-row
+    * ADC staying a compiled loop. Shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def pqLuts(cb: PqCodebooks, vec: Column): Column = {
+    val cbl = cbLiteral(cb)
+    transform(sequence(lit(0), lit(cb.m - 1)), j =>
+      transform(element_at(cbl, j + 1), cw =>
+        aggregate(zip_with(slice(vec, j * cb.dsub + 1, lit(cb.dsub)), cw,
+          (x, y) => x * y), lit(0.0), (acc, v) => acc + v)))
+  }
+
+  /** The shared tail of both PQ searches: keep each probe's `rerank × k`
+    * best ADC scores (bounded heap), re-join the TRUE vectors by id for
+    * exact cosine, rank the final k. Vector fetches stay candidate-sized.
+    */
+  private def adcRerank(
+      adc: DataFrame, // (probe_id, neighbor_id, approx)
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rerank: Int,
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.topKByScore
+    val candidates = adc
+      .groupBy(col("probe_id"))
+      .agg(topKByScore(col("approx"), col("neighbor_id"), k * rerank).as("tk"))
+      .select(col("probe_id"), explode(col("tk").getField("id")).as("neighbor_id"))
+    val scored = candidates
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), Seq("neighbor_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))), Seq("probe_id"))
+      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
+    rankTopK(scored, k)
+  }
+
   def pqTopK(
       cb: PqCodebooks,
       corpus: DataFrame,
@@ -471,34 +513,20 @@ object Similarity {
   ): DataFrame = {
     require(k >= 1 && rerank >= 1, "need k >= 1 and rerank >= 1")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    import graft.functions.GraftFunctions.topKByScore
     val codes = pqEncode(corpus, vecCol, idCol, cb)
       .select(col(idCol).as("neighbor_id"), col("pq_code"))
     val pv = Embeddings.l2Normalize(col(vecCol))
-    // per-probe LUTs from the ONE codebook literal: probe rows are few,
-    // so the interpreted HOF here is irrelevant — what matters is the
-    // per-corpus-row ADC below staying a compiled loop
-    val cbl = cbLiteral(cb)
-    val luts = transform(sequence(lit(0), lit(cb.m - 1)), j =>
-      transform(element_at(cbl, j + 1), cw =>
-        aggregate(zip_with(slice(pv, j * cb.dsub + 1, lit(cb.dsub)), cw,
-          (x, y) => x * y), lit(0.0), (acc, v) => acc + v)))
+    // the ADC frame needs only (probe_id, luts) — broadcasting the probe
+    // vector here would double the broadcast for nothing (the re-rank
+    // fetches it separately)
     val p = probes
       .filter(pv.isNotNull)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("pvec"), luts.as("luts"))
+      .select(col(idCol).as("probe_id"), pqLuts(cb, pv).as("luts"))
     val adc = codes.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("approx",
         graft.functions.GraftFunctions.pqAdc(col("luts"), col("pq_code")))
-    val candidates = adc
-      .groupBy(col("probe_id"))
-      .agg(topKByScore(col("approx"), col("neighbor_id"), k * rerank).as("tk"))
-      .select(col("probe_id"), explode(col("tk").getField("id")).as("neighbor_id"))
-    val scored = candidates
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), Seq("neighbor_id"))
-      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))), Seq("probe_id"))
-      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
-    rankTopK(scored, k)
+    adcRerank(adc, corpus, probes, vecCol, idCol, k, rerank)
   }
 
   /** IVF + PQ combined — the canonical billion-scale ANN layout (FAISS's
@@ -526,35 +554,21 @@ object Similarity {
     require(index.nlist >= 1, "index has no centroids (empty training sample?)")
     val nprobeEff = math.min(nprobe, index.nlist)
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    import graft.functions.GraftFunctions.topKByScore
     val v = Embeddings.l2Normalize(col(vecCol))
     val c = corpus
       .filter(v.isNotNull)
       .select(col(idCol).as("neighbor_id"),
         bestCell(index, col(vecCol)).as("cell"),
         graft.functions.GraftFunctions.pqEncode(v, cbLiteral(cb)).as("pq_code"))
-    val cbl = cbLiteral(cb)
-    val luts = transform(sequence(lit(0), lit(cb.m - 1)), j =>
-      transform(element_at(cbl, j + 1), cw =>
-        aggregate(zip_with(slice(v, j * cb.dsub + 1, lit(cb.dsub)), cw,
-          (x, y) => x * y), lit(0.0), (acc, w) => acc + w)))
     val p = probes
       .filter(v.isNotNull)
-      .select(col(idCol).as("probe_id"), luts.as("luts"),
+      .select(col(idCol).as("probe_id"), pqLuts(cb, v).as("luts"),
         probeCells(index, col(vecCol), nprobeEff).as("cell"))
     val adc = c.join(p, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("approx",
         graft.functions.GraftFunctions.pqAdc(col("luts"), col("pq_code")))
-    val candidates = adc
-      .groupBy(col("probe_id"))
-      .agg(topKByScore(col("approx"), col("neighbor_id"), k * rerank).as("tk"))
-      .select(col("probe_id"), explode(col("tk").getField("id")).as("neighbor_id"))
-    val scored = candidates
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), Seq("neighbor_id"))
-      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))), Seq("probe_id"))
-      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
-    rankTopK(scored, k)
+    adcRerank(adc, corpus, probes, vecCol, idCol, k, rerank)
   }
 
   /** Recall@k of an approximate top-k result against the exact one: the

@@ -23,7 +23,9 @@ object Stats {
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-    val total = df.agg(count(lit(1)).cast("double").as("__total"))
+    // total from the per-key counts, NOT a second scan of df: the counts
+    // exchange is reused, so the input is read exactly once
+    val total = counts.agg(sum(col("n")).cast("double").as("__total"))
     counts
       .crossJoin(broadcast(total))
       .withColumn("share", round(col("n") / col("__total"), 6))
@@ -41,6 +43,10 @@ object Stats {
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    // the stack() unpivot is built as SQL text: reject names that cannot
+    // appear safely inside it (everything else is backtick-quoted below)
+    require(cols.forall(_.matches("[A-Za-z0-9_]+")),
+      s"profileColumns: column names must be [A-Za-z0-9_]+, got ${cols.mkString(", ")}")
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"__${c}_n"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),

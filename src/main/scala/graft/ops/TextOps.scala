@@ -688,6 +688,14 @@ object TextOps {
     * The benchmark is scanned twice (hash-count sizing + bloom build);
     * both passes reduce to sketch-sized driver state, never collected
     * rows.
+    *
+    * Plan-size note: the serialized filter rides the plan as a binary
+    * literal referenced by BOTH filter branches. In driver memory that is
+    * one shared object (the same Column instance), and executors receive
+    * it via the per-STAGE task-binary torrent broadcast (never per task);
+    * the cost is one copy in each of the two branch stages' binaries —
+    * the same order as broadcasting the benchmark hash set exactly once,
+    * at a fraction of the bytes.
     */
   def decontaminateBloom(
       corpus: DataFrame,
