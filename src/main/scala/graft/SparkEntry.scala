@@ -85,6 +85,12 @@ object SparkEntry {
     pqCache.computeIfAbsent(s"$dir#$m#$ksub", _ =>
       ops.Similarity.trainPq(t(s, dir, "embeddings"), "embedding", "vec_id", m, ksub))
 
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ops.Bpe.Merge]]()
+  private def bpeFor(s: SparkSession, dir: String, n: Int): Seq[ops.Bpe.Merge] =
+    bpeCache.computeIfAbsent(s"$dir#$n", _ =>
+      ops.Bpe.trainBpe(t(s, dir, "documents"), "text", numMerges = n))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity operators (SURVEY.md §2.3), via the dialect compiler ----
     "q_p1_project" -> ((s, dir) =>
@@ -435,6 +441,18 @@ object SparkEntry {
     // ≡ DuckDB quantile_cont, same linear interpolation)
     "q_text_profile" -> ((s, dir) =>
       TextOps.corpusProfile(t(s, dir, "documents"), "text")),
+
+    // BPE merge training (deterministic iterative loop over the
+    // word-frequency table) + per-doc subword counts under the learned
+    // tokenizer. No SQL oracle (DuckDB cannot replay an iterative
+    // argmax), but fully deterministic: unit-pinned merges + rows-only
+    "q_bpe_subwords" -> ((s, dir) => {
+      val merges = bpeFor(s, dir, n = 24)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        ops.Bpe.subwordCount(col("text"), merges).as("n_subwords"),
+        TextOps.tokenCount(col("text")).as("n_words"))
+    }),
 
     // substring-span dedup (Lee et al.): remove every k-token span that
     // occurs in >= 2 distinct documents, reconstruct the survivors

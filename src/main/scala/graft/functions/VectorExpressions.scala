@@ -218,6 +218,67 @@ case class HashEmbed(child: Expression, dim: Int)
   override def prettyName: String = "hash_embed"
 }
 
+/** Runtime helper for MergePair: one left-to-right pass replacing every
+  * non-overlapping adjacent occurrence of (a, b) with the concatenation
+  * ab — the inner step of BPE training and application.
+  */
+object MergePairUtil {
+  def merge(symbols: ArrayData, a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val n = symbols.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && symbols.getUTF8String(i).equals(a)
+          && symbols.getUTF8String(i + 1).equals(b)) {
+        out.add(org.apache.spark.unsafe.types.UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(symbols.getUTF8String(i))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+}
+
+/** Merge every adjacent (a, b) symbol pair in an array<string> — codegen'd
+  * single pass; the HOF alternative needs a stateful fold that builds
+  * nested structs per element.
+  */
+case class MergePair(symbols: Expression, aExpr: Expression, bExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = symbols
+  override def second: Expression = aExpr
+  override def third: Expression = bExpr
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (symbols.dataType, aExpr.dataType, bExpr.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "merge_pair requires (array<string>, string, string)")
+    }
+
+  override protected def nullSafeEval(s: Any, a: Any, b: Any): Any =
+    MergePairUtil.merge(s.asInstanceOf[ArrayData],
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, a, b) =>
+      s"graft.functions.MergePairUtil.merge($s, $a, $b)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MergePair =
+    copy(symbols = f, aExpr = s, bExpr = t)
+
+  override def prettyName: String = "merge_pair"
+}
+
 /** O(1) hash lookup of a string key in a FOLDABLE map literal —
   * `element_at` on a Catalyst map literal is `GetMapValue` over
   * `ArrayBasedMapData`, a LINEAR scan of the keys per call, which turns
@@ -584,6 +645,7 @@ object GraftFunctions {
         WinnowSelect(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
       add("map_lookup_long", exprs =>
         MapLookupLong(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].longValue()))
+      add("merge_pair", exprs => MergePair(exprs(0), exprs(1), exprs(2)))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -632,6 +694,12 @@ object GraftFunctions {
   def mapLookupLong(mapLit: Column, key: Column, default: Long): Column =
     call_function("map_lookup_long", mapLit, key,
       org.apache.spark.sql.functions.lit(default))
+
+  /** Merge adjacent (a, b) symbol pairs in an array<string>; requires
+    * `register(spark)` first.
+    */
+  def mergePair(symbols: Column, a: Column, b: Column): Column =
+    call_function("merge_pair", symbols, a, b)
 
   /** PQ code of a (normalized, array<double>) vector against a codebook
     * literal; requires `register(spark)` first.

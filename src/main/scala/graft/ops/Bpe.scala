@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training (Sennrich, Haddow & Birch, "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) — the
+  * trainable-tokenizer step of a training-data pipeline, as a Spark
+  * iterative algorithm.
+  *
+  * Classic BPE trains on the WORD-FREQUENCY table, not the corpus: one
+  * corpus pass aggregates (word, freq) — vocabulary-sized, orders of
+  * magnitude smaller than 100 TB of text — and every merge round then
+  * runs over that small frame: adjacent-symbol pair counts weighted by
+  * word frequency (map-side-combinable aggregate), an argmax collected to
+  * the driver (one row), and a native single-pass [[graft.functions.MergePair]]
+  * rewrite of the symbol arrays. Per-round lineage is truncated
+  * ([[Dedup.Materialize]]-style localCheckpoint) exactly like the
+  * connected-components loop, so `numMerges` rounds never stack plans.
+  *
+  * Ties in pair frequency break lexicographically (smallest pair wins) —
+  * training is DETERMINISTIC for a given corpus, independent of
+  * partitioning.
+  */
+object Bpe {
+
+  /** One learned merge: rank r means "the r-th pair merged". */
+  final case class Merge(rank: Int, left: String, right: String)
+
+  /** The word-frequency table: one corpus pass, shared tokenization. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Train `numMerges` BPE merges on the corpus's word-frequency table.
+    * `maxVocabWords` caps the training dictionary to the most frequent
+    * words (ties by word) — the standard practical bound that keeps every
+    * round's frame driver-predictable without touching the corpus again.
+    */
+  def trainBpe(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocabWords: Int = 50000,
+  ): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(maxVocabWords >= 1, "maxVocabWords must be >= 1")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    var vocab = wordCounts(docs, textCol)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxVocabWords)
+      .select(col("freq"),
+        // each word starts as its character sequence
+        split(col("word"), "").as("symbols"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer.empty[Merge]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      // adjacent pairs weighted by word frequency; the explode is over
+      // the SMALL vocab frame
+      val pairs = vocab
+        .select(col("freq"), col("symbols"), posexplode(slice(col("symbols"), lit(1),
+          greatest(size(col("symbols")) - 1, lit(0)))).as(Seq("__p", "__a")))
+        .withColumn("__b", element_at(col("symbols"), col("__p") + 2))
+      val top = pairs
+        .groupBy(col("__a"), col("__b"))
+        .agg(sum(col("freq")).as("__n"))
+        .orderBy(col("__n").desc, col("__a"), col("__b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top.head.getString(0)
+        val b = top.head.getString(1)
+        merges += Merge(r, a, b)
+        val next = vocab.withColumn("symbols",
+          graft.functions.GraftFunctions.mergePair(col("symbols"), lit(a), lit(b)))
+          .localCheckpoint(true)
+        vocab.unpersist(blocking = false)
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.toList
+  }
+
+  /** Apply learned merges to a text column: tokenize with the shared
+    * lowercase-alnum tokenization, split each word into characters, and
+    * replay the merges IN RANK ORDER (the BPE application rule). A pure
+    * per-row projection — `numMerges` chained native single-pass rewrites,
+    * no shuffle, stream-composable. Returns array<string> of subword
+    * units.
+    */
+  def applyBpe(text: Column, merges: Seq[Merge]): Column = {
+    val chars = transform(TextOps.tokens(text), w => split(w, ""))
+    val merged = merges.sortBy(_.rank).foldLeft(chars: Column) { (acc, m) =>
+      transform(acc, w =>
+        graft.functions.GraftFunctions.mergePair(w, lit(m.left), lit(m.right)))
+    }
+    flatten(merged)
+  }
+
+  /** Subword count under a trained tokenizer — the "how many tokens is
+    * this corpus under MY vocab" meter (cost estimation, packing budgets).
+    */
+  def subwordCount(text: Column, merges: Seq[Merge]): Column =
+    size(applyBpe(text, merges))
+}

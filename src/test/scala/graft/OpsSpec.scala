@@ -957,6 +957,29 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0L).size <= doc0Shingles - w + 1)
   }
 
+  test("BPE: learns frequency-ordered merges; application replays them in rank order") {
+    val corpus = Seq(
+      (0L, "aa aa aa ab"),
+      (1L, "aa baa"),
+    ).toDF("doc_id", "text")
+    // word freqs: aa=4, ab=1, baa=1
+    // round 1 pairs: (a,a) = 4 + 1 + 1(baa has one a-a pair) = 6... baa = [b,a,a] -> (b,a):1, (a,a):1
+    // so (a,a): 4 + 1 = 5 wins; round 2: (b,aa): 1, (a,b): 1 -> tie broken
+    // lexicographically: (a,b) < (b,aa)
+    val merges = graft.ops.Bpe.trainBpe(corpus, "text", numMerges = 2)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "a"), ("a", "b")))
+    // application: "aab" -> [a,a,b] -> merge(a,a) -> [aa,b]; (a,b) no longer adjacent as chars
+    val applied = corpus.sparkSession.range(1).toDF()
+      .select(graft.ops.Bpe.applyBpe(lit("aa ab aab"), merges).as("sw"),
+        graft.ops.Bpe.subwordCount(lit("aa ab aab"), merges).as("n"))
+      .collect().head
+    assert(applied.getSeq[String](0) == Seq("aa", "ab", "aa", "b"))
+    assert(applied.getInt(1) == 4)
+    // determinism under partition layout
+    val again = graft.ops.Bpe.trainBpe(corpus.repartition(7), "text", 2)
+    assert(again == merges)
+  }
+
   test("hash embedding: unit norm, near-dups close, unrelated far, empty -> null") {
     graft.functions.GraftFunctions.register(spark)
     val df = docs.union(Seq((9L, "")).toDF("doc_id", "text"))

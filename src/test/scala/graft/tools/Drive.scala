@@ -138,6 +138,13 @@ object Drive {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
         "text", "doc_id").count() + " of " + docs.filter(col("doc_id") >= 250).count())
 
+    println("== round-4: BPE merge training + subword counts ==")
+    val bpeMerges = graft.ops.Bpe.trainBpe(docs, "text", numMerges = 12)
+    println("learned merges: " + bpeMerges.map(m => m.left + "+" + m.right).mkString(", "))
+    docs.select(graft.ops.Bpe.subwordCount(col("text"), bpeMerges).as("sw"),
+        graft.ops.TextOps.tokenCount(col("text")).as("w"))
+      .agg(sum(col("sw")).as("subwords"), sum(col("w")).as("words")).show()
+
     println("== round-4: PQ-compressed ANN (ADC + exact re-rank) ==")
     val embDrive = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pqCb = graft.ops.Similarity.trainPq(embDrive, "embedding", "vec_id", m = 16, ksub = 16)
