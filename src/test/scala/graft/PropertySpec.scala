@@ -189,6 +189,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup invariants on random corpora: token accounting + no phantom text") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val docGen = for {
+      n <- Gen.chooseNum(0, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield toks.mkString(" ")
+    val corpusGen = for {
+      m <- Gen.chooseNum(2, 12)
+      docs <- Gen.listOfN(m, docGen)
+    } yield docs
+    samples(corpusGen, 6).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ops.TextOps.dedupSpans(df, "text", "doc_id", k = 4, minDocs = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got.size == docs.size) // every row survives (possibly emptied)
+      got.foreach { case (id, (text, nTokens, nRemoved)) =>
+        val orig = docs(id.toInt).split("\\s+").filter(_.nonEmpty)
+        val kept = text.split("\\s+").filter(_.nonEmpty)
+        assert(nTokens == orig.length)
+        assert(nRemoved == orig.length - kept.length)
+        assert(nRemoved >= 0 && nRemoved <= nTokens)
+        // kept text is a subsequence of the original token stream
+        var oi = 0
+        kept.foreach { t =>
+          while (oi < orig.length && orig(oi) != t) oi += 1
+          assert(oi < orig.length, s"phantom token $t in doc $id")
+          oi += 1
+        }
+      }
+    }
+  }
+
+  test("bloom decontamination equals exact on random corpora and FPPs") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val wordGen = Gen.chooseNum(0, 20).map(i => s"w$i")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val caseGen = for {
+      docs <- Gen.listOfN(10, docGen)
+      bench <- Gen.listOfN(2, docGen)
+      fpp <- Gen.oneOf(0.01, 0.3)
+      minOv <- Gen.oneOf(1, 2)
+    } yield (docs, bench, fpp, minOv)
+    samples(caseGen, 6).foreach { case (docs, bench, fpp, minOv) =>
+      val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val benchDf = bench.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val exact = graft.ops.TextOps.decontaminate(corpus, benchDf, "text", "doc_id", n = 4, minOv)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val bloomed = graft.ops.TextOps.decontaminateBloom(corpus, benchDf, "text", "doc_id", n = 4, minOv, fpp)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloomed == exact, s"fpp=$fpp minOv=$minOv docs=$docs bench=$bench")
+    }
+  }
+
   test("capTokensPerGroup equals the naive per-group prefix on random inputs") {
     val spark = SparkSpec.spark
     import spark.implicits._

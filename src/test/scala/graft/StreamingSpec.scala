@@ -120,6 +120,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trained-BPE subword counting composes with streams (stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((0L, "the cat the cat the dog")).toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.trainBpe(train, "text", numMerges = 4)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .select($"doc_id", graft.ops.Bpe.subwordCount($"text", merges).as("n"))
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    try {
+      val data = Seq((10L, "the cat"), (11L, "a dog"))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_stream").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = data.toDF("doc_id", "text")
+        .select($"doc_id", graft.ops.Bpe.subwordCount($"text", merges).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("range join is stream-static composable and matches the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
