@@ -447,6 +447,9 @@ object SparkEntry {
     // tokenizer. No SQL oracle (DuckDB cannot replay an iterative
     // argmax), but fully deterministic: unit-pinned merges + rows-only
     "q_bpe_subwords" -> ((s, dir) => {
+      // register on THIS session: the memoized training may have run (and
+      // registered) on a different SparkSession in the same JVM
+      graft.functions.GraftFunctions.register(s)
       val merges = bpeFor(s, dir, n = 24)
       t(s, dir, "documents").select(
         col("doc_id"),

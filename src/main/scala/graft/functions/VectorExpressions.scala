@@ -229,12 +229,15 @@ object MergePairUtil {
     val out = new java.util.ArrayList[AnyRef](n)
     var i = 0
     while (i < n) {
-      if (i + 1 < n && symbols.getUTF8String(i).equals(a)
-          && symbols.getUTF8String(i + 1).equals(b)) {
+      // null elements (possible through the SQL registration, never from
+      // graft's own tokenization) match nothing and copy through
+      val cur = if (symbols.isNullAt(i)) null else symbols.getUTF8String(i)
+      if (cur != null && i + 1 < n && !symbols.isNullAt(i + 1)
+          && cur.equals(a) && symbols.getUTF8String(i + 1).equals(b)) {
         out.add(org.apache.spark.unsafe.types.UTF8String.concat(a, b))
         i += 2
       } else {
-        out.add(symbols.getUTF8String(i))
+        out.add(cur)
         i += 1
       }
     }
@@ -253,7 +256,12 @@ case class MergePair(symbols: Expression, aExpr: Expression, bExpr: Expression)
   override def first: Expression = symbols
   override def second: Expression = aExpr
   override def third: Expression = bExpr
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // null elements pass through unmerged, so nullability follows the input
+  override def dataType: DataType = symbols.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (symbols.dataType, aExpr.dataType, bExpr.dataType) match {

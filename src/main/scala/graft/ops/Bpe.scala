@@ -27,10 +27,13 @@ object Bpe {
   /** One learned merge: rank r means "the r-th pair merged". */
   final case class Merge(rank: Int, left: String, right: String)
 
-  /** The word-frequency table: one corpus pass, shared tokenization. */
+  /** The word-frequency table: the SAME corpus-count primitive the LM
+    * trains on ([[Lm.unigramCounts]] — one definition of "how often each
+    * token occurs"), renamed to BPE's vocabulary.
+    */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    Lm.unigramCounts(docs, textCol)
+      .withColumnRenamed("token", "word").withColumnRenamed("n", "freq")
 
   /** Train `numMerges` BPE merges on the corpus's word-frequency table.
     * `maxVocabWords` caps the training dictionary to the most frequent
@@ -73,15 +76,17 @@ object Bpe {
         val a = top.head.getString(0)
         val b = top.head.getString(1)
         merges += Merge(r, a, b)
-        val next = vocab.withColumn("symbols",
+        // per-round lineage truncation; the dropped rounds' checkpoint
+        // blocks are released when the old Dataset is GC'd (Dataset
+        // .unpersist does NOT free localCheckpoint RDD blocks — same
+        // lifecycle as the connectedComponents loop), which is fine at
+        // the vocab-table sizes this trains on
+        vocab = vocab.withColumn("symbols",
           graft.functions.GraftFunctions.mergePair(col("symbols"), lit(a), lit(b)))
           .localCheckpoint(true)
-        vocab.unpersist(blocking = false)
-        vocab = next
         r += 1
       }
     }
-    vocab.unpersist(blocking = false)
     merges.toList
   }
 

@@ -179,7 +179,8 @@ object Sample {
     // a weight under 5e-7 quantizes to a ZERO-width bucket: the split tag
     // would silently never be assigned — reject rather than surprise
     require(cuts.zip(0L +: cuts.init).forall { case (hi, lo) => hi > lo },
-      s"every weight must quantize to >= 1e-6: ${weights.mkString(", ")}")
+      "every weight must quantize to a non-zero number of millionths " +
+        s"(i.e. be >= 5e-7): ${weights.mkString(", ")}")
     val bucket = pmod(saltedHash(col(keyCol), salt), lit(1000000L))
     // build the CASE from the last cut backwards so the FIRST matching
     // cut wins: bucket < cut_i → tag_i
