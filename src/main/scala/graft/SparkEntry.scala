@@ -473,6 +473,15 @@ object SparkEntry {
       ops.Lm.unigramBits(docs, docs, "text", "doc_id")
     }),
 
+    // held-out LM scoring: train on even doc_ids, score the odd ones —
+    // exercises the out-of-vocabulary path (unseen tokens smooth to
+    // count 0) the self-scoring query never hits
+    "q_lm_score_heldout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Lm.unigramBits(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    }),
+
     // bigram LM self-scoring: word-ORDER-sensitive quality signal (the
     // bigram upgrade of q_lm_score)
     "q_lm_bigram" -> ((s, dir) => {
@@ -1424,6 +1433,27 @@ object SparkEntry {
          |  round(sum(tf * -log2((n + 1.0) / (n_total + vocab))) / sum(tf), 6)
          |    AS bits_per_token
          |FROM tf JOIN cnt USING (token), tot
+         |GROUP BY doc_id""".stripMargin,
+
+    // held-out LM: the train/score split mirrored with a LEFT JOIN and
+    // coalesce-to-zero for out-of-vocabulary tokens
+    "q_lm_score_heldout" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oracleTokens) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks
+         |  WHERE doc_id % 2 = 1 GROUP BY 1, 2
+         |), cnt AS (
+         |  SELECT token, count(*) AS n FROM toks WHERE doc_id % 2 = 0 GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_total,
+         |    CAST(count(DISTINCT token) AS DOUBLE) AS vocab
+         |  FROM toks WHERE doc_id % 2 = 0
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(sum(tf * -log2((coalesce(n, 0) + 1.0) / (n_total + vocab))) / sum(tf), 6)
+         |    AS bits_per_token
+         |FROM tf LEFT JOIN cnt USING (token), tot
          |GROUP BY doc_id""".stripMargin,
 
     // bigram LM: counts, vocabulary, add-one conditional and log2 all
