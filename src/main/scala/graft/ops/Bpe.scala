@@ -90,6 +90,22 @@ object Bpe {
     merges.toList
   }
 
+  /** Persist a learned merge table as a tiny parquet of (rank, left,
+    * right) — the [[Similarity.saveIvf]] / [[Similarity.savePq]]
+    * lifecycle: train once, every later session / job [[loadBpe]]s the
+    * tokenizer instead of retraining.
+    */
+  def saveBpe(merges: Seq[Merge], spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right)).toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table saved by [[saveBpe]] (rank order restored). */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2))).toSeq
+
   /** Apply learned merges to a text column: tokenize with the shared
     * lowercase-alnum tokenization, split each word into characters, and
     * replay the merges IN RANK ORDER (the BPE application rule). A pure

@@ -978,6 +978,10 @@ class OpsSpec extends AnyFunSuite {
     // determinism under partition layout
     val again = graft.ops.Bpe.trainBpe(corpus.repartition(7), "text", 2)
     assert(again == merges)
+    // save/load round-trip preserves the merge table exactly
+    val path = java.nio.file.Files.createTempDirectory("bpe").toString + "/merges"
+    graft.ops.Bpe.saveBpe(merges, spark, path)
+    assert(graft.ops.Bpe.loadBpe(spark, path) == merges)
   }
 
   test("hash embedding: unit norm, near-dups close, unrelated far, empty -> null") {

@@ -141,6 +141,10 @@ object Drive {
     println("== round-4: BPE merge training + subword counts ==")
     val bpeMerges = graft.ops.Bpe.trainBpe(docs, "text", numMerges = 12)
     println("learned merges: " + bpeMerges.map(m => m.left + "+" + m.right).mkString(", "))
+    val bpePath = java.nio.file.Files.createTempDirectory("drive_bpe").toString + "/merges"
+    graft.ops.Bpe.saveBpe(bpeMerges, spark, bpePath)
+    println("bpe round-trip identical: " +
+      (graft.ops.Bpe.loadBpe(spark, bpePath) == bpeMerges))
     docs.select(graft.ops.Bpe.subwordCount(col("text"), bpeMerges).as("sw"),
         graft.ops.TextOps.tokenCount(col("text")).as("w"))
       .agg(sum(col("sw")).as("subwords"), sum(col("w")).as("words")).show()
