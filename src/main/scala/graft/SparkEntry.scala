@@ -473,6 +473,14 @@ object SparkEntry {
       ops.Lm.unigramBits(docs, docs, "text", "doc_id")
     }),
 
+    // vocabulary coverage: occurrences of odd docs' tokens covered by the
+    // even docs' top-500 vocabulary
+    "q_lm_vocab_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Lm.vocabCoverage(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "text", topN = 500)
+    }),
+
     // held-out LM scoring: train on even doc_ids, score the odd ones —
     // exercises the out-of-vocabulary path (unseen tokens smooth to
     // count 0) the self-scoring query never hits
@@ -1434,6 +1442,24 @@ object SparkEntry {
          |    AS bits_per_token
          |FROM tf JOIN cnt USING (token), tot
          |GROUP BY doc_id""".stripMargin,
+
+    // vocab coverage: deterministic top-N head + occurrence sums
+    "q_lm_vocab_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oracleTokens) AS token FROM documents
+         |), vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, count(*) AS n FROM toks WHERE doc_id % 2 = 0
+         |    GROUP BY 1 ORDER BY n DESC, token LIMIT 500
+         |  )
+         |), occ AS (
+         |  SELECT token, count(*) AS occ FROM toks WHERE doc_id % 2 = 1 GROUP BY 1
+         |)
+         |SELECT
+         |  CAST(coalesce((SELECT sum(occ) FROM occ WHERE token IN (SELECT token FROM vocab)), 0) AS BIGINT) AS n_covered,
+         |  CAST((SELECT sum(occ) FROM occ) AS BIGINT) AS n_total,
+         |  round(coalesce((SELECT sum(occ) FROM occ WHERE token IN (SELECT token FROM vocab)), 0)
+         |    / CAST((SELECT sum(occ) FROM occ) AS DOUBLE), 6) AS coverage""".stripMargin,
 
     // held-out LM: the train/score split mirrored with a LEFT JOIN and
     // coalesce-to-zero for out-of-vocabulary tokens

@@ -215,6 +215,38 @@ object Lm {
       .select(col(idCol), col("token"), col("score"), col("rank"))
   }
 
+  /** Vocabulary coverage: the fraction of the score-corpus's token
+    * OCCURRENCES whose token is in the training corpus's top-`topN`
+    * vocabulary — the "how much of my data does this vocab actually
+    * cover" meter behind vocab-size and OOV-budget decisions. Top-N is
+    * deterministic (count desc, token asc); one row out.
+    *
+    * Scale shape: train counts + a TakeOrdered head (never a full sort),
+    * the head joins the score-side counts token-keyed (broadcast — the
+    * head is topN rows by construction), one final reduction.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      train: DataFrame,
+      textCol: String,
+      topN: Int,
+  ): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val vocab = unigramCounts(train, textCol)
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+      .select(col("token"))
+    val occ = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("occ"))
+    occ
+      .join(broadcast(vocab), Seq("token"), "left_semi")
+      .agg(coalesce(sum(col("occ")), lit(0L)).as("n_covered"))
+      .crossJoin(broadcast(occ.agg(sum(col("occ")).as("n_total"))))
+      .select(col("n_covered"), col("n_total"),
+        round(col("n_covered") / col("n_total"), 6).as("coverage"))
+  }
+
   /** CCNet head/middle/tail split: tercile cutoffs over `bitsCol`, then a
     * value-based bucket per row (head = lowest bits = closest to the
     * training corpus). Cutoffs-then-compare rather than a global ntile:

@@ -1194,6 +1194,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map { case (k, v) => k -> v._2 } == again)
   }
 
+  test("vocab coverage: exact occurrence fractions; zero when nothing matches") {
+    val train = Seq((0L, "the cat the dog the cat")).toDF("doc_id", "text")
+    val score = Seq((1L, "the the cat bird")).toDF("doc_id", "text")
+    // top-2 vocab = {the(3), cat(2)}; score occurrences: the×2 + cat×1
+    // covered of 4 total
+    val got = Lm.vocabCoverage(score, train, "text", topN = 2).collect().head
+    assert(got.getLong(0) == 3L && got.getLong(1) == 4L && got.getDouble(2) == 0.75)
+    val none = Lm.vocabCoverage(
+      Seq((1L, "zz yy")).toDF("doc_id", "text"), train, "text", 2).collect().head
+    assert(none.getLong(0) == 0L && none.getDouble(2) == 0.0)
+  }
+
+  test("empty corpus is total: curation, dedup, LM, stats all yield empty, not errors") {
+    val empty = spark.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).withColumn("text", lit("x"))
+      .filter(lit(false)).select($"doc_id", $"text")
+    assert(Curate.curate(empty, "text", "doc_id").count() == 0)
+    assert(TextOps.dedupSpans(empty, "text", "doc_id").count() == 0)
+    assert(TextOps.winnowOverlap(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.exact(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.crossSourceOverlap(
+      empty.withColumn("source", lit("s")), "text", "source").count() == 0)
+    assert(Lm.unigramBits(empty, empty, "text", "doc_id").count() == 0)
+    assert(Stats.heavyHitters(empty, "doc_id", 5).count() == 0)
+    assert(Sample.splitByHash(empty, "doc_id", Seq("a" -> 0.5)).count() == 0)
+    // keySkew/profile on empty input: one row of zeros/nulls, no crash
+    assert(Stats.keySkew(empty, "doc_id").collect().head.getLong(0) == 0L)
+  }
+
   test("bigram LM is word-order sensitive where the unigram LM is blind") {
     val train = Seq(
       (0L, "the cat sat on the mat"),

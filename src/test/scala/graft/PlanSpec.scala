@@ -238,6 +238,13 @@ class PlanSpec extends AnyFunSuite {
     assert(textExchanges.size <= 1, s"text shuffled ${textExchanges.size}x:\n$p")
   }
 
+  test("vocab coverage: TakeOrdered head, no full sort of the count table") {
+    val p = plan(graft.ops.Lm.vocabCoverage(docs, docs, "text", 500))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("LM scoring: partial-agg counts, token-keyed join, broadcast totals only") {
     val p = plan(graft.ops.Lm.unigramBits(docs, docs, "text", "doc_id"))
     // every aggregate (train counts, per-doc tf, per-doc reduce) is

@@ -212,6 +212,9 @@ object Drive {
       .agg(count(lit(1)).as("docs"), sum(col("n_removed")).as("tokens_removed"),
         sum(col("n_tokens")).as("tokens_total")).show()
 
+    println("== round-4: vocab coverage meter ==")
+    graft.ops.Lm.vocabCoverage(docs, docs, "text", topN = 200).show()
+
     println("== round-4: unigram LM scoring + perplexity buckets ==")
     val lmScored = graft.ops.Lm.unigramBits(docs, docs, "text", "doc_id")
     graft.ops.Lm.perplexityBuckets(lmScored, "bits_per_token")
