@@ -481,6 +481,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text", topN = 500)
     }),
 
+    // per-doc OOV rate of odd docs vs the even docs' top-500 vocabulary
+    "q_lm_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Lm.oovRate(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", topN = 500)
+    }),
+
     // held-out LM scoring: train on even doc_ids, score the odd ones —
     // exercises the out-of-vocabulary path (unseen tokens smooth to
     // count 0) the self-scoring query never hits
@@ -1460,6 +1467,26 @@ object SparkEntry {
          |  CAST((SELECT sum(occ) FROM occ) AS BIGINT) AS n_total,
          |  round(coalesce((SELECT sum(occ) FROM occ WHERE token IN (SELECT token FROM vocab)), 0)
          |    / CAST((SELECT sum(occ) FROM occ) AS DOUBLE), 6) AS coverage""".stripMargin,
+
+    // per-doc OOV rate: same top-N head, LEFT JOIN, per-doc reduce
+    "q_lm_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oracleTokens) AS token FROM documents
+         |), vocab AS (
+         |  SELECT token, 1 AS inv FROM (
+         |    SELECT token, count(*) AS n FROM toks WHERE doc_id % 2 = 0
+         |    GROUP BY 1 ORDER BY n DESC, token LIMIT 500
+         |  )
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks
+         |  WHERE doc_id % 2 = 1 GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN inv IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(sum(CASE WHEN inv IS NULL THEN tf ELSE 0 END)
+         |    / CAST(sum(tf) AS DOUBLE), 6) AS oov_rate
+         |FROM tf LEFT JOIN vocab USING (token)
+         |GROUP BY doc_id""".stripMargin,
 
     // held-out LM: the train/score split mirrored with a LEFT JOIN and
     // coalesce-to-zero for out-of-vocabulary tokens

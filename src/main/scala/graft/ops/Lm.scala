@@ -247,6 +247,40 @@ object Lm {
         round(col("n_covered") / col("n_total"), 6).as("coverage"))
   }
 
+  /** Per-document out-of-vocabulary rate against the train corpus's
+    * top-`topN` vocabulary — the corpus-level [[vocabCoverage]] meter's
+    * per-document sibling, and the standard gate signal ("drop documents
+    * with > X% OOV tokens": gibberish, wrong-language slips, encoding
+    * damage). Zero-token documents are dropped (no defined rate — the
+    * [[unigramBits]] convention).
+    *
+    * Scale shape: per-doc term frequencies compress the join; the top-N
+    * vocab head broadcasts; one reduce per document.
+    */
+  def oovRate(
+      docs: DataFrame,
+      train: DataFrame,
+      textCol: String,
+      idCol: String,
+      topN: Int,
+  ): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val vocab = unigramCounts(train, textCol)
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+      .select(col("token"), lit(1).as("__in"))
+    val tf = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+  }
+
   /** CCNet head/middle/tail split: tercile cutoffs over `bitsCol`, then a
     * value-based bucket per row (head = lowest bits = closest to the
     * training corpus). Cutoffs-then-compare rather than a global ntile:

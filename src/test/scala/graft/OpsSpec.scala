@@ -1206,6 +1206,24 @@ class OpsSpec extends AnyFunSuite {
     assert(none.getLong(0) == 0L && none.getDouble(2) == 0.0)
   }
 
+  test("OOV rate: per-doc fractions exact; pure-OOV doc at 1.0; empty doc dropped") {
+    val train = Seq((0L, "the cat the dog")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat bird"),  // 1 of 3 OOV
+      (2L, "zz yy"),         // all OOV
+      (3L, ""),              // no tokens -> dropped
+    ).toDF("doc_id", "text")
+    val got = Lm.oovRate(score, train, "text", "doc_id", topN = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    assert(got(2L) == ((2L, 2L, 1.0)))
+    // tightening the vocab raises the rate: topN=1 keeps only "the"
+    val tight = Lm.oovRate(score, train, "text", "doc_id", topN = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(tight(1L) == 0.666667)
+  }
+
   test("empty corpus is total: curation, dedup, LM, stats all yield empty, not errors") {
     val empty = spark.emptyDataFrame
       .withColumn("doc_id", lit(0L)).withColumn("text", lit("x"))

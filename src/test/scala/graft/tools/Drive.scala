@@ -214,6 +214,8 @@ object Drive {
 
     println("== round-4: vocab coverage meter ==")
     graft.ops.Lm.vocabCoverage(docs, docs, "text", topN = 200).show()
+    graft.ops.Lm.oovRate(docs, docs.filter(col("doc_id") < 250), "text", "doc_id", 300)
+      .agg(round(avg(col("oov_rate")), 4).as("avg_oov_rate")).show()
 
     println("== round-4: unigram LM scoring + perplexity buckets ==")
     val lmScored = graft.ops.Lm.unigramBits(docs, docs, "text", "doc_id")
