@@ -1464,9 +1464,11 @@ object SparkEntry {
          |)
          |SELECT
          |  CAST(coalesce((SELECT sum(occ) FROM occ WHERE token IN (SELECT token FROM vocab)), 0) AS BIGINT) AS n_covered,
-         |  CAST((SELECT sum(occ) FROM occ) AS BIGINT) AS n_total,
-         |  round(coalesce((SELECT sum(occ) FROM occ WHERE token IN (SELECT token FROM vocab)), 0)
-         |    / CAST((SELECT sum(occ) FROM occ) AS DOUBLE), 6) AS coverage""".stripMargin,
+         |  CAST(coalesce((SELECT sum(occ) FROM occ), 0) AS BIGINT) AS n_total,
+         |  CASE WHEN coalesce((SELECT sum(occ) FROM occ), 0) > 0 THEN
+         |    round(coalesce((SELECT sum(occ) FROM occ WHERE token IN (SELECT token FROM vocab)), 0)
+         |      / CAST((SELECT sum(occ) FROM occ) AS DOUBLE), 6)
+         |  END AS coverage""".stripMargin,
 
     // per-doc OOV rate: same top-N head, LEFT JOIN, per-doc reduce
     "q_lm_oov_rate" ->

@@ -215,15 +215,34 @@ object Lm {
       .select(col(idCol), col("token"), col("score"), col("rank"))
   }
 
+  /** THE deterministic top-`topN` vocabulary head (count desc, token asc
+    * tie-break) both vocabulary meters key on — one definition so
+    * [[vocabCoverage]] and [[oovRate]] can never disagree on what "the
+    * vocabulary" is. A TakeOrdered head, never a full sort; topN rows by
+    * construction, so callers broadcast it. Carries an `__in` marker
+    * column for membership tests via left join.
+    */
+  private def topVocab(train: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    unigramCounts(train, textCol)
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+      .select(col("token"), lit(1).as("__in"))
+  }
+
   /** Vocabulary coverage: the fraction of the score-corpus's token
     * OCCURRENCES whose token is in the training corpus's top-`topN`
     * vocabulary — the "how much of my data does this vocab actually
     * cover" meter behind vocab-size and OOV-budget decisions. Top-N is
-    * deterministic (count desc, token asc); one row out.
+    * deterministic ([[topVocab]]); one row out. An empty (or
+    * all-empty-text) score corpus yields (0, 0, null) — counts total,
+    * the rate undefined.
     *
     * Scale shape: train counts + a TakeOrdered head (never a full sort),
-    * the head joins the score-side counts token-keyed (broadcast — the
-    * head is topN rows by construction), one final reduction.
+    * the head left-joins the score-side counts token-keyed (broadcast —
+    * the head is topN rows by construction), then ONE final reduction
+    * computes both numerator and denominator — the score corpus is
+    * scanned once.
     */
   def vocabCoverage(
       docs: DataFrame,
@@ -231,20 +250,17 @@ object Lm {
       textCol: String,
       topN: Int,
   ): DataFrame = {
-    require(topN >= 1, "topN must be >= 1")
-    val vocab = unigramCounts(train, textCol)
-      .orderBy(col("n").desc, col("token"))
-      .limit(topN)
-      .select(col("token"))
     val occ = docs
       .select(explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("occ"))
     occ
-      .join(broadcast(vocab), Seq("token"), "left_semi")
-      .agg(coalesce(sum(col("occ")), lit(0L)).as("n_covered"))
-      .crossJoin(broadcast(occ.agg(sum(col("occ")).as("n_total"))))
+      .join(broadcast(topVocab(train, textCol, topN)), Seq("token"), "left")
+      .agg(
+        coalesce(sum(when(col("__in").isNotNull, col("occ"))), lit(0L)).as("n_covered"),
+        coalesce(sum(col("occ")), lit(0L)).as("n_total"))
       .select(col("n_covered"), col("n_total"),
-        round(col("n_covered") / col("n_total"), 6).as("coverage"))
+        when(col("n_total") > 0,
+          round(col("n_covered") / col("n_total"), 6)).as("coverage"))
   }
 
   /** Per-document out-of-vocabulary rate against the train corpus's
@@ -264,11 +280,7 @@ object Lm {
       idCol: String,
       topN: Int,
   ): DataFrame = {
-    require(topN >= 1, "topN must be >= 1")
-    val vocab = unigramCounts(train, textCol)
-      .orderBy(col("n").desc, col("token"))
-      .limit(topN)
-      .select(col("token"), lit(1).as("__in"))
+    val vocab = topVocab(train, textCol, topN)
     val tf = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))

@@ -1239,6 +1239,15 @@ class OpsSpec extends AnyFunSuite {
     assert(Sample.splitByHash(empty, "doc_id", Seq("a" -> 0.5)).count() == 0)
     // keySkew/profile on empty input: one row of zeros/nulls, no crash
     assert(Stats.keySkew(empty, "doc_id").collect().head.getLong(0) == 0L)
+    // vocab meters: empty score corpus -> (0, 0, null) coverage row,
+    // zero oovRate rows; empty TRAIN corpus -> empty vocab, coverage 0
+    val some = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val cov = Lm.vocabCoverage(empty, some, "text", topN = 10).collect().head
+    assert(cov.getLong(0) == 0L && cov.getLong(1) == 0L && cov.isNullAt(2))
+    assert(Lm.oovRate(empty, some, "text", "doc_id", topN = 10).count() == 0)
+    val covEmptyTrain = Lm.vocabCoverage(some, empty, "text", topN = 10).collect().head
+    assert(covEmptyTrain.getLong(0) == 0L && covEmptyTrain.getLong(1) == 3L
+      && covEmptyTrain.getDouble(2) == 0.0)
   }
 
   test("bigram LM is word-order sensitive where the unigram LM is blind") {
