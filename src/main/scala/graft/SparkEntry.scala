@@ -266,6 +266,29 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // fuzzy (near-duplicate) contamination: odd docs with shingle Jaccard
+    // >= 0.5 against some even "benchmark" doc — the bipartite LSH that
+    // catches lightly-edited benchmark text exact n-gram decontamination
+    // misses; banding matched to the threshold as in q_dedup_minhash
+    "q_decontam_fuzzy_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.fuzzyContamination(docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+          numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("id").as("doc_id"), col("bench_id"), col("jaccard"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // the gate: odd docs near-duplicate to NO even doc
+    "q_decontam_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.fuzzyDecontaminate(docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+          numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1093,6 +1116,22 @@ object SparkEntry {
     "q_dedup_incr_near" -> oracleShingleJaccard(k = 5, threshold = 0.5,
       select = "id_a, id_b",
       extraWhere = " AND NOT (id_a < 250 AND id_b < 250)"),
+
+    // bipartite pairs reshaped from the symmetric all-pairs truth: the
+    // odd (corpus) id first, the even (bench) id second
+    "q_decontam_fuzzy_pairs" -> oracleShingleJaccard(k = 5, threshold = 0.5,
+      select = "CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id, " +
+        "CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS bench_id, " +
+        "round(jaccard, 6) AS jaccard",
+      extraWhere = " AND (id_a % 2) <> (id_b % 2)"),
+
+    "q_decontam_fuzzy" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (
+         |${oracleShingleJaccard(k = 5, threshold = 0.5,
+              select = "CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id",
+              extraWhere = " AND (id_a % 2) <> (id_b % 2)")}
+         |)""".stripMargin,
 
     // both SimHash configurations recompute to the same exact pair set
     // (banding-independence is part of the operator contract)

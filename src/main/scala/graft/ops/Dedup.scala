@@ -411,6 +411,101 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** Fuzzy contamination: corpus documents NEAR-DUPLICATE (shingle
+    * Jaccard >= threshold) to some benchmark document — the MinHash-LSH
+    * bipartite sibling of [[graft.ops.TextOps.contaminationCounts]]'s
+    * exact n-gram overlap. N-gram decontamination misses benchmark text
+    * that reached the crawl lightly edited (reflowed, punctuation-
+    * normalized, partially translated boilerplate); whole-document
+    * similarity catches it. The standard hygiene stack runs both.
+    *
+    * Bipartite means NO self-join: candidates are (corpus x bench) within
+    * a (band, bucket) — quadratic blowup needs an over-full bucket on
+    * BOTH sides at once, and the corpus side (the only side that is ever
+    * 100 TB) carries the degenerate-bucket guard. The benchmark side — an
+    * eval-suite union, at most a few million rows — bands to a table AQE
+    * broadcasts; shuffles carry (band, bucket, id) longs, never text;
+    * shingle arrays re-join only for the deduplicated candidate set,
+    * exactly the [[minHashNearDups]] discipline. Same seeded hash family
+    * as every other MinHash operator, so stored signature tables remain
+    * comparable.
+    *
+    * Returns (id, bench_id, jaccard): one row per contaminated-pair with
+    * the EXACT verified Jaccard — precision is exact; recall is the LSH
+    * catch probability 1-(1-s^r)^b of the banding config.
+    */
+  def fuzzyContamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      materialize: Materialize = Materialize.Local,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val rows = numHashes / bands
+    val eager = materialize != Materialize.Lazy
+    // shingles are consumed twice per side (banding + verification join):
+    // persist unless the caller manages lifetimes (Lazy)
+    def shingled(df: DataFrame): DataFrame = {
+      val s = df.select(col(idCol).as("id"),
+          graft.functions.GraftFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      if (eager) s.persist() else s
+    }
+    val cs = shingled(corpus)
+    val bs = shingled(bench)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+    def banded(sh: DataFrame): DataFrame = sh
+      .withColumn("sig", signatureOfShingles(col("shingles"), numHashes))
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cb = dropOverfullBuckets(banded(cs), Seq("band", "bucket"), maxBucketSize,
+      "fuzzyContamination", logMetric = eager)
+    val candidates = cb
+      .join(banded(bs).withColumnRenamed("id", "bench_id"), Seq("band", "bucket"))
+      .select(col("id"), col("bench_id"))
+      .dropDuplicates("id", "bench_id")
+    val result = candidates
+      .join(cs.select(col("id"), col("shingles").as("sh_a")), Seq("id"))
+      .join(bs.select(col("id").as("bench_id"), col("shingles").as("sh_b")), Seq("bench_id"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id"), col("bench_id"), round(col("jaccard"), 6).as("jaccard"))
+    materializeAndRelease(result, materialize, Seq(cs, bs))
+  }
+
+  /** [[fuzzyContamination]]'s gate: the corpus rows near-duplicate to NO
+    * benchmark document (all columns kept). The anti-join keys on the
+    * distinct contaminated ids — pair multiplicity never amplifies the
+    * corpus side.
+    */
+  def fuzzyDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      materialize: Materialize = Materialize.Local,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    val dirty = fuzzyContamination(corpus, bench, textCol, idCol,
+        numHashes, bands, shingleSize, threshold, materialize, maxBucketSize)
+      .select(col("id")).distinct()
+    corpus.join(dirty, corpus(idCol) === dirty("id"), "left_anti")
+  }
+
   /** Apply the [[Materialize]] policy to a result, then release the
     * operator's persisted intermediates (no-op for Lazy, which never
     * persisted them).

@@ -58,6 +58,25 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("fuzzy decontamination: corpus docs near benchmark docs are caught, others survive") {
+    val corpus = docs.filter($"doc_id".isin(0L, 4L, 5L))
+    val bench = docs.filter($"doc_id".isin(1L, 2L))
+    val pairs = Dedup.fuzzyContamination(corpus, bench, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[Long]("bench_id"), r.getAs[Double]("jaccard")))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 2L)))
+    // verification is exact Jaccard: the exact dup verifies at 1.0
+    assert(pairs.find(p => p._2 == 1L).get._3 == 1.0)
+    val kept = Dedup.fuzzyDecontaminate(corpus, bench, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L))
+    // empty benchmark: nothing contaminated, whole corpus survives
+    assert(Dedup.fuzzyDecontaminate(corpus, bench.filter(lit(false)), "text", "doc_id")
+      .count() == 3)
+  }
+
   test("simhash: identical texts distance 0, near dups small, unrelated large") {
     graft.functions.GraftFunctions.register(spark)
     val sims = docs.select($"doc_id", Dedup.simHash($"text").as("sim"))

@@ -78,6 +78,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("fuzzy decontamination plans equi-joins only: no cartesian, no nested loop") {
+    val p = plan(Dedup.fuzzyContamination(docs, docs.limit(10), "text", "doc_id",
+      numHashes = 32, bands = 8, threshold = 0.5,
+      materialize = Dedup.Materialize.Lazy))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("exact keep-first is one window over one hash exchange") {
     val p = plan(Dedup.exactKeepFirst(docs, "text", "doc_id"))
     assert(p.contains("Window"), p)

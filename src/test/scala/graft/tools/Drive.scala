@@ -212,6 +212,12 @@ object Drive {
       .agg(count(lit(1)).as("docs"), sum(col("n_removed")).as("tokens_removed"),
         sum(col("n_tokens")).as("tokens_total")).show()
 
+    println("== round-4: fuzzy (near-dup) decontamination, corpus vs benchmark ==")
+    graft.ops.Dedup.fuzzyContamination(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", numHashes = 128, bands = 32, threshold = 0.5)
+      .orderBy(col("id"), col("bench_id")).show(5)
+
     println("== round-4: vocab coverage meter ==")
     graft.ops.Lm.vocabCoverage(docs, docs, "text", topN = 200).show()
     graft.ops.Lm.oovRate(docs, docs.filter(col("doc_id") < 250), "text", "doc_id", 300)
