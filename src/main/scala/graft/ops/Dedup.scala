@@ -468,7 +468,13 @@ object Dedup {
       .withColumn("sig", signatureOfShingles(col("shingles"), numHashes))
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val cb = dropOverfullBuckets(banded(cs), Seq("band", "bucket"), maxBucketSize,
+    // persisted (unless Lazy): the guard's eager metric aggregation and
+    // the candidate join both read the corpus banding — without this the
+    // corpus signatures compute twice (the minHashNearDups discipline);
+    // the bench banding is consumed once and needs no cache
+    val cb0 = banded(cs)
+    val cb1 = if (eager) cb0.persist() else cb0
+    val cb = dropOverfullBuckets(cb1, Seq("band", "bucket"), maxBucketSize,
       "fuzzyContamination", logMetric = eager)
     val candidates = cb
       .join(banded(bs).withColumnRenamed("id", "bench_id"), Seq("band", "bucket"))
@@ -480,7 +486,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id"), col("bench_id"), round(col("jaccard"), 6).as("jaccard"))
-    materializeAndRelease(result, materialize, Seq(cs, bs))
+    materializeAndRelease(result, materialize, Seq(cs, bs, cb1))
   }
 
   /** [[fuzzyContamination]]'s gate: the corpus rows near-duplicate to NO
