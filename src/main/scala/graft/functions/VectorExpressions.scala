@@ -548,6 +548,181 @@ case class PqAdc(lutsExpr: Expression, codeExpr: Expression)
   override def prettyName: String = "pq_adc"
 }
 
+/** Runtime helper for [[BpeApply]] — the per-word greedy rank-order merge
+  * loop of a BPE tokenizer (the standard application algorithm: repeatedly
+  * merge the lowest-rank adjacent pair present, all occurrences
+  * left-to-right non-overlapping, until none of the word's pairs is in the
+  * merge table). For a merge table produced by [[graft.ops.Bpe.trainBpe]]
+  * this is EXACTLY equivalent to replaying the merges in rank order
+  * (chained [[MergePair]] passes): a merge can only create adjacencies
+  * involving its own new symbol, and a trained table never ranks a pair
+  * containing a symbol before the merge that creates it — so no
+  * earlier-rank pair can appear after a later-rank merge. The win is
+  * complexity: cost per word is O(len²) hash probes, INDEPENDENT of the
+  * merge-table size, where the chained form pays one full pass per merge
+  * (30k merges = 30k chained plan nodes — unplannable).
+  */
+object BpeUtil {
+  /** Pair key in the rank table: left NUL right (NUL can't appear inside
+    * a symbol — symbols come from code points of real text).
+    */
+  def pairKey(a: String, b: String): String = a + "\u0000" + b
+
+  /** Split a word into code-point symbols (what Java-regex `split("")`
+    * does for the chained form — surrogate pairs stay together).
+    */
+  def codePointSymbols(word: String): java.util.ArrayList[String] = {
+    val syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      syms.add(word.substring(i, i + n))
+      i += n
+    }
+    syms
+  }
+
+  /** Encode one word: greedy min-rank merging to a stable subword array. */
+  def encodeWord(word: String,
+      ranks: java.util.HashMap[String, Integer]): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    var syms = codePointSymbols(word)
+    var done = false
+    while (!done && syms.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(pairKey(syms.get(j), syms.get(j + 1)))
+        if (r != null && r < bestRank) {
+          bestRank = r; bestA = syms.get(j); bestB = syms.get(j + 1)
+        }
+        j += 1
+      }
+      if (bestA == null) done = true
+      else {
+        // merge every occurrence, left-to-right, non-overlapping — the
+        // same pass MergePairUtil.merge makes
+        val out = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k < syms.size - 1 && syms.get(k) == bestA && syms.get(k + 1) == bestB) {
+            out.add(bestA + bestB); k += 2
+          } else { out.add(syms.get(k)); k += 1 }
+        }
+        syms = out
+      }
+    }
+    val res = new Array[org.apache.spark.unsafe.types.UTF8String](syms.size)
+    var i = 0
+    while (i < res.length) {
+      res(i) = org.apache.spark.unsafe.types.UTF8String.fromString(syms.get(i))
+      i += 1
+    }
+    res
+  }
+}
+
+/** BPE application as ONE native expression: the whole merge table rides
+  * along as a plan reference object (a foldable `array<array<string>>`
+  * literal — `[left, right]` in rank order — hashed into a pair→rank table
+  * once at plan init), and each row runs the standard greedy tokenizer
+  * inner loop per word in a single compiled call. This replaces the
+  * chained one-[[MergePair]]-pass-per-merge form, whose plan size grows
+  * linearly with the vocabulary: at production merge counts (30k-50k) the
+  * chain blows analysis/codegen long before data size matters, while here
+  * vocabulary size is a DATA parameter (one hash map), not a PLAN
+  * parameter — the same fix [[PqEncode]] applies to codebooks.
+  *
+  * A per-plan-instance bounded word cache exploits Zipf: natural-language
+  * corpora repeat words, so most rows tokenize from the cache without
+  * running the merge loop.
+  *
+  * Null semantics mirror the chained form (`flatten` over per-word
+  * arrays): a null word element nulls the whole result.
+  */
+case class BpeApply(wordsExpr: Expression, mergesExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = wordsExpr
+  override def right: Expression = mergesExpr
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (wordsExpr.dataType, mergesExpr.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(ArrayType(StringType, _), _))
+          if mergesExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "bpe_apply requires (array<string>, foldable array<array<string>> merge table)")
+    }
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    val md = mergesExpr.eval(null).asInstanceOf[ArrayData]
+    if (md != null) {
+      var i = 0
+      while (i < md.numElements()) {
+        val pair = md.getArray(i)
+        require(pair != null && pair.numElements() == 2,
+          s"bpe_apply merge table entry $i must be [left, right]")
+        // first (lowest) rank wins if a pair is listed twice
+        m.putIfAbsent(
+          BpeUtil.pairKey(pair.getUTF8String(0).toString, pair.getUTF8String(1).toString),
+          Integer.valueOf(i))
+        i += 1
+      }
+    }
+    m
+  }
+
+  // Zipf cache: word → subwords. Bounded (clear-on-full keeps the common
+  // head hot again within a few rows); ConcurrentHashMap because a
+  // compiled stage's reference array may be probed from multiple tasks.
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.unsafe.types.UTF8String]]()
+
+  /** Runtime entry shared by eval and codegen. Null on null word element. */
+  def applyWords(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) return null
+      val w = words.getUTF8String(i).toString
+      var subs = cache.get(w)
+      if (subs == null) {
+        subs = BpeUtil.encodeWord(w, ranks)
+        if (cache.size() >= 65536) cache.clear()
+        cache.put(w, subs)
+      }
+      var j = 0
+      while (j < subs.length) { out.add(subs(j)); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  override protected def nullSafeEval(words: Any, mergesIgnored: Any): Any =
+    applyWords(words.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", this, classOf[BpeApply].getName)
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"""
+         |${ev.value} = $ref.applyWords($w);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeApply =
+    copy(wordsExpr = newLeft, mergesExpr = newRight)
+
+  override def prettyName: String = "bpe_apply"
+}
+
 /** Bloom-filter membership over a 64-bit hash column, against a
   * pre-built, serialized `org.apache.spark.util.sketch.BloomFilter`
   * (Spark's own sketch — the same one `DataFrameStatFunctions
@@ -654,6 +829,7 @@ object GraftFunctions {
       add("map_lookup_long", exprs =>
         MapLookupLong(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].longValue()))
       add("merge_pair", exprs => MergePair(exprs(0), exprs(1), exprs(2)))
+      add("bpe_apply", exprs => BpeApply(exprs(0), exprs(1)))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -708,6 +884,13 @@ object GraftFunctions {
     */
   def mergePair(symbols: Column, a: Column, b: Column): Column =
     call_function("merge_pair", symbols, a, b)
+
+  /** BPE-tokenize a word array against a FULL merge table shipped as one
+    * foldable `array<array<string>>` literal (`[left, right]` in rank
+    * order); requires `register(spark)` first.
+    */
+  def bpeApply(words: Column, mergeTable: Column): Column =
+    call_function("bpe_apply", words, mergeTable)
 
   /** PQ code of a (normalized, array<double>) vector against a codebook
     * literal; requires `register(spark)` first.

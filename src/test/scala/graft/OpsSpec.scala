@@ -1003,6 +1003,98 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Bpe.loadBpe(spark, path) == merges)
   }
 
+  test("BPE: local training matches the distributed round-per-merge formulation") {
+    // varied corpus with repeated words, shared prefixes/suffixes and
+    // exact pair-count ties — the cases where the argmax tie-break matters
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog the fox"),
+      (1L, "lowering towering flowering powering showering glowering"),
+      (2L, "aa ab ba bb aa ab ba bb abab baba"),
+      (3L, "internationalization internationalization nation nationalization"),
+      (4L, "xy xy yx yx"), // (x,y) and (y,x) tie on count -> lex order decides
+    ).toDF("doc_id", "text")
+    val local = graft.ops.Bpe.trainBpe(corpus, "text", numMerges = 24)
+    val dist = graft.ops.Bpe.trainBpeDistributed(corpus, "text", numMerges = 24)
+    assert(local == dist, s"merge sequences diverge:\n$local\n$dist")
+  }
+
+  test("BPE: native bpe_apply matches the chained merge_pair replay") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "lowering towering flowering powering showering"),
+      (2L, "aa ab ba bb abab baba aaa bbb aabb"),
+      (3L, "internationalization nation nationalization 12345 90210"),
+      (4L, ""), // no tokens -> empty subword array
+    ).toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.trainBpe(corpus, "text", numMerges = 24)
+    val both = corpus.select($"doc_id",
+        graft.ops.Bpe.applyBpe($"text", merges).as("native"),
+        graft.ops.Bpe.applyBpeChained($"text", merges).as("chained"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: native ${r.getSeq[String](1)} != chained ${r.getSeq[String](2)}")
+    }
+  }
+
+  test("BPE: production-size merge tables plan and run (the chained form cannot)") {
+    graft.functions.GraftFunctions.register(spark)
+    // deterministic synthetic vocabulary rich enough to sustain >1000
+    // merges: 3000 words of length 8 from an LCG over a 26-letter alphabet
+    var seed = 0x5DEECE66DL
+    def nextWord(): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < 8) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + math.floorMod(seed >>> 33, 26L).toInt).toChar)
+        i += 1
+      }
+      sb.toString
+    }
+    val text = Seq.fill(3000)(nextWord()).mkString(" ")
+    val corpus = Seq((0L, text)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val merges = graft.ops.Bpe.trainBpe(corpus, "text", numMerges = 1000)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 1000, s"vocabulary exhausted at ${merges.size}")
+    assert(trainSec < 60.0, f"local 1000-merge training took $trainSec%.1f s")
+    // the native form: ONE expression regardless of merge count
+    val applied = corpus
+      .select(graft.ops.Bpe.applyBpe($"text", merges).as("sw")).collect().head
+    val subwords = applied.getSeq[String](0)
+    assert(subwords.nonEmpty && subwords.size < 3000 * 8,
+      "1000 merges should compress below character count")
+    assert(subwords.mkString == text.replace(" ", ""),
+      "subwords must reconstruct the input bytes")
+    // the chained form pays one plan node chain per merge: at 1000 merges
+    // the UNANALYZED expression tree alone is >3000 nodes (and analysis/
+    // codegen cost grows superlinearly from there) vs a handful for the
+    // native expression — vocabulary size must be a data parameter, not a
+    // plan parameter
+    def nodeCount(c: org.apache.spark.sql.Column): Int = {
+      def walk(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+        1 + e.children.map(walk).sum
+      corpus.select(c).queryExecution.logical.expressions.map(walk).sum
+    }
+    val native = nodeCount(graft.ops.Bpe.applyBpe($"text", merges))
+    assert(native < 20, s"native form should be O(1) plan nodes, got $native")
+    // the chained form pays one nested plan node chain per merge: at 1000
+    // merges even CONSTRUCTING the logical plan overflows the stack
+    // (ColumnNode-to-Expression conversion recurses per merge) — observed
+    // here, the literal "cannot plan". If a deeper stack survives the
+    // conversion, the tree is >3000 nodes: either way vocabulary size is a
+    // plan parameter, which is the disease the native expression cures.
+    val chainedVerdict =
+      try Right(nodeCount(graft.ops.Bpe.applyBpeChained($"text", merges)))
+      catch { case _: StackOverflowError => Left("stack overflow at plan construction") }
+    chainedVerdict match {
+      case Left(_)      => succeed
+      case Right(nodes) => assert(nodes > 3000, s"chained form unexpectedly small: $nodes")
+    }
+  }
+
   test("hash embedding: unit norm, near-dups close, unrelated far, empty -> null") {
     graft.functions.GraftFunctions.register(spark)
     val df = docs.union(Seq((9L, "")).toDF("doc_id", "text"))

@@ -149,6 +149,19 @@ object Drive {
         graft.ops.TextOps.tokenCount(col("text")).as("w"))
       .agg(sum(col("sw")).as("subwords"), sum(col("w")).as("words")).show()
 
+    println("== round-5: native bpe_apply (merge table as ONE plan literal) ==")
+    val bpeParity = docs.select(
+        graft.ops.Bpe.applyBpe(col("text"), bpeMerges).as("native"),
+        graft.ops.Bpe.applyBpeChained(col("text"), bpeMerges).as("chained"))
+      .filter(not(col("native") <=> col("chained"))).count()
+    println(s"native-vs-chained mismatching docs (expect 0): $bpeParity")
+    val bigBpe = graft.ops.Bpe.trainBpe(docs, "text", numMerges = 1000)
+    println(s"trained ${bigBpe.size} merges locally; production-size apply:")
+    val bigApplied = docs.select(
+      graft.ops.Bpe.subwordCount(col("text"), bigBpe).as("sw"))
+    bigApplied.agg(sum(col("sw")).as("subwords_1000_merges")).show()
+    bigApplied.explain("formatted")
+
     println("== round-4: PQ-compressed ANN (ADC + exact re-rank) ==")
     val embDrive = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pqCb = graft.ops.Similarity.trainPq(embDrive, "embedding", "vec_id", m = 16, ksub = 16)
