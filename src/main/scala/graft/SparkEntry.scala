@@ -339,6 +339,20 @@ object SparkEntry {
         threshold = 0.45, planes = 5, tables = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // driver-visible honesty meter for the one approximate near-DUP path:
+    // pair recall of the SRP-banded pass against the exact all-pairs
+    // cosine truth (O(n²), fine at the verification SFs). Measured at the
+    // pinned config: 0.79 (sf0.01) / 0.78 (sf0.1). CONTRACT: recall >= 0.6
+    // at the driver config, both correctness SFs, asserted by
+    // DriverSuiteSpec ("ANN recall floor") like the q_sim_*_recall rows
+    "q_dedup_embedding_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.pairRecall(
+        Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45),
+        Dedup.embeddingNearDups(emb, "embedding", "vec_id",
+          threshold = 0.45, planes = 5, tables = 12))
+    }),
+
     // ---- training-data pipeline: similarity search ----
     "q_sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -846,4 +846,41 @@ object Dedup {
     // minHashNearDups)
     materializeAndRelease(result, materialize, Seq(banded1))
   }
+
+  /** EXACT all-pairs cosine pairs at/above a threshold — the ground truth
+    * for [[embeddingNearDups]]'s recall meter. Deliberately O(n²): run it
+    * on a verification sample (the correctness SFs here), never the full
+    * corpus — that is the approximate operator's job. Output matches
+    * embeddingNearDups' (id_a, id_b) shape.
+    */
+  def exactCosinePairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+      .crossJoin(base.select(col("id").as("id_b"), col("vec").as("vec_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosineNative(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Pair recall of an approximate near-dup pass against an exact truth
+    * set — [[Similarity.recallAtK]]'s honesty meter reshaped for
+    * unordered (id_a, id_b) pair frames. One row out: n_true, n_found,
+    * recall (NULL when the truth is empty — "no ground truth", not 0).
+    * Scale shape: a semi-join plus two counts over pair-sized frames.
+    */
+  def pairRecall(truth: DataFrame, found: DataFrame): DataFrame = {
+    val pair = Seq("id_a", "id_b")
+    val t = truth.select(pair.map(col): _*).dropDuplicates(pair)
+    val hit = t.join(found.select(pair.map(col): _*), pair, "left_semi")
+    t.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_found")))
+      .select(col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true"), 6).as("recall"))
+  }
 }

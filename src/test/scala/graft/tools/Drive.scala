@@ -162,6 +162,13 @@ object Drive {
     bigApplied.agg(sum(col("sw")).as("subwords_1000_merges")).show()
     bigApplied.explain("formatted")
 
+    println("== round-5: embedding near-dup recall vs exact all-pairs truth ==")
+    val embForRecall = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.ops.Dedup.pairRecall(
+      graft.ops.Dedup.exactCosinePairs(embForRecall, "embedding", "vec_id", 0.45),
+      graft.ops.Dedup.embeddingNearDups(embForRecall, "embedding", "vec_id",
+        threshold = 0.45, planes = 5, tables = 12)).show()
+
     println("== round-4: PQ-compressed ANN (ADC + exact re-rank) ==")
     val embDrive = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pqCb = graft.ops.Similarity.trainPq(embDrive, "embedding", "vec_id", m = 16, ksub = 16)
