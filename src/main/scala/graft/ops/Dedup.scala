@@ -411,6 +411,84 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** Streaming twin of [[minHashNearDupsIncremental]]: micro-batch
+    * documents sign and band STATELESSLY (the same seeded hash family and
+    * band hashing, so buckets line up with any stored signature table),
+    * stream-static inner-join the banded history store on (band, bucket),
+    * verify candidates by signature-estimated Jaccard, and emit
+    * (id, hist_id, est_jaccard) pairs — the online "is this new document
+    * a near-dup of anything already ingested" serving path of the
+    * daily-crawl story. The only state is `dropDuplicatesWithinWatermark`
+    * over the pair key, which collapses multi-band collisions of the same
+    * pair and is bounded by the event-time watermark.
+    *
+    * WITHIN-STREAM pairs are deliberately out of scope: two near-dup
+    * documents arriving in different micro-batches would need unbounded
+    * signature state to pair up. Run the batch
+    * [[minHashNearDupsIncremental]] at compaction time for stream-internal
+    * pairs (its within-batch side), and fold each increment's signatures
+    * into the store — the stream covers history-vs-new only.
+    *
+    * Scale shape: the static side is banded ONCE per micro-batch from the
+    * (id, sig) store — persist `historySigs` so the banding is served from
+    * memory; shuffles carry (band, bucket) keys with signature arrays only
+    * for verification; the stream side fans out `bands` rows per document,
+    * all narrow.
+    */
+  def minHashNearDupsStream(
+      streamDocs: DataFrame,
+      historySigs: DataFrame,
+      textCol: String,
+      idCol: String,
+      tsCol: String,
+      watermarkDelay: String = "1 hour",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.7,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    graft.functions.GraftFunctions.register(streamDocs.sparkSession)
+    // same loud length guard as the batch incremental: a store built with
+    // a different numHashes must fail, not silently mis-band
+    val histBanded = historySigs
+      .withColumn("sig",
+        when(size(col("sig")) === numHashes, col("sig")).otherwise(raise_error(concat(
+          lit(s"minHashNearDupsStream: signature length != numHashes=$numHashes (found "),
+          size(col("sig")).cast("string"), lit(")")))))
+      .select(col("id").as("hist_id"), col("sig").as("hist_sig"))
+      .select(col("hist_id"), col("hist_sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(lit(b), slice(col("hist_sig"), b * rows + 1, rows)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("hist_id"), col("hist_sig"), col("bb.band"), col("bb.bucket"))
+    val streamBanded = streamDocs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).as("id"), col(tsCol).as("__ts"),
+        graft.functions.GraftFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), col("__ts"),
+        signatureOfShingles(col("shingles"), numHashes).as("sig"))
+      .select(col("id"), col("__ts"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("__ts"), col("sig"), col("bb.band"), col("bb.bucket"))
+    streamBanded
+      .join(histBanded, Seq("band", "bucket"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig"), col("hist_sig"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id"), col("hist_id"), col("__ts"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .dropDuplicatesWithinWatermark("id", "hist_id")
+      .select(col("id"), col("hist_id"), col("est_jaccard"))
+  }
+
   /** Fuzzy contamination: corpus documents NEAR-DUPLICATE (shingle
     * Jaccard >= threshold) to some benchmark document — the MinHash-LSH
     * bipartite sibling of [[graft.ops.TextOps.contaminationCounts]]'s

@@ -314,6 +314,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dedup matches the batch increment's cross pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // long enough that a one-word edit keeps shingle Jaccard well above
+    // the 0.7 threshold: ~46 words → J ≈ (n-9)/(n+1) ≈ 0.8
+    val base = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while shuffle partitions spill to disk and the optimizer prunes columns " +
+      "from every scan so that the join keys stay narrow and the broadcast side " +
+      "fits in memory even when the cluster doubles its executor count overnight"
+    val nearDup = base.replace("lazy", "sleepy") // one word edit → high jaccard
+    val histDocs = Seq(
+      (0L, base),
+      (1L, "completely unrelated text about product quantization codebooks " +
+        "and inverted file cells probed at query time by the scanner"),
+    ).toDF("doc_id", "text")
+    val histSigs = graft.ops.Dedup.minHashSignatures(histDocs, "text", "doc_id")
+    val newRows = Seq(
+      (10L, nearDup),                                  // near-dup of history 0
+      (11L, "fresh words having no overlap with anything stored so far " +
+        "because every token here is deliberately novel and distinct today"),
+      (12L, base),                                     // exact dup of history 0
+    )
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val streamDocs = input.toDF().toDF("doc_id", "text", "ts")
+    // threshold 0.6: the one-word edit sits at true J ≈ 0.80 but the
+    // 64-hash ESTIMATE lands at 0.6875 (deterministic) — the decision
+    // boundary caveat the batch scaladoc documents, planted here on purpose
+    val q = graft.ops.Dedup.minHashNearDupsStream(
+        streamDocs, histSigs, "text", "doc_id", "ts", threshold = 0.6)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      // strictly after the initial watermark (0): rows AT the watermark
+      // are late data to dropDuplicatesWithinWatermark and get dropped
+      val t0 = new java.sql.Timestamp(3600000L)
+      input.addData(newRows.map { case (id, tx) => (id, tx, t0) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream")
+        .select($"hist_id", $"id", $"est_jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the exact dup and the one-word edit pair with history doc 0
+      assert(streamed.map(p => (p._1, p._2)) == Set((0L, 10L), (0L, 12L)))
+      assert(streamed.forall(_._3 >= 0.6))
+      // parity: the batch increment's CROSS pairs (within-batch pairs —
+      // here (10, 12) — are the stream's documented out-of-scope)
+      val batchSigs = graft.ops.Dedup.minHashSignatures(
+        newRows.toDF("doc_id", "text"), "text", "doc_id")
+      val batchCross = graft.ops.Dedup.minHashNearDupsIncremental(
+          batchSigs, histSigs, threshold = 0.6)
+        .filter($"id_a" < 10L && $"id_b" >= 10L)
+        .select($"id_a", $"id_b", $"est_jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batchCross,
+        s"stream $streamed != batch cross pairs $batchCross")
+    } finally q.stop()
+  }
+
   test("streaming sessionization's closed sessions match the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
