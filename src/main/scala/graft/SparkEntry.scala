@@ -579,6 +579,17 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
     }),
 
+    // the full hygiene stack: the same chain with the fuzzy whole-document
+    // pass (Jaccard >= 0.5 vs the bench slice) after exact decontamination
+    "q_pipeline_prepare_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Pipeline.prepare(docs, docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "r4",
+        fuzzyThreshold = Some(0.5))
+        .select(col("doc_id"), col("split"))
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native word_shingles
       val metrics = TextOps.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }
@@ -913,6 +924,73 @@ object SparkEntry {
     */
   private def oracleMd5Long(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** The full Pipeline.prepare chain as one DuckDB query: curation gates,
+    * keep-first dedup (QUALIFY), exact 5-gram decontamination, optionally
+    * the fuzzy whole-document Jaccard pass, then the salted CASE split.
+    */
+  private def oraclePipelinePrepare(fuzzy: Boolean): String = {
+    val fuzzyCtes =
+      if (!fuzzy) ""
+      else s""", fpairs AS (
+              |${oracleShingleJaccard(k = 5, threshold = 0.5, select = "id_a, id_b")}
+              |), fuzzy AS (
+              |  SELECT id_a AS doc_id FROM fpairs WHERE id_b % 50 = 0
+              |  UNION
+              |  SELECT id_b AS doc_id FROM fpairs WHERE id_a % 50 = 0
+              |)""".stripMargin
+    val fuzzyWhere =
+      if (fuzzy) " AND doc_id NOT IN (SELECT doc_id FROM fuzzy)" else ""
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |    CAST($oracleWsTokens AS INTEGER) AS n_words,
+       |    round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+       |    round(CAST($oracleStopEn AS DOUBLE) / greatest($oracleWsTokens, 1), 6) AS stopword_ratio,
+       |    ${oracleShingles(3).replace("tokens", oracleTokens)} AS sh3,
+       |    $oracleStopEn AS s_en,
+       |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|de|un|une)\\b')) AS s_fr,
+       |    len(regexp_extract_all(lower(text), '\\b(el|los|las|y|en|un|una)\\b')) AS s_es,
+       |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|von|ein|ist)\\b')) AS s_de
+       |  FROM documents
+       |), sig AS (
+       |  SELECT doc_id, text,
+       |    CASE
+       |      WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+       |      WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+       |      WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+       |      WHEN s_de > 0 THEN 'de'
+       |      ELSE 'und'
+       |    END AS lang_pred,
+       |    round(least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.5
+       |        + least(stopword_ratio * 5.0, 1.0) * 0.4
+       |        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 6) AS quality,
+       |    ${oracleDupFrac("sh3")} AS dup_3gram_frac
+       |  FROM m
+       |), kept AS (
+       |  SELECT doc_id, text FROM sig
+       |  WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_3gram_frac <= 0.05
+       |  QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1
+       |), ksh AS (
+       |  SELECT doc_id, unnest(list_distinct(${oracleShingles(5)})) AS s0
+       |  FROM (SELECT doc_id, $oracleTokens AS tokens FROM kept)
+       |), bsh AS (
+       |  SELECT DISTINCT s0 FROM (
+       |    SELECT unnest(list_distinct(${oracleShingles(5)})) AS s0
+       |    FROM (SELECT $oracleTokens AS tokens FROM documents WHERE doc_id % 50 = 0)
+       |  )
+       |), cont AS (
+       |  SELECT DISTINCT doc_id FROM ksh JOIN bsh USING (s0)
+       |)$fuzzyCtes
+       |SELECT doc_id,
+       |  CASE WHEN b < 900000 THEN 'train'
+       |       WHEN b < 950000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id,
+       |    ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")} % 1000000 AS b
+       |  FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont)$fuzzyWhere
+       |)""".stripMargin
+  }
 
   /** Full SimHash near-dup recomputation in DuckDB: per-token md5-derived
     * 60-bit hash (the same derivation as oracleMd5Long — mirrors
@@ -1375,56 +1453,15 @@ object SparkEntry {
     // the composed pipeline end to end: the q_curate chain (gates +
     // QUALIFY keep-first), then 5-gram NOT-IN decontamination of the
     // SURVIVORS, then the salted-hash CASE split — one DuckDB query
-    "q_pipeline_prepare" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, text,
-         |    CAST($oracleWsTokens AS INTEGER) AS n_words,
-         |    round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
-         |    round(CAST($oracleStopEn AS DOUBLE) / greatest($oracleWsTokens, 1), 6) AS stopword_ratio,
-         |    ${oracleShingles(3).replace("tokens", oracleTokens)} AS sh3,
-         |    $oracleStopEn AS s_en,
-         |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|de|un|une)\\b')) AS s_fr,
-         |    len(regexp_extract_all(lower(text), '\\b(el|los|las|y|en|un|una)\\b')) AS s_es,
-         |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|von|ein|ist)\\b')) AS s_de
-         |  FROM documents
-         |), sig AS (
-         |  SELECT doc_id, text,
-         |    CASE
-         |      WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
-         |      WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
-         |      WHEN s_en >= s_de AND s_en > 0 THEN 'en'
-         |      WHEN s_de > 0 THEN 'de'
-         |      ELSE 'und'
-         |    END AS lang_pred,
-         |    round(least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.5
-         |        + least(stopword_ratio * 5.0, 1.0) * 0.4
-         |        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 6) AS quality,
-         |    ${oracleDupFrac("sh3")} AS dup_3gram_frac
-         |  FROM m
-         |), kept AS (
-         |  SELECT doc_id, text FROM sig
-         |  WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_3gram_frac <= 0.05
-         |  QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1
-         |), ksh AS (
-         |  SELECT doc_id, unnest(list_distinct(${oracleShingles(5)})) AS s0
-         |  FROM (SELECT doc_id, $oracleTokens AS tokens FROM kept)
-         |), bsh AS (
-         |  SELECT DISTINCT s0 FROM (
-         |    SELECT unnest(list_distinct(${oracleShingles(5)})) AS s0
-         |    FROM (SELECT $oracleTokens AS tokens FROM documents WHERE doc_id % 50 = 0)
-         |  )
-         |), cont AS (
-         |  SELECT DISTINCT doc_id FROM ksh JOIN bsh USING (s0)
-         |)
-         |SELECT doc_id,
-         |  CASE WHEN b < 900000 THEN 'train'
-         |       WHEN b < 950000 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM (
-         |  SELECT doc_id,
-         |    ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")} % 1000000 AS b
-         |  FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont)
-         |)""".stripMargin,
+    "q_pipeline_prepare" -> oraclePipelinePrepare(fuzzy = false),
+
+    // the same chain with the hygiene stack's SECOND pass: whole-document
+    // fuzzy (shingle-Jaccard >= 0.5) decontamination after the exact
+    // n-gram pass. The fuzzy truth is computed over ALL documents vs the
+    // bench slice — a superset of the survivors the Spark side screens,
+    // which is NOT-IN-safe (extra contaminated ids outside `kept` never
+    // reach the final filter)
+    "q_pipeline_prepare_fuzzy" -> oraclePipelinePrepare(fuzzy = true),
 
     // bloom decontamination: the bloom is a pure work-pruner, so the
     // oracle is the exact semantics — documents with zero 5-gram overlap

@@ -3,20 +3,30 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 
 /** The one-call training-data preparation chain: curation gates → exact
-  * keep-first dedup → benchmark decontamination → deterministic
+  * keep-first dedup → benchmark decontamination (exact n-gram, optionally
+  * followed by fuzzy whole-document near-dup) → deterministic
   * train/val/test split. Each stage is the already-oracled standalone
   * operator ([[Curate.curate]], [[TextOps.decontaminate]],
-  * [[Sample.splitByHash]]), composed in the order a production corpus
-  * build runs them — gates first (narrow, scan-speed, drops most rows
-  * before anything wide), dedup and decontamination over the survivors
-  * only, the split last as a free narrow projection.
+  * [[Dedup.fuzzyDecontaminate]], [[Sample.splitByHash]]), composed in the
+  * order a production corpus build runs them — gates first (narrow,
+  * scan-speed, drops most rows before anything wide), dedup and
+  * decontamination over the survivors only, the split last as a free
+  * narrow projection.
   *
   * The composition itself is also oracle-checked end to end
-  * (`q_pipeline_prepare`): the full chain — gates, QUALIFY keep-first,
-  * NOT-IN decontamination, CASE split — recomputed as one DuckDB query.
+  * (`q_pipeline_prepare` / `q_pipeline_prepare_fuzzy`): the full chain —
+  * gates, QUALIFY keep-first, NOT-IN decontamination (and the fuzzy
+  * Jaccard NOT-IN when enabled), CASE split — recomputed as one DuckDB
+  * query.
   */
 object Pipeline {
 
+  /** `fuzzyThreshold = Some(t)` runs the standard hygiene stack's SECOND
+    * decontamination pass — [[Dedup.fuzzyDecontaminate]] at whole-document
+    * shingle-Jaccard `t` — over the exact pass's survivors, catching
+    * benchmark text that reached the crawl lightly edited. `None` (the
+    * default) keeps the exact-only chain.
+    */
   def prepare(
       docs: DataFrame,
       bench: DataFrame,
@@ -29,10 +39,17 @@ object Pipeline {
       maxDup3: Double = 0.05,
       n: Int = 5,
       minOverlap: Int = 1,
-  ): DataFrame =
-    Sample.splitByHash(
-      TextOps.decontaminate(
-        Curate.curate(docs, textCol, idCol, lang, minQuality, maxDup3),
-        bench, textCol, idCol, n, minOverlap),
-      idCol, splits, salt)
+      fuzzyThreshold: Option[Double] = None,
+      fuzzyNumHashes: Int = 128,
+      fuzzyBands: Int = 32,
+  ): DataFrame = {
+    val exact = TextOps.decontaminate(
+      Curate.curate(docs, textCol, idCol, lang, minQuality, maxDup3),
+      bench, textCol, idCol, n, minOverlap)
+    val cleaned = fuzzyThreshold.fold(exact)(t =>
+      Dedup.fuzzyDecontaminate(exact, bench, textCol, idCol,
+        numHashes = fuzzyNumHashes, bands = fuzzyBands, shingleSize = n,
+        threshold = t))
+    Sample.splitByHash(cleaned, idCol, splits, salt)
+  }
 }

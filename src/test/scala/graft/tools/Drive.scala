@@ -162,6 +162,12 @@ object Drive {
     bigApplied.agg(sum(col("sw")).as("subwords_1000_merges")).show()
     bigApplied.explain("formatted")
 
+    println("== round-5: full hygiene stack (exact + fuzzy decontam) in prepare ==")
+    graft.ops.Pipeline.prepare(docs, docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        salt = "r4", fuzzyThreshold = Some(0.5))
+      .groupBy(col("split")).count().orderBy(col("split")).show()
+
     println("== round-5: embedding near-dup recall vs exact all-pairs truth ==")
     val embForRecall = spark.read.parquet(s"$sfDir/embeddings.parquet")
     graft.ops.Dedup.pairRecall(
