@@ -555,6 +555,19 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"))
     }),
 
+    // the SAME bucketing in its 100 TB configuration: approx_percentile
+    // cutoffs (bounded memory in the final reducer) instead of the exact
+    // percentile buffer. Approximate by contract → rows-only; the
+    // agreement contract vs q_lm_bucket (identical up to cutoff-boundary
+    // docs) is asserted by DriverSuiteSpec ("approx perplexity buckets")
+    "q_lm_bucket_approx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Lm.perplexityBuckets(
+        ops.Lm.unigramBits(docs, docs, "text", "doc_id"), "bits_per_token",
+        exact = false)
+        .select(col("doc_id"), col("bucket"))
+    }),
+
     // the full curation pipeline (gates + keep-first dedup) in one pass
     "q_curate" -> ((s, dir) =>
       ops.Curate.curate(t(s, dir, "documents"), "text", "doc_id")

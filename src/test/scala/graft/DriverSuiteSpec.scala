@@ -170,4 +170,23 @@ class DriverSuiteSpec extends AnyFunSuite {
       assert(recall >= 0.6, s"$q at $dir: recall $recall below the 0.6 floor")
     }
   }
+
+  test("approx perplexity buckets agree with exact up to cutoff-boundary docs") {
+    // the contract behind q_lm_bucket_approx: approx_percentile replaces
+    // the exact-percentile value buffer (the 100 TB configuration), and
+    // the only rows allowed to move are those BETWEEN the exact
+    // interpolated cutoff and the approx within-data cutoff — a handful
+    // at tercile boundaries, never a reshuffling of the corpus.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact = SparkEntry.queries("q_lm_bucket")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val approx = SparkEntry.queries("q_lm_bucket_approx")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(exact.keySet == approx.keySet)
+      val moved = exact.count { case (id, b) => approx(id) != b }
+      val tolerance = math.max(2, exact.size / 100) // <= 1% of docs
+      assert(moved <= tolerance,
+        s"$dir: $moved of ${exact.size} docs changed bucket (tolerance $tolerance)")
+    }
+  }
 }
