@@ -835,6 +835,26 @@ object SparkEntry {
           unix_micros(col("last_click_ts")).as("last_click_ts_us"))
     }),
 
+    // multi-value as-of: real enrichment attaches several columns at once
+    // — value AND props ride the one struct carry (still a single window
+    // pass), mirrored by DuckDB ASOF selecting both
+    "q_events_asof_multi" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"), col("value"), col("props"))
+      ops.Joins.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("value", "props"), prefix = "last_click_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("last_click_value"), col("last_click_props"),
+          unix_micros(col("last_click_ts")).as("last_click_ts_us"))
+    }),
+
     // keyed range join: attribute every click to the 30-min-gap session
     // interval it falls in (sessions over ALL events, so each click has
     // exactly one home). Half-open [lo, hi) core, so the inclusive
@@ -1916,6 +1936,22 @@ object SparkEntry {
         |)
         |SELECT p.event_id, p.user_id, p.ts_us,
         |  c.value AS last_click_value, c.ts_us AS last_click_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    "q_events_asof_multi" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value, props
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+        |    ORDER BY event_id DESC) = 1
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.value AS last_click_value, c.props AS last_click_props,
+        |  c.ts_us AS last_click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
 
     "q_text_encoding" ->

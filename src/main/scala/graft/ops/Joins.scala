@@ -30,9 +30,56 @@ object Joins {
     * partition-order-dependent. Dedupe first (e.g. keep-max by a
     * tiebreaker column); the operator cannot see a violation cheaply.
     *
-    * Returns every left row + (`prefix`+valueCol, `prefix`+tsCol) from
-    * the matched right row.
+    * SKEW note: the window partitions by the join key, so one pathological
+    * key (a null-ish sentinel id, a bot user) funnels its whole timeline
+    * through one task — the same single-hot-key shape as
+    * [[Sample.capTokensPerGroup]]. The work stays linear in that key's row
+    * count (sort + one carry-forward pass, no quadratic blow-up), so the
+    * funnel is a straggler, not an explosion; run [[Stats.keySkew]] first
+    * and pre-split or drop sentinel keys when the top key dominates.
+    *
+    * Returns every left row + (`prefix`+c for each of `valueCols`,
+    * `prefix`+tsCol) from the matched right row. Real enrichment attaches
+    * several columns at once: the carry is ONE struct of all value
+    * columns plus the right timestamp, so the window pass stays a single
+    * `last(ignoreNulls)` regardless of how many columns ride along.
     */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      prefix: String,
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    require(!valueCols.contains(tsCol),
+      s"$tsCol rides along as $prefix$tsCol already; drop it from valueCols")
+    val lStruct = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val carryType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c =>
+        org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)) :+
+        org.apache.spark.sql.types.StructField("__rts", right.schema(tsCol).dataType))
+    val lpart = left.select(
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(carryType).as("__carry"),
+      struct(left.columns.map(col): _*).as("__lrow"))
+    val rpart = right.select(
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
+      struct(valueCols.map(col) :+ col(tsCol).as("__rts"): _*).as("__carry"),
+      lit(null).cast(lStruct).as("__lrow"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lpart.unionByName(rpart)
+      .withColumn("__c", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col("__lrow." + c).as(c)) ++
+        valueCols.map(c => col("__c." + c).as(prefix + c)) :+
+        col("__c.__rts").as(prefix + tsCol): _*)
+  }
+
+  /** Single-value-column convenience form of [[asofJoin]]. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -40,28 +87,8 @@ object Joins {
       tsCol: String,
       valueCol: String,
       prefix: String = "asof_",
-  ): DataFrame = {
-    val lStruct = org.apache.spark.sql.types.StructType(left.schema.fields)
-    val vType = right.schema(valueCol).dataType
-    val tType = right.schema(tsCol).dataType
-    val lpart = left.select(
-      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
-      lit(null).cast(vType).as("__rv"), lit(null).cast(tType).as("__rts"),
-      struct(left.columns.map(col): _*).as("__lrow"))
-    val rpart = right.select(
-      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
-      col(valueCol).as("__rv"), col(tsCol).as("__rts"),
-      lit(null).cast(lStruct).as("__lrow"))
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lpart.unionByName(rpart)
-      .withColumn("__v", last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("__vts", last(col("__rts"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(left.columns.map(c => col("__lrow." + c).as(c)) ++
-        Seq(col("__v").as(prefix + valueCol), col("__vts").as(prefix + tsCol)): _*)
-  }
+  ): DataFrame =
+    asofJoin(left, right, keyCol, tsCol, Seq(valueCol), prefix)
 
   /** Range (interval) join: every (point, interval) pair — optionally
     * within the same `keyCols` — with `lo <= point < hi` (half-open;

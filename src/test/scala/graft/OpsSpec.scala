@@ -302,6 +302,46 @@ class OpsSpec extends AnyFunSuite {
     assert(run(l.repartition(7), r.repartition(5)) == got)
   }
 
+  test("as-of join: several value columns ride one struct carry") {
+    val l = Seq((1L, 5L, "a"), (1L, 10L, "b"), (2L, 3L, "c")).toDF("k", "t", "tag")
+    val r = Seq((1L, 4L, 40.0, "x"), (1L, 10L, 100.0, "y"), (2L, 9L, 90.0, "z"))
+      .toDF("k", "t", "v", "w")
+    val got = Joins.asofJoin(l, r, "k", "t", Seq("v", "w"), prefix = "asof_")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        Option(x.get(3)), Option(x.get(4)), Option(x.get(5)))).toSet
+    assert(got == Set(
+      (1L, 5L, "a", Some(40.0), Some("x"), Some(4L)),
+      (1L, 10L, "b", Some(100.0), Some("y"), Some(10L)),
+      (2L, 3L, "c", None, None, None)))
+    // both carried columns come from the SAME matched right row even when
+    // one of them is null there (the struct carries them atomically — a
+    // per-column last(ignoreNulls) would mix rows)
+    val rNull = Seq((1L, 4L, 40.0, "x"), (1L, 8L, 80.0, null)).toDF("k", "t", "v", "w")
+    val atomic = Joins.asofJoin(
+        Seq((1L, 9L)).toDF("k", "t"), rNull, "k", "t", Seq("v", "w"), "asof_")
+      .collect().map(x => (Option(x.get(2)), Option(x.get(3)))).toSet
+    assert(atomic == Set((Some(80.0), None)))
+    // tsCol in valueCols is a loud error, not a duplicate output column
+    assertThrows[IllegalArgumentException] {
+      Joins.asofJoin(l, r, "k", "t", Seq("v", "t"), "asof_")
+    }
+  }
+
+  test("as-of join: one pathological hot key stays linear (straggler, not blow-up)") {
+    // 20k left + 20k right rows ALL on one key: the window funnels them
+    // through one task, but the work is sort + one carry pass — if the
+    // plan ever regressed to a range-join pairing (quadratic: 4e8 pairs),
+    // this would not complete in test time
+    val n = 20000
+    val hotL = (0 until n).map(i => (1L, i.toLong * 2)).toDF("k", "t")
+    val hotR = (0 until n).map(i => (1L, i.toLong * 2 + 1, i.toDouble)).toDF("k", "t", "v")
+    val out = Joins.asofJoin(hotL, hotR, "k", "t", "v")
+    assert(out.count() == n)
+    // spot-check the carry: left t=2i matches right t=2i-1 → v=i-1
+    val sample = out.filter(col("t") === 2000L).collect().head
+    assert(sample.getAs[Double]("asof_v") == 999.0)
+  }
+
   test("degenerate-bucket guard bounds a pathological all-identical corpus") {
     // 120 byte-identical documents: every (band, bucket) holds all 120
     // rows, so the unguarded self-join is quadratic in the clone count
