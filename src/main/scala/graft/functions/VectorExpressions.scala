@@ -428,6 +428,19 @@ object PqUtil {
   def encode(vec: ArrayData, cb: Array[Array[Array[Double]]],
       halfNorms: Array[Array[Double]]): ArrayData = {
     val m = cb.length
+    // fail loudly on a vector that doesn't span the codebook: on
+    // UnsafeArrayData an out-of-range getDouble reads adjacent buffer
+    // bytes SILENTLY, which would yield garbage codes instead of an error
+    // (the same class of guard as minHashNearDupsIncremental's signature
+    // length check)
+    var dim = 0
+    var jj = 0
+    while (jj < m) { dim += cb(jj)(0).length; jj += 1 }
+    if (vec.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length ${vec.numElements()} != codebook dim $dim " +
+          s"(m=$m subspaces) — mixed-dimension vectors must be filtered or " +
+          "padded before PQ encoding")
     val out = new Array[Int](m)
     var off = 0
     var j = 0
@@ -453,13 +466,27 @@ object PqUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** ADC score: m table lookups, `Σ_j luts[j][code[j]]`. */
+  /** ADC score: m table lookups, `Σ_j luts[j][code[j]]`. Fails loudly on
+    * a code built with a different m/ksub than the probe's tables — an
+    * out-of-range UnsafeArrayData read would return garbage scores
+    * silently.
+    */
   def adc(luts: ArrayData, code: ArrayData): Double = {
+    val m = code.numElements()
+    if (luts.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc: code has $m subspaces but the probe tables have " +
+          s"${luts.numElements()} — the code was built with a different codebook")
     var s = 0.0
     var j = 0
-    val m = code.numElements()
     while (j < m) {
-      s += luts.getArray(j).getDouble(code.getInt(j))
+      val lut = luts.getArray(j)
+      val c = code.getInt(j)
+      if (c < 0 || c >= lut.numElements())
+        throw new IllegalArgumentException(
+          s"pq_adc: code value $c out of range [0, ${lut.numElements()}) in " +
+            s"subspace $j — the code was built with a different ksub")
+      s += lut.getDouble(c)
       j += 1
     }
     s

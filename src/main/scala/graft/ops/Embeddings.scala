@@ -60,7 +60,9 @@ object Embeddings {
     *
     * Rows with null embeddings count toward `n` but not the centroid
     * (their dims never explode); groups whose every vector is null are
-    * absent from the result. Mixed-length vectors within a group average
+    * absent from the result. Null GROUP KEYS are ordinary groups (the
+    * count join is null-safe `<=>` — a plain equi-join would silently
+    * drop them). Mixed-length vectors within a group average
     * per-dimension over the vectors that have that dimension.
     *
     * Returns (groupCols..., n, centroid: array<double>).
@@ -68,14 +70,18 @@ object Embeddings {
   def groupCentroids(df: DataFrame, vecCol: String, groupCols: String*): DataFrame = {
     require(groupCols.nonEmpty, "groupCentroids needs at least one group column")
     val gcols = groupCols.map(col)
-    val n = df.groupBy(gcols: _*).agg(count(lit(1)).as("n"))
-    df.select(gcols :+ posexplode(col(vecCol)).as(Seq("__d", "__x")): _*)
+    val n = df.groupBy(gcols: _*).agg(count(lit(1)).as("n")).alias("__n")
+    val cents = df
+      .select(gcols :+ posexplode(col(vecCol)).as(Seq("__d", "__x")): _*)
       .groupBy(gcols :+ col("__d"): _*)
       .agg(avg(col("__x").cast("double")).as("__m"))
       .groupBy(gcols: _*)
       .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__dm"))
       .select(gcols :+ transform(col("__dm"), s => s.getField("__m")).as("centroid"): _*)
-      .join(n, groupCols)
-      .select(gcols ++ Seq(col("n"), col("centroid")): _*)
+      .alias("__c")
+    cents
+      .join(n, groupCols.map(g => col(s"__c.$g") <=> col(s"__n.$g")).reduce(_ && _))
+      .select(groupCols.map(g => col(s"__c.$g").as(g)) ++
+        Seq(col("__n.n").as("n"), col("__c.centroid").as("centroid")): _*)
   }
 }

@@ -140,6 +140,14 @@ object Joins {
     def bucket(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / bucketWidth).cast("long")
     def pfx(c: String): String = if (keyCols.contains(c)) c else intervalPrefix + c
+    // the prefix itself must not map an interval column onto a point
+    // column (e.g. prefix "p_" turning "rice" into an existing "p_rice"):
+    // the duplicate output column would make the residual filter ambiguous
+    val prefixedCollisions = intervals.columns.filterNot(keyCols.contains)
+      .map(pfx).toSet.intersect(points.columns.toSet)
+    require(prefixedCollisions.isEmpty,
+      s"prefixed interval columns ${prefixedCollisions.mkString(", ")} collide " +
+        "with point columns; choose a different intervalPrefix")
     val pointSide = points.withColumn("__b", bucket(col(pointCol)))
     val ivSide = intervals
       .select(intervals.columns.map(c => col(c).as(pfx(c))): _*)

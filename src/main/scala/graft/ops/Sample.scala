@@ -103,8 +103,16 @@ object Sample {
     * up to one row — the [[TextOps.packChunks]] contract, which also
     * guarantees a group's largest-first document can't starve it. One
     * shuffle on the group key; the running sum streams each group.
-    * Rows with a null `tokenCol` count as 0 tokens and are kept (like
-    * [[capPerGroup]], token metadata never silently drops a row).
+    * Rows with a null `tokenCol` count as 0 tokens — kept for free while
+    * the group's budget is still open, but once the cumulative sum
+    * reaches `budget` they are cut off like any other row (missing token
+    * metadata does not exempt a row from the quota).
+    *
+    * SKEW note (shared with [[Joins.asofJoin]]): the window partitions by
+    * the group, so one giant group funnels through one task — linear work
+    * (sort + running sum), a straggler rather than a blow-up. Check
+    * [[Stats.keySkew]] and split oversized sources upstream when the top
+    * group dominates the corpus.
     */
   def capTokensPerGroup(
       df: DataFrame,

@@ -504,6 +504,42 @@ class OpsSpec extends AnyFunSuite {
     assert(top.tail.forall(_.getAs[Long]("neighbor_id") % 2 == 0))
   }
 
+  test("PQ encode/ADC fail loudly on dimension/codebook mismatches") {
+    // mixed-dimension corpora are tolerated elsewhere (groupCentroids),
+    // but against a PQ codebook an out-of-range UnsafeArrayData read
+    // returns garbage SILENTLY — the guards turn that into an error
+    val pv = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 31.0 + d).toFloat))).toDF("id", "v")
+    val cb = Similarity.trainPq(pv, "v", "id", m = 4, ksub = 4)
+    val short = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val eShort = intercept[Exception] {
+      Similarity.pqEncode(short, "v", "id", cb).collect()
+    }
+    assert(exceptionChain(eShort).exists(_.getMessage != null) &&
+      exceptionChain(eShort).exists(m => Option(m.getMessage).exists(
+        _.contains("codebook dim"))))
+    // an ADC probe against codes built with a different m
+    graft.functions.GraftFunctions.register(spark)
+    val luts = typedLit(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))   // m = 2
+    val badCode = typedLit(Seq(0, 1, 0))                     // m = 3 code
+    val eAdc = intercept[Exception] {
+      spark.range(1).select(
+        graft.functions.GraftFunctions.pqAdc(luts, badCode)).collect()
+    }
+    assert(exceptionChain(eAdc).exists(m => Option(m.getMessage).exists(
+      _.contains("different codebook"))))
+    val oobCode = typedLit(Seq(0, 5))                        // ksub overflow
+    val eOob = intercept[Exception] {
+      spark.range(1).select(
+        graft.functions.GraftFunctions.pqAdc(luts, oobCode)).collect()
+    }
+    assert(exceptionChain(eOob).exists(m => Option(m.getMessage).exists(
+      _.contains("different ksub"))))
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    e :: Option(e.getCause).map(exceptionChain).getOrElse(Nil)
+
   test("IVF-PQ finds the planted duplicate through cell pruning + ADC") {
     val pv = (0L until 60L).map { i =>
       val base = if (i % 2 == 0) Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
@@ -869,6 +905,13 @@ class OpsSpec extends AnyFunSuite {
     val got = Joins.rangeJoin(points, ivs, "x", "lo", "hi", 2.0, intervalPrefix = "iv_")
     assert(got.columns.toList == List("pid", "x", "lo", "iv_iv", "iv_lo", "iv_hi"))
     assert(got.count() == 1)
+    // a prefix that maps an interval column ONTO a point column is just as
+    // ambiguous as no prefix — rejected, not silently duplicated
+    val points2 = Seq((1L, 5.0, "occupied")).toDF("pid", "x", "p_iv")
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(points2, ivs, "x", "lo", "hi", 2.0, intervalPrefix = "p_")
+    }
+    assert(e2.getMessage.contains("p_iv"))
   }
 
   test("incremental near-dup fails loudly on a signature-length mismatch") {
@@ -988,6 +1031,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got("a")._1 == 3L) // null row counts toward n
     assert(got("a")._2 == List(2.0, 4.0)) // but not the centroid
     assert(got("b") == ((1L, List(10.0, 0.0))))
+    // a NULL group key is an ordinary group (the count join is null-safe;
+    // a plain equi-join would silently drop it)
+    val withNull = Seq(
+      (Some("a"), Seq(1.0f, 2.0f)),
+      (None: Option[String], Seq(4.0f, 8.0f)),
+      (None: Option[String], Seq(6.0f, 10.0f)),
+    ).toDF("g", "v")
+    val nulled = Embeddings.groupCentroids(withNull, "v", "g").collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getSeq[Double](2).toList)))
+      .toMap
+    assert(nulled(None) == ((2L, List(5.0, 9.0))))
+    assert(nulled(Some("a")) == ((1L, List(1.0, 2.0))))
   }
 
   test("winnowing: shared w+k-1 run guarantees a shared fingerprint; density bounded") {
