@@ -494,6 +494,19 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).as("n_words"))
     }),
 
+    // the PRODUCTION tokenizer configuration driver-visibly: train 1000
+    // merges (local loop — seconds, where the round-per-merge form was
+    // 1000 Spark jobs) and apply them as the one bpe_apply expression
+    // (the chained form cannot plan here). Vocabulary exhaustion on the
+    // small corpora just caps the table — still deterministic, rows-only
+    "q_bpe_subwords_1k" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val merges = bpeFor(s, dir, n = 1000)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        ops.Bpe.subwordCount(col("text"), merges).as("n_subwords"))
+    }),
+
     // substring-span dedup (Lee et al.): remove every k-token span that
     // occurs in >= 2 distinct documents, reconstruct the survivors
     "q_text_span_dedup" -> ((s, dir) => {
