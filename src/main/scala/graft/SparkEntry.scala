@@ -677,6 +677,13 @@ object SparkEntry {
         budget = 30000L, salt = "r4")
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // per-group quantile gate: keep docs at/above their language's median
+    // length — the relative-threshold curation knob (distributions differ
+    // per language, so one absolute cutoff can't express this)
+    "q_sample_quantile" -> ((s, dir) =>
+      Sample.keepAboveQuantile(t(s, dir, "documents"), "lang", "n_chars", q = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // weighted corpus mixture: two pseudo-sources over the documents
     // table at 50% / 25%, independently salted per source tag
     "q_sample_mix" -> ((s, dir) => {
@@ -1863,6 +1870,15 @@ object SparkEntry {
          |  PARTITION BY lang
          |  ORDER BY ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")}, doc_id
          |  ROWS UNBOUNDED PRECEDING) - n_chars < 30000""".stripMargin,
+
+    "q_sample_quantile" ->
+      """WITH cuts AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS c
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT doc_id, lang, n_chars
+        |FROM documents JOIN cuts USING (lang)
+        |WHERE n_chars >= c""".stripMargin,
 
     "q_sample_mix" ->
       s"""SELECT 'web' AS source, doc_id FROM documents

@@ -132,6 +132,39 @@ object Sample {
       .drop("__cum")
   }
 
+  /** Per-group quantile gate: keep rows whose `valueCol` sits at/above
+    * the group's q-quantile — "keep the top (1−q) fraction by quality /
+    * length / LM score per language (or source)", the relative-threshold
+    * curation knob that absolute gates ([[Curate.curate]]'s fixed
+    * minQuality) can't express when score distributions differ per group.
+    *
+    * Scale shape: cutoffs-then-compare, the [[Lm.perplexityBuckets]]
+    * discipline — one grouped percentile aggregation produces a
+    * groups-sized cutoff frame (languages/sources: driver-sized by
+    * construction) that broadcast-joins back for a narrow filter; no
+    * global sort, no per-group window over the corpus. `exact = false`
+    * flips to `approx_percentile` for bounded reducer memory at 100 TB
+    * (same plan otherwise). Null values never pass the gate (and never
+    * contribute to cutoffs); null GROUP KEYS are ordinary groups (the
+    * join is null-safe `<=>`).
+    */
+  def keepAboveQuantile(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      q: Double,
+      exact: Boolean = true,
+  ): DataFrame = {
+    require(q > 0.0 && q < 1.0, "q must be in (0, 1)")
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val cuts = broadcast(
+      df.groupBy(col(groupCol).as("__g"))
+        .agg(expr(s"$fn($valueCol, ${q}D)").as("__cut")))
+    df.join(cuts, col(groupCol) <=> col("__g"))
+      .filter(col(valueCol) >= col("__cut"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Temperature-scaled mixture weights: given the corpus's per-source
     * row counts, the sampling weight each source gets under temperature
     * `alpha` — `w(s) ∝ share(s)^alpha`, normalized to sum to 1. The

@@ -1220,6 +1220,26 @@ class OpsSpec extends AnyFunSuite {
     assert(!clustered.contains(4L) && !clustered.contains(5L))
   }
 
+  test("per-group quantile gate: median cutoff per group, nulls never pass") {
+    val df = Seq(
+      (0L, Some("en"), Some(10)), (1L, Some("en"), Some(20)),
+      (2L, Some("en"), Some(30)), (3L, Some("en"), Some(40)),
+      (4L, Some("fr"), Some(100)), (5L, Some("fr"), Some(200)),
+      (6L, Some("en"), None),             // null value: never passes
+      (7L, None, Some(7)), (8L, None, Some(9)), // null GROUP: its own cutoff
+    ).toDF("id", "g", "v")
+    val kept = Sample.keepAboveQuantile(df, "g", "v", q = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // en median (10,20,30,40) = 25 → 30,40 pass; fr median 150 → 200;
+    // null group median (7,9) = 8 → 9 passes
+    assert(kept == Set(2L, 3L, 5L, 8L))
+    // the 100 TB dial returns the same gate here (approx ≈ exact on tiny
+    // groups) and must at least keep the clear top
+    val approx = Sample.keepAboveQuantile(df, "g", "v", q = 0.5, exact = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.contains(3L) && approx.contains(5L) && !approx.contains(6L))
+  }
+
   test("temperature weights: alpha=1 keeps shares, smaller alpha lifts the tail") {
     val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("src")
     val natural = Sample.temperatureWeights(df, "src", alpha = 1.0).collect()

@@ -44,6 +44,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"), p)
   }
 
+  test("quantile gate: broadcast cutoff join, no global sort, no per-row window") {
+    val p = plan(Sample.keepAboveQuantile(docs, "lang", "n_chars", q = 0.5)
+      .select($"doc_id"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p) // cutoffs aggregate; rows never globally sort
+  }
+
   test("grouped aggregation plans partial + final HashAggregate around one shuffle") {
     val p = plan(Compiler.queryOrThrow(li,
       "SELECT AVG(l_quantity) AS a GROUP BY l_returnflag"))

@@ -168,6 +168,10 @@ object Drive {
         salt = "r4", fuzzyThreshold = Some(0.5))
       .groupBy(col("split")).count().orderBy(col("split")).show()
 
+    println("== round-5: per-group quantile gate (median doc length per language) ==")
+    graft.ops.Sample.keepAboveQuantile(docs, "lang", "n_chars", q = 0.5)
+      .groupBy(col("lang")).count().orderBy(col("lang")).show()
+
     println("== round-5: embedding near-dup recall vs exact all-pairs truth ==")
     val embForRecall = spark.read.parquet(s"$sfDir/embeddings.parquet")
     graft.ops.Dedup.pairRecall(
