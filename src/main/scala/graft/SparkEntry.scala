@@ -85,6 +85,12 @@ object SparkEntry {
     pqCache.computeIfAbsent(s"$dir#$m#$ksub", _ =>
       ops.Similarity.trainPq(t(s, dir, "embeddings"), "embedding", "vec_id", m, ksub))
 
+  private val sqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ops.Similarity.SqParams]()
+  private def sqFor(s: SparkSession, dir: String, normalize: Boolean): ops.Similarity.SqParams =
+    sqCache.computeIfAbsent(s"$dir#$normalize", _ =>
+      ops.Similarity.trainSq(t(s, dir, "embeddings"), "embedding", normalize))
+
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ops.Bpe.Merge]]()
   private def bpeFor(s: SparkSession, dir: String, n: Int): Seq[ops.Bpe.Merge] =
@@ -398,6 +404,37 @@ object SparkEntry {
       Similarity.pqTopK(pqFor(s, dir, m = 16, ksub = 16), emb,
         emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, rerank = 8)
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // int8 scalar quantization codes of the RAW embedding column: the
+    // storage-compression configuration, whose affine arithmetic DuckDB
+    // recomputes BIT-identically (min/max per dim → floor((x−mn)·s+0.5))
+    "q_emb_sq_codes" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val p = sqFor(s, dir, normalize = false)
+      t(s, dir, "embeddings").select(col("vec_id"),
+        array_join(
+          ops.Similarity.sqQuantizeCol(col("embedding"), p), ",").as("sq_code"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // SQ ANN (FAISS SQ8 rung: 8 bits/dimension, training-free): the scan
+    // reads int codes only; per-probe affine fold + native sq_dot +
+    // exact re-rank — rows-only (approximate), recall contracted below
+    "q_sim_sq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.sqTopK(sqFor(s, dir, normalize = true), emb,
+        emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, rerank = 8)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    "q_sim_sq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      ops.Similarity.recallAtK(
+        ops.Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
+        ops.Similarity.sqTopK(sqFor(s, dir, normalize = true), emb, probes,
+          "embedding", "vec_id", 5, rerank = 8))
     }),
 
     "q_sim_pq_recall" -> ((s, dir) => {
@@ -2062,6 +2099,26 @@ object SparkEntry {
     // dimension order (embeddings are fixed 64-dim in this corpus, hence
     // range(1, 65); DuckDB lists are 1-based, Spark posexplode 0-based —
     // only the order matters)
+    // int8 SQ codes recomputed bit-exactly: per-dim min/max, then the
+    // same IEEE op order as sqQuantizeCol — (x−mn)·(255/(mx−mn)), +0.5,
+    // floor, int cast, clamp
+    "q_emb_sq_codes" ->
+      """WITH cells AS (
+        |  SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d)
+        |), mm AS (
+        |  SELECT d, min(x) AS mn, max(x) AS mx FROM cells GROUP BY d
+        |), codes AS (
+        |  SELECT c.vec_id, c.d,
+        |    CASE WHEN mm.mx > mm.mn THEN
+        |      least(greatest(CAST(floor((c.x - mm.mn) * (255.0 / (mm.mx - mm.mn)) + 0.5) AS INTEGER), 0), 255)
+        |    ELSE 0 END AS code
+        |  FROM cells c JOIN mm USING (d)
+        |)
+        |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY d) AS sq_code
+        |FROM codes GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
     "q_emb_centroid" ->
       """WITH cells AS (
         |  SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS m

@@ -750,6 +750,68 @@ case class BpeApply(wordsExpr: Expression, mergesExpr: Expression)
   override def prettyName: String = "bpe_apply"
 }
 
+/** Dot product of an int8-quantized code array with a per-probe double
+  * weight array — the scalar-quantization (SQ) sibling of [[PqAdc]]: with
+  * per-dimension affine codes `x̂_d = min_d + c_d·width_d`, a probe's
+  * approximate score `Σ p_d·x̂_d` folds into `Σ p_d·min_d` (one per-probe
+  * constant) plus THIS loop `Σ c_d·(p_d·width_d)` — so the corpus-side
+  * scan touches only the int codes (4-16× less bandwidth than the
+  * vectors) and runs one compiled multiply-add per dimension. Null on
+  * length mismatch, mirroring [[FloatVecDot]] (no silent truncation).
+  */
+case class SqDot(codeExpr: Expression, weightsExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = codeExpr
+  override def right: Expression = weightsExpr
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codeExpr.dataType, weightsExpr.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sq_dot requires (array<int>, array<double>)")
+    }
+
+  override protected def nullSafeEval(code: Any, weights: Any): Any = {
+    val cs = code.asInstanceOf[ArrayData]
+    val ws = weights.asInstanceOf[ArrayData]
+    val n = cs.numElements()
+    if (n != ws.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += cs.getInt(i) * ws.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, w) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $c.numElements();
+         |if ($n != $w.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $c.getInt($i) * $w.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDot =
+    copy(codeExpr = newLeft, weightsExpr = newRight)
+
+  override def prettyName: String = "sq_dot"
+}
+
 /** Bloom-filter membership over a 64-bit hash column, against a
   * pre-built, serialized `org.apache.spark.util.sketch.BloomFilter`
   * (Spark's own sketch — the same one `DataFrameStatFunctions
@@ -857,6 +919,7 @@ object GraftFunctions {
         MapLookupLong(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].longValue()))
       add("merge_pair", exprs => MergePair(exprs(0), exprs(1), exprs(2)))
       add("bpe_apply", exprs => BpeApply(exprs(0), exprs(1)))
+      add("sq_dot", exprs => SqDot(exprs(0), exprs(1)))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -918,6 +981,12 @@ object GraftFunctions {
     */
   def bpeApply(words: Column, mergeTable: Column): Column =
     call_function("bpe_apply", words, mergeTable)
+
+  /** Dot of int8-quantized codes with per-probe weights (the SQ scan
+    * primitive); requires `register(spark)` first.
+    */
+  def sqDot(codes: Column, weights: Column): Column =
+    call_function("sq_dot", codes, weights)
 
   /** PQ code of a (normalized, array<double>) vector against a codebook
     * literal; requires `register(spark)` first.

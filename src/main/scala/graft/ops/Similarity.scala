@@ -571,6 +571,128 @@ object Similarity {
     adcRerank(adc, corpus, probes, vecCol, idCol, k, rerank)
   }
 
+  /** Per-dimension scalar-quantization (SQ) parameters: the affine int8
+    * code `c_d = round((x_d − min_d)·255/(max_d − min_d))`, learned from
+    * one min/max aggregation pass. The coarse, simple sibling of
+    * [[PqCodebooks]]: 8 bits per DIMENSION (4× less bandwidth than
+    * float32, 8× less than float64) with no training beyond min/max —
+    * the standard first rung of the ANN memory ladder (SQ8 in FAISS
+    * terms), before PQ's sub-vector codebooks.
+    */
+  final case class SqParams(mins: Array[Double], maxs: Array[Double]) {
+    require(mins.length == maxs.length, "mins/maxs length mismatch")
+    def dim: Int = mins.length
+    /** code scale per dim: 255/(max−min), 0 on degenerate dims. */
+    def scales: Array[Double] =
+      mins.indices.map(d =>
+        if (maxs(d) > mins(d)) 255.0 / (maxs(d) - mins(d)) else 0.0).toArray
+    /** dequantization width per dim: (max−min)/255, 0 on degenerate. */
+    def widths: Array[Double] =
+      mins.indices.map(d =>
+        if (maxs(d) > mins(d)) (maxs(d) - mins(d)) / 255.0 else 0.0).toArray
+  }
+
+  /** Learn SQ parameters: per-dimension min/max in ONE exploded
+    * aggregation (map-side combined — the corpus collapses to dim-sized
+    * partials before the single shuffle). `normalize = true` (the search
+    * configuration) learns over L2-normalized vectors so codes live in
+    * cosine space; `false` quantizes the raw column (the storage /
+    * compression configuration, exactly SQL-mirrorable).
+    */
+  def trainSq(
+      corpus: DataFrame,
+      vecCol: String,
+      normalize: Boolean = true,
+  ): SqParams = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val v0 = col(vecCol).cast("array<double>")
+    val v = if (normalize) Embeddings.l2Normalize(v0) else v0
+    val rows = corpus
+      .select(v.as("v")).filter(col("v").isNotNull)
+      .select(posexplode(col("v")).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+      .orderBy(col("__d"))
+      .collect()
+    require(rows.nonEmpty, "cannot train SQ on an empty/all-null vector column")
+    SqParams(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Quantize a vector column to int8 codes (as array<int>, values
+    * 0-255): `clamp(floor((x − min)·scale + 0.5))` per dimension —
+    * deterministic IEEE arithmetic, so a SQL engine recomputes the codes
+    * BIT-identically (the `q_emb_sq_codes` oracle does). Vectors of a
+    * different length than the params produce null elements (zip_with
+    * padding) — filter or fail upstream; the search path never sees them
+    * because [[trainSq]] and the scan share one corpus.
+    */
+  def sqQuantizeCol(vec: Column, p: SqParams): Column = {
+    val diffs = zip_with(vec.cast("array<double>"), typedLit(p.mins.toSeq),
+      (x, mn) => x - mn)
+    zip_with(diffs, typedLit(p.scales.toSeq), (d, s) =>
+      least(greatest(floor(d * s + lit(0.5)).cast("int"), lit(0)), lit(255)))
+  }
+
+  /** Dequantize int8 codes back to doubles: `min_d + c_d·width_d`. */
+  def sqDequantizeCol(code: Column, p: SqParams): Column =
+    zip_with(
+      zip_with(code, typedLit(p.widths.toSeq), (c, w) => c * w),
+      typedLit(p.mins.toSeq), (cw, mn) => mn + cw)
+
+  /** Persist SQ params as a tiny parquet of (dim, mn, mx) — the
+    * [[saveIvf]]/[[savePq]] lifecycle. */
+  def saveSq(p: SqParams, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    p.mins.indices.map(d => (d, p.mins(d), p.maxs(d))).toDF("dim", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load SQ params saved by [[saveSq]]. */
+  def loadSq(spark: org.apache.spark.sql.SparkSession, path: String): SqParams = {
+    val rows = spark.read.parquet(path).orderBy(col("dim")).collect()
+    require(rows.nonEmpty, s"no SQ params at $path")
+    SqParams(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** SQ top-k: the corpus scan touches int8 CODES only — the probe's
+    * approximate score folds the affine dequantization into one per-probe
+    * constant (`Σ p_d·min_d`, a [[graft.functions.FloatVecDot]] against
+    * the mins literal) plus the native `sq_dot` code loop over per-probe
+    * weights `p_d·width_d` (built once per probe row, the small side).
+    * The `rerank × k` best candidates re-join their true vectors for
+    * exact cosine re-ranking — [[pqTopK]]'s discipline at a coarser,
+    * training-free compression point. `params` must be trained with
+    * `normalize = true` over this corpus. Approximate by contract —
+    * monitor with [[recallAtK]] (`q_sim_sq_recall`).
+    */
+  def sqTopK(
+      params: SqParams,
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rerank: Int = 4,
+  ): DataFrame = {
+    require(k >= 1 && rerank >= 1, "need k >= 1 and rerank >= 1")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import graft.functions.GraftFunctions.{sqDot, vecDot}
+    val cv = Embeddings.l2Normalize(col(vecCol))
+    val codes = corpus
+      .filter(cv.isNotNull)
+      .select(col(idCol).as("neighbor_id"), sqQuantizeCol(cv, params).as("sq_code"))
+    val pvec = Embeddings.l2Normalize(col(vecCol))
+    val p = probes
+      .filter(pvec.isNotNull)
+      .select(col(idCol).as("probe_id"),
+        vecDot(pvec, typedLit(params.mins.toSeq)).as("bias"),
+        zip_with(pvec, typedLit(params.widths.toSeq), (x, w) => x * w).as("pw"))
+    val adc = codes.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("approx", col("bias") + sqDot(col("sq_code"), col("pw")))
+    adcRerank(adc, corpus, probes, vecCol, idCol, k, rerank)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one: the
     * fraction of true (probe, neighbor) pairs the approximate search
     * found. Both inputs are `(probe_id, neighbor_id, …)` as produced by

@@ -561,6 +561,37 @@ class OpsSpec extends AnyFunSuite {
     assert(top.tail.forall(_.getAs[Long]("neighbor_id") % 2 == 0))
   }
 
+  test("SQ int8 quantization: bounded error, round-trip params, planted-dup search") {
+    graft.functions.GraftFunctions.register(spark)
+    val pv = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 31.0 + d).toFloat))).toDF("id", "v")
+    val p = Similarity.trainSq(pv, "v", normalize = false)
+    assert(p.dim == 8)
+    // dequantize(quantize(x)) is within half a quantization step per dim
+    val err = pv.select(
+        zip_with(Similarity.sqDequantizeCol(
+            Similarity.sqQuantizeCol($"v", p), p),
+          $"v".cast("array<double>"), (a, b) => abs(a - b)).as("e"))
+      .select(explode($"e").as("e")).agg(max($"e")).collect().head.getDouble(0)
+    val maxHalfStep = p.widths.max / 2 + 1e-12
+    assert(err <= maxHalfStep, s"quantization error $err > half step $maxHalfStep")
+    // params persistence round-trip
+    val path = java.nio.file.Files.createTempDirectory("sq").toString + "/params"
+    Similarity.saveSq(p, spark, path)
+    val back = Similarity.loadSq(spark, path)
+    assert(back.mins.toSeq == p.mins.toSeq && back.maxs.toSeq == p.maxs.toSeq)
+    // search: the planted exact duplicate tops the probe's neighbors
+    val dup = Seq((100L, pv.filter($"id" === 0L)
+      .collect().head.getSeq[Float](1).toArray)).toDF("id", "v")
+    val all = pv.union(dup)
+    val pn = Similarity.trainSq(all, "v", normalize = true)
+    val top = Similarity.sqTopK(pn, all, all.filter($"id" === 0L),
+        "v", "id", k = 3, rerank = 4)
+      .orderBy($"rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 100L)
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+  }
+
   test("PQ codebooks save/load round-trip and encode identically") {
     val pv = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(d => math.cos(i * 31.0 + d).toFloat))).toDF("id", "v")

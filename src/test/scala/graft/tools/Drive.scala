@@ -353,6 +353,26 @@ object Drive {
       s"search rows=${graft.ops.Similarity.pqTopK(pqBack, emb,
         emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 5).count()}")
 
+    println("== round-5: int8 scalar quantization (SQ) ANN ==")
+    val sqP = graft.ops.Similarity.trainSq(emb, "embedding", normalize = true)
+    println(s"sq params: dim=${sqP.dim}, width[0]=${sqP.widths(0)}")
+    val sqCodes = emb.select(col("vec_id"),
+      graft.ops.Similarity.sqQuantizeCol(
+        graft.ops.Embeddings.l2Normalize(col("embedding")), sqP).as("sq_code"))
+    sqCodes.select(col("vec_id"), expr("slice(sq_code, 1, 6)").as("code_head")).show(3)
+    val sqHits = graft.ops.Similarity.sqTopK(sqP, emb,
+      emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 5, rerank = 8)
+    sqHits.orderBy(col("probe_id"), col("rank")).show(6)
+    sqHits.explain("formatted")
+    val sqPath = java.nio.file.Files.createTempDirectory("drive_sq").toString + "/params"
+    graft.ops.Similarity.saveSq(sqP, spark, sqPath)
+    val sqBack = graft.ops.Similarity.loadSq(spark, sqPath)
+    println(s"sq round-trip: dim=${sqBack.dim}, equal=${sqBack.mins.toSeq == sqP.mins.toSeq}")
+    println("sq recall@5 vs exact: " + graft.ops.Similarity.recallAtK(
+      graft.ops.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+        "embedding", "vec_id", 5),
+      sqHits).collect().head.getAs[Double]("recall"))
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
