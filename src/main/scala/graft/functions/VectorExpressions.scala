@@ -674,6 +674,13 @@ case class BpeApply(wordsExpr: Expression, mergesExpr: Expression)
   override def left: Expression = wordsExpr
   override def right: Expression = mergesExpr
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // Can return null even when both inputs are non-null (a null word
+  // ELEMENT nulls the result), so nullability must not derive from the
+  // children: with non-nullable inputs the generated `ev.isNull`
+  // assignment otherwise targets a never-declared variable and janino
+  // rejects the stage — Spark then silently falls back to interpreted
+  // eval, which is exactly what this expression exists to avoid.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (wordsExpr.dataType, mergesExpr.dataType) match {

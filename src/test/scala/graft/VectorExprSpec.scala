@@ -150,6 +150,36 @@ class VectorExprSpec extends AnyFunSuite {
     assert("topk_by_score".r.findAllIn(plan).size >= 2)
   }
 
+  test("bpe_apply and sq_dot compile under forced codegen with non-nullable inputs") {
+    GraftFunctions.register(spark)
+    // Regression: expressions that can RETURN null while their inputs are
+    // non-nullable must declare nullable=true, or the generated
+    // `isNull = …` assignment targets a never-declared variable and the
+    // stage silently falls back to interpreted eval. Forcing
+    // fallback=false + CODEGEN_ONLY turns that silent degradation into a
+    // test failure. Inputs are tied to range's id so constant folding
+    // cannot evaluate them interpreted before codegen runs.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val merges = typedLit(Seq(Seq("a", "a"), Seq("a", "b")))
+      val words = split(
+        concat(lit("aa ab aab"), when($"id" < 0, lit("x")).otherwise(lit(""))), " ")
+      val row = spark.range(1)
+        .select(
+          GraftFunctions.bpeApply(words, merges).as("sw"),
+          GraftFunctions.sqDot(
+            array(($"id" + 1).cast("int"), lit(2), lit(3)),
+            array(lit(1.0), lit(2.0), lit(3.0))).as("d"))
+        .collect().head
+      assert(row.getSeq[String](0) == Seq("aa", "ab", "aa", "b"))
+      assert(row.getDouble(1) == 14.0)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("brute-force top-k on real embeddings matches HOF-computed cosine") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = emb.filter($"vec_id" === 0)
