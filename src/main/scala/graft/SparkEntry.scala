@@ -437,6 +437,36 @@ object SparkEntry {
           "embedding", "vec_id", 5, rerank = 8))
     }),
 
+    // 1-bit sign codes of the embedding column: training-free binary
+    // quantization, 64 dims packed per signed long — DuckDB recomputes
+    // the words bit-exactly (HUGEINT bit build, then two's-complement
+    // fold back to BIGINT)
+    "q_emb_bq_codes" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").select(col("vec_id"),
+        array_join(ops.Similarity.bqQuantizeCol(col("embedding"))
+          .cast("array<string>"), ",").as("bq_code"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // binary-quantization ANN (1 bit/dim): scan XOR+POPCNTs one long per
+    // corpus row, exact re-rank of rerank*k — rows-only (approximate),
+    // recall contracted below
+    "q_sim_bq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.bqTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, rerank = 32)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    "q_sim_bq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      ops.Similarity.recallAtK(
+        ops.Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
+        ops.Similarity.bqTopK(emb, probes, "embedding", "vec_id", 5, rerank = 32))
+    }),
+
     "q_sim_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 10)
@@ -2117,6 +2147,28 @@ object SparkEntry {
         |)
         |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY d) AS sq_code
         |FROM codes GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
+    // sign-bit binary codes recomputed bit-exactly: bit (d-1)%64 of word
+    // (d-1)/64 set iff embedding[d] > 0; the unsigned HUGEINT bit build
+    // folds back to Spark's signed long via two's complement
+    "q_emb_bq_codes" ->
+      """WITH cells AS (
+        |  SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d)
+        |), words AS (
+        |  SELECT vec_id, (d-1) // 64 AS w,
+        |    sum(CASE WHEN x > 0 THEN (1::HUGEINT << CAST((d-1) % 64 AS INTEGER))
+        |        ELSE 0::HUGEINT END) AS bits
+        |  FROM cells GROUP BY vec_id, (d-1) // 64
+        |), signed AS (
+        |  SELECT vec_id, w,
+        |    CAST(bits - CASE WHEN bits >= 9223372036854775808::HUGEINT
+        |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS word
+        |  FROM words
+        |)
+        |SELECT vec_id, string_agg(CAST(word AS VARCHAR), ',' ORDER BY w) AS bq_code
+        |FROM signed GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
 
     "q_emb_centroid" ->

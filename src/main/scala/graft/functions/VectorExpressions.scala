@@ -819,6 +819,133 @@ case class SqDot(codeExpr: Expression, weightsExpr: Expression)
   override def prettyName: String = "sq_dot"
 }
 
+/** Sign-bit binary quantization: pack a numeric vector's signs into
+  * longs, 64 dimensions per word (bit `j` of word `w` set iff
+  * `x[w·64+j] > 0`). The 1-bit rung of the ANN compression ladder —
+  * below [[SqDot]]'s 8 bits/dim and PQ's sub-vector codes: 32-64× less
+  * scan bandwidth than the float vectors, compared with one `XOR` +
+  * `POPCNT` per word. Signs are invariant under L2 normalization
+  * (positive scaling), so raw and normalized vectors pack identically
+  * and the codes are exactly SQL-mirrorable. A null ELEMENT nulls the
+  * result (no silent sign guess), hence nullable over non-null input.
+  */
+case class SignPack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_pack requires array<float> or array<double>, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val x = if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+      if (x > 0.0) words(i / 64) |= 1L << (i % 64)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $words = new long[($n + 63) / 64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  if (((double) $a.$get($i)) > 0.0) {
+         |    $words[$i / 64] |= 1L << ($i % 64);
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_pack"
+}
+
+/** Hamming distance between two packed sign codes ([[SignPack]] output):
+  * `Σ_w popcount(a_w ^ b_w)` — one fused loop, `Long.bitCount` per word.
+  * Null on word-count mismatch (codes from different dimensionalities
+  * must not compare silently), mirroring [[FloatVecDot]].
+  */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "hamming_dist requires (array<bigint>, array<bigint>)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var s = 0
+    var i = 0
+    while (i < n) { s += java.lang.Long.bitCount(xs.getLong(i) ^ ys.getLong(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $s = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDist =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "hamming_dist"
+}
+
 /** Bloom-filter membership over a 64-bit hash column, against a
   * pre-built, serialized `org.apache.spark.util.sketch.BloomFilter`
   * (Spark's own sketch — the same one `DataFrameStatFunctions
@@ -927,6 +1054,8 @@ object GraftFunctions {
       add("merge_pair", exprs => MergePair(exprs(0), exprs(1), exprs(2)))
       add("bpe_apply", exprs => BpeApply(exprs(0), exprs(1)))
       add("sq_dot", exprs => SqDot(exprs(0), exprs(1)))
+      add("sign_pack", exprs => SignPack(exprs(0)))
+      add("hamming_dist", exprs => HammingDist(exprs(0), exprs(1)))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -994,6 +1123,17 @@ object GraftFunctions {
     */
   def sqDot(codes: Column, weights: Column): Column =
     call_function("sq_dot", codes, weights)
+
+  /** Sign-bit packed binary code of a numeric vector (64 dims/long);
+    * requires `register(spark)` first.
+    */
+  def signPack(vec: Column): Column = call_function("sign_pack", vec)
+
+  /** Hamming distance between two packed sign codes; requires
+    * `register(spark)` first.
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    call_function("hamming_dist", a, b)
 
   /** PQ code of a (normalized, array<double>) vector against a codebook
     * literal; requires `register(spark)` first.

@@ -693,6 +693,50 @@ object Similarity {
     adcRerank(adc, corpus, probes, vecCol, idCol, k, rerank)
   }
 
+  /** Sign-bit binary code column: the vector's signs packed 64 dims per
+    * long (`sign_pack`). Signs are invariant under L2 normalization, so
+    * this quantizes raw and normalized vectors identically — and a SQL
+    * engine recomputes the words bit-exactly (`q_emb_bq_codes`).
+    * Training-free: no parameters to learn, persist, or drift.
+    */
+  def bqQuantizeCol(vec: Column): Column =
+    graft.functions.GraftFunctions.signPack(vec)
+
+  /** Binary-quantization top-k: the 1-bit rung of the compression ladder
+    * (below SQ8 and PQ — 32-64× less scan bandwidth than float vectors).
+    * Corpus rows carry ONE packed sign code (64 dims/long); each probe
+    * broadcasts its own code; the approximate score is `−hamming(a, b)`,
+    * one fused XOR+POPCNT loop per pair (for sign codes, Hamming is a
+    * monotone proxy for angle: cos θ̂ = cos(π·h/dim), the SRP estimator
+    * with identity hyperplanes). The `rerank × k` best candidates re-join
+    * their true vectors for exact cosine re-ranking. Coarser than SQ —
+    * use a larger `rerank`; approximate by contract, monitor with
+    * [[recallAtK]] (`q_sim_bq_recall`).
+    */
+  def bqTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rerank: Int = 16,
+  ): DataFrame = {
+    require(k >= 1 && rerank >= 1, "need k >= 1 and rerank >= 1")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import graft.functions.GraftFunctions.hammingDist
+    val codes = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), bqQuantizeCol(col(vecCol)).as("bq_code"))
+    val p = probes
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("probe_id"), bqQuantizeCol(col(vecCol)).as("probe_code"))
+    val adc = codes.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        -hammingDist(col("bq_code"), col("probe_code")).cast("double"))
+    adcRerank(adc, corpus, probes, vecCol, idCol, k, rerank)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one: the
     * fraction of true (probe, neighbor) pairs the approximate search
     * found. Both inputs are `(probe_id, neighbor_id, …)` as produced by

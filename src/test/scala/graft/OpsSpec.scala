@@ -592,6 +592,40 @@ class OpsSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("binary quantization: sign codes, hamming, planted-dup search") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{hammingDist, signPack}
+    // pack/hamming basics on a hand-checkable frame: 65 dims → 2 words
+    val hand = Seq(
+      (0L, Array.tabulate(65)(d => if (d == 0 || d == 64) 1.0f else -1.0f)),
+      (1L, Array.tabulate(65)(d => if (d == 0) 1.0f else -1.0f)),
+    ).toDF("id", "v")
+    val packed = hand.select($"id", signPack($"v").as("c"))
+    val codes = packed.orderBy($"id").collect().map(_.getSeq[Long](1))
+    assert(codes(0) == Seq(1L, 1L) && codes(1) == Seq(1L, 0L))
+    val h = packed.as("a").crossJoin(packed.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select(hammingDist($"a.c", $"b.c")).collect().head.getInt(0)
+    assert(h == 1)
+    // null element nulls the code; mismatched word counts null the distance
+    val withNull = Seq((0L, Array(Option(1.0f), None))).toDF("id", "v")
+    assert(withNull.select(signPack($"v")).collect().head.isNullAt(0))
+    assert(spark.range(1)
+      .select(hammingDist(array(lit(1L)), array(lit(1L), lit(2L))))
+      .collect().head.isNullAt(0))
+    // search: the planted exact duplicate tops the probe's neighbors
+    val pv = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 31.0 + d).toFloat))).toDF("id", "v")
+    val dup = Seq((100L, pv.filter($"id" === 0L)
+      .collect().head.getSeq[Float](1).toArray)).toDF("id", "v")
+    val all = pv.union(dup)
+    val top = Similarity.bqTopK(all, all.filter($"id" === 0L),
+        "v", "id", k = 3, rerank = 8)
+      .orderBy($"rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 100L)
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+  }
+
   test("PQ codebooks save/load round-trip and encode identically") {
     val pv = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(d => math.cos(i * 31.0 + d).toFloat))).toDF("id", "v")

@@ -373,6 +373,17 @@ object Drive {
         "embedding", "vec_id", 5),
       sqHits).collect().head.getAs[Double]("recall"))
 
+    println("== round-5: 1-bit binary quantization (sign codes + Hamming) ==")
+    emb.select(col("vec_id"),
+      graft.ops.Similarity.bqQuantizeCol(col("embedding")).as("bq_code")).show(3, false)
+    val bqHits = graft.ops.Similarity.bqTopK(emb,
+      emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 5, rerank = 16)
+    bqHits.orderBy(col("probe_id"), col("rank")).show(6)
+    println("bq recall@5 vs exact: " + graft.ops.Similarity.recallAtK(
+      graft.ops.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+        "embedding", "vec_id", 5),
+      bqHits).collect().head.getAs[Double]("recall"))
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
