@@ -359,6 +359,25 @@ object SparkEntry {
           threshold = 0.45, planes = 5, tables = 12))
     }),
 
+    // SemDeDup: k-means cells + exact within-cell cosine — the
+    // cluster-partitioned sibling of the SRP-banded pass above. No SQL
+    // mirror (k-means); honesty meter below.
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        nClusters = 8, threshold = 0.45, nProbe = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // pair recall of within-cell pairs vs the exact all-pairs truth —
+    // what the cluster-boundary trade costs at this config. CONTRACT:
+    // >= 0.6 at both correctness SFs (DriverSuiteSpec "ANN recall floor")
+    "q_dedup_semantic_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.pairRecall(
+        Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45),
+        Dedup.semanticDedup(emb, "embedding", "vec_id",
+          nClusters = 8, threshold = 0.45, nProbe = 2))
+    }),
+
     // ---- training-data pipeline: similarity search ----
     "q_sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

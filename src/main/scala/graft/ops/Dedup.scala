@@ -925,6 +925,88 @@ object Dedup {
     materializeAndRelease(result, materialize, Seq(banded1))
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    * k-means partitioning + EXACT within-cluster cosine. Where
+    * [[embeddingNearDups]] hashes (SRP bands, probabilistic recall),
+    * this clusters: train a k-means quantizer on a deterministic sample
+    * ([[Similarity.trainIvf]]), assign every row its cell with the
+    * literal-centroid argmax (narrow, codegen'd — no shuffle), then
+    * compare all pairs WITHIN a cell exactly and keep cosine ≥
+    * `threshold`. Misses only cross-cell boundary pairs — the published
+    * algorithm's deliberate trade, monitored here by the
+    * `q_dedup_semantic_recall` driver row ([[pairRecall]] vs
+    * [[exactCosinePairs]]) and tunable with `nProbe`: each row lands in
+    * its `nProbe` best cells (overlapping clusters), so a boundary pair
+    * split between two adjacent cells still shares one — recall rises at
+    * n× candidate cost, the same dial IVF search calls nprobe.
+    *
+    * 100 TB shape: the cell self-join shuffles (id, cell) only — vectors
+    * re-join candidate-sized afterwards; per-cell work is quadratic in
+    * CELL size, not corpus size, so `nClusters` scales with the corpus
+    * (SemDeDup used 50k cells for LAION-440M) and `maxCellSize` guards
+    * the degenerate-cell corner exactly like the LSH bucket guard.
+    * Returns (id_a, id_b, cosine) pairs; compose with
+    * [[semanticDedupKeepFirst]] for the applied dedup.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nClusters: Int = 32,
+      threshold: Double = 0.95,
+      nProbe: Int = 1,
+      sampleOneIn: Int = 1,
+      materialize: Materialize = Materialize.Local,
+      maxCellSize: Int = 10000,
+  ): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val index = Similarity.trainIvf(df, vecCol, idCol, nClusters, sampleOneIn)
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val celled0 = base.select(col("id"),
+      explode(Similarity.topCells(index, col("vec"), nProbe)).as("cell"))
+    val celled1 = if (materialize != Materialize.Lazy) celled0.persist() else celled0
+    val celled = dropOverfullBuckets(celled1, Seq("cell"), maxCellSize,
+      "semanticDedup", logMetric = materialize != Materialize.Lazy)
+    val candidates = celled.select(col("cell"), col("id").as("id_a"))
+      .join(celled.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val result = candidates
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cosine", Similarity.cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    materializeAndRelease(result, materialize, Seq(celled1))
+  }
+
+  /** Keep one representative (the minimum id) per semantic-duplicate
+    * cluster: [[semanticDedup]] pairs → [[connectedComponents]] → the
+    * `id == component` filter — [[nearDupKeepFirst]]'s composition with
+    * cosine-over-clusters instead of Jaccard-over-bands. The end-to-end
+    * SemDeDup a training pipeline applies.
+    */
+  def semanticDedupKeepFirst(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nClusters: Int = 32,
+      threshold: Double = 0.95,
+      nProbe: Int = 1,
+      sampleOneIn: Int = 1,
+      materialize: Materialize = Materialize.Local,
+  ): DataFrame = {
+    val pairs = semanticDedup(df, vecCol, idCol, nClusters, threshold, nProbe,
+      sampleOneIn, materialize)
+    val comps = connectedComponents(pairs, df.select(col(idCol).as("id")),
+      materialize = materialize)
+    df.join(comps.select(col("id").as(idCol), col("comp").as("dup_group")), Seq(idCol))
+      .filter(col(idCol) === col("dup_group")).drop("dup_group")
+  }
+
   /** EXACT all-pairs cosine pairs at/above a threshold — the ground truth
     * for [[embeddingNearDups]]'s recall meter. Deliberately O(n²): run it
     * on a verification sample (the correctness SFs here), never the full

@@ -393,6 +393,21 @@ object Similarity {
   private def bestCell(index: IvfIndex, vec: Column): Column =
     array_max(cellScores(index, vec)).getField("cell")
 
+  /** Public cell assignment against a trained [[IvfIndex]] — the same
+    * literal-centroid argmax the IVF searches use, for operators that
+    * partition BY cluster (e.g. [[Dedup.semanticDedup]]).
+    */
+  def assignCell(index: IvfIndex, vec: Column): Column = bestCell(index, vec)
+
+  /** The vector's `nprobe` best cells as an array — [[assignCell]]'s
+    * multi-probe generalization. SemDeDup's overlapping-cell dial: rows
+    * assigned to their top-n cells turn cluster-BOUNDARY misses into
+    * shared-cell hits at n× candidate cost.
+    */
+  def topCells(index: IvfIndex, vec: Column, nprobe: Int): Column =
+    slice(reverse(sort_array(cellScores(index, vec))), 1, nprobe)
+      .getField("cell")
+
   /** The probe's `nprobe` best cells, exploded (sort desc, take nprobe). */
   private def probeCells(index: IvfIndex, vec: Column, nprobe: Int): Column =
     explode(slice(reverse(sort_array(cellScores(index, vec))), 1, nprobe)

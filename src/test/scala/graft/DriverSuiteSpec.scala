@@ -165,7 +165,7 @@ class DriverSuiteSpec extends AnyFunSuite {
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
          q <- Seq("q_sim_lsh_recall", "q_sim_ivf_recall", "q_sim_pq_recall",
            "q_sim_ivfpq_recall", "q_dedup_embedding_recall", "q_sim_sq_recall",
-           "q_sim_bq_recall")) {
+           "q_sim_bq_recall", "q_dedup_semantic_recall")) {
       val row = SparkEntry.queries(q)(spark, dir).collect().head
       val recall = row.getAs[Double]("recall")
       assert(recall >= 0.6, s"$q at $dir: recall $recall below the 0.6 floor")

@@ -592,6 +592,32 @@ class OpsSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("semantic dedup: planted tight clusters found via cells, keep-first keeps min id") {
+    // two tight clusters of near-identical vectors + isolated noise: the
+    // within-cluster pairs sit far above the threshold, the cross-cluster
+    // and noise pairs far below, so k-means separates them and the exact
+    // within-cell cosine keeps exactly the planted pairs
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Double], eps: Double): Array[Float] =
+      base.map(x => (x + rnd.nextGaussian() * eps).toFloat)
+    val c1 = Array.fill(8)(1.0) // cluster around (1,1,...)
+    val c2 = Array.tabulate(8)(d => if (d % 2 == 0) 1.0 else -1.0)
+    val rows =
+      (0L until 4L).map(i => (i, jitter(c1, 0.01))) ++
+        (10L until 14L).map(i => (i, jitter(c2, 0.01))) ++
+        Seq((100L, jitter(Array.tabulate(8)(d => math.sin(d * 2.3 + 1)), 0.01)))
+    val df = rows.toDF("id", "v")
+    val pairs = Dedup.semanticDedup(df, "v", "id", nClusters = 3, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val within = (for (a <- 0L until 4L; b <- a + 1 until 4L) yield (a, b)).toSet ++
+      (for (a <- 10L until 14L; b <- a + 1 until 14L) yield (a, b)).toSet
+    assert(pairs == within)
+    // keep-first: one representative (min id) per cluster + the noise row
+    val kept = Dedup.semanticDedupKeepFirst(df, "v", "id", nClusters = 3, threshold = 0.99)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 10L, 100L))
+  }
+
   test("binary quantization: sign codes, hamming, planted-dup search") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.{hammingDist, signPack}

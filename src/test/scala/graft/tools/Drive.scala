@@ -384,6 +384,14 @@ object Drive {
         "embedding", "vec_id", 5),
       bqHits).collect().head.getAs[Double]("recall"))
 
+    println("== round-5: SemDeDup (k-means cells + exact within-cell cosine) ==")
+    val semPairs = graft.ops.Dedup.semanticDedup(emb, "embedding", "vec_id",
+      nClusters = 4, threshold = 0.45, nProbe = 2)
+    semPairs.orderBy(col("cosine").desc).show(5)
+    val semKept = graft.ops.Dedup.semanticDedupKeepFirst(emb, "embedding", "vec_id",
+      nClusters = 4, threshold = 0.45, nProbe = 2)
+    println(s"semantic keep-first: ${semKept.count()} of ${emb.count()} rows kept")
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
