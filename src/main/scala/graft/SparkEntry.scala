@@ -552,6 +552,19 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).as("ws_tokens"),
         TextOps.bpeishCount(col("text")).as("bpeish_tokens"))),
 
+    // fastText-style linear quality score with a pinned quantized weight
+    // vector: integer weights make the hash-feature dot product exactly
+    // order-independent, so DuckDB recomputes the score bit-identically
+    "q_text_linear_score" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val w = Array.tabulate(64)(d => d % 7 - 3)
+      t(s, dir, "documents").select(col("doc_id"),
+        round(ops.Embeddings.linearScore(col("text"), w, scale = 10.0, bias = 0.05), 6)
+          .as("lin_score"))
+        .withColumn("keep", col("lin_score") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1588,6 +1601,30 @@ object SparkEntry {
          |  GROUP BY d.doc_id
          |)
          |SELECT t.doc_id, e.emb FROM toks t LEFT JOIN emb e USING (doc_id)""".stripMargin,
+
+    // linear score over the same hash features: integer weights (b%7-3)
+    // make every product and the sum integer-exact, so the single
+    // trailing division + bias reproduces Spark's value bit-for-bit
+    "q_text_linear_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $oracleTokens AS tokens FROM documents
+         |), th AS (
+         |  SELECT doc_id, ${oracleMd5Long("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+         |), cells AS (
+         |  SELECT doc_id, CAST(h % 64 AS INTEGER) AS b,
+         |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+         |  FROM th GROUP BY 1, 2
+         |), dots AS (
+         |  SELECT doc_id, sum(v * (b % 7 - 3)) AS dot FROM cells GROUP BY 1
+         |), scored AS (
+         |  SELECT t.doc_id,
+         |    CASE WHEN len(t.tokens) > 0
+         |      THEN round(d.dot / (10.0 * len(t.tokens)) + 0.05, 6) END AS lin_score
+         |  FROM toks t LEFT JOIN dots d USING (doc_id)
+         |)
+         |SELECT doc_id, lin_score, lin_score > 0 AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     // the composed pipeline end to end: the q_curate chain (gates +
     // QUALIFY keep-first), then 5-gram NOT-IN decontamination of the

@@ -45,6 +45,40 @@ object Embeddings {
   def hashEmbedding(text: Column, dim: Int = 64): Column =
     l2Normalize(graft.functions.GraftFunctions.hashEmbed(TextOps.tokens(text), dim))
 
+  /** fastText-style linear quality score over hash-bucket token
+    * features: `(w · f) / (scale · n_tokens) + bias`, where `f` is the
+    * RAW signed-count fold ([[graft.functions.HashEmbed]], no
+    * normalization) and `w` an INTEGER weight vector trained offline.
+    * Mean pooling (the `/ n_tokens`) makes the score length-invariant —
+    * `score("x y x y") == score("x y")`.
+    *
+    * Why integer weights with one trailing `scale` instead of float
+    * weights: the dot product becomes a sum of exact integer products,
+    * so summation ORDER cannot change the result and any engine
+    * recomputes the score bit-identically (the `q_text_linear_score`
+    * oracle does) — quantize trained float weights (e.g. ×1000,
+    * scale = 1000) to this form, the standard quantized-linear-model
+    * trick. NULL on token-less text (no silent 0 — mirror of the
+    * zero-vector → null embedding convention). A pure scan-side
+    * projection: zero shuffles, codegen'd end to end.
+    * Callers must `GraftFunctions.register` the session first.
+    */
+  def linearScore(
+      text: Column,
+      weights: Array[Int],
+      scale: Double,
+      bias: Double,
+      dim: Int = 64,
+  ): Column = {
+    require(weights.length == dim, s"weights length ${weights.length} != dim $dim")
+    require(scale > 0, "scale must be positive")
+    val toks = TextOps.tokens(text)
+    val f = graft.functions.GraftFunctions.hashEmbed(toks, dim)
+    val dot = graft.functions.GraftFunctions.vecDot(
+      f, typedLit(weights.map(_.toDouble).toSeq))
+    when(size(toks) > 0, dot / (lit(scale) * size(toks)) + lit(bias))
+  }
+
   /** Per-group centroid (dimension-wise mean) + member count of an
     * embedding column: the corpus-summary / cluster-quality primitive.
     *

@@ -592,6 +592,33 @@ class OpsSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("linear score: length-invariant mean pooling, bias-only at zero weights, null on empty") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (0L, "alpha beta alpha beta"),
+      (1L, "alpha beta"),
+      (2L, "???"), // tokenless after the [a-z0-9] split
+      (3L, "gamma delta epsilon"),
+    ).toDF("doc_id", "text")
+    val w = Array.tabulate(64)(d => d % 7 - 3)
+    val scored = df.select($"doc_id",
+      Embeddings.linearScore($"text", w, scale = 10.0, bias = 0.05).as("s"))
+      .orderBy($"doc_id").collect()
+    // mean pooling: doubling the bag leaves the score unchanged
+    assert(scored(0).getDouble(1) == scored(1).getDouble(1))
+    // tokenless text scores NULL, not 0
+    assert(scored(2).isNullAt(1))
+    // zero weights collapse every tokenful score to the bias
+    val zeroed = df.filter($"doc_id" =!= 2L).select(
+      Embeddings.linearScore($"text", Array.fill(64)(0), scale = 10.0, bias = 0.25).as("s"))
+      .collect()
+    assert(zeroed.forall(_.getDouble(0) == 0.25))
+    // weight length must match dim
+    intercept[IllegalArgumentException] {
+      Embeddings.linearScore($"text", Array.fill(8)(1), scale = 1.0, bias = 0.0)
+    }
+  }
+
   test("semantic dedup: planted tight clusters found via cells, keep-first keeps min id") {
     // two tight clusters of near-identical vectors + isolated noise: the
     // within-cluster pairs sit far above the threshold, the cross-cluster

@@ -384,6 +384,12 @@ object Drive {
         "embedding", "vec_id", 5),
       bqHits).collect().head.getAs[Double]("recall"))
 
+    println("== round-5: linear quality classifier (quantized hash-feature weights) ==")
+    docs.select(col("doc_id"),
+      round(graft.ops.Embeddings.linearScore(col("text"),
+        Array.tabulate(64)(d => d % 7 - 3), scale = 10.0, bias = 0.05), 4).as("lin_score"))
+      .orderBy(col("lin_score").desc).show(3)
+
     println("== round-5: SemDeDup (k-means cells + exact within-cell cosine) ==")
     val semPairs = graft.ops.Dedup.semanticDedup(emb, "embedding", "vec_id",
       nClusters = 4, threshold = 0.45, nProbe = 2)
