@@ -185,6 +185,46 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("SQ/BQ search: native code loops in the scan, probes broadcast, no id cartesian") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val sq = graft.ops.Similarity.trainSq(emb, "embedding", normalize = true)
+    val pSq = plan(graft.ops.Similarity.sqTopK(sq, emb,
+      emb.filter($"vec_id" < 3), "embedding", "vec_id", k = 3))
+    val pBq = plan(graft.ops.Similarity.bqTopK(emb,
+      emb.filter($"vec_id" < 3), "embedding", "vec_id", k = 3))
+    // the approximate scoring runs through the native expressions (never
+    // the interpreted HOF fallback), the tiny probe side broadcasts, and
+    // the candidate -> vector re-join is a hash equi-join
+    assert(pSq.contains("sq_dot"), pSq)
+    assert(pBq.contains("hamming_dist") && pBq.contains("sign_pack"), pBq)
+    for (p <- Seq(pSq, pBq)) {
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+        || p.contains("ShuffledHashJoin"), p)
+    }
+  }
+
+  test("semantic dedup: cells shuffle ids only, vectors re-join candidate-sized") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // Lazy materialization: Local checkpoints the result, which would
+    // collapse the executed plan to a bare RDD scan
+    val p = plan(graft.ops.Dedup.semanticDedup(emb, "embedding", "vec_id",
+      nClusters = 4, threshold = 0.45, nProbe = 2,
+      materialize = graft.ops.Dedup.Materialize.Lazy))
+    // the within-cell self-join is an equi-join on the cell id — never a
+    // corpus-wide cross — and no exchange ever carries the vectors: every
+    // hashpartitioning key set is over ids/cells
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("embedding#")),
+      s"vectors shuffled through an exchange:\n$p")
+  }
+
   test("IVF-PQ: the ADC scan joins on the CELL — never a corpus-wide cross") {
     graft.functions.GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
