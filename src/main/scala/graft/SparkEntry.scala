@@ -378,6 +378,18 @@ object SparkEntry {
           nClusters = 8, threshold = 0.45, nProbe = 2))
     }),
 
+    // steady-state SemDeDup: the quantizer is pre-trained (memoized per
+    // sf dir, the ivfIndexFor cache), so this measures the dedup pass
+    // itself — cell assignment + within-cell pairs + exact verification —
+    // not the k-means build. Same result as q_dedup_semantic (the
+    // training is deterministic), which the oracle-less rows-only check
+    // can't see but the bench cost split makes visible.
+    "q_dedup_semantic_steady" -> ((s, dir) =>
+      Dedup.semanticDedupWithIndex(ivfIndexFor(s, dir, nlist = 8),
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.45, nProbe = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- training-data pipeline: similarity search ----
     "q_sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -958,10 +958,27 @@ object Dedup {
       sampleOneIn: Int = 1,
       materialize: Materialize = Materialize.Local,
       maxCellSize: Int = 10000,
+  ): DataFrame =
+    semanticDedupWithIndex(
+      Similarity.trainIvf(df, vecCol, idCol, nClusters, sampleOneIn),
+      df, vecCol, idCol, threshold, nProbe, materialize, maxCellSize)
+
+  /** [[semanticDedup]] against a pre-trained quantizer — the steady-state
+    * half of the train-once lifecycle ([[Similarity.saveIvf]]/`loadIvf`
+    * persist the index), exactly [[Similarity.ivfSearch]]'s split.
+    */
+  def semanticDedupWithIndex(
+      index: Similarity.IvfIndex,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      nProbe: Int = 1,
+      materialize: Materialize = Materialize.Local,
+      maxCellSize: Int = 10000,
   ): DataFrame = {
     require(nProbe >= 1, "nProbe must be >= 1")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val index = Similarity.trainIvf(df, vecCol, idCol, nClusters, sampleOneIn)
     val base = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val celled0 = base.select(col("id"),
@@ -981,6 +998,117 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     materializeAndRelease(result, materialize, Seq(celled1))
+  }
+
+  /** The celled-vector store for incremental SemDeDup: (id, cell, vec),
+    * one row per (row × probed cell) — the semantic sibling of
+    * [[minHashSignatures]]' signature table. Persist it (parquet,
+    * partitioned by cell if large) and hand increments to
+    * [[semanticDedupIncrement]] / [[semanticDedupStream]]. The store is
+    * only comparable to itself when built with the SAME index and
+    * `nProbe` — persist the quantizer alongside ([[Similarity.saveIvf]]).
+    */
+  def semanticCells(
+      index: Similarity.IvfIndex,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nProbe: Int = 1,
+  ): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(Similarity.topCells(index, col(vecCol), nProbe)).as("cell"))
+      .select(col("id"), col("cell"), col("vec"))
+  }
+
+  /** Incremental SemDeDup: a new batch of celled rows against the stored
+    * history — [[minHashNearDupsIncremental]]'s daily-crawl shape with
+    * cells instead of bands. Pairs must touch at least one NEW row
+    * (history×history pairs were reported when the history was new);
+    * batch-internal pairs ARE included, so appending `batchCells` to the
+    * store after the run keeps the pair set complete. Both inputs come
+    * from [[semanticCells]] built with the same index; a store built with
+    * a LARGER quantizer fails loudly on the first out-of-range cell id
+    * rather than silently mis-bucketing.
+    */
+  def semanticDedupIncrement(
+      index: Similarity.IvfIndex,
+      batchCells: DataFrame,
+      historyCells: DataFrame,
+      threshold: Double = 0.95,
+      maxCellSize: Int = 10000,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(batchCells.sparkSession)
+    def cellChecked(df: DataFrame): DataFrame = df.withColumn("cell",
+      when(col("cell") >= 0 && col("cell") < index.nlist, col("cell"))
+        .otherwise(raise_error(concat(
+          lit(s"semanticDedupIncrement: cell id out of range for nlist=${index.nlist} (found "),
+          col("cell").cast("string"), lit(")")))))
+    val all = cellChecked(batchCells)
+      .select(col("id"), col("cell"), col("vec"), lit(1).as("side"))
+      .unionByName(cellChecked(historyCells)
+        .select(col("id"), col("cell"), col("vec"), lit(0).as("side")))
+    val celled0 = all.select(col("id"), col("cell"), col("side"))
+    val celled = dropOverfullBuckets(celled0, Seq("cell"), maxCellSize,
+      "semanticDedupIncrement", logMetric = false)
+    val candidates = celled
+      .select(col("cell"), col("id").as("id_a"), col("side").as("side_a"))
+      .join(celled.select(col("cell"), col("id").as("id_b"), col("side").as("side_b")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("side_a") + col("side_b") >= 1) // at least one new-batch row
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = all.select(col("id"), col("vec")).dropDuplicates("id")
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cosine", Similarity.cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Streaming twin of [[semanticDedupIncrement]]: micro-batch rows
+    * assign their `nProbe` cells STATELESSLY (the literal-centroid argmax
+    * is a pure projection, so cells line up with any store built from the
+    * same index), stream-static inner-join the celled history on `cell`,
+    * verify by exact cosine, and emit (id, hist_id, cosine) — the online
+    * "is this new vector a semantic dup of anything ingested" serving
+    * path. The only state is `dropDuplicatesWithinWatermark` over the
+    * pair key (collapses multi-probe collisions of the same pair),
+    * bounded by the event-time watermark. WITHIN-STREAM pairs are out of
+    * scope for the same reason as [[minHashNearDupsStream]]: both
+    * arrivals flow through this same path against the store.
+    */
+  def semanticDedupStream(
+      index: Similarity.IvfIndex,
+      streamVecs: DataFrame,
+      historyCells: DataFrame,
+      vecCol: String,
+      idCol: String,
+      tsCol: String,
+      watermarkDelay: String = "1 hour",
+      threshold: Double = 0.95,
+      nProbe: Int = 1,
+  ): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    graft.functions.GraftFunctions.register(streamVecs.sparkSession)
+    val hist = historyCells
+      .select(col("id").as("hist_id"), col("cell"), col("vec").as("hist_vec"))
+    streamVecs
+      .withWatermark(tsCol, watermarkDelay)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(tsCol).as("__ts"), col(vecCol).as("vec"),
+        explode(Similarity.topCells(index, col(vecCol), nProbe)).as("cell"))
+      .join(hist, Seq("cell"))
+      .withColumn("cosine", Similarity.cosineNative(col("vec"), col("hist_vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id"), col("hist_id"), col("__ts"),
+        round(col("cosine"), 6).as("cosine"))
+      .dropDuplicatesWithinWatermark("id", "hist_id")
+      .select(col("id"), col("hist_id"), col("cosine"))
   }
 
   /** Keep one representative (the minimum id) per semantic-duplicate

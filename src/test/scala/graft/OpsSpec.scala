@@ -645,6 +645,36 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 10L, 100L))
   }
 
+  test("incremental semantic dedup: batch vs celled history matches the full pass") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Double], eps: Double): Array[Float] =
+      base.map(x => (x + rnd.nextGaussian() * eps).toFloat)
+    val c1 = Array.fill(8)(1.0)
+    val c2 = Array.tabulate(8)(d => if (d % 2 == 0) 1.0 else -1.0)
+    val rows =
+      (0L until 4L).map(i => (i, jitter(c1, 0.01))) ++
+        (10L until 14L).map(i => (i, jitter(c2, 0.01))) ++
+        Seq((100L, jitter(Array.tabulate(8)(d => math.sin(d * 2.3 + 1)), 0.01)))
+    val df = rows.toDF("id", "v")
+    val index = Similarity.trainIvf(df, "v", "id", nlist = 3)
+    val hist = Dedup.semanticCells(index, df.filter($"id" < 10L), "v", "id", nProbe = 2)
+    val batch = Dedup.semanticCells(index, df.filter($"id" >= 10L), "v", "id", nProbe = 2)
+    val inc = Dedup.semanticDedupIncrement(index, batch, hist, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // parity: the full pass restricted to pairs touching >= 1 new row
+    val newIds = (10L until 14L).toSet + 100L
+    val full = Dedup.semanticDedupWithIndex(index, df, "v", "id",
+        threshold = 0.99, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    assert(inc == full && inc.nonEmpty)
+    // a store built with a larger quantizer fails loudly, never mis-buckets
+    val bad = hist.withColumn("cell", lit(99))
+    intercept[Exception] {
+      Dedup.semanticDedupIncrement(index, batch, bad).collect()
+    }
+  }
+
   test("binary quantization: sign codes, hamming, planted-dup search") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.{hammingDist, signPack}

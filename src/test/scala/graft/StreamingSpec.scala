@@ -371,6 +371,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup matches the batch increment's cross pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    def jitter(base: Array[Double], eps: Double): Array[Float] =
+      base.map(x => (x + rnd.nextGaussian() * eps).toFloat)
+    val c1 = Array.fill(8)(1.0)
+    val histDf = ((0L until 4L).map(i => (i, jitter(c1, 0.01))) ++
+      Seq((5L, jitter(Array.tabulate(8)(d => math.sin(d * 2.3 + 1)), 0.01))))
+      .toDF("id", "v")
+    val index = graft.ops.Similarity.trainIvf(histDf, "v", "id", nlist = 2)
+    val hist = graft.ops.Dedup.semanticCells(index, histDf, "v", "id", nProbe = 2)
+    // stream: a near-dup of the c1 cluster + an unrelated vector
+    val newRows = Seq(
+      (10L, jitter(c1, 0.01).toSeq),
+      (11L, jitter(Array.tabulate(8)(d => math.cos(d * 1.7 - 2)), 0.01).toSeq),
+    )
+    val input = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val q = graft.ops.Dedup.semanticDedupStream(index,
+        input.toDF().toDF("id", "v", "ts"), hist, "v", "id", "ts",
+        threshold = 0.99, nProbe = 2)
+      .writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(3600000L)
+      input.addData(newRows.map { case (id, v) => (id, v, t0) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("semdedup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the planted near-dup pairs with every history cluster member
+      assert(streamed == (0L until 4L).map(h => (10L, h)).toSet)
+      // parity: the batch increment's CROSS pairs on the same store
+      val batch = graft.ops.Dedup.semanticCells(index,
+        newRows.map { case (id, v) => (id, v.toArray) }.toDF("id", "v"),
+        "v", "id", nProbe = 2)
+      val batchCross = graft.ops.Dedup.semanticDedupIncrement(index, batch, hist,
+          threshold = 0.99)
+        .filter($"id_a" < 10L || $"id_b" < 10L)
+        .collect().map(r => (math.max(r.getLong(0), r.getLong(1)),
+          math.min(r.getLong(0), r.getLong(1)))).toSet
+      assert(streamed == batchCross,
+        s"stream $streamed != batch cross pairs $batchCross")
+    } finally q.stop()
+  }
+
   test("streaming sessionization's closed sessions match the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -397,6 +397,15 @@ object Drive {
     val semKept = graft.ops.Dedup.semanticDedupKeepFirst(emb, "embedding", "vec_id",
       nClusters = 4, threshold = 0.45, nProbe = 2)
     println(s"semantic keep-first: ${semKept.count()} of ${emb.count()} rows kept")
+    // incremental: old corpus as celled store, new batch joins it
+    val semIdx = graft.ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 4)
+    val semHist = graft.ops.Dedup.semanticCells(semIdx,
+      emb.filter(col("vec_id") < 400), "embedding", "vec_id", nProbe = 2)
+    val semInc = graft.ops.Dedup.semanticDedupIncrement(semIdx,
+      graft.ops.Dedup.semanticCells(semIdx, emb.filter(col("vec_id") >= 400),
+        "embedding", "vec_id", nProbe = 2),
+      semHist, threshold = 0.45)
+    println(s"semantic increment: ${semInc.count()} new-batch pairs")
 
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
