@@ -371,6 +371,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming linear scoring matches the batch twin (stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val w = Array.tabulate(64)(d => d % 7 - 3)
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id",
+        graft.ops.Embeddings.linearScore($"text", w, scale = 10.0, bias = 0.05).as("s"))
+    val data = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "???"), // tokenless: scores NULL in both twins
+      (2L, "alpha beta gamma"),
+    )
+    val input = MemoryStream[(Long, String)]
+    val q = scored(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("linscore_stream").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("linscore_stream").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val batch = scored(data.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(streamed == batch)
+      assert(streamed(1L).isEmpty && streamed(0L).nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup matches the batch increment's cross pairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
