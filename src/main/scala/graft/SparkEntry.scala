@@ -577,6 +577,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // in-engine Rocchio training of the linear classifier: one corpus
+    // pass; the weight table is bit-exactly recomputable in SQL
+    "q_text_train_weights" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      ops.Embeddings.trainLinearWeights(
+        t(s, dir, "documents"), "text", col("lang") === "en")
+        .orderBy(col("bucket"))
+    }),
+
+    // the closed loop: train in-engine, collect the driver-sized model
+    // (64 ints — the IVF-centroid lifecycle pattern), score with the
+    // SAME native expression used at inference
+    "q_text_trained_score" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
+        .collect()
+      val w = new Array[Int](64)
+      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
+      d.select(col("doc_id"),
+        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6)
+          .as("score"))
+        .withColumn("pred_en", col("score") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -888,6 +914,25 @@ object SparkEntry {
     "q_text_boilerplate" -> ((s, dir) =>
       TextOps.removeBoilerplate(t(s, dir, "documents"), "text", "doc_id",
         sep = " the ", minDocs = 2)),
+
+    // Gopher §A1.1 rule battery; the synthetic corpus has no bullets or
+    // ellipses (those rules pass trivially here — planted unit tests
+    // exercise them), so the gate discriminates on word count and the
+    // required-stopword rule (relaxed to 1: only "the" appears)
+    "q_text_gopher" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val metrics = TextOps.gopherMetrics(col("text"), sep = " the ")
+        .map { case (n, c) => c.as(n) }
+      d.select((col("doc_id") +: metrics :+
+        TextOps.gopherPass(col("text"), sep = " the ",
+          minWords = 20, minStopHits = 1).as("pass")): _*)
+    }),
+
+    // C4 line/document cleaning; terminal-punctuation rule off (the
+    // synthetic text has no punctuation — planted unit tests cover it)
+    "q_text_c4" -> ((s, dir) =>
+      TextOps.c4Clean(t(s, dir, "documents"), "text", "doc_id",
+        sep = " the ", minLineWords = 4, requireTerminalPunct = false)),
 
     // ---- training-data pipeline: multimodal (stub codec, real plumbing) ----
     "q_mm_decode_meta" -> ((s, dir) => {
@@ -1638,6 +1683,84 @@ object SparkEntry {
          |SELECT doc_id, lin_score, lin_score > 0 AS keep
          |FROM scored ORDER BY doc_id""".stripMargin,
 
+    // Rocchio weights recomputed bit-exactly: integer-valued sums stay
+    // exact in doubles, the division/multiply/floor chain is the same
+    // IEEE op sequence as the Spark plan
+    "q_text_train_weights" ->
+      s"""WITH th AS (
+         |  SELECT (lang = 'en') AS pos,
+         |    CAST(h % 64 AS INTEGER) AS b,
+         |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM (
+         |    SELECT lang, ${oracleMd5Long("tok")} AS h FROM (
+         |      SELECT lang, unnest($oracleTokens) AS tok FROM documents
+         |    )
+         |  )
+         |), agg AS (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN pos THEN sgn END) AS DOUBLE) AS s_pos,
+         |    CAST(sum(CASE WHEN NOT pos THEN sgn END) AS DOUBLE) AS s_neg
+         |  FROM th GROUP BY b
+         |), tot AS (
+         |  SELECT CAST(count(*) FILTER (pos) AS DOUBLE) AS t_pos,
+         |         CAST(count(*) FILTER (NOT pos) AS DOUBLE) AS t_neg
+         |  FROM th
+         |), buckets AS (
+         |  SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS bucket
+         |)
+         |SELECT bucket,
+         |  CAST(floor(1000.0 * (coalesce(s_pos, 0) / t_pos - coalesce(s_neg, 0) / t_neg)
+         |    + 0.5) AS INTEGER) AS weight
+         |FROM buckets LEFT JOIN agg ON agg.b = bucket CROSS JOIN tot
+         |ORDER BY bucket""".stripMargin,
+
+    // train + score end to end: the weight CTE feeds the same
+    // hash-feature dot the q_text_linear_score oracle computes
+    "q_text_trained_score" ->
+      s"""WITH th0 AS (
+         |  SELECT (lang = 'en') AS pos,
+         |    CAST(h % 64 AS INTEGER) AS b,
+         |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM (
+         |    SELECT lang, ${oracleMd5Long("tok")} AS h FROM (
+         |      SELECT lang, unnest($oracleTokens) AS tok FROM documents
+         |    )
+         |  )
+         |), agg AS (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN pos THEN sgn END) AS DOUBLE) AS s_pos,
+         |    CAST(sum(CASE WHEN NOT pos THEN sgn END) AS DOUBLE) AS s_neg
+         |  FROM th0 GROUP BY b
+         |), tot AS (
+         |  SELECT CAST(count(*) FILTER (pos) AS DOUBLE) AS t_pos,
+         |         CAST(count(*) FILTER (NOT pos) AS DOUBLE) AS t_neg
+         |  FROM th0
+         |), w AS (
+         |  SELECT b AS bucket,
+         |    floor(1000.0 * (coalesce(s_pos, 0) / t_pos - coalesce(s_neg, 0) / t_neg)
+         |      + 0.5) AS weight
+         |  FROM agg CROSS JOIN tot
+         |), toks AS (
+         |  SELECT doc_id, $oracleTokens AS tokens FROM documents
+         |), th AS (
+         |  SELECT doc_id, ${oracleMd5Long("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+         |), cells AS (
+         |  SELECT doc_id, CAST(h % 64 AS INTEGER) AS b,
+         |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+         |  FROM th GROUP BY 1, 2
+         |), dots AS (
+         |  SELECT doc_id, sum(v * weight) AS dot
+         |  FROM cells JOIN w ON w.bucket = cells.b GROUP BY 1
+         |), scored AS (
+         |  SELECT t.doc_id,
+         |    CASE WHEN len(t.tokens) > 0
+         |      THEN round(d.dot / (1000.0 * len(t.tokens)) + 0.0, 6) END AS score
+         |  FROM toks t LEFT JOIN dots d USING (doc_id)
+         |)
+         |SELECT doc_id, score, score > 0 AS pred_en
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
     // the composed pipeline end to end: the q_curate chain (gates +
     // QUALIFY keep-first), then 5-gram NOT-IN decontamination of the
     // SURVIVORS, then the salted-hash CASE split — one DuckDB query
@@ -2176,6 +2299,65 @@ object SparkEntry {
          |    list_filter(segs, l -> NOT list_contains(bl, ${oracleNormExpr("l")})) AS kept
          |  FROM ls CROSS JOIN blarr
          |)""".stripMargin,
+
+    // Gopher §A1.1 battery recomputed term by term (sep = ' the ',
+    // minWords = 20, minStopHits = 1 — the driver-query config)
+    "q_text_gopher" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws,
+         |    list_filter(list_transform(string_split(text, ' the '), l -> trim(l)),
+         |                l -> len(l) > 0) AS segs
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS INTEGER) AS n_words,
+         |    round(CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0) AS DOUBLE)
+         |      / greatest(len(ws), 1), 6) AS mean_word_len,
+         |    round(CAST(len(regexp_extract_all(text, '#'))
+         |        + len(regexp_extract_all(text, '\\.\\.\\.'))
+         |        + len(regexp_extract_all(text, '…')) AS DOUBLE)
+         |      / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+         |    round(CAST(len(list_filter(segs, l ->
+         |        substr(l, 1, 1) = '-' OR substr(l, 1, 1) = '*' OR substr(l, 1, 1) = '•')) AS DOUBLE)
+         |      / greatest(len(segs), 1), 6) AS bullet_line_frac,
+         |    round(CAST(len(list_filter(segs, l ->
+         |        ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+         |      / greatest(len(segs), 1), 6) AS ellipsis_line_frac,
+         |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |      / greatest(len(ws), 1), 6) AS alpha_word_frac,
+         |    ${TextOps.gopherStopwords.map(w =>
+                s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
+                .mkString(" + ")} AS stop_hits
+         |  FROM m
+         |)
+         |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+         |  ellipsis_line_frac, alpha_word_frac, stop_hits,
+         |  (n_words >= 20 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+         |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         |    AND stop_hits >= 1) AS pass
+         |FROM g""".stripMargin,
+
+    // C4 cleaning recomputed line by line (sep = ' the ', minLineWords = 4,
+    // no terminal-punct rule — the driver-query config); the blocklist
+    // document drop mirrors the WHERE
+    "q_text_c4" ->
+      """WITH ls AS (
+        |  SELECT doc_id, text, string_split(text, ' the ') AS segs FROM documents
+        |), f AS (
+        |  SELECT doc_id, segs,
+        |    list_filter(segs, l ->
+        |      len(list_filter(string_split_regex(trim(l), '\s+'), w -> len(w) > 0)) >= 4) AS kept
+        |  FROM ls
+        |  WHERE NOT (contains(lower(text), 'lorem ipsum') OR contains(lower(text), '{'))
+        |)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, ' the '), '') AS text_clean,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(segs) - len(kept) AS BIGINT) AS n_lines_removed
+        |FROM f""".stripMargin,
 
     // L2 normalization: per-row fold in double precision on both sides
     // (list_sum over a double-cast list ≡ the Spark aggregate() fold);

@@ -79,6 +79,68 @@ object Embeddings {
     when(size(toks) > 0, dot / (lit(scale) * size(toks)) + lit(bias))
   }
 
+  /** Train the [[linearScore]] weight vector IN-ENGINE by the
+    * nearest-centroid (Rocchio) rule: `w = scale ·
+    * (μ_pos − μ_neg)` where `μ_c` is class `c`'s token-weighted mean of
+    * the signed hash-feature fold — the classic closed-form linear text
+    * classifier (Rocchio 1971; the linear-over-hashed-features layout of
+    * fastText, Joulin et al. 2016), trainable in ONE corpus pass with no
+    * iterative optimization. Weights are quantized to integers with
+    * `floor(x + 0.5)` (explicit, so any engine reproduces the rounding),
+    * ready to feed [[linearScore]] directly at the same `scale`.
+    *
+    * The feature fold is the native [[graft.functions.HashEmbed]] — the
+    * SAME expression [[linearScore]] applies at inference, so train and
+    * score cannot drift apart on tokenization or bucket/sign derivation.
+    * All sums are integer-valued (doubles holding integers stay exact
+    * below 2^53), so the result is bit-reproducible across partitionings
+    * and engines — the `q_text_train_weights` oracle recomputes it.
+    *
+    * Scale shape: one pass over the corpus; `posexplode` amplifies each
+    * document ×dim PRE-shuffle and map-side partial aggregation collapses
+    * every partition to ≤ dim cells, so only ~dim rows per partition
+    * cross the wire; everything downstream is driver-sized (dim rows).
+    * Rows with a null label are excluded; a class with no rows (or no
+    * tokens) yields null weights — assert on the output before shipping
+    * it to [[linearScore]]. Callers must `GraftFunctions.register` the
+    * session first (as for [[linearScore]] itself).
+    *
+    * Returns (bucket: int, weight: int), one row per feature bucket.
+    */
+  def trainLinearWeights(
+      docs: DataFrame,
+      textCol: String,
+      positive: Column,
+      dim: Int = 64,
+      scale: Double = 1000.0,
+  ): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    require(scale > 0, "scale must be positive")
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs
+      .filter(positive.isNotNull)
+      .select(
+        positive.as("__pos"),
+        graft.functions.GraftFunctions.hashEmbed(toks, dim).as("__f"),
+        size(toks).as("__n"))
+    val cells = base
+      .select(col("__pos"), posexplode(col("__f")).as(Seq("__b", "__v")))
+      .groupBy(col("__b"))
+      .agg(
+        sum(when(col("__pos"), col("__v"))).as("__spos"),
+        sum(when(!col("__pos"), col("__v"))).as("__sneg"))
+    val totals = base.groupBy().agg(
+      sum(when(col("__pos"), col("__n").cast("long"))).as("__tpos"),
+      sum(when(!col("__pos"), col("__n").cast("long"))).as("__tneg"))
+    cells
+      .crossJoin(broadcast(totals))
+      .select(
+        col("__b").cast("int").as("bucket"),
+        floor(lit(scale) * (coalesce(col("__spos"), lit(0.0)) / col("__tpos")
+          - coalesce(col("__sneg"), lit(0.0)) / col("__tneg")) + lit(0.5))
+          .cast("int").as("weight"))
+  }
+
   /** Per-group centroid (dimension-wise mean) + member count of an
     * embedding column: the corpus-summary / cluster-quality primitive.
     *

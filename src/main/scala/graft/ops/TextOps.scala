@@ -90,6 +90,83 @@ object TextOps {
     round(lengthScore * lit(0.5) + stopScore * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.1), 6)
   }
 
+  /** The eight words whose presence the Gopher quality filter requires
+    * at least two of (Rae et al. 2021, §A1.1 "stop word filter").
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule-based document quality signals (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", §A1.1) — the standard hand-rule filter battery applied to
+    * MassiveWeb before training: word-count bounds, mean word length,
+    * symbol-to-word ratio (`#` and ellipsis), fraction of lines starting
+    * with a bullet or ending with an ellipsis, fraction of words carrying
+    * at least one alphabetic character, and required-stopword hits.
+    *
+    * `sep` delimits "lines" (web text: `"\n"`). Every signal is a plain
+    * projection over split/regexp builtins — codegen'd, zero shuffles,
+    * and SQL-expressible term by term so the DuckDB oracle recomputes the
+    * whole battery exactly.
+    */
+  def gopherMetrics(text: Column, sep: String = "\n"): Seq[(String, Column)] = {
+    val ws = wsTokens(text)
+    val nWords = size(ws)
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val segs = filter(
+      transform(split(text, java.util.regex.Pattern.quote(sep)), l => trim(l)),
+      l => length(l) > 0)
+    val nSegs = size(segs)
+    val bulletSegs = size(filter(segs, l => substring(l, 1, 1).isin("-", "*", "•")))
+    val ellipsisSegs = size(filter(segs,
+      l => l.endsWith("...") || l.endsWith("…")))
+    val symbols = regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\.")) + regexp_count(text, lit("…"))
+    val stopHits = gopherStopwords
+      .map(w => when(lower(text).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> round(
+        aggregate(ws, lit(0), (a, w) => a + length(w)).cast("double") /
+          greatest(nWords, lit(1)), 6),
+      "symbol_word_ratio" -> round(symbols.cast("double") / greatest(nWords, lit(1)), 6),
+      "bullet_line_frac" -> round(bulletSegs.cast("double") / greatest(nSegs, lit(1)), 6),
+      "ellipsis_line_frac" -> round(ellipsisSegs.cast("double") / greatest(nSegs, lit(1)), 6),
+      "alpha_word_frac" -> round(alphaWords.cast("double") / greatest(nWords, lit(1)), 6),
+      "stop_hits" -> stopHits,
+    )
+  }
+
+  /** The Gopher keep/drop gate: AND of the §A1.1 thresholds over
+    * [[gopherMetrics]] (defaults are the paper's published values; word
+    * bounds are parameters because sensible values depend on the corpus
+    * unit — pages vs. paragraphs). A boolean scan projection, so the gate
+    * composes with [[Curate]] and drops rows before anything wide.
+    */
+  def gopherPass(
+      text: Column,
+      sep: String = "\n",
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2,
+  ): Column = {
+    val m = gopherMetrics(text, sep).toMap
+    m("n_words") >= minWords && m("n_words") <= maxWords &&
+      m("mean_word_len") >= minMeanWordLen && m("mean_word_len") <= maxMeanWordLen &&
+      m("symbol_word_ratio") <= maxSymbolRatio &&
+      m("bullet_line_frac") <= maxBulletFrac &&
+      m("ellipsis_line_frac") <= maxEllipsisFrac &&
+      m("alpha_word_frac") >= minAlphaFrac &&
+      m("stop_hits") >= minStopHits
+  }
+
   /** Fraction of word n-grams that are repeats of an earlier n-gram:
     * `1 - distinct/total`, 0 for documents shorter than `n` words. The
     * standard boilerplate/loop-generation signal in training-data quality
@@ -646,6 +723,57 @@ object TextOps {
         col(idCol),
         array_join(col("__kept"), sep).as("text_clean"),
         (size(segs) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  /** C4-style line-and-document cleaning (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2 — the heuristics that produced C4 from Common
+    * Crawl): keep only lines with at least `minLineWords` whitespace
+    * words and (when `requireTerminalPunct`) a terminal punctuation mark
+    * (`. ! ? "`); DROP whole documents whose lowercased text contains any
+    * `blocklist` phrase (the paper removes pages containing "lorem ipsum"
+    * and pages with `{`, a code marker).
+    *
+    * Surviving documents keep their row even when every line is removed
+    * (`text_clean` = empty string — same convention as
+    * [[removeBoilerplate]]); kept lines re-join with `sep` in order.
+    * Returns (idCol, text_clean, n_lines_kept, n_lines_removed).
+    *
+    * Scale shape: a single narrow filter + projection — the blocklist
+    * test and every line rule are per-row codegen'd builtins, so at
+    * 100 TB this is one column-pruned scan with zero shuffles, and the
+    * document drop happens before any downstream wide operator sees the
+    * row. Fully SQL-expressible (oracle recomputes line-by-line).
+    */
+  def c4Clean(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n",
+      minLineWords: Int = 3,
+      requireTerminalPunct: Boolean = true,
+      blocklist: Seq[String] = Seq("lorem ipsum", "{"),
+  ): DataFrame = {
+    val segs = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    def lineWords(l: Column): Column =
+      size(filter(split(trim(l), "\\s+"), w => length(w) > 0))
+    def lineOk(l: Column): Column = {
+      val enough = lineWords(l) >= minLineWords
+      if (requireTerminalPunct) enough && trim(l).rlike("[.!?\"]$") else enough
+    }
+    val blocked =
+      if (blocklist.isEmpty) lit(false)
+      else blocklist
+        .map(p => contains(lower(col(textCol)), lit(p.toLowerCase)))
+        .reduce(_ || _)
+    val kept = filter(segs, lineOk _)
+    docs
+      .filter(!blocked)
+      .select(
+        col(idCol),
+        array_join(kept, sep).as("text_clean"),
+        size(kept).cast("long").as("n_lines_kept"),
+        (size(segs) - size(kept)).cast("long").as("n_lines_removed"))
   }
 
   /** Benchmark decontamination, step 2: corpus rows NOT sharing at least

@@ -619,6 +619,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rocchio training separates planted vocabularies; trained weights feed linearScore") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      (0L, "good solid quality prose here", true),
+      (1L, "good quality here again prose", true),
+      (2L, "spam junk noise garbage filler", false),
+      (3L, "junk spam filler noise noise", false),
+    ).toDF("doc_id", "text", "label")
+    val wdf = Embeddings.trainLinearWeights(docs, "text", $"label", dim = 64)
+    val rows = wdf.orderBy($"bucket").collect()
+    assert(rows.length == 64 && rows.map(_.getInt(0)).toSeq == (0 until 64))
+    val w = new Array[Int](64)
+    rows.foreach(r => w(r.getInt(0)) = r.getInt(1))
+    // the trained model must rank held-in class members on the right sides
+    val scored = docs.select($"doc_id", $"label",
+      Embeddings.linearScore($"text", w, scale = 1000.0, bias = 0.0).as("s"))
+      .collect().map(r => (r.getBoolean(1), r.getDouble(2)))
+    assert(scored.forall { case (pos, s) => if (pos) s > 0 else s < 0 })
+    // null labels are excluded from training entirely
+    val withNull = docs.union(
+      Seq((9L, "good quality", Option.empty[Boolean])).toDF("doc_id", "text", "label"))
+    val w2 = Embeddings.trainLinearWeights(withNull, "text", $"label", dim = 64)
+      .orderBy($"bucket").collect().map(_.getInt(1))
+    assert(w2.toSeq == rows.map(_.getInt(1)).toSeq)
+    // an absent class yields null weights, loudly detectable
+    val oneClass = Embeddings.trainLinearWeights(
+      docs.filter($"label"), "text", $"label").collect()
+    assert(oneClass.forall(_.isNullAt(1)))
+  }
+
   test("semantic dedup: planted tight clusters found via cells, keep-first keeps min id") {
     // two tight clusters of near-identical vectors + isolated noise: the
     // within-cluster pairs sit far above the threshold, the cross-cluster
@@ -1019,6 +1049,59 @@ class OpsSpec extends AnyFunSuite {
     val solo = TextOps.removeBoilerplate(pages.filter($"doc_id" === 0L), "text", "doc_id",
       sep = "\n", minDocs = 2).collect().head
     assert(solo.getString(1) == "header\n\nbody a\nheader" && solo.getLong(2) == 0L)
+  }
+
+  test("gopher metrics: bullets, ellipses, symbols, alpha words, stop hits") {
+    val doc = "- first bullet line\n- second bullet line\ntrailing thought...\n" +
+      "the quick brown fox jumps over 12345 ### with that to be of and have"
+    val df = Seq((0L, doc)).toDF("doc_id", "text")
+    val m = df.select(TextOps.gopherMetrics($"text").map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    val get = (n: String) => m.getAs[Any](n)
+    assert(get("n_words") == 25)                        // ws tokens
+    assert(get("bullet_line_frac") == 0.5)              // 2 of 4 lines
+    assert(get("ellipsis_line_frac") == 0.25)           // 1 of 4 lines
+    // symbols: one '...' + three single '#'
+    assert(get("symbol_word_ratio") == math.round(4.0 / 25 * 1e6) / 1e6)
+    // the two '-' bullets, '12345', and '###' carry no alpha char → 21 of 25
+    assert(get("alpha_word_frac") == math.round(21.0 / 25 * 1e6) / 1e6)
+    assert(get("stop_hits") == 8)                       // all eight present
+  }
+
+  test("gopher gate: word bounds, mean word length, stopword floor") {
+    val docs = Seq(
+      (0L, Seq.fill(60)("the good and solid words of that text have with be to").mkString(" ")),
+      (1L, "the of and short"),                          // too few words
+      (2L, Seq.fill(40)("supercalifragilisticexpialidocious extraordinarily").mkString(" ")
+        + " the of and that"),                           // mean word length > 10
+      (3L, Seq.fill(30)("plain words only none required here").mkString(" ")),  // 0 stop hits
+    ).toDF("doc_id", "text")
+    val pass = docs.select($"doc_id", TextOps.gopherPass($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(pass == Map(0L -> true, 1L -> false, 2L -> false, 3L -> false))
+  }
+
+  test("c4 clean: terminal punctuation + min words per line, blocklist drops docs") {
+    val docs = Seq(
+      (0L, "A real sentence with punctuation.\nshort.\nno terminal punctuation here\n" +
+        "Another proper sentence ends well!\nIs this kept too?"),
+      (1L, "This page contains Lorem Ipsum filler text."),   // blocklisted (case-insensitive)
+      (2L, "function f() { return 1; }"),                    // '{' marks code
+      (3L, "every line fails the rules"),                    // survives with empty text
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Clean(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!out.contains(1L) && !out.contains(2L))           // whole-document drops
+    assert(out(0L) == ((
+      "A real sentence with punctuation.\nAnother proper sentence ends well!\nIs this kept too?",
+      3L, 2L)))
+    assert(out(3L) == (("", 0L, 1L)))                        // row kept, text empties
+    // quote is a valid terminal mark; punctuation rule can be disabled
+    val q = Seq((0L, "He said \"this line ends with a quote\"\ntiny one")).toDF("doc_id", "text")
+    assert(TextOps.c4Clean(q, "text", "doc_id").collect().head.getString(1)
+      == "He said \"this line ends with a quote\"")
+    assert(TextOps.c4Clean(q, "text", "doc_id", requireTerminalPunct = false)
+      .collect().head.getLong(2) == 1L)
   }
 
   test("range join: half-open bounds, keyed scoping, multi-bucket intervals") {

@@ -407,6 +407,26 @@ object Drive {
       semHist, threshold = 0.45)
     println(s"semantic increment: ${semInc.count()} new-batch pairs")
 
+    println("== round-5: Gopher rule battery + C4 line cleaning ==")
+    docs.select((col("doc_id") +: graft.ops.TextOps.gopherMetrics(col("text"), sep = " the ")
+      .map { case (n, c) => c.as(n) }) :+
+      graft.ops.TextOps.gopherPass(col("text"), sep = " the ",
+        minWords = 20, minStopHits = 1).as("pass"): _*).show(4)
+    val c4 = graft.ops.TextOps.c4Clean(docs, "text", "doc_id",
+      sep = " the ", minLineWords = 4, requireTerminalPunct = false)
+    c4.orderBy(col("n_lines_removed").desc).show(3)
+    c4.explain("formatted")
+
+    println("== round-5: in-engine Rocchio training -> linearScore ==")
+    val wTrained = graft.ops.Embeddings.trainLinearWeights(docs, "text", col("lang") === "en")
+    wTrained.orderBy(col("weight").desc).show(5)
+    val wArr = new Array[Int](64)
+    wTrained.collect().foreach(r => wArr(r.getInt(0)) = r.getInt(1))
+    val predicted = docs.select(col("lang"),
+      (graft.ops.Embeddings.linearScore(col("text"), wArr, scale = 1000.0, bias = 0.0) > 0)
+        .as("pred_en"))
+    predicted.groupBy(col("lang"), col("pred_en")).count().orderBy(col("lang")).show()
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
