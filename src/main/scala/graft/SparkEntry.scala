@@ -781,6 +781,19 @@ object SparkEntry {
         Seq("train" -> 0.88, "val" -> 0.06, "test" -> 0.06), salt = "r4")
         .select(col("doc_id"), col("split"))),
 
+    // deterministic pre-training shuffle: salted-hash permutation as
+    // (shard, pos) addresses — ONE shard-partition + per-shard sort
+    "q_sample_shuffle" -> ((s, dir) =>
+      Sample.shuffleOrder(t(s, dir, "documents"), "doc_id", nShards = 8, salt = "r5")
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // HLL cardinality meter: exact vs approx_count_distinct + realized
+    // error per source. No oracle — DuckDB's HLL is a different sketch;
+    // the error floor is contracted in DriverSuiteSpec at both SFs
+    "q_stats_approx_distinct" -> ((s, dir) =>
+      ops.Stats.approxDistinct(t(s, dir, "documents"), "text", Seq("source"),
+        rsd = 0.05).orderBy(col("source"))),
+
     // cross-source duplication matrix (distinct shared content per pair)
     "q_dedup_source_overlap" -> ((s, dir) =>
       ops.Dedup.crossSourceOverlap(t(s, dir, "documents"), "text", "source")),
@@ -2075,6 +2088,15 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id,
          |  ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")} % 1000000 AS b
+         |FROM documents)""".stripMargin,
+
+    // the shuffle permutation is pure hash arithmetic + a windowed
+    // row_number — both engines replay it exactly
+    "q_sample_shuffle" ->
+      s"""SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM (SELECT doc_id,
+         |  ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r5'")} AS h
          |FROM documents)""".stripMargin,
 
     "q_sample_temperature" ->

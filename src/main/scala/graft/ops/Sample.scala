@@ -230,4 +230,44 @@ object Sample {
     }
     df.withColumn("split", assigned)
   }
+
+  /** Deterministic global shuffle for training order: assign every row a
+    * (shard, pos) address in a salted-hash permutation of the corpus —
+    * the "shuffle once before training" step that breaks source/crawl
+    * locality so consecutive training sequences are decorrelated. Reading
+    * shards in order, each sorted by `pos`, replays one fixed pseudorandom
+    * permutation; a new `salt` gives an independent one, and (like every
+    * operator here) a task retry or re-run reproduces it exactly —
+    * `rand()`-based shuffles give none of that.
+    *
+    * Scale shape: shard = hash mod `nShards` is a narrow projection; the
+    * only wide step is ONE hash-partition-by-shard + per-shard sort (the
+    * window never spans shards). Size `nShards` so a shard fits an
+    * executor's sort budget (at 100 TB, nShards = 100k → ~1 GB shards) —
+    * the global-sort alternative range-partitions by sampling, which is
+    * neither deterministic nor cheaper. Rows with a null `keyCol` hash to
+    * null and collect in a null shard (key the corpus by a non-null id);
+    * duplicate keys get adjacent `pos` values, tie-broken by `keyCol` for
+    * layout determinism.
+    *
+    * Returns the input columns + (shard: int, pos: long), pos starting at
+    * 0 within each shard.
+    */
+  def shuffleOrder(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      salt: String = "",
+  ): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val h = saltedHash(col(keyCol), salt)
+    val shard = pmod(h, lit(nShards.toLong)).cast("int")
+    df.withColumn("__h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol)))
+          .cast("long") - 1L)
+      .drop("__h")
+  }
 }

@@ -79,4 +79,40 @@ object Stats {
         round(avg(col("n")), 6).as("avg_per_key"),
         round(expr("percentile(n, 0.99D)"), 6).as("p99_per_key"),
         round(max(col("n")) / avg(col("n")), 6).as("skew_ratio"))
+
+  /** Per-group cardinality with BOTH the exact count and the
+    * HyperLogLog++ estimate (`approx_count_distinct` at relative standard
+    * deviation `rsd`), plus the realized relative error — the honesty
+    * meter for the sketch the 100 TB configuration actually runs.
+    *
+    * At scale the exact side is the expensive one (COUNT DISTINCT
+    * shuffles every distinct value; HLL shuffles one ~`1.04/rsd²`-byte
+    * sketch per group with map-side merge) — production pipelines run
+    * [[approxDistinct]] on a sample or ONE validation slice to pick
+    * `rsd`, then drop to `exact = false` for the full corpus. Both
+    * aggregates compute in one pass / one shuffle here; `exact = false`
+    * omits the exact column and the error, leaving the pure-sketch plan.
+    */
+  def approxDistinct(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      rsd: Double = 0.05,
+      exact: Boolean = true,
+  ): DataFrame = {
+    require(rsd > 0 && rsd < 1, "rsd must be in (0, 1)")
+    val g = df.groupBy(groupCols.map(col): _*)
+    if (exact)
+      g.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(keyCol)).as("n_distinct"),
+        approx_count_distinct(col(keyCol), rsd).as("n_distinct_approx"))
+        .withColumn("rel_err", round(
+          abs(col("n_distinct_approx") - col("n_distinct")).cast("double") /
+            greatest(col("n_distinct"), lit(1L)), 6))
+    else
+      g.agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col(keyCol), rsd).as("n_distinct_approx"))
+  }
 }

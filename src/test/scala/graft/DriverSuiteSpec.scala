@@ -190,4 +190,20 @@ class DriverSuiteSpec extends AnyFunSuite {
         s"$dir: $moved of ${exact.size} docs changed bucket (tolerance $tolerance)")
     }
   }
+
+  test("HLL distinct-count meter stays within 3x the configured rsd at both SFs") {
+    // the contract behind q_stats_approx_distinct: the driver row reports
+    // the realized relative error of approx_count_distinct(rsd = 0.05)
+    // per source; HLL++ error is ~normal with sd = rsd, so 3x is a
+    // deterministic-given-the-data bound with wide margin (measured
+    // <= 0.03 at both SFs). A breach means the sketch config changed.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = SparkEntry.queries("q_stats_approx_distinct")(spark, dir).collect()
+      assert(rows.length >= 2, s"$dir: expected per-source rows")
+      for (r <- rows) {
+        val err = r.getAs[Double]("rel_err")
+        assert(err <= 0.15, s"$dir source ${r.get(0)}: rel_err $err above 3x rsd")
+      }
+    }
+  }
 }

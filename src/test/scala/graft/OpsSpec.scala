@@ -1516,6 +1516,50 @@ class OpsSpec extends AnyFunSuite {
     assert(sk.getDouble(5) == 6.0)    // skew = 60/10
   }
 
+  test("shuffle order: a true permutation, dense per shard, layout-deterministic") {
+    val df = (0L until 3000L).toDF("id")
+    val out = Sample.shuffleOrder(df, "id", nShards = 7, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every row keeps exactly one address
+    assert(out.length == 3000 && out.map(_._1).distinct.length == 3000)
+    // positions are dense 0..n-1 within each shard
+    for ((shard, rows) <- out.groupBy(_._2)) {
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length.toLong),
+        s"shard $shard positions not dense")
+    }
+    // the permutation actually breaks input order (not the identity)
+    val firstShardIds = out.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(firstShardIds != firstShardIds.sorted)
+    // layout determinism: a different input partitioning replays the
+    // exact same addresses
+    val again = Sample.shuffleOrder(df.repartition(13), "id", nShards = 7, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(again.toSeq == out.sortBy(_._1).toSeq)
+    // a new salt gives a different permutation
+    val other = Sample.shuffleOrder(df, "id", nShards = 7, salt = "s2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(other.toSeq != out.sortBy(_._1).toSeq)
+  }
+
+  test("approx distinct meter: HLL lands near exact, approx-only drops the exact plan") {
+    val df = (0L until 5000L).map(i => (i % 10, s"key_${i % 1234}")).toDF("g", "k")
+    val rows = Stats.approxDistinct(df, "k", Seq("g"), rsd = 0.05)
+      .collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_distinct") > 0)
+      assert(r.getAs[Double]("rel_err") <= 0.15,
+        s"group ${r.get(0)}: rel_err ${r.getAs[Double]("rel_err")}")
+    }
+    // approx-only mode: no exact aggregate in schema or plan (the mixed
+    // exact+distinct aggregation plans through an Expand; the pure-sketch
+    // aggregation must not)
+    val approxOnly = Stats.approxDistinct(df, "k", Seq("g"), rsd = 0.05, exact = false)
+    assert(approxOnly.columns.toSeq == Seq("g", "n_rows", "n_distinct_approx"))
+    assert(!approxOnly.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx-only plan must not expand a count-distinct")
+  }
+
   test("hash split: exact partition, growth-stable, rest tag when weights < 1") {
     val df = (0L until 2000L).toDF("id")
     val got = Sample.splitByHash(df, "id",

@@ -417,6 +417,14 @@ object Drive {
     c4.orderBy(col("n_lines_removed").desc).show(3)
     c4.explain("formatted")
 
+    println("== round-5: deterministic shuffle + HLL distinct meter ==")
+    val shuffled = graft.ops.Sample.shuffleOrder(docs, "doc_id", nShards = 8, salt = "r5")
+    shuffled.select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos")).show(5)
+    shuffled.explain("formatted")
+    graft.ops.Stats.approxDistinct(docs, "text", Seq("source"), rsd = 0.05)
+      .orderBy(col("rel_err").desc).show(3)
+
     println("== round-5: in-engine Rocchio training -> linearScore ==")
     val wTrained = graft.ops.Embeddings.trainLinearWeights(docs, "text", col("lang") === "en")
     wTrained.orderBy(col("weight").desc).show(5)
