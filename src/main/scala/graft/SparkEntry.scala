@@ -794,6 +794,25 @@ object SparkEntry {
       ops.Stats.approxDistinct(t(s, dir, "documents"), "text", Seq("source"),
         rsd = 0.05).orderBy(col("source"))),
 
+    // rebalance the corpus to a target language mix (zh dropped): one
+    // driver-sized count, then a narrow hash filter
+    "q_sample_resample" -> ((s, dir) =>
+      Sample.resampleToShares(t(s, dir, "documents"), "lang",
+        Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2),
+        "doc_id", salt = "r5")
+        .select(col("doc_id"), col("lang"))),
+
+    // crawl-to-crawl snapshot diff: simulate the next crawl as ids >= 100
+    // with every 7th document edited
+    "q_dedup_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val prev = d.filter(col("doc_id") < 400)
+      val next = d.filter(col("doc_id") >= 100)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" edited v2"))).otherwise(col("text")))
+      Dedup.snapshotDiff(prev, next, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
     // cross-source duplication matrix (distinct shared content per pair)
     "q_dedup_source_overlap" -> ((s, dir) =>
       ops.Dedup.crossSourceOverlap(t(s, dir, "documents"), "text", "source")),
@@ -2098,6 +2117,47 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |  ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r5'")} AS h
          |FROM documents)""".stripMargin,
+
+    // resample cuts recomputed from the same count/share arithmetic (the
+    // double op sequence matches the Scala driver-side computation
+    // term for term), then the same millionth-bucket hash filter
+    "q_sample_resample" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+         |), tgt AS (
+         |  SELECT * FROM (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2), ('fr', 0.2))
+         |    t(lang, share)
+         |), sc AS (
+         |  SELECT min(n / share) AS c FROM cnt JOIN tgt USING (lang)
+         |), cuts AS (
+         |  SELECT lang, CAST(floor(c * share / n * 1000000.0 + 0.5) AS BIGINT) AS cut
+         |  FROM cnt JOIN tgt USING (lang) CROSS JOIN sc
+         |)
+         |SELECT doc_id, lang FROM (
+         |  SELECT d.doc_id, d.lang, cut,
+         |    ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r5'")} % 1000000 AS b
+         |  FROM documents d JOIN cuts USING (lang)
+         |) WHERE b < cut""".stripMargin,
+
+    // snapshot diff: both sides reduce to (id, normalized-content md5),
+    // FULL JOIN on id, status by digest compare
+    "q_dedup_snapshot_diff" ->
+      s"""WITH prev AS (
+         |  SELECT doc_id, md5($oracleNorm) AS h FROM documents WHERE doc_id < 400
+         |), next AS (
+         |  SELECT doc_id, md5(${oracleNormExpr(
+               "CASE WHEN doc_id % 7 = 0 THEN text || ' edited v2' ELSE text END")}) AS h
+         |  FROM documents WHERE doc_id >= 100
+         |)
+         |SELECT doc_id, status FROM (
+         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.h IS NULL THEN 'added'
+         |         WHEN n.h IS NULL THEN 'removed'
+         |         WHEN o.h <> n.h THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM prev o FULL JOIN next n ON o.doc_id = n.doc_id
+         |) WHERE status <> 'unchanged'
+         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_temperature" ->
       """SELECT source, n_rows,

@@ -218,6 +218,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Diff two corpus snapshots by document id + content digest: which
+    * documents were added, removed, or changed between crawls — the
+    * input audit every incremental-ingestion pipeline runs before
+    * reprocessing ("this month's crawl touched 3% of pages; only those
+    * re-enter dedup/curation"). Composes with [[exactDedupIncrement]] /
+    * [[minHashNearDupsIncremental]]: the `added`+`changed` slice IS the
+    * new batch those operators take.
+    *
+    * Scale shape: each side reduces to (id, 16-byte digest) AT THE SCAN
+    * — text never shuffles — then ONE full outer equi-join on id. With
+    * both snapshots bucketed/partitioned by id the join co-locates;
+    * otherwise it's the standard two-sided hash shuffle of slim rows.
+    * `unchanged` rows (the overwhelming majority between adjacent
+    * crawls) are filtered before returning unless `includeUnchanged`.
+    *
+    * PRECONDITION: ids unique within each snapshot. A null `textCol`
+    * digests like the empty string (both mean "no content" here).
+    * Returns (idCol, status ∈ added | removed | changed [| unchanged]).
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      includeUnchanged: Boolean = false,
+  ): DataFrame = {
+    def slim(df: DataFrame, digestName: String): DataFrame =
+      df.select(col(idCol),
+        contentDigest(coalesce(col(textCol), lit(""))).as(digestName))
+    val joined = slim(oldDf, "__oh").as("o")
+      .join(slim(newDf, "__nh").as("n"), Seq(idCol), "full_outer")
+    val status = when(col("__oh").isNull, "added")
+      .when(col("__nh").isNull, "removed")
+      .when(col("__oh") =!= col("__nh"), "changed")
+      .otherwise("unchanged")
+    val out = joined.select(col(idCol), status.as("status"))
+    if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
+
   /** MinHash signature: `numHashes` minima of independently seeded
     * re-hashes of the shingles' base hashes. Each shingle string is hashed
     * once (builtin xxhash64); the family expansion runs in the native

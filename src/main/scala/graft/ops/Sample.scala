@@ -66,6 +66,55 @@ object Sample {
     }.reduce(_ unionByName _)
   }
 
+  /** Rebalance one corpus to target group shares ("40% en, 20% each of
+    * de/es/fr") by deterministic down-sampling: target the LARGEST
+    * corpus achieving the mix — the scale is bounded by the scarcest
+    * group (`c = min n_g / share_g`, which keeps that group in full),
+    * every other group down-samples to match, and groups outside
+    * `targets` are dropped. The per-group keep decision is the
+    * salted-hash filter of [[sampleFraction]], so the resample is rerun-
+    * and layout-stable and has a true SQL oracle (fractions quantized to
+    * millionths; realized group sizes are hash-approximate around the
+    * target, ±O(√n), exactly like [[sampleFraction]]).
+    *
+    * Scale shape: one tiny count aggregation (|groups| rows, collected —
+    * group cardinality is driver-sized by definition here), then ONE
+    * narrow hash filter over the corpus; no shuffle of data rows at any
+    * scale. `groupCol` values are matched as strings. Every target group
+    * must exist in the corpus (loud require, not a silent empty output).
+    */
+  def resampleToShares(
+      df: DataFrame,
+      groupCol: String,
+      targets: Seq[(String, Double)],
+      keyCol: String,
+      salt: String = "",
+  ): DataFrame = {
+    require(targets.nonEmpty, "need at least one target share")
+    require(targets.forall(_._2 > 0), "target shares must be positive")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${targets.map(_._2).sum}")
+    val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (g, _) =>
+      require(counts.contains(g) && counts(g) > 0,
+        s"target group '$g' absent from the corpus")
+    }
+    // largest achievable resampled size with the exact mix
+    val c = targets.map { case (g, t) => counts(g) / t }.min
+    val cuts = targets.map { case (g, t) =>
+      g -> math.floor(c * t / counts(g) * 1000000.0 + 0.5).toLong
+    }
+    val bucket = pmod(saltedHash(col(keyCol), salt), lit(1000000L))
+    // per-group cut; untargeted groups get null → filter drops them
+    val cutCol = cuts.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, cut)) =>
+        when(col(groupCol).cast("string") === g, lit(cut)).otherwise(acc)
+    }
+    df.filter(bucket < cutCol)
+  }
+
   /** Cap each group at `n` rows, keeping the `n` with the smallest salted
     * hash (ties by `keyCol`) — the standard per-source/per-domain quota in
     * corpus mixing ("at most N documents per domain"), made deterministic

@@ -1516,6 +1516,48 @@ class OpsSpec extends AnyFunSuite {
     assert(sk.getDouble(5) == 6.0)    // skew = 60/10
   }
 
+  test("resample to shares: scarcest group kept whole, mix approached, extras dropped") {
+    val df = ((0L until 100L).map(i => (i, "a")) ++
+      (100L until 700L).map(i => (i, "b")) ++
+      (700L until 750L).map(i => (i, "zz"))).toDF("id", "g")
+    val out = Sample.resampleToShares(df, "g",
+      Seq("a" -> 0.5, "b" -> 0.5), "id", salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byG = out.groupBy(_._2).view.mapValues(_.size).toMap
+    // scale is bound by 'a' (100/0.5 = 200): 'a' keeps everything
+    // deterministically, 'b' hash-samples ~1/6 of 600, 'zz' is untargeted
+    assert(byG("a") == 100)
+    assert(byG("b") > 60 && byG("b") < 140, s"b kept ${byG("b")}")
+    assert(!byG.contains("zz"))
+    // deterministic across layouts
+    val again = Sample.resampleToShares(df.repartition(11), "g",
+      Seq("a" -> 0.5, "b" -> 0.5), "id", salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // loud on a target group the corpus doesn't have
+    intercept[IllegalArgumentException] {
+      Sample.resampleToShares(df, "g", Seq("a" -> 0.5, "nope" -> 0.5), "id")
+    }
+    // loud on shares that don't sum to 1
+    intercept[IllegalArgumentException] {
+      Sample.resampleToShares(df, "g", Seq("a" -> 0.5, "b" -> 0.6), "id")
+    }
+  }
+
+  test("snapshot diff: added/removed/changed statuses, unchanged hidden by default") {
+    val prev = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, null: String))
+      .toDF("id", "text")
+    val next = Seq((2L, "two"), (3L, "three EDITED"), (4L, ""), (5L, "five"))
+      .toDF("id", "text")
+    val diff = Dedup.snapshotDiff(prev, next, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 2 unchanged (absent); id 4: null text digests like empty text
+    assert(diff == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+    val full = Dedup.snapshotDiff(prev, next, "id", "text", includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full(2L) == "unchanged" && full(4L) == "unchanged" && full.size == 5)
+  }
+
   test("shuffle order: a true permutation, dense per shard, layout-deterministic") {
     val df = (0L until 3000L).toDF("id")
     val out = Sample.shuffleOrder(df, "id", nShards = 7, salt = "s")

@@ -425,6 +425,17 @@ object Drive {
     graft.ops.Stats.approxDistinct(docs, "text", Seq("source"), rsd = 0.05)
       .orderBy(col("rel_err").desc).show(3)
 
+    println("== round-5: mixture rebalance + snapshot diff ==")
+    val rebal = graft.ops.Sample.resampleToShares(docs, "lang",
+      Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2), "doc_id", salt = "r5")
+    rebal.groupBy(col("lang")).count().orderBy(col("lang")).show()
+    val nextCrawl = docs.filter(col("doc_id") >= 100)
+      .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" edited v2"))).otherwise(col("text")))
+    graft.ops.Dedup.snapshotDiff(docs.filter(col("doc_id") < 400), nextCrawl,
+      "doc_id", "text")
+      .groupBy(col("status")).count().orderBy(col("status")).show()
+
     println("== round-5: in-engine Rocchio training -> linearScore ==")
     val wTrained = graft.ops.Embeddings.trainLinearWeights(docs, "text", col("lang") === "en")
     wTrained.orderBy(col("weight").desc).show(5)
