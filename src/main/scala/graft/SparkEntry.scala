@@ -603,6 +603,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // evaluate the trained classifier in-engine: one confusion-count
+    // aggregation over (label, score > 0) — the model scorecard
+    "q_text_classifier_eval" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
+        .collect()
+      val w = new Array[Int](64)
+      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
+      ops.Stats.binaryEval(d,
+        col("lang") === "en",
+        ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0) > 0)
+    }),
+
+    // context-budget clipping to the first 30 whitespace tokens
+    "q_text_truncate" -> ((s, dir) => {
+      val (clipped, dropped) = TextOps.truncateTokens(col("text"), maxTokens = 30)
+      t(s, dir, "documents").select(col("doc_id"),
+        clipped.as("text_clipped"), dropped.as("n_dropped"))
+    }),
+
     "q_text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1792,6 +1813,77 @@ object SparkEntry {
          |)
          |SELECT doc_id, score, score > 0 AS pred_en
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // the full train -> score -> evaluate chain, ending in one
+    // confusion-count aggregate (same CTE chain as q_text_trained_score)
+    "q_text_classifier_eval" ->
+      s"""WITH th0 AS (
+         |  SELECT (lang = 'en') AS pos,
+         |    CAST(h % 64 AS INTEGER) AS b,
+         |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM (
+         |    SELECT lang, ${oracleMd5Long("tok")} AS h FROM (
+         |      SELECT lang, unnest($oracleTokens) AS tok FROM documents
+         |    )
+         |  )
+         |), agg AS (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN pos THEN sgn END) AS DOUBLE) AS s_pos,
+         |    CAST(sum(CASE WHEN NOT pos THEN sgn END) AS DOUBLE) AS s_neg
+         |  FROM th0 GROUP BY b
+         |), tot AS (
+         |  SELECT CAST(count(*) FILTER (pos) AS DOUBLE) AS t_pos,
+         |         CAST(count(*) FILTER (NOT pos) AS DOUBLE) AS t_neg
+         |  FROM th0
+         |), w AS (
+         |  SELECT b AS bucket,
+         |    floor(1000.0 * (coalesce(s_pos, 0) / t_pos - coalesce(s_neg, 0) / t_neg)
+         |      + 0.5) AS weight
+         |  FROM agg CROSS JOIN tot
+         |), toks AS (
+         |  SELECT doc_id, lang, $oracleTokens AS tokens FROM documents
+         |), th AS (
+         |  SELECT doc_id, ${oracleMd5Long("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+         |), cells AS (
+         |  SELECT doc_id, CAST(h % 64 AS INTEGER) AS b,
+         |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+         |  FROM th GROUP BY 1, 2
+         |), dots AS (
+         |  SELECT doc_id, sum(v * weight) AS dot
+         |  FROM cells JOIN w ON w.bucket = cells.b GROUP BY 1
+         |), pred AS (
+         |  SELECT t.lang = 'en' AS a,
+         |    CASE WHEN len(t.tokens) > 0
+         |      THEN d.dot / (1000.0 * len(t.tokens)) + 0.0 > 0 END AS p
+         |  FROM toks t LEFT JOIN dots d USING (doc_id)
+         |), cm AS (
+         |  SELECT
+         |    sum(CASE WHEN a AND p THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN NOT a AND p THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN a AND NOT p THEN 1 ELSE 0 END) AS fn,
+         |    sum(CASE WHEN NOT a AND NOT p THEN 1 ELSE 0 END) AS tn
+         |  FROM pred WHERE a IS NOT NULL AND p IS NOT NULL
+         |)
+         |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy,
+         |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+         |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+         |  round(CASE WHEN tp * 2 + fp + fn > 0
+         |    THEN CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) END, 6) AS f1
+         |FROM cm""".stripMargin,
+
+    // clipping mirror: list_slice + rejoin, dropped = max(len - cap, 0)
+    "q_text_truncate" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_slice(ws, 1, 30), ' ') AS text_clipped,
+         |  CAST(greatest(len(ws) - 30, 0) AS BIGINT) AS n_dropped
+         |FROM (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws
+         |  FROM documents
+         |)""".stripMargin,
 
     // the composed pipeline end to end: the q_curate chain (gates +
     // QUALIFY keep-first), then 5-gram NOT-IN decontamination of the

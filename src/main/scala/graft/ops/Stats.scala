@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Key-distribution diagnostics — the "look before you shuffle" checks a
@@ -93,6 +93,38 @@ object Stats {
     * aggregates compute in one pass / one shuffle here; `exact = false`
     * omits the exact column and the error, leaving the pure-sketch plan.
     */
+  /** Binary-classifier evaluation in one aggregation pass: confusion
+    * counts (tp/fp/fn/tn) plus accuracy, precision, recall, and F1 —
+    * the in-engine scorecard for gates like the trained
+    * [[Embeddings.linearScore]] model ("how well does score > 0 track
+    * the label on a held-out slice"). Rows where either side is null are
+    * excluded (no silent coercion of missing predictions to `false`);
+    * zero-denominator ratios are null, not NaN. One map-side-combined
+    * global aggregation — a single driver-sized row at any corpus size.
+    * Every term is plain integer/double arithmetic: full SQL oracle.
+    */
+  def binaryEval(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val a = actual
+    val p = predicted
+    df.filter(a.isNotNull && p.isNotNull)
+      .agg(
+        sum(when(a && p, 1L).otherwise(0L)).as("tp"),
+        sum(when(!a && p, 1L).otherwise(0L)).as("fp"),
+        sum(when(a && !p, 1L).otherwise(0L)).as("fn"),
+        sum(when(!a && !p, 1L).otherwise(0L)).as("tn"))
+      .select(
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+        round(when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))), 6).as("precision"),
+        round(when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("recall"),
+        round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          (col("tp") * 2).cast("double") / (col("tp") * 2 + col("fp") + col("fn"))), 6)
+          .as("f1"))
+  }
+
   def approxDistinct(
       df: DataFrame,
       keyCol: String,

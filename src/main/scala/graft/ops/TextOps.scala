@@ -776,6 +776,23 @@ object TextOps {
         (size(segs) - size(kept)).cast("long").as("n_lines_removed"))
   }
 
+  /** Clip a document to its first `maxTokens` whitespace tokens — the
+    * context-budget truncation step before chunking/packing when a
+    * pipeline hard-caps document length ("drop everything past 8k
+    * tokens"). Returns the clipped text (tokens rejoined with single
+    * spaces — runs of whitespace do not survive clipping, same
+    * normalization as [[wsTokens]]) and the number of tokens dropped.
+    * Documents at/under the cap pass through with `dropped` = 0 (their
+    * whitespace still normalizes). A pure scan projection, zero shuffles;
+    * SQL-expressible for oracle parity.
+    */
+  def truncateTokens(text: Column, maxTokens: Int): (Column, Column) = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    val ws = wsTokens(text)
+    (array_join(slice(ws, 1, maxTokens), " "),
+      greatest(size(ws) - maxTokens, lit(0)).cast("long"))
+  }
+
   /** Benchmark decontamination, step 2: corpus rows NOT sharing at least
     * `minOverlap` distinct n-grams with the benchmark — the documents that
     * are safe to train on. Anti-join against the (small) contaminated id

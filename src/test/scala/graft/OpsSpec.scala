@@ -1516,6 +1516,42 @@ class OpsSpec extends AnyFunSuite {
     assert(sk.getDouble(5) == 6.0)    // skew = 60/10
   }
 
+  test("binary eval: confusion counts, ratios, null exclusion, zero-denominator null") {
+    val df = Seq(
+      (true, true), (true, true), (true, false),          // 2 tp, 1 fn
+      (false, true), (false, false), (false, false),      // 1 fp, 2 tn
+    ).toDF("a", "p")
+    val r = Stats.binaryEval(df, $"a", $"p").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 1L, 2L)))
+    // all four ratios are 2/3 here, rounded to 6 places
+    assert(r.getAs[Double]("accuracy") == 0.666667)
+    assert(r.getAs[Double]("precision") == 0.666667)
+    assert(r.getAs[Double]("recall") == 0.666667)
+    assert(r.getAs[Double]("f1") == 0.666667)
+    // null on either side is excluded, not coerced
+    val withNulls = df.union(Seq((Option.empty[Boolean], Option(true)),
+      (Option(true), Option.empty[Boolean])).toDF("a", "p"))
+    val r2 = Stats.binaryEval(withNulls, $"a", $"p").collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((2L, 1L, 1L, 2L)))
+    // degenerate: no positive predictions → precision null, not NaN
+    val nopos = Stats.binaryEval(
+      Seq((true, false), (false, false)).toDF("a", "p"), $"a", $"p").collect().head
+    assert(nopos.isNullAt(nopos.fieldIndex("precision")))
+    assert(nopos.getAs[Double]("recall") == 0.0)
+  }
+
+  test("truncate tokens: clips at the cap, normalizes whitespace, counts dropped") {
+    val df = Seq(
+      (0L, "one  two\tthree four five"),
+      (1L, "short text"),
+    ).toDF("id", "text")
+    val (clipped, dropped) = TextOps.truncateTokens($"text", maxTokens = 3)
+    val out = df.select($"id", clipped.as("t"), dropped.as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(0L) == (("one two three", 2L)))   // runs of whitespace collapse
+    assert(out(1L) == (("short text", 0L)))
+  }
+
   test("resample to shares: scarcest group kept whole, mix approached, extras dropped") {
     val df = ((0L until 100L).map(i => (i, "a")) ++
       (100L until 700L).map(i => (i, "b")) ++

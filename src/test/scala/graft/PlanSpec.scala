@@ -261,6 +261,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
   }
 
+  test("c4 cleaning and the gopher gate are shuffle-free scan projections") {
+    val p = plan(graft.ops.TextOps.c4Clean(docs, "text", "doc_id"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    val g = plan(docs.filter(graft.ops.TextOps.gopherPass($"text")).select($"doc_id"))
+    assert(!g.contains("Exchange"), g)
+  }
+
+  test("shuffle order: ONE hash exchange on the shard, never a global range sort") {
+    val p = plan(graft.ops.Sample.shuffleOrder(docs.select($"doc_id"), "doc_id", 8, "s"))
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("resample to shares plans as a narrow filter over the corpus") {
+    val p = plan(graft.ops.Sample.resampleToShares(
+      docs.select($"doc_id", $"lang"), "lang",
+      Seq("en" -> 0.5, "de" -> 0.5), "doc_id", "s"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("snapshot diff: slim digest equi-join on id, never a cartesian") {
+    val p = plan(graft.ops.Dedup.snapshotDiff(
+      docs.filter($"doc_id" < 300), docs.filter($"doc_id" >= 100), "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    // a full-outer id equi-join of two digest projections: at most one
+    // hash exchange per side (the digest is computed below the exchange,
+    // in the scan-side Project)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("bloom decontamination: codegen bloom probe at the scan, no cartesian") {
     graft.functions.GraftFunctions.register(spark)
     val bench = docs.filter($"doc_id" % 50 === 0)

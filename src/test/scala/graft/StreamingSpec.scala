@@ -399,6 +399,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming C4 cleaning + gopher gate match the batch twins (stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // both operators are pure scan projections/filters, so the SAME
+    // functions compose with a stream unchanged — no state store
+    def cleaned(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.c4Clean(df, "text", "doc_id")
+        .withColumn("gopher_ok", graft.ops.TextOps.gopherPass(
+          $"text_clean", minWords = 3, minStopHits = 1))
+    val data = Seq(
+      (0L, "The first proper sentence survives intact.\ntiny"),
+      (1L, "this page has lorem ipsum somewhere"), // blocklist-dropped
+      (2L, "No terminal punctuation on this line\nAnother good sentence here."),
+    )
+    val input = MemoryStream[(Long, String)]
+    val q = cleaned(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4_stream").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("c4_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(4))).sortBy(_._1)
+      val batch = cleaned(data.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(4))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(!streamed.exists(_._1 == 1L)) // blocklisted doc dropped in-stream
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup matches the batch increment's cross pairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -445,6 +445,12 @@ object Drive {
       (graft.ops.Embeddings.linearScore(col("text"), wArr, scale = 1000.0, bias = 0.0) > 0)
         .as("pred_en"))
     predicted.groupBy(col("lang"), col("pred_en")).count().orderBy(col("lang")).show()
+    graft.ops.Stats.binaryEval(docs.withColumn("s",
+        graft.ops.Embeddings.linearScore(col("text"), wArr, scale = 1000.0, bias = 0.0)),
+      col("lang") === "en", col("s") > 0).show()
+    val (clip30, drop30) = graft.ops.TextOps.truncateTokens(col("text"), maxTokens = 30)
+    docs.select(col("doc_id"), clip30.as("clipped"), drop30.as("dropped"))
+      .orderBy(col("dropped").desc).show(3)
 
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
