@@ -808,6 +808,20 @@ object SparkEntry {
       Sample.shuffleOrder(t(s, dir, "documents"), "doc_id", nShards = 8, salt = "r5")
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // merit-ranked quota: the 3 best-quality documents per language
+    "q_sample_top_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+      Sample.topKPerGroup(d, Seq("lang"), "quality", k = 3, tieCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
+    // latest-wins compaction: each user's newest event (CDC compaction)
+    "q_dedup_compact_latest" -> ((s, dir) =>
+      Dedup.compactLatest(events(s, dir), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))),
+
     // HLL cardinality meter: exact vs approx_count_distinct + realized
     // error per source. No oracle — DuckDB's HLL is a different sketch;
     // the error floor is contracted in DriverSuiteSpec at both SFs
@@ -2209,6 +2223,28 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |  ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r5'")} AS h
          |FROM documents)""".stripMargin,
+
+    // merit quota: same quality formula as q_text_quality, QUALIFY top-3
+    // per language with the doc_id tiebreak
+    "q_sample_top_quality" ->
+      s"""SELECT doc_id, lang, quality FROM (
+         |  SELECT doc_id, lang,
+         |    round(least(CAST($oracleWsTokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + least(round(CAST($oracleStopEn AS DOUBLE) / greatest($oracleWsTokens, 1), 6) * 5.0, 1.0) * 0.4
+         |      + (1.0 - least(round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.1, 6) AS quality
+         |  FROM documents
+         |)
+         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) <= 3""".stripMargin,
+
+    // latest-wins compaction mirror: newest (µs-truncated ts, event_id)
+    // per user — both engines rank on the SAME µs value, so sub-µs
+    // ordering can't disagree with Spark's nanos→micros read
+    "q_dedup_compact_latest" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) = 1""".stripMargin,
 
     // resample cuts recomputed from the same count/share arithmetic (the
     // double op sequence matches the Scala driver-side computation

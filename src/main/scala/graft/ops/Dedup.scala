@@ -237,6 +237,29 @@ object Dedup {
     * digests like the empty string (both mean "no content" here).
     * Returns (idCol, status ∈ added | removed | changed [| unchanged]).
     */
+  /** Latest-wins compaction: keep each key's newest row by `versionCol`
+    * (a timestamp, crawl id, or sequence number) — the CDC/compaction
+    * step that collapses an append-only log of document versions to the
+    * current corpus before any dedup or curation runs. Ties on the
+    * version break by `tieCol` DESCENDING (highest wins — with
+    * monotonically assigned ids, the later write), so the result is
+    * deterministic whenever `tieCol` is unique within a key. Null
+    * versions sort last (a versionless row never beats a versioned one).
+    * One shuffle on the key; the window streams each group — this is
+    * [[Sample.topKPerGroup]] with k = 1, newest-first, packaged for the
+    * compaction story.
+    */
+  def compactLatest(
+      df: DataFrame,
+      keyCol: String,
+      versionCol: String,
+      tieCol: String,
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc_nulls_last, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   def snapshotDiff(
       oldDf: DataFrame,
       newDf: DataFrame,

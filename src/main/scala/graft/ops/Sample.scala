@@ -115,6 +115,35 @@ object Sample {
     df.filter(bucket < cutCol)
   }
 
+  /** Keep the top `k` rows of each group ranked by `orderCol` — "the N
+    * best-scoring documents per language/domain", the merit-ranked
+    * sibling of [[capPerGroup]]'s hash quota. `desc` ranks highest-first
+    * (the default; `desc = false` keeps the smallest). Ties break by
+    * `tieCol` ascending, so the result is deterministic whenever `tieCol`
+    * is unique within a group (same precondition as [[capPerGroup]]).
+    * Null `orderCol` values sort LAST in both directions — a null score
+    * never beats a real one.
+    *
+    * Scale shape: one shuffle on the group key; the window streams each
+    * group and emits at most `k` rows — never a global sort. The same
+    * hot-group caveat as every per-group window applies (AQE skew
+    * handling; output is bounded by k·|groups|).
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      k: Int,
+      tieCol: String,
+      desc: Boolean = true,
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val ord = if (desc) col(orderCol).desc_nulls_last else col(orderCol).asc_nulls_last
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord, col(tieCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Cap each group at `n` rows, keeping the `n` with the smallest salted
     * hash (ties by `keyCol`) — the standard per-source/per-domain quota in
     * corpus mixing ("at most N documents per domain"), made deterministic

@@ -1516,6 +1516,32 @@ class OpsSpec extends AnyFunSuite {
     assert(sk.getDouble(5) == 6.0)    // skew = 60/10
   }
 
+  test("top-k per group: merit ranking, tie by id, null scores never win") {
+    val df = Seq(
+      (1L, "a", Some(0.9)), (2L, "a", Some(0.9)), (3L, "a", Some(0.5)),
+      (4L, "a", None), (5L, "b", Some(0.1)), (6L, "b", None),
+    ).toDF("id", "g", "score")
+    val top2 = Sample.topKPerGroup(df, Seq("g"), "score", k = 2, tieCol = "id")
+      .collect().map(r => r.getLong(0)).toSet
+    // group a: the two 0.9s (tie broken toward id 1, 2); group b: 0.1
+    // beats null, then the null row fills the second slot
+    assert(top2 == Set(1L, 2L, 5L, 6L))
+    val bottom1 = Sample.topKPerGroup(df, Seq("g"), "score", k = 1,
+      tieCol = "id", desc = false).collect().map(r => r.getLong(0)).toSet
+    assert(bottom1 == Set(3L, 5L)) // smallest real score wins; nulls still last
+  }
+
+  test("latest-wins compaction keeps the newest version per key") {
+    val log = Seq(
+      (10L, "k1", 1L, "v1"), (11L, "k1", 3L, "v3"), (12L, "k1", 2L, "v2"),
+      (20L, "k2", 5L, "x1"), (21L, "k2", 5L, "x2"),     // version tie → higher id
+      (30L, "k3", 9L, "only"),
+    ).toDF("row_id", "key", "version", "payload")
+    val got = Dedup.compactLatest(log, "key", "version", "row_id")
+      .collect().map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(got == Map("k1" -> "v3", "k2" -> "x2", "k3" -> "only"))
+  }
+
   test("binary eval: confusion counts, ratios, null exclusion, zero-denominator null") {
     val df = Seq(
       (true, true), (true, true), (true, false),          // 2 tp, 1 fn

@@ -425,6 +425,15 @@ object Drive {
     graft.ops.Stats.approxDistinct(docs, "text", Seq("source"), rsd = 0.05)
       .orderBy(col("rel_err").desc).show(3)
 
+    println("== round-5: merit quota + latest-wins compaction ==")
+    graft.ops.Sample.topKPerGroup(
+      docs.withColumn("quality", graft.ops.TextOps.qualityScore(col("text"))),
+      Seq("lang"), "quality", k = 2, tieCol = "doc_id")
+      .select(col("lang"), col("doc_id"), col("quality")).orderBy(col("lang")).show(6)
+    val versions = docs.select(col("doc_id") % 100 as "key", col("doc_id") as "version",
+      col("text"))
+    println(s"compacted ${graft.ops.Dedup.compactLatest(versions, "key", "version", "version").count()} of ${versions.count()} version rows")
+
     println("== round-5: mixture rebalance + snapshot diff ==")
     val rebal = graft.ops.Sample.resampleToShares(docs, "lang",
       Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2), "doc_id", salt = "r5")
