@@ -763,6 +763,18 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
     }),
 
+    // the same chain with the Gopher rule battery folded into the narrow
+    // gate stage via the extraGate hook
+    "q_pipeline_prepare_rules" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Pipeline.prepare(docs, docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "r4",
+        extraGate = Some(TextOps.gopherPass(col("text"), sep = " the ",
+          minWords = 20, minStopHits = 1)))
+        .select(col("doc_id"), col("split"))
+    }),
+
     // the full hygiene stack: the same chain with the fuzzy whole-document
     // pass (Jaccard >= 0.5 vs the bench slice) after exact decontamination
     "q_pipeline_prepare_fuzzy" -> ((s, dir) => {
@@ -1201,11 +1213,32 @@ object SparkEntry {
   private def oracleMd5Long(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** The gopherPass boolean recomputed inline over `text` with
+    * sep = ' the ' (the driver-query config) — the same rounded-metric
+    * comparisons as the q_text_gopher oracle, as one expression usable in
+    * a WHERE clause.
+    */
+  private def oracleGopherOk(minWords: Int, minStopHits: Int): String = {
+    val ws = "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)"
+    val segs = "list_filter(list_transform(string_split(text, ' the '), l -> trim(l)), l -> len(l) > 0)"
+    val stopHits = TextOps.gopherStopwords
+      .map(w => s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""(len($ws) >= $minWords AND len($ws) <= 100000
+       | AND round(CAST(coalesce(list_sum(list_transform($ws, w -> len(w))), 0) AS DOUBLE) / greatest(len($ws), 1), 6) >= 3.0
+       | AND round(CAST(coalesce(list_sum(list_transform($ws, w -> len(w))), 0) AS DOUBLE) / greatest(len($ws), 1), 6) <= 10.0
+       | AND round(CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) + len(regexp_extract_all(text, '…')) AS DOUBLE) / greatest(len($ws), 1), 6) <= 0.1
+       | AND round(CAST(len(list_filter($segs, l -> substr(l, 1, 1) = '-' OR substr(l, 1, 1) = '*' OR substr(l, 1, 1) = '•')) AS DOUBLE) / greatest(len($segs), 1), 6) <= 0.9
+       | AND round(CAST(len(list_filter($segs, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE) / greatest(len($segs), 1), 6) <= 0.3
+       | AND round(CAST(len(list_filter($ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / greatest(len($ws), 1), 6) >= 0.8
+       | AND $stopHits >= $minStopHits)""".stripMargin.replace("\n", " ")
+  }
+
   /** The full Pipeline.prepare chain as one DuckDB query: curation gates,
     * keep-first dedup (QUALIFY), exact 5-gram decontamination, optionally
     * the fuzzy whole-document Jaccard pass, then the salted CASE split.
     */
-  private def oraclePipelinePrepare(fuzzy: Boolean): String = {
+  private def oraclePipelinePrepare(fuzzy: Boolean, gopher: Boolean = false): String = {
     val fuzzyCtes =
       if (!fuzzy) ""
       else s""", fpairs AS (
@@ -1244,7 +1277,8 @@ object SparkEntry {
        |  FROM m
        |), kept AS (
        |  SELECT doc_id, text FROM sig
-       |  WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_3gram_frac <= 0.05
+       |  WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_3gram_frac <= 0.05${
+         if (gopher) "\n       |    AND " + oracleGopherOk(minWords = 20, minStopHits = 1) else ""}
        |  QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1
        |), ksh AS (
        |  SELECT doc_id, unnest(list_distinct(${oracleShingles(5)})) AS s0
@@ -1903,6 +1937,7 @@ object SparkEntry {
     // QUALIFY keep-first), then 5-gram NOT-IN decontamination of the
     // SURVIVORS, then the salted-hash CASE split — one DuckDB query
     "q_pipeline_prepare" -> oraclePipelinePrepare(fuzzy = false),
+    "q_pipeline_prepare_rules" -> oraclePipelinePrepare(fuzzy = false, gopher = true),
 
     // the same chain with the hygiene stack's SECOND pass: whole-document
     // fuzzy (shingle-Jaccard >= 0.5) decontamination after the exact

@@ -26,6 +26,14 @@ object Pipeline {
     * shingle-Jaccard `t` — over the exact pass's survivors, catching
     * benchmark text that reached the crawl lightly edited. `None` (the
     * default) keeps the exact-only chain.
+    *
+    * `extraGate = Some(col)` folds an additional caller-supplied boolean
+    * gate into the narrow filter stage — the hook for the rule batteries
+    * ([[TextOps.gopherPass]], a `c4Clean`-emptiness test, a trained
+    * [[Embeddings.linearScore]] threshold) without widening this
+    * signature per rule. It runs with the other gates, before anything
+    * wide; rows where the gate is null are dropped (a gate that can't
+    * decide doesn't pass).
     */
   def prepare(
       docs: DataFrame,
@@ -42,9 +50,11 @@ object Pipeline {
       fuzzyThreshold: Option[Double] = None,
       fuzzyNumHashes: Int = 128,
       fuzzyBands: Int = 32,
+      extraGate: Option[org.apache.spark.sql.Column] = None,
   ): DataFrame = {
+    val gated = extraGate.fold(docs)(g => docs.filter(g))
     val exact = TextOps.decontaminate(
-      Curate.curate(docs, textCol, idCol, lang, minQuality, maxDup3),
+      Curate.curate(gated, textCol, idCol, lang, minQuality, maxDup3),
       bench, textCol, idCol, n, minOverlap)
     val cleaned = fuzzyThreshold.fold(exact)(t =>
       Dedup.fuzzyDecontaminate(exact, bench, textCol, idCol,
