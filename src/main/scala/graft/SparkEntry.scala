@@ -820,6 +820,16 @@ object SparkEntry {
       Sample.shuffleOrder(t(s, dir, "documents"), "doc_id", nShards = 8, salt = "r5")
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // exactly-40-document eval slice, hash-ranked (TakeOrdered plan)
+    "q_sample_exact" -> ((s, dir) =>
+      Sample.sampleExact(t(s, dir, "documents"), "doc_id", n = 40, salt = "r5")
+        .select(col("doc_id"), col("lang"))),
+
+    // per-language document-length histogram, 100-char bins
+    "q_stats_histogram" -> ((s, dir) =>
+      ops.Stats.histogram(t(s, dir, "documents"), "n_chars", width = 100.0,
+        groupCols = Seq("lang")).orderBy(col("lang"), col("bin"))),
+
     // merit-ranked quota: the 3 best-quality documents per language
     "q_sample_top_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2258,6 +2268,22 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |  ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r5'")} AS h
          |FROM documents)""".stripMargin,
+
+    // exact-n slice: same hash ranking, ORDER BY + LIMIT
+    "q_sample_exact" ->
+      s"""SELECT doc_id, lang FROM documents
+         |ORDER BY ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r5'")}, doc_id
+         |LIMIT 40""".stripMargin,
+
+    // histogram mirror: same floor-bin arithmetic and bin-edge doubles
+    "q_stats_histogram" ->
+      """WITH b AS (
+        |  SELECT lang, CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 100.0) AS BIGINT) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |)
+        |SELECT lang, bin, 0.0 + bin * 100.0 AS lo, 0.0 + (bin + 1) * 100.0 AS hi,
+        |  count(*) AS n
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     // merit quota: same quality formula as q_text_quality, QUALIFY top-3
     // per language with the doc_id tiebreak

@@ -115,6 +115,24 @@ object Sample {
     df.filter(bucket < cutCol)
   }
 
+  /** Keep EXACTLY `n` rows (or every row, if the corpus is smaller),
+    * chosen as the `n` smallest salted hashes — "give me exactly 10k
+    * documents for the eval slice", where [[sampleFraction]]'s count is
+    * only approximate. Deterministic and rerun-stable like every sampler
+    * here; ties (hash collisions) break by `keyCol`.
+    *
+    * Scale shape: Spark plans the ORDER BY hash + LIMIT as
+    * TakeOrderedAndProject — each partition forwards at most `n`
+    * pre-sorted rows to one merge, no global sort, no full shuffle.
+    * Memory on the merging task is O(n): right for eval/calibration
+    * slices (up to ~millions), not for "half the corpus" — use
+    * [[sampleFraction]] there.
+    */
+  def sampleExact(df: DataFrame, keyCol: String, n: Int, salt: String = ""): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    df.orderBy(saltedHash(col(keyCol), salt), col(keyCol)).limit(n)
+  }
+
   /** Keep the top `k` rows of each group ranked by `orderCol` — "the N
     * best-scoring documents per language/domain", the merit-ranked
     * sibling of [[capPerGroup]]'s hash quota. `desc` ranks highest-first

@@ -93,6 +93,33 @@ object Stats {
     * aggregates compute in one pass / one shuffle here; `exact = false`
     * omits the exact column and the error, leaving the pure-sketch plan.
     */
+  /** Fixed-width histogram of a numeric column, optionally per group:
+    * bin `i` covers `[origin + i·width, origin + (i+1)·width)` — the
+    * distribution profile behind packing/chunking decisions ("how long
+    * are my documents") at a cost [[keySkew]]'s exact percentiles can't
+    * match at scale: ONE map-side-combined aggregation on (group, bin),
+    * output bounded by bins×groups regardless of corpus size. Null
+    * values are excluded. Empty bins are absent (a 100 TB histogram over
+    * a sparse range shouldn't materialize its gaps — densify driver-side
+    * if needed). Returns (groupCols..., bin, lo, hi, n) ordered by bin.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      width: Double,
+      groupCols: Seq[String] = Nil,
+      origin: Double = 0.0,
+  ): DataFrame = {
+    require(width > 0, "width must be positive")
+    val bin = floor((col(valueCol).cast("double") - origin) / width).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", lit(origin) + col("bin") * width)
+      .withColumn("hi", lit(origin) + (col("bin") + 1) * width)
+      .select((groupCols.map(col) ++ Seq(col("bin"), col("lo"), col("hi"), col("n"))): _*)
+  }
+
   /** Binary-classifier evaluation in one aggregation pass: confusion
     * counts (tp/fp/fn/tn) plus accuracy, precision, recall, and F1 —
     * the in-engine scorecard for gates like the trained

@@ -1516,6 +1516,33 @@ class OpsSpec extends AnyFunSuite {
     assert(sk.getDouble(5) == 6.0)    // skew = 60/10
   }
 
+  test("histogram: floor binning, group split, nulls excluded, empty bins absent") {
+    val df = Seq(("a", Some(0.0)), ("a", Some(99.9)), ("a", Some(100.0)),
+      ("a", Some(250.0)), ("b", Some(-0.5)), ("b", None)).toDF("g", "x")
+    val got = Stats.histogram(df, "x", width = 100.0, groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      ("a", 0L, 0.0, 2L),      // [0, 100): 0.0 and 99.9
+      ("a", 1L, 100.0, 1L),    // boundary value opens the next bin
+      ("a", 2L, 200.0, 1L),
+      ("b", -1L, -100.0, 1L),  // negatives floor downward; null excluded
+    ))
+  }
+
+  test("exact-n sample: exact count, deterministic, whole corpus when n exceeds it") {
+    val df = (0L until 500L).toDF("id")
+    val a = Sample.sampleExact(df, "id", n = 50, salt = "s").collect().map(_.getLong(0))
+    assert(a.length == 50 && a.distinct.length == 50)
+    val b = Sample.sampleExact(df.repartition(7), "id", n = 50, salt = "s")
+      .collect().map(_.getLong(0))
+    assert(a.sorted.toSeq == b.sorted.toSeq)         // layout-independent
+    assert(Sample.sampleExact(df, "id", n = 1000).count() == 500)
+    // different salt → different slice
+    val c = Sample.sampleExact(df, "id", n = 50, salt = "t").collect().map(_.getLong(0))
+    assert(c.sorted.toSeq != a.sorted.toSeq)
+  }
+
   test("top-k per group: merit ranking, tie by id, null scores never win") {
     val df = Seq(
       (1L, "a", Some(0.9)), (2L, "a", Some(0.9)), (3L, "a", Some(0.5)),

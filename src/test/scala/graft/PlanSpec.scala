@@ -276,6 +276,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("exact-n sample plans as TakeOrdered, never a global sort") {
+    val p = plan(graft.ops.Sample.sampleExact(docs.select($"doc_id"), "doc_id", 40, "s"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("histogram is one partial-agg aggregation on (group, bin)") {
+    val p = plan(graft.ops.Stats.histogram(docs, "n_chars", 100.0, Seq("lang")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || "HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("resample to shares plans as a narrow filter over the corpus") {
     val p = plan(graft.ops.Sample.resampleToShares(
       docs.select($"doc_id", $"lang"), "lang",
