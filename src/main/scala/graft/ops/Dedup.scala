@@ -260,6 +260,36 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming latest-wins compaction: the same newest-row-per-key
+    * semantics as [[compactLatest]], expressed as a `max_by` over the
+    * (version, tie) pair so it runs as a NATIVE streaming aggregation —
+    * state is one row per key (bounded by key cardinality, the inherent
+    * floor for compaction), updated incrementally per micro-batch, no
+    * custom state function. Works identically on a batch frame (the
+    * parity test pins stream ≡ batch). Ties break by `tieCol` HIGHEST
+    * (same rule as the batch window's `tieCol` DESC). Null versions:
+    * `max_by` ignores null ordering keys only if the struct is null —
+    * (null, tie) structs still compare (nulls sort FIRST in struct
+    * comparison, so a versionless row loses to any versioned one, same
+    * outcome as the batch form). Use complete/update output mode.
+    *
+    * Returns (keyCol, valueCols...) — the compacted current state.
+    */
+  def compactLatestStream(
+      df: DataFrame,
+      keyCol: String,
+      versionCol: String,
+      tieCol: String,
+      valueCols: Seq[String],
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    df.groupBy(col(keyCol))
+      .agg(max_by(
+        struct(valueCols.map(col): _*),
+        struct(col(versionCol), col(tieCol))).as("__latest"))
+      .select(col(keyCol) +: valueCols.map(c => col(s"__latest.`$c`")): _*)
+  }
+
   def snapshotDiff(
       oldDf: DataFrame,
       newDf: DataFrame,

@@ -399,6 +399,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming latest-wins compaction converges to the batch compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((10L, "k1", 1L, "v1"), (11L, "k2", 5L, "x1"), (12L, "k1", 3L, "v3"))
+    val b2 = Seq((13L, "k1", 2L, "v2"),                    // stale: must not win
+      (14L, "k2", 5L, "x2"),                               // version tie: higher id wins
+      (15L, "k3", 9L, "fresh"))
+    val input = MemoryStream[(Long, String, Long, String)]
+    val q = graft.ops.Dedup.compactLatestStream(
+      input.toDF().toDF("row_id", "key", "version", "payload"),
+      "key", "version", "row_id", valueCols = Seq("payload", "version"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("compact_stream").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("compact_stream").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val batch = graft.ops.Dedup.compactLatest((b1 ++ b2).toDF("row_id", "key", "version", "payload"),
+        "key", "version", "row_id")
+        .collect().map(r => r.getString(1) -> ((r.getString(3), r.getLong(2)))).toMap
+      assert(streamed == batch)
+      assert(streamed == Map("k1" -> (("v3", 3L)), "k2" -> (("x2", 5L)), "k3" -> (("fresh", 9L))))
+    } finally q.stop()
+  }
+
   test("streaming C4 cleaning + gopher gate match the batch twins (stateless)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -433,6 +433,9 @@ object Drive {
     val versions = docs.select(col("doc_id") % 100 as "key", col("doc_id") as "version",
       col("text"))
     println(s"compacted ${graft.ops.Dedup.compactLatest(versions, "key", "version", "version").count()} of ${versions.count()} version rows")
+    // same semantics through the streaming-native max_by aggregation
+    graft.ops.Dedup.compactLatestStream(versions, "key", "version", "version",
+      valueCols = Seq("version")).orderBy(col("key")).show(3)
 
     println("== round-5: mixture rebalance + snapshot diff ==")
     val rebal = graft.ops.Sample.resampleToShares(docs, "lang",
