@@ -846,10 +846,14 @@ object SparkEntry {
 
     // HLL cardinality meter: exact vs approx_count_distinct + realized
     // error per source. No oracle — DuckDB's HLL is a different sketch;
-    // the error floor is contracted in DriverSuiteSpec at both SFs
+    // the error floor is contracted in DriverSuiteSpec at both SFs.
+    // Keyed on the content DIGEST, not raw text: the exact side's
+    // distinct shuffle then moves 32-byte hex strings instead of whole
+    // documents (same count; the meter's own scale advice)
     "q_stats_approx_distinct" -> ((s, dir) =>
-      ops.Stats.approxDistinct(t(s, dir, "documents"), "text", Seq("source"),
-        rsd = 0.05).orderBy(col("source"))),
+      ops.Stats.approxDistinct(
+        t(s, dir, "documents").withColumn("digest", md5(col("text"))),
+        "digest", Seq("source"), rsd = 0.05).orderBy(col("source"))),
 
     // rebalance the corpus to a target language mix (zh dropped): one
     // driver-sized count, then a narrow hash filter

@@ -92,6 +92,9 @@ object Stats {
     * `rsd`, then drop to `exact = false` for the full corpus. Both
     * aggregates compute in one pass / one shuffle here; `exact = false`
     * omits the exact column and the error, leaving the pure-sketch plan.
+    * When `keyCol` is a WIDE column (document text), pass its digest
+    * instead — the distinct shuffle then moves 16-byte hashes, not
+    * payloads, and the count is identical up to md5 collisions.
     */
   /** Fixed-width histogram of a numeric column, optionally per group:
     * bin `i` covers `[origin + i·width, origin + (i+1)·width)` — the
