@@ -629,6 +629,13 @@ object SparkEntry {
         col("doc_id"),
         TextOps.languageId(col("text")).as("lang_pred"))),
 
+    // evaluate the language-ID heuristic against the true labels: the
+    // full confusion matrix with per-class recall shares
+    "q_text_confusion" -> ((s, dir) =>
+      ops.Stats.confusionMatrix(t(s, dir, "documents"),
+        col("lang"), TextOps.languageId(col("text")))
+        .orderBy(col("actual"), col("predicted"))),
+
     "q_text_top_tokens" -> ((s, dir) =>
       TextOps.topTokens(t(s, dir, "documents"), "text", k = 100)),
 
@@ -1713,6 +1720,35 @@ object SparkEntry {
         |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|von|ein|ist)\b')) AS s_de
         |  FROM documents
         |)""".stripMargin,
+
+    // confusion matrix over the same langid CASE; shares computed over
+    // the |classes|^2-row aggregate
+    "q_text_confusion" ->
+      """WITH p AS (
+        |  SELECT lang AS actual,
+        |    CASE
+        |      WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |      WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+        |      WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und'
+        |    END AS predicted
+        |  FROM (
+        |    SELECT lang, text,
+        |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS s_en,
+        |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|de|un|une)\b')) AS s_fr,
+        |      len(regexp_extract_all(lower(text), '\b(el|los|las|y|en|un|una)\b')) AS s_es,
+        |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|von|ein|ist)\b')) AS s_de
+        |    FROM documents
+        |  )
+        |), c AS (
+        |  SELECT actual, predicted, count(*) AS n FROM p
+        |  WHERE actual IS NOT NULL AND predicted IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT actual, predicted, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY actual), 6) AS share_of_actual
+        |FROM c ORDER BY actual, predicted""".stripMargin,
 
     "q_text_top_tokens" ->
       s"""SELECT token, count(*) AS n FROM (

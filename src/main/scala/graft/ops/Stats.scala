@@ -123,6 +123,25 @@ object Stats {
       .select((groupCols.map(col) ++ Seq(col("bin"), col("lo"), col("hi"), col("n"))): _*)
   }
 
+  /** Multi-class confusion matrix: row counts per (actual, predicted)
+    * pair plus each cell's share of its actual class (the per-class
+    * recall decomposition) — the evaluation companion to categorical
+    * predictors like [[TextOps.languageId]]. One map-side-combined
+    * aggregation on the label pair; output bounded by |classes|², so
+    * driver-sized at any corpus size. Null labels on either side are
+    * excluded (same rule as [[binaryEval]]). A window over the
+    * |classes|²-row aggregate (not the corpus) computes the shares.
+    */
+  def confusionMatrix(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val counts = df
+      .filter(actual.isNotNull && predicted.isNotNull)
+      .groupBy(actual.as("actual"), predicted.as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("actual"))
+    counts.withColumn("share_of_actual",
+      round(col("n").cast("double") / sum(col("n")).over(w), 6))
+  }
+
   /** Binary-classifier evaluation in one aggregation pass: confusion
     * counts (tp/fp/fn/tn) plus accuracy, precision, recall, and F1 —
     * the in-engine scorecard for gates like the trained

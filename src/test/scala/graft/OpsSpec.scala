@@ -1569,6 +1569,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map("k1" -> "v3", "k2" -> "x2", "k3" -> "only"))
   }
 
+  test("confusion matrix: pair counts, per-class shares, null exclusion") {
+    val df = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de"), (null: String, "en"), ("fr", null: String),
+    ).toDF("a", "p")
+    val got = Stats.confusionMatrix(df, $"a", $"p")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      ("en", "en", 2L, 0.666667),
+      ("en", "de", 1L, 0.333333),
+      ("de", "de", 1L, 1.0),
+    ))
+  }
+
   test("binary eval: confusion counts, ratios, null exclusion, zero-denominator null") {
     val df = Seq(
       (true, true), (true, true), (true, false),          // 2 tp, 1 fn
