@@ -313,6 +313,13 @@ object SparkEntry {
         numHashes = 128, bands = 32, threshold = 0.5)
         .select(col("doc_id"))),
 
+    // same clusters, best-quality representative instead of min id
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.nearDupKeepBest(t(s, dir, "documents"), "text", "doc_id",
+        score = TextOps.qualityScore(col("text")),
+        numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("doc_id"))),
+
     // the keyBlocks=2 combination-keying scale dial: pigeonhole-exact
     // recall is banding-independent, so this must equal q_dedup_simhash
     // row for row (the driver sees the billion-doc configuration produce
@@ -1566,6 +1573,18 @@ object SparkEntry {
     "q_dedup_near_keep_first" ->
       s"""SELECT doc_id FROM ($oracleNearDupComponents)
          |WHERE doc_id = dup_group""".stripMargin,
+
+    // keep-best: the same recursive-CTE clusters, ranked by the
+    // q_text_quality formula instead of min id
+    "q_dedup_keep_best" ->
+      s"""SELECT doc_id FROM (
+         |  SELECT c.doc_id, c.dup_group,
+         |    round(least(CAST($oracleWsTokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + least(round(CAST($oracleStopEn AS DOUBLE) / greatest($oracleWsTokens, 1), 6) * 5.0, 1.0) * 0.4
+         |      + (1.0 - least(round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.1, 6) AS quality
+         |  FROM ($oracleNearDupComponents) c JOIN documents d ON d.doc_id = c.doc_id
+         |)
+         |QUALIFY row_number() OVER (PARTITION BY dup_group ORDER BY quality DESC, doc_id) = 1""".stripMargin,
 
     "q_dedup_ngram_jaccard" -> oracleShingleJaccard(k = 3, threshold = 0.8),
 

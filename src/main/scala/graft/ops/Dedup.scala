@@ -945,6 +945,39 @@ object Dedup {
     nearDupGroups(df, textCol, idCol, numHashes, bands, shingleSize, threshold, materialize)
       .filter(col(idCol) === col("dup_group")).drop("dup_group")
 
+  /** Near-dup clustered dedup keeping the BEST representative per
+    * cluster by a caller-supplied score (a quality signal, a trained
+    * [[Embeddings.linearScore]], a length heuristic) instead of
+    * [[nearDupKeepFirst]]'s min-id convention — when a page exists as a
+    * clean copy and five boilerplate-laden mirrors, production dedup
+    * wants the clean one regardless of crawl order. Ties break by
+    * `idCol` ascending; null scores sort last (a scoreless copy never
+    * beats a scored one).
+    *
+    * Scale shape: everything [[nearDupGroups]] costs, plus ONE window
+    * over the grouped frame keyed on the cluster label — clusters are
+    * near-dup families (small), so the window streams without hot-key
+    * risk.
+    */
+  def nearDupKeepBest(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      score: Column,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.7,
+      materialize: Materialize = Materialize.Local,
+  ): DataFrame = {
+    val grouped = nearDupGroups(df, textCol, idCol, numHashes, bands, shingleSize,
+      threshold, materialize)
+    val w = Window.partitionBy(col("dup_group"))
+      .orderBy(score.desc_nulls_last, col(idCol))
+    grouped.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "dup_group")
+  }
+
   /** N-gram Jaccard near-duplicates: exact Jaccard over word n-gram sets,
     * with MinHash banding as the candidate generator (never all-pairs).
     * This is `minHashNearDups` re-verified with a different n — kept as its

@@ -167,6 +167,22 @@ class OpsSpec extends AnyFunSuite {
     assert(groups(4L) == 4L && groups(5L) == 5L)
   }
 
+  test("near-dup keep-best keeps the highest-scored cluster member, not the min id") {
+    // score each doc by its id so the BEST member of the 0-1-2-3 cluster
+    // is id 3 — keep-first would keep 0, keep-best must keep 3
+    val kept = Dedup.nearDupKeepBest(docs, "text", "doc_id",
+        score = $"doc_id".cast("double"),
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // a null score loses to any real score: null out the would-be winner
+    val keptNull = Dedup.nearDupKeepBest(docs, "text", "doc_id",
+        score = when($"doc_id" =!= 3L, $"doc_id".cast("double")),
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNull == Set(2L, 4L, 5L))
+  }
+
   test("Materialize.Lazy returns the same pairs as the default and caches nothing") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val lazyPairs = Dedup.minHashNearDups(docs, "text", "doc_id",
