@@ -877,6 +877,23 @@ object SparkEntry {
         "doc_id", salt = "r5")
         .select(col("doc_id"), col("lang"))),
 
+    // corpus algebra by content digest: which src0-4 docs exist verbatim
+    // in the rest of the corpus, and the subtraction that removes them
+    "q_dedup_content_intersect" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.intersectByContent(
+        d.filter(col("source").isin("src0", "src1", "src2", "src3", "src4")),
+        d.filter(!col("source").isin("src0", "src1", "src2", "src3", "src4")),
+        "text").select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    "q_dedup_content_except" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.exceptByContent(
+        d.filter(col("source").isin("src0", "src1", "src2", "src3", "src4")),
+        d.filter(!col("source").isin("src0", "src1", "src2", "src3", "src4")),
+        "text").select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // crawl-to-crawl snapshot diff: simulate the next crawl as ids >= 100
     // with every 7th document edited
     "q_dedup_snapshot_diff" -> ((s, dir) => {
@@ -2386,6 +2403,22 @@ object SparkEntry {
          |    ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r5'")} % 1000000 AS b
          |  FROM documents d JOIN cuts USING (lang)
          |) WHERE b < cut""".stripMargin,
+
+    // content-digest set ops: IN / NOT IN over the normalized md5
+    "q_dedup_content_intersect" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE source IN ('src0','src1','src2','src3','src4')
+         |  AND md5($oracleNorm) IN (
+         |    SELECT md5($oracleNorm) FROM documents
+         |    WHERE source NOT IN ('src0','src1','src2','src3','src4'))
+         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_content_except" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE source IN ('src0','src1','src2','src3','src4')
+         |  AND md5($oracleNorm) NOT IN (
+         |    SELECT md5($oracleNorm) FROM documents
+         |    WHERE source NOT IN ('src0','src1','src2','src3','src4'))
+         |ORDER BY doc_id""".stripMargin,
 
     // snapshot diff: both sides reduce to (id, normalized-content md5),
     // FULL JOIN on id, status by digest compare

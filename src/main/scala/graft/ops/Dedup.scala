@@ -237,6 +237,30 @@ object Dedup {
     * digests like the empty string (both mean "no content" here).
     * Returns (idCol, status ∈ added | removed | changed [| unchanged]).
     */
+  /** Corpus algebra by CONTENT: rows of `a` whose normalized-content
+    * digest also occurs in `b` — "which of our web docs are verbatim in
+    * the books corpus", the cross-corpus companion of the within-corpus
+    * [[exact]] dedup and the id-keyed [[snapshotDiff]]. A LEFT SEMI join
+    * on the 16-byte [[contentDigest]]: both sides reduce to slim digest
+    * rows at the scan (text never shuffles), output carries all of `a`'s
+    * columns. Broadcast applies automatically when `b` is small.
+    */
+  def intersectByContent(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    a.join(
+      b.select(contentDigest(col(textCol)).as("__ch")).dropDuplicates("__ch"),
+      contentDigest(a(textCol)) === col("__ch"), "left_semi")
+
+  /** Complement of [[intersectByContent]]: rows of `a` whose content does
+    * NOT occur in `b` — the "subtract this corpus" operator (remove the
+    * held-out set's verbatim members from the training pool, subtract a
+    * vendor dataset before license review). LEFT ANTI on the digest;
+    * same slim-join scale shape.
+    */
+  def exceptByContent(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    a.join(
+      b.select(contentDigest(col(textCol)).as("__ch")).dropDuplicates("__ch"),
+      contentDigest(a(textCol)) === col("__ch"), "left_anti")
+
   /** Latest-wins compaction: keep each key's newest row by `versionCol`
     * (a timestamp, crawl id, or sequence number) — the CDC/compaction
     * step that collapses an append-only log of document versions to the

@@ -1664,6 +1664,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("content set ops: intersect finds verbatim cross-corpus copies, except removes them") {
+    val a = Seq((1L, "Shared  Text"), (2L, "only in a"), (3L, "also shared")).toDF("id", "text")
+    val b = Seq((10L, "shared text"), (11L, "also shared"), (12L, "only in b")).toDF("id", "text")
+    // normalized matching: case/whitespace differences still intersect
+    val inter = Dedup.intersectByContent(a, b, "text").collect().map(_.getLong(0)).toSet
+    assert(inter == Set(1L, 3L))
+    val except = Dedup.exceptByContent(a, b, "text").collect().map(_.getLong(0)).toSet
+    assert(except == Set(2L))
+    // intersect + except partition a exactly
+    assert((inter ++ except) == Set(1L, 2L, 3L) && (inter & except).isEmpty)
+  }
+
   test("snapshot diff: added/removed/changed statuses, unchanged hidden by default") {
     val prev = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, null: String))
       .toDF("id", "text")
