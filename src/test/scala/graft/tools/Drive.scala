@@ -437,6 +437,16 @@ object Drive {
     graft.ops.Dedup.compactLatestStream(versions, "key", "version", "version",
       valueCols = Seq("version")).orderBy(col("key")).show(3)
 
+    println("== round-5: keep-best dedup + corpus algebra ==")
+    val keptBest = graft.ops.Dedup.nearDupKeepBest(docs, "text", "doc_id",
+      score = graft.ops.TextOps.qualityScore(col("text")),
+      numHashes = 128, bands = 32, threshold = 0.5)
+    println(s"keep-best kept ${keptBest.count()} of ${docs.count()} docs")
+    val half = docs.filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    val rest = docs.filter(!col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    println(s"verbatim cross-source copies: ${graft.ops.Dedup.intersectByContent(half, rest, "text").count()}; " +
+      s"after subtraction: ${graft.ops.Dedup.exceptByContent(half, rest, "text").count()} of ${half.count()}")
+
     println("== round-5: mixture rebalance + snapshot diff ==")
     val rebal = graft.ops.Sample.resampleToShares(docs, "lang",
       Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2), "doc_id", salt = "r5")
