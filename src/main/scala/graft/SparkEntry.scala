@@ -643,6 +643,21 @@ object SparkEntry {
         col("lang"), TextOps.languageId(col("text")))
         .orderBy(col("actual"), col("predicted"))),
 
+    // the same gate evaluated PER SOURCE: where does en-detection degrade
+    "q_text_eval_by_source" -> ((s, dir) =>
+      ops.Stats.binaryEvalByGroup(t(s, dir, "documents"),
+        col("lang") === "en", TextOps.languageId(col("text")) === "en",
+        Seq("source")).orderBy(col("source"))),
+
+    // Flesch-style readability from regexp proxies
+    "q_text_readability" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.readability(col("text")).as("readability"))),
+
+    // Zipf slope of the top-100 token frequencies (corpus fingerprint)
+    "q_lm_zipf" -> ((s, dir) =>
+      ops.Lm.zipfSlope(t(s, dir, "documents"), "text", k = 100)),
+
     "q_text_top_tokens" -> ((s, dir) =>
       TextOps.topTokens(t(s, dir, "documents"), "text", k = 100)),
 
@@ -1756,6 +1771,77 @@ object SparkEntry {
         |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|von|ein|ist)\b')) AS s_de
         |  FROM documents
         |)""".stripMargin,
+
+    // per-source binary scorecard over the same langid CASE
+    "q_text_eval_by_source" ->
+      s"""WITH p AS (
+         |  SELECT source, lang = 'en' AS a,
+         |    (CASE
+         |      WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+         |      WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+         |      WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+         |      WHEN s_de > 0 THEN 'de'
+         |      ELSE 'und'
+         |    END) = 'en' AS p
+         |  FROM (
+         |    SELECT source, lang,
+         |      len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b')) AS s_en,
+         |      len(regexp_extract_all(lower(text), '\\b(le|la|les|et|de|un|une)\\b')) AS s_fr,
+         |      len(regexp_extract_all(lower(text), '\\b(el|los|las|y|en|un|una)\\b')) AS s_es,
+         |      len(regexp_extract_all(lower(text), '\\b(der|die|das|und|von|ein|ist)\\b')) AS s_de
+         |    FROM documents
+         |  )
+         |), cm AS (
+         |  SELECT source,
+         |    sum(CASE WHEN a AND p THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN NOT a AND p THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN a AND NOT p THEN 1 ELSE 0 END) AS fn,
+         |    sum(CASE WHEN NOT a AND NOT p THEN 1 ELSE 0 END) AS tn
+         |  FROM p WHERE a IS NOT NULL AND p IS NOT NULL GROUP BY source
+         |)
+         |SELECT source, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy,
+         |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+         |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+         |  round(CASE WHEN tp * 2 + fp + fn > 0
+         |    THEN CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) END, 6) AS f1
+         |FROM cm ORDER BY source""".stripMargin,
+
+    // readability mirror: identical proxy counts and double op order
+    "q_text_readability" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN w > 0 THEN round(206.835
+         |    - 1.015 * (CAST(w AS DOUBLE) / s)
+         |    - 84.6 * (CAST(y AS DOUBLE) / w), 6) END AS readability
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len($oracleTokens) AS INTEGER) AS w,
+         |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+         |  FROM documents
+         |)""".stripMargin,
+
+    // Zipf least squares over the same top-100 head
+    "q_lm_zipf" ->
+      s"""WITH tt AS (
+         |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS r
+         |  FROM (
+         |    SELECT token, count(*) AS n FROM (
+         |      SELECT unnest($oracleTokens) AS token FROM documents
+         |    ) GROUP BY token ORDER BY n DESC, token LIMIT 100
+         |  )
+         |), s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS m,
+         |    sum(ln(CAST(r AS DOUBLE))) AS sx, sum(ln(CAST(n AS DOUBLE))) AS sy,
+         |    sum(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE))) AS sxy,
+         |    sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+         |  FROM tt
+         |)
+         |SELECT CAST(m AS BIGINT) AS n_ranks,
+         |  round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+         |  round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6) AS intercept
+         |FROM s""".stripMargin,
 
     // confusion matrix over the same langid CASE; shares computed over
     // the |classes|^2-row aggregate

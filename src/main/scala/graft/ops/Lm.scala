@@ -320,4 +320,38 @@ object Lm {
           .otherwise(lit("tail")))
       .drop("lm_cut_head", "lm_cut_mid")
   }
+
+  /** Zipf-slope corpus-health meter: least-squares slope of
+    * `ln(count) ~ ln(rank)` over the top-`k` token frequencies. Natural
+    * text sits near the Zipfian −1 (Zipf 1949; Piantadosi 2014 review);
+    * a much flatter slope flags templated/synthetic token salad, a much
+    * steeper one flags boilerplate domination — a one-row fingerprint
+    * worth tracking per crawl. Returns (n_ranks, slope, intercept),
+    * intercept in ln-count units.
+    *
+    * Scale shape: the token count is [[TextOps.topTokens]]'s
+    * partial-agg + TakeOrdered head; the regression runs over those ≤ k
+    * rows (driver-sized) — one extra tiny aggregation, no new corpus
+    * pass beyond the count shuffle.
+    */
+  def zipfSlope(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 3, "need at least 3 ranks to fit a slope")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    val ranked = TextOps.topTokens(df, textCol, k)
+      .withColumn("r", row_number().over(w))
+      .select(log(col("r").cast("double")).as("x"), log(col("n").cast("double")).as("y"))
+    ranked
+      .agg(
+        count(lit(1)).cast("double").as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("m").cast("long").as("n_ranks"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")) /
+          (col("m") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("m") * col("sxy") - col("sx") * col("sy")) /
+          (col("m") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("m"), 6)
+          .as("intercept"))
+  }
 }

@@ -152,16 +152,31 @@ object Stats {
     * global aggregation — a single driver-sized row at any corpus size.
     * Every term is plain integer/double arithmetic: full SQL oracle.
     */
-  def binaryEval(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+  def binaryEval(df: DataFrame, actual: Column, predicted: Column): DataFrame =
+    binaryEvalByGroup(df, actual, predicted, Nil)
+
+  /** [[binaryEval]] sliced by group columns — "precision/recall per
+    * source/language/shard", the scorecard view that localizes WHERE a
+    * gate misbehaves rather than averaging it away. Same null-exclusion
+    * and null-ratio rules; one aggregation, |groups| driver-sized rows.
+    */
+  def binaryEvalByGroup(
+      df: DataFrame,
+      actual: Column,
+      predicted: Column,
+      groupCols: Seq[String],
+  ): DataFrame = {
     val a = actual
     val p = predicted
     df.filter(a.isNotNull && p.isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(
         sum(when(a && p, 1L).otherwise(0L)).as("tp"),
         sum(when(!a && p, 1L).otherwise(0L)).as("fp"),
         sum(when(a && !p, 1L).otherwise(0L)).as("fn"),
         sum(when(!a && !p, 1L).otherwise(0L)).as("tn"))
       .select(
+        (groupCols.map(col) ++ Seq(
         col("tp"), col("fp"), col("fn"), col("tn"),
         round((col("tp") + col("tn")).cast("double") /
           (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
@@ -171,7 +186,7 @@ object Stats {
           col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("recall"),
         round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
           (col("tp") * 2).cast("double") / (col("tp") * 2 + col("fp") + col("fn"))), 6)
-          .as("f1"))
+          .as("f1"))): _*)
   }
 
   def approxDistinct(

@@ -776,6 +776,27 @@ object TextOps {
         (size(segs) - size(kept)).cast("long").as("n_lines_removed"))
   }
 
+  /** Flesch-style readability score from three regexp-countable proxies:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` with
+    * sentences = runs of terminal punctuation (min 1 — an unpunctuated
+    * doc is one long sentence) and syllables = vowel GROUPS (the standard
+    * dictionary-free proxy: "beautiful" → eau+i+u = 3). Not a clinical
+    * instrument — a monotone complexity signal for corpus slicing
+    * ("route simple text to the small model"), like the quality score.
+    * Words are ALPHANUMERIC tokens ([[tokens]]), so symbol-only text has
+    * no words and scores null rather than a meaningless number. Pure
+    * scan projection; every term SQL-mirrorable.
+    */
+  def readability(text: Column): Column = {
+    val words = size(tokens(text))
+    val sentences = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+    val syllables = regexp_count(lower(text), lit("[aeiouy]+"))
+    when(words > 0, round(
+      lit(206.835)
+        - lit(1.015) * (words.cast("double") / sentences)
+        - lit(84.6) * (syllables.cast("double") / words), 6))
+  }
+
   /** Clip a document to its first `maxTokens` whitespace tokens — the
     * context-budget truncation step before chunking/packing when a
     * pipeline hard-caps document length ("drop everything past 8k

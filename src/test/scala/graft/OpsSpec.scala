@@ -1585,6 +1585,53 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map("k1" -> "v3", "k2" -> "x2", "k3" -> "only"))
   }
 
+  test("readability: hand-computed Flesch proxy, unpunctuated text is one sentence") {
+    val df = Seq(
+      (0L, "Hello world."),                    // 2 words, 1 sentence, 3 vowel groups
+      (1L, "no punctuation at all here"),      // 5 words, min-1 sentence
+      (2L, "???"),                             // tokenless → null
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.readability($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(0L) == Some(math.round((206.835 - 1.015 * 2 - 84.6 * (3.0 / 2)) * 1e6) / 1e6))
+    // 5 words / min-1 sentence; vowel groups: o | u,ua,io | a | a | e,e = 8
+    assert(got(1L) == Some(math.round((206.835 - 1.015 * 5 - 84.6 * (8.0 / 5)) * 1e6) / 1e6))
+    assert(got(2L).isEmpty)
+  }
+
+  test("grouped binary eval localizes the failing slice") {
+    val df = Seq(
+      ("good", true, true), ("good", true, true), ("good", false, false),
+      ("bad", true, false), ("bad", true, false), ("bad", false, true),
+    ).toDF("src", "a", "p")
+    val rows = Stats.binaryEvalByGroup(df, $"a", $"p", Seq("src"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("accuracy")).toMap
+    assert(rows("good") == 1.0 && rows("bad") == 0.0)
+  }
+
+  test("zipf slope: exact least squares on a tiny head, near -1 on a planted zipf corpus") {
+    val tiny = Seq((0L, Seq.fill(8)("aa").mkString(" ") + " " +
+      Seq.fill(4)("bb").mkString(" ") + " " + Seq.fill(2)("cc").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Lm.zipfSlope(tiny, "text", k = 3).collect().head
+    assert(r.getLong(0) == 3L)
+    // expected slope from the same least-squares formula
+    val xs = Seq(math.log(1.0), math.log(2.0), math.log(3.0))
+    val ys = Seq(math.log(8.0), math.log(4.0), math.log(2.0))
+    val m = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(math.abs(r.getDouble(1) - math.round(slope * 1e6) / 1e6) < 1e-6)
+    // a corpus with counts ~ c/rank fits slope ≈ -1
+    val zipf = (1 to 50).flatMap(rk => Seq.fill(600 / rk)(s"tok$rk"))
+    val corpus = Seq((0L, zipf.mkString(" "))).toDF("doc_id", "text")
+    val s50 = Lm.zipfSlope(corpus, "text", k = 50).collect().head.getDouble(1)
+    assert(s50 > -1.15 && s50 < -0.85, s"slope $s50")
+  }
+
   test("confusion matrix: pair counts, per-class shares, null exclusion") {
     val df = Seq(
       ("en", "en"), ("en", "en"), ("en", "de"),
