@@ -636,6 +636,28 @@ object SparkEntry {
         col("doc_id"),
         TextOps.languageId(col("text")).as("lang_pred"))),
 
+    // langid + its abstention margin (top1 − top2 stopword score)
+    "q_text_langid_margin" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.languageId(col("text")).as("lang_pred"),
+        TextOps.languageMargin(col("text")).as("margin"))),
+
+    // the multi-source recipe end to end: measure shares, temperature-
+    // flatten (alpha = 0.5), mix deterministically with those weights —
+    // weights collected driver-side (|sources| rows, the model-read
+    // pattern), each source then a narrow hash filter
+    "q_sample_temp_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = Sample.temperatureWeights(d, "source", alpha = 0.5)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      Sample.mixCorpora(
+        w.keys.toSeq.sorted.map(src =>
+          (src, d.filter(col("source") === src).drop("source"), w(src))),
+        "doc_id", salt = "r5")
+        .select(col("source"), col("doc_id"))
+    }),
+
     // evaluate the language-ID heuristic against the true labels: the
     // full confusion matrix with per-class recall shares
     "q_text_confusion" -> ((s, dir) =>
@@ -1771,6 +1793,47 @@ object SparkEntry {
         |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|von|ein|ist)\b')) AS s_de
         |  FROM documents
         |)""".stripMargin,
+
+    // margin mirror: descending sort of the four scores, top1 − top2
+    "q_text_langid_margin" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |    WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+        |    WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+        |    WHEN s_de > 0 THEN 'de'
+        |    ELSE 'und'
+        |  END AS lang_pred,
+        |  CAST(sl[1] - sl[2] AS INTEGER) AS margin
+        |FROM (
+        |  SELECT doc_id, s_en, s_fr, s_es, s_de,
+        |    list_sort([s_en, s_fr, s_es, s_de], 'DESC') AS sl
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS s_en,
+        |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|de|un|une)\b')) AS s_fr,
+        |      len(regexp_extract_all(lower(text), '\b(el|los|las|y|en|un|una)\b')) AS s_es,
+        |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|von|ein|ist)\b')) AS s_de
+        |    FROM documents
+        |  )
+        |)""".stripMargin,
+
+    // temperature -> mixture composition: same pow/round weight CTE as
+    // q_sample_temperature, then the per-source salted millionth filter
+    "q_sample_temp_mix" ->
+      s"""WITH cnt AS (
+         |  SELECT source, count(*) AS n FROM documents GROUP BY source
+         |), z AS (
+         |  SELECT sum(pow(n, 0.5)) AS z FROM cnt
+         |), wts AS (
+         |  SELECT source, round(pow(n, 0.5) / z, 6) AS w FROM cnt CROSS JOIN z
+         |)
+         |SELECT source, doc_id FROM (
+         |  SELECT d.source, d.doc_id,
+         |    ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r5#' || source")} % 1000000 AS b,
+         |    CAST(round(w * 1000000) AS BIGINT) AS cut
+         |  FROM documents d JOIN wts USING (source)
+         |) WHERE b < cut""".stripMargin,
 
     // per-source binary scorecard over the same langid CASE
     "q_text_eval_by_source" ->

@@ -61,6 +61,19 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Language-ID confidence margin: the gap between the best and
+    * second-best per-language stopword scores — 0 means the argmax was a
+    * coin flip (route to a heavier language detector or drop), large
+    * means the call is safe. The standard abstention signal for cascaded
+    * classification; pairs with [[languageId]] as a gate
+    * (`margin >= k`). A scan projection over the same regexp counts.
+    */
+  def languageMargin(text: Column): Column = {
+    val scores = array(stopwords.map { case (_, ws) => stopwordScore(text, ws) }: _*)
+    val sorted = sort_array(scores, asc = false)
+    sorted.getItem(0) - sorted.getItem(1)
+  }
+
   /** Quality metrics + composite score. All ratios are SQL-expressible so
     * the DuckDB oracle can mirror them term by term.
     */

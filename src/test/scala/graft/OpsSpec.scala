@@ -1585,6 +1585,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map("k1" -> "v3", "k2" -> "x2", "k3" -> "only"))
   }
 
+  test("language margin: decisive text scores a gap, ambiguous text scores zero") {
+    val df = Seq(
+      (0L, "the cat and the dog of the house is in a tree"), // en-only hits
+      (1L, "un un"),                                          // fr and es tie ("un" in both)
+      (2L, "nothing matching any list"),                      // all zero → margin 0
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.languageMargin($"text").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(0L) > 0)
+    assert(got(1L) == 0)   // coin-flip call: the abstention signal fires
+    assert(got(2L) == 0)
+  }
+
   test("readability: hand-computed Flesch proxy, unpunctuated text is one sentence") {
     val df = Seq(
       (0L, "Hello world."),                    // 2 words, 1 sentence, 3 vowel groups
