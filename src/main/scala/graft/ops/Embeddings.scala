@@ -141,6 +141,39 @@ object Embeddings {
           .cast("int").as("weight"))
   }
 
+  /** Persist a trained weight table ([[trainLinearWeights]] output, or
+    * any (bucket, weight) frame) — the classifier's train-once lifecycle,
+    * same convention as `saveBpe`/`savePq`/`saveIvf`/`saveSq`: train in
+    * one job, every later session [[loadLinearWeights]]s the model
+    * instead of retraining. Null weights (an absent training class) are
+    * rejected loudly here rather than surfacing as a zeroed model later.
+    */
+  def saveLinearWeights(weights: DataFrame, path: String): Unit =
+    weights.select(col("bucket"), coalesce(col("weight"),
+        raise_error(lit("saveLinearWeights: null weight (was a training class empty?)")))
+        .as("weight"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a weight vector saved by [[saveLinearWeights]] as the dense
+    * array [[linearScore]] takes; `dim` is validated against the stored
+    * buckets (every bucket in [0, dim) exactly once).
+    */
+  def loadLinearWeights(spark: org.apache.spark.sql.SparkSession, path: String,
+      dim: Int = 64): Array[Int] = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.length == dim,
+      s"loadLinearWeights: expected $dim buckets, found ${rows.length}")
+    val w = new Array[Int](dim)
+    val seen = new Array[Boolean](dim)
+    rows.foreach { r =>
+      val b = r.getInt(r.fieldIndex("bucket"))
+      require(b >= 0 && b < dim && !seen(b), s"loadLinearWeights: bad/duplicate bucket $b")
+      seen(b) = true
+      w(b) = r.getInt(r.fieldIndex("weight"))
+    }
+    w
+  }
+
   /** Per-group centroid (dimension-wise mean) + member count of an
     * embedding column: the corpus-summary / cluster-quality primitive.
     *

@@ -663,6 +663,17 @@ class OpsSpec extends AnyFunSuite {
     val oneClass = Embeddings.trainLinearWeights(
       docs.filter($"label"), "text", $"label").collect()
     assert(oneClass.forall(_.isNullAt(1)))
+    // persistence round-trip: the loaded model scores identically
+    val dir = java.nio.file.Files.createTempDirectory("linw").toString + "/w"
+    Embeddings.saveLinearWeights(wdf, dir)
+    val loaded = Embeddings.loadLinearWeights(spark, dir)
+    assert(loaded.toSeq == w.toSeq)
+    // null weights refuse to persist (loud lifecycle, not a zeroed model)
+    intercept[Exception] {
+      Embeddings.saveLinearWeights(
+        Embeddings.trainLinearWeights(docs.filter($"label"), "text", $"label"),
+        dir + "2")
+    }
   }
 
   test("semantic dedup: planted tight clusters found via cells, keep-first keeps min id") {
