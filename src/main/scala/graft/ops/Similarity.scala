@@ -106,15 +106,17 @@ object Similarity {
     * would have ranked nulls last and could emit them when a probe has
     * fewer than k valid neighbors — that behavior is deliberately gone.)
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private def rankTopK(scored: DataFrame, k: Int, asc: Boolean = false): DataFrame =
     scored
       .filter(col("cosine").isNotNull)
       .groupBy(col("probe_id"))
       .agg(graft.functions.GraftFunctions.topKByScore(
-        col("cosine"), col("neighbor_id"), k).as("tk"))
+        if (asc) negate(col("cosine")) else col("cosine"),
+        col("neighbor_id"), k).as("tk"))
       .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("probe_id"), col("e.id").as("neighbor_id"),
-        round(col("e.score"), 6).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+        round(if (asc) negate(col("e.score")) else col("e.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Exact cosine top-k: for each probe row, the k nearest corpus rows.
     * The probe set must be small (it is broadcast); the corpus streams.
@@ -750,6 +752,71 @@ object Similarity {
       .withColumn("approx",
         -hammingDist(col("bq_code"), col("probe_code")).cast("double"))
     adcRerank(adc, corpus, probes, vecCol, idCol, k, rerank)
+  }
+
+  /** Hard-negative mining for contrastive training: for each probe
+    * (anchor), the k corpus rows MOST similar to it while still below the
+    * positive threshold — the near-miss non-positives a contrastive loss
+    * learns the most from (the "hard" band of in-batch negative mining,
+    * e.g. DPR, Karpukhin et al. 2020). `maxCos` is the exclusive positive
+    * boundary: pairs with cosine >= maxCos are presumed positives and
+    * excluded; `minCos` (optional) floors the band so trivially-unrelated
+    * pairs don't occupy slots when fewer than k hard ones exist.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — broadcast probes,
+    * one narrow corpus pass, bounded-heap top-k (the band filter runs
+    * BEFORE ranking, so the heap only sees candidate negatives). For
+    * corpus-scale anchor sets swap the crossJoin for any banded candidate
+    * generator ([[lshTopK]]'s) and keep the same band + rank tail.
+    * Output: (probe_id, neighbor_id, cosine, rank), rank 1 = hardest.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      maxCos: Double,
+      minCos: Double = -1.0,
+  ): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(minCos < maxCos, s"empty band: minCos $minCos >= maxCos $maxCos")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
+      .filter(col("cosine") < maxCos && col("cosine") >= minCos)
+    rankTopK(scored, k)
+  }
+
+  /** Hard-positive mining: for each probe, the k corpus rows LEAST
+    * similar among those above the positive threshold `minCos` — the
+    * borderline positives (rank ascending by cosine; rank 1 = hardest,
+    * i.e. lowest cosine that still counts as positive). The complement of
+    * [[hardNegatives]]: together they assemble the (anchor, hard-positive,
+    * hard-negative) triplets of a triplet/contrastive training set. Same
+    * broadcast-scan + bounded-heap shape (the heap ranks on negated
+    * cosine, so partial aggregation still moves k-entry buffers only).
+    */
+  def hardPositives(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      minCos: Double,
+  ): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
+      .filter(col("cosine") >= minCos)
+    rankTopK(scored, k, asc = true)
   }
 
   /** Recall@k of an approximate top-k result against the exact one: the
