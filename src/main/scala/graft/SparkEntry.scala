@@ -24,7 +24,7 @@ import graft.ops.{Dedup, Multimodal, Sample, Similarity, TextOps}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Dialect query against a table's own (closed-world) schema. */
@@ -41,17 +41,15 @@ object SparkEntry {
     q(t(spark, "/root/testdata/sf0.001", "lineitem"),
       "SELECT AVG(l_quantity) AS avg_qty, SUM(l_extendedprice) AS sum_price, COUNT(l_orderkey) GROUP BY l_returnflag")
 
-  /** The events table stores nanosecond timestamps, which Spark's parquet
-    * reader rejects; read them as long and convert to microsecond
-    * timestamps (UTC). Integer `div` keeps the arithmetic in long — a
-    * double-valued division loses precision above 2^53 (ns epochs are
-    * ~1.7e18) and can round an event across a window boundary.
+  /** The events table's `ts` column has shipped in two physical forms
+    * across testdata generations: nanosecond int64 (which Spark's parquet
+    * reader rejects without `nanosAsLong`) and plain `timestamp[us]`.
+    * `EventStream.normalizeTs` branches on the decoded type so either
+    * generation loads — shared with the streaming source for batch/stream
+    * parity.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
+    streaming.EventStream.readEventsBatch(s, s"$dir/events.parquet")
 
   /** lineitem with a derived boolean column (the dialect needs one for the
     * bare-field predicate F5; TPC-H has no native booleans).

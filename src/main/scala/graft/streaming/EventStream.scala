@@ -19,28 +19,57 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Event row as stored in the events table (timestamps converted to
-    * microseconds — the table itself stores nanos, which Spark's reader
-    * does not accept as TimestampType).
+  /** Event row schema. The events table's `ts` has shipped in two physical
+    * forms across testdata generations — nanosecond int64 and plain
+    * `timestamp[us]` — so the schema is parameterized on the stored type;
+    * `normalizeTs` converts either to microsecond TimestampType.
     */
-  val eventSchema: StructType = StructType(Seq(
+  def eventSchema(tsType: DataType = TimestampType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos; converted on read
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType),
   ))
 
-  /** Streaming read of an events parquet path (file-source). */
+  /** Normalize the `ts` column to microsecond TimestampType regardless of
+    * which physical form the parquet stored. Integer `div` keeps the ns→µs
+    * arithmetic in long — a double-valued division loses precision on ns
+    * epochs (~1.7e18 > 2^53) and can shift an event across a window
+    * boundary.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // NTZ decodes when the footer lacks isAdjustedToUTC; watermarks and
+    // window() require TimestampType. The cast interprets the wall-clock
+    // in the session timezone — callers pin it to UTC, making the cast an
+    // identity on the stored microseconds.
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df // TimestampType: already microseconds
+  }
+
+  /** Streaming read of an events parquet path (file-source). The stream
+    * schema must be declared up front, so probe the on-disk `ts` type with
+    * a batch footer read (falling back to TimestampType for an
+    * as-yet-empty directory) and normalize after.
+    */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(path)
-      // integer div: a double-valued division loses precision on ns epochs
-      // (~1.7e18 > 2^53) and can shift an event across a window boundary
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tsType = scala.util
+      .Try(spark.read.parquet(path).schema("ts").dataType)
+      .getOrElse(TimestampType: DataType)
+    normalizeTs(spark.readStream.schema(eventSchema(tsType)).parquet(path))
+  }
+
+  /** Batch read of an events parquet path with the same ts normalization
+    * as the stream — batch/streaming parity for the events family.
+    */
+  def readEventsBatch(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeTs(spark.read.parquet(path))
   }
 
   /** Tumbling-window counts/sums per event type with a watermark bounding

@@ -31,10 +31,8 @@ class StreamingSpec extends AnyFunSuite {
         .select($"window_start", $"event_type", $"n_events", $"sum_value")
         .collect().map(_.toString).sorted
 
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batch = spark.read.schema(EventStream.eventSchema)
-        .parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val batch = EventStream
+        .readEventsBatch(spark, "/root/testdata/sf0.001/events.parquet")
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
         .select($"w.start".as("window_start"), $"event_type", $"n_events", $"sum_value")
