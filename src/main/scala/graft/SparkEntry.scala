@@ -433,6 +433,27 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // hard-band mining for contrastive training sets: the 0.25 positive
+    // threshold sits at ~p99 of the synthetic corpus's cosine distribution
+    // (median ~0.005, max ~0.49), so both bands are populated — negatives
+    // mine [0.05, 0.25), positives everything above. Full DuckDB oracles
+    // (band + row_number), unlike the approximate ANN rows.
+    "q_sim_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, maxCos = 0.25, minCos = 0.05)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    "q_sim_hard_positives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardPositives(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, minCos = 0.25)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // PQ-compressed ANN (asymmetric distance + exact re-rank): the
     // memory-compression path — approximate by contract, rows-only
     "q_sim_pq_topk" -> ((s, dir) => {
@@ -1752,6 +1773,43 @@ object SparkEntry {
         |             c.vec_id) AS rank
         |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) p
         |  WHERE c.vec_id <> p.vec_id
+        |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // band filter on round(cosine, 6) — mirrors hardNegatives/hardPositives,
+    // which band on the reported (rounded) value so the advertised exclusive
+    // boundary holds on the output; zero vectors excluded like the Spark side
+    "q_sim_hard_negatives" ->
+      """SELECT probe_id, neighbor_id, round(round(cosine, 6), 4) AS cosine, rank FROM (
+        |  SELECT probe_id, neighbor_id, cosine,
+        |         row_number() OVER (
+        |           PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        |             / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cosine
+        |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) p
+        |    WHERE c.vec_id <> p.vec_id
+        |      AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0
+        |      AND list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) > 0
+        |  ) WHERE round(cosine, 6) < 0.25 AND round(cosine, 6) >= 0.05
+        |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_sim_hard_positives" ->
+      """SELECT probe_id, neighbor_id, round(round(cosine, 6), 4) AS cosine, rank FROM (
+        |  SELECT probe_id, neighbor_id, cosine,
+        |         row_number() OVER (
+        |           PARTITION BY probe_id ORDER BY cosine ASC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        |             / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cosine
+        |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) p
+        |    WHERE c.vec_id <> p.vec_id
+        |      AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0
+        |      AND list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) > 0
+        |  ) WHERE round(cosine, 6) >= 0.25
         |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "q_text_quality" ->

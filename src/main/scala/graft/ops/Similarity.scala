@@ -40,6 +40,16 @@ object Similarity {
     vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
   }
 
+  /** True iff the vector is non-null with a positive squared norm — the
+    * prefilter that keeps [[cosineNative]]'s divisor nonzero (ANSI mode
+    * turns 0/0 into a runtime error, not a NaN). Null vectors fail the
+    * predicate too (null > 0 is null).
+    */
+  private[ops] def nonZeroVec(v: Column): Column = {
+    import graft.functions.GraftFunctions.vecDot
+    vecDot(v, v) > lit(0.0)
+  }
+
   /** Deterministic Rademacher (±1) hyperplane weights: splitmix64 of the
     * (plane, dim) index. Computed driver-side once and shipped as array
     * literals — the per-row work is then `planes` native vec_dot calls
@@ -97,8 +107,10 @@ object Similarity {
     * rows. (The naive alternative — `row_number` over
     * `partitionBy(probe_id)` — materializes every scored row of a probe
     * in one window partition: |corpus| rows per probe, a scale-killer.)
-    * Ordering matches `ORDER BY cosine DESC, neighbor_id`: ties break by
-    * ascending neighbor id, ranks are 1-based positions.
+    * Ordering matches `ORDER BY cosine DESC, neighbor_id` (or `ASC` with
+    * `asc = true`, implemented by negating the score into the heap and
+    * negating back on output — ties still break by ascending neighbor
+    * id); ranks are 1-based positions.
     *
     * Null scores are dropped EXPLICITLY before ranking (the filter is
     * visible in the plan): a null cosine means a corrupt/length-mismatched
@@ -769,6 +781,14 @@ object Similarity {
     * corpus-scale anchor sets swap the crossJoin for any banded candidate
     * generator ([[lshTopK]]'s) and keep the same band + rank tail.
     * Output: (probe_id, neighbor_id, cosine, rank), rank 1 = hardest.
+    *
+    * The band filters on the 6-decimal-ROUNDED cosine — the same value the
+    * output reports — so a consumer asserting `cosine < maxCos` on the
+    * output never sees a violation from a raw 0.7999996 printing as 0.8.
+    * Zero vectors are dropped BEFORE scoring (norm 0 makes cosine 0/0:
+    * an ANSI-mode runtime error, and NaN otherwise — which Spark orders
+    * above every number, so it would rank as the #1 "hardest" row); a
+    * NaN-element vector still scores NaN and is dropped explicitly after.
     */
   def hardNegatives(
       corpus: DataFrame,
@@ -783,11 +803,15 @@ object Similarity {
     require(minCos < maxCos, s"empty band: minCos $minCos >= maxCos $maxCos")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .filter(nonZeroVec(col("cvec")))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .filter(nonZeroVec(col("pvec")))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
-      .filter(col("cosine") < maxCos && col("cosine") >= minCos)
+      .filter(!isnan(col("cosine")))
+      .filter(round(col("cosine"), 6) < maxCos &&
+        round(col("cosine"), 6) >= minCos)
     rankTopK(scored, k)
   }
 
@@ -799,6 +823,8 @@ object Similarity {
     * hard-negative) triplets of a triplet/contrastive training set. Same
     * broadcast-scan + bounded-heap shape (the heap ranks on negated
     * cosine, so partial aggregation still moves k-entry buffers only).
+    * The floor filters on the rounded cosine and NaNs are dropped — see
+    * [[hardNegatives]] for why both matter.
     */
   def hardPositives(
       corpus: DataFrame,
@@ -811,11 +837,14 @@ object Similarity {
     require(k >= 1, "need k >= 1")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .filter(nonZeroVec(col("cvec")))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .filter(nonZeroVec(col("pvec")))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
-      .filter(col("cosine") >= minCos)
+      .filter(!isnan(col("cosine")))
+      .filter(round(col("cosine"), 6) >= minCos)
     rankTopK(scored, k, asc = true)
   }
 

@@ -2053,4 +2053,61 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(approx == got)
   }
+
+  // ---- hard-negative / hard-positive mining ----
+  // Planted bands: each corpus vector (c, sqrt(1-c^2), 0) has cosine ~c
+  // with the anchor (1,0,0); the duplicate has cosine exactly 1.0 (pins
+  // the exclusive maxCos boundary without float-equality games) and the
+  // zero vector yields NaN (0/0) and must never surface.
+  private lazy val bandVecs = Seq(
+    (100L, Array(1.0f, 0.0f, 0.0f)),        // anchor (also in corpus)
+    (1L, Array(1.0f, 0.0f, 0.0f)),          // exact dup: cosine 1.0
+    (2L, Array(0.95f, 0.3122499f, 0.0f)),   // ~0.95
+    (3L, Array(0.85f, 0.5267827f, 0.0f)),   // ~0.85
+    (4L, Array(0.7f, 0.7141428f, 0.0f)),    // ~0.70
+    (5L, Array(0.5f, 0.8660254f, 0.0f)),    // ~0.50
+    (6L, Array(0.2f, 0.9797959f, 0.0f)),    // ~0.20
+    (7L, Array(0.0f, 0.0f, 0.0f)),          // zero vector: NaN cosine
+  ).toDF("vec_id", "embedding")
+  private lazy val bandProbe = bandVecs.filter($"vec_id" === 100L)
+
+  test("hardNegatives keeps only the [minCos, maxCos) band, hardest first") {
+    val got = Similarity.hardNegatives(bandVecs, bandProbe, "embedding", "vec_id",
+      k = 10, maxCos = 0.8, minCos = 0.4).orderBy($"rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toList == List(4L, 5L))
+    assert(got.map(_.getAs[Int]("rank")).toList == List(1, 2))
+    assert(got.forall { r =>
+      val c = r.getAs[Double]("cosine"); c >= 0.4 && c < 0.8
+    })
+  }
+
+  test("hardNegatives maxCos boundary is exclusive on the reported cosine") {
+    val got = Similarity.hardNegatives(bandVecs, bandProbe, "embedding", "vec_id",
+      k = 10, maxCos = 1.0).orderBy($"rank").collect()
+    // the exact dup (cosine 1.0) is a presumed positive — excluded; the
+    // hardest surviving negative is the ~0.95 row
+    assert(!got.map(_.getAs[Long]("neighbor_id")).contains(1L))
+    assert(got.head.getAs[Long]("neighbor_id") == 2L)
+    assert(got.forall(_.getAs[Double]("cosine") < 1.0))
+  }
+
+  test("hardPositives ranks ascending: rank 1 = lowest cosine above the floor") {
+    val got = Similarity.hardPositives(bandVecs, bandProbe, "embedding", "vec_id",
+      k = 10, minCos = 0.8).orderBy($"rank").collect()
+    // borderline positive first (~0.85), strongest (the exact dup) last
+    assert(got.map(_.getAs[Long]("neighbor_id")).toList == List(3L, 2L, 1L))
+    assert(got.map(_.getAs[Double]("cosine")).toList.sorted ==
+      got.map(_.getAs[Double]("cosine")).toList)
+    assert(got.forall(_.getAs[Double]("cosine") >= 0.8))
+  }
+
+  test("zero vectors (NaN cosine) never surface in either miner") {
+    val negs = Similarity.hardNegatives(bandVecs, bandProbe, "embedding", "vec_id",
+      k = 10, maxCos = 0.5).collect()
+    val poss = Similarity.hardPositives(bandVecs, bandProbe, "embedding", "vec_id",
+      k = 10, minCos = 0.0).collect()
+    assert(!negs.map(_.getAs[Long]("neighbor_id")).contains(7L))
+    assert(!poss.map(_.getAs[Long]("neighbor_id")).contains(7L))
+    assert((negs ++ poss).forall(r => !r.getAs[Double]("cosine").isNaN))
+  }
 }
