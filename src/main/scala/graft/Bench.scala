@@ -21,11 +21,16 @@ import org.apache.spark.sql.SparkSession
   *    on an idle box); escalated queries are listed in the JSON;
   *  - the cache is cleared between queries so one operator's persisted
   *    intermediates can never tax another's measurement;
-  *  - a fixed single-thread canary (a hash loop of constant work) runs
-  *    before and after the query loop: its seconds depend only on how
-  *    loaded the box is, so readers can normalize the query times against
-  *    external contention (a canary far above its idle-box value means
-  *    the window was contended, not that plans regressed);
+  *  - fixed canaries (a hash loop of constant work) run before and after
+  *    the query loop, single-threaded AND all-cores: their seconds depend
+  *    only on how loaded the box is. The all-cores one sees whole-box
+  *    contention the single-thread one cannot (a half-loaded 32-core box
+  *    slows 32-thread query stages but leaves one free core for a lone
+  *    canary thread). The artifact self-describes window quality:
+  *    `load_factor` = min(before, after) all-cores canary over the
+  *    embedded idle calibration, and `contended` trips at > 1.5 — a
+  *    contended artifact's absolute times carry external inflation and
+  *    must be renormalized or rerun before being read as regressions;
   *  - the JSON line is also written to a file (SPARK_GRAFT_BENCH_OUT,
   *    default BENCH_LOCAL.json in the cwd), so consumers don't have to
   *    scrape it out of sbt's log-prefixed stdout.
@@ -48,6 +53,40 @@ object Bench {
     if (h == 0L) System.err.print("")
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Multi-threaded canary: every thread runs the same fixed hash chain
+    * concurrently; wall seconds for ALL to finish. On an idle box this is
+    * ≈ the single-thread time (each thread owns a core); under whole-box
+    * contention it inflates like the 32-thread query stages do — the
+    * round-5 window ran queries ~1.7× slow while the single-thread canary
+    * stayed flat, exactly the blind spot this closes.
+    */
+  private def canarySecondsMulti(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => {
+        var h = 42L
+        var i = 0
+        while (i < 200000000) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, 42L)
+          i += 1
+        }
+        if (h == 0L) System.err.print("")
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Idle-box calibration of [[canarySecondsMulti]] on this container
+    * class (32 cores, measured min-of-3 on a quiet box in round 6). The
+    * artifact reports `load_factor` = min(before, after) multi-canary /
+    * this constant — min, so a transient spike in one measurement doesn't
+    * condemn the window; a UNIFORMLY loaded window inflates both.
+    */
+  private val CanaryIdleCalibSec = sys.env
+    .getOrElse("SPARK_GRAFT_CANARY_CALIB", "1.6").toDouble
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,6 +133,7 @@ object Bench {
       name -> (if (ok) dt else Double.NaN)
     }
     val canaryBefore = canarySeconds()
+    val canaryMtBefore = canarySecondsMulti(cpus.toInt)
     val escalated = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // failed reps are excluded from the min (a fast failure must not
@@ -116,6 +156,14 @@ object Bench {
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val canaryAfter = canarySeconds()
+    val canaryMtAfter = canarySecondsMulti(cpus.toInt)
+    // window quality: how loaded was the whole box while queries ran.
+    // min(before, after): a transient spike in one measurement is not a
+    // contended window; a loaded window inflates both. > 1.5 means every
+    // absolute query time in this artifact carries external inflation and
+    // round-over-round comparisons should renormalize or rerun.
+    val loadFactor = math.min(canaryMtBefore, canaryMtAfter) / CanaryIdleCalibSec
+    val contended = loadFactor > 1.5
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val esc = escalated.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -123,6 +171,9 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter,""" +
+        s""""canary_mt_before_sec":$canaryMtBefore,"canary_mt_after_sec":$canaryMtAfter,""" +
+        s""""canary_idle_calib_sec":$CanaryIdleCalibSec,""" +
+        f""""load_factor":$loadFactor%.3f,"contended":$contended,""" +
         s""""escalated":$esc}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

@@ -419,7 +419,7 @@ object SparkEntry {
     "q_sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
-        k = 5, nlist = 16, nprobe = 4)
+        k = 5, nlist = 16, nprobe = 6)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -429,7 +429,7 @@ object SparkEntry {
     "q_sim_ivf_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfSearch(ivfIndexFor(s, dir, nlist = 16), emb,
-        emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, nprobe = 4)
+        emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, nprobe = 6)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -574,7 +574,7 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 5),
         Similarity.ivfSearch(ivfIndexFor(s, dir, nlist = 16), emb, probes,
-          "embedding", "vec_id", k = 5, nprobe = 4))
+          "embedding", "vec_id", k = 5, nprobe = 6))
     }),
 
     // ---- training-data pipeline: text analysis ----

@@ -157,9 +157,9 @@ class DriverSuiteSpec extends AnyFunSuite {
     // the contract behind q_sim_lsh_recall / q_sim_ivf_recall /
     // q_sim_pq_recall: the driver rows report a number, this test makes
     // the number a promise. Measured headroom at the pinned configs (lsh
-    // 5 planes × 16 tables, ivf nlist=16 nprobe=4, pq m=16 ksub=16
+    // 5 planes × 16 tables, ivf nlist=16 nprobe=6, pq m=16 ksub=16
     // rerank=8, embedding near-dup 5 planes × 12 tables): lsh 0.84/0.86,
-    // ivf 0.72/0.66, pq 0.92, embedding-dedup 0.79/0.78 at sf0.01 —
+    // ivf 0.80/0.78, pq 0.92, embedding-dedup 0.79/0.78 at sf0.01 —
     // a drop below 0.6 means the hash families or the corpus shifted, not
     // noise (the pipeline is deterministic end to end).
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");

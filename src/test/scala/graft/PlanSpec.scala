@@ -76,6 +76,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("hard-band miners broadcast probes, band-filter before the bounded heap") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for ((df, bandMarker) <- Seq(
+        Similarity.hardNegatives(emb, emb.filter($"vec_id" < 3),
+          "embedding", "vec_id", k = 5, maxCos = 0.25, minCos = 0.05)
+          -> "6) < 0.25",
+        Similarity.hardPositives(emb, emb.filter($"vec_id" < 3),
+          "embedding", "vec_id", k = 5, minCos = 0.25)
+          -> "6) >= 0.25")) {
+      val p = plan(df)
+      assert(p.contains("Broadcast"), p)        // probes broadcast, corpus streams
+      assert(p.contains("topk_by_score"), p)    // bounded-heap aggregate, no window
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // the rounded-band predicate sits in the join stage (Catalyst
+      // inlines the cosine expression into the join condition), NOT after
+      // the aggregate: the heap must only ever see in-band candidates.
+      // Plans print top-down, so the band marker's index being BELOW the
+      // aggregate's proves it executes before the heap.
+      val aggIdx = p.indexOf("topk_by_score")
+      val bandIdx = p.indexOf(bandMarker)
+      assert(aggIdx >= 0 && bandIdx > aggIdx, p)
+    }
+  }
+
   test("minhash near-dup candidate generation never plans a cartesian product") {
     // Lazy keeps the full plan visible (the default materializes eagerly
     // and returns a scan of the checkpointed result)
