@@ -454,6 +454,46 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // corpus-scale banded variants: anchors need not broadcast, candidates
+    // come from the SRP bucket join. 4 planes × 16 tables (NOT the ANN
+    // rows' 5×16): the hard band sits at LOW cosine (0.05-0.25), where
+    // fewer planes keep collision probability up. Approximate → rows-only,
+    // with recall rows vs the exact miners contracted ≥ 0.6 (measured
+    // 0.82/0.90 neg, 0.92/0.86 pos at sf0.01/sf0.1).
+    "q_sim_hard_neg_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativesLsh(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, maxCos = 0.25, minCos = 0.05, planes = 4, tables = 16)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    "q_sim_hard_pos_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardPositivesLsh(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, minCos = 0.25, planes = 4, tables = 16)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    "q_sim_hard_neg_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.hardNegatives(emb, probes, "embedding", "vec_id",
+          k = 5, maxCos = 0.25, minCos = 0.05),
+        Similarity.hardNegativesLsh(emb, probes, "embedding", "vec_id",
+          k = 5, maxCos = 0.25, minCos = 0.05, planes = 4, tables = 16))
+    }),
+
+    "q_sim_hard_pos_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.hardPositives(emb, probes, "embedding", "vec_id",
+          k = 5, minCos = 0.25),
+        Similarity.hardPositivesLsh(emb, probes, "embedding", "vec_id",
+          k = 5, minCos = 0.25, planes = 4, tables = 16))
+    }),
+
     // PQ-compressed ANN (asymmetric distance + exact re-rank): the
     // memory-compression path — approximate by contract, rows-only
     "q_sim_pq_topk" -> ((s, dir) => {

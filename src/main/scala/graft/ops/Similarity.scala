@@ -172,11 +172,33 @@ object Similarity {
       planes: Int = 12,
       tables: Int = 1,
       maxBucketSize: Int = 10000,
+  ): DataFrame =
+    rankTopK(lshScored(corpus, probes, vecCol, idCol, planes, tables,
+      maxBucketSize), k)
+
+  /** The SRP-banded candidate generation + exact scoring stage shared by
+    * [[lshTopK]] and the corpus-scale hard-band miners: banded rows carry
+    * ids only, candidate pairs dedup across tables, vectors re-join
+    * candidate-sized, exact cosine scores the survivors. Zero vectors are
+    * dropped on both sides before scoring (norm 0 makes cosine 0/0 — an
+    * ANSI-mode runtime error; their buckets are hash noise anyway).
+    * Returns (probe_id, neighbor_id, cosine).
+    */
+  private def lshScored(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      planes: Int,
+      tables: Int,
+      maxBucketSize: Int,
   ): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val dims = vecDims(corpus, vecCol)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .filter(nonZeroVec(col("cvec")))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .filter(nonZeroVec(col("pvec")))
     // Banded rows carry IDS ONLY: the tables×-exploded LSH join and the
     // candidate-pair dedup shuffle narrow (table, bucket, id) rows, never
     // the embedding vectors — the same discipline as the Dedup banding
@@ -205,11 +227,11 @@ object Similarity {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"))
       .dropDuplicates("probe_id", "neighbor_id")
-    val scored = candidates
+    candidates
       .join(c, Seq("neighbor_id"))
       .join(p, Seq("probe_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
-    rankTopK(scored, k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
@@ -843,6 +865,67 @@ object Similarity {
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
+      .filter(!isnan(col("cosine")))
+      .filter(round(col("cosine"), 6) >= minCos)
+    rankTopK(scored, k, asc = true)
+  }
+
+  /** Corpus-scale hard-negative mining: [[hardNegatives]] semantics with
+    * [[lshTopK]]'s SRP-banded candidate generation instead of the
+    * broadcast cross — the scale path the exact miner's scaladoc promises.
+    * The anchor set can be corpus-sized: both sides shuffle narrow
+    * (table, bucket, id) rows, candidate pairs dedup across tables,
+    * vectors re-join candidate-sized, and the exact-cosine band + bounded
+    * heap run on candidates only. Approximate by construction (a hard
+    * negative in no shared bucket is missed — recall follows the SRP
+    * collision math at the band's cosine, which is HIGH for the hard band
+    * near the positive threshold, exactly where LSH recall is best);
+    * measure with [[recallAtK]] against the exact miner on a probe
+    * sample. Same band/NaN discipline as the exact miner.
+    */
+  def hardNegativesLsh(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      maxCos: Double,
+      minCos: Double = -1.0,
+      planes: Int = 12,
+      tables: Int = 1,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(minCos < maxCos, s"empty band: minCos $minCos >= maxCos $maxCos")
+    val scored = lshScored(corpus, probes, vecCol, idCol, planes, tables,
+      maxBucketSize)
+      .filter(!isnan(col("cosine")))
+      .filter(round(col("cosine"), 6) < maxCos &&
+        round(col("cosine"), 6) >= minCos)
+    rankTopK(scored, k)
+  }
+
+  /** Corpus-scale hard-positive mining: [[hardPositives]] over the SRP
+    * candidate stage, ranked ascending. Note the recall asymmetry vs
+    * [[hardNegativesLsh]]: borderline positives sit at the LOW-cosine
+    * edge of the positive band, where SRP collision probability is at its
+    * weakest within the band — verify recall on a sample before trusting
+    * a tight `minCos` at scale, or raise `tables`.
+    */
+  def hardPositivesLsh(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      minCos: Double,
+      planes: Int = 12,
+      tables: Int = 1,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val scored = lshScored(corpus, probes, vecCol, idCol, planes, tables,
+      maxBucketSize)
       .filter(!isnan(col("cosine")))
       .filter(round(col("cosine"), 6) >= minCos)
     rankTopK(scored, k, asc = true)

@@ -159,13 +159,16 @@ class DriverSuiteSpec extends AnyFunSuite {
     // the number a promise. Measured headroom at the pinned configs (lsh
     // 5 planes × 16 tables, ivf nlist=16 nprobe=6, pq m=16 ksub=16
     // rerank=8, embedding near-dup 5 planes × 12 tables): lsh 0.84/0.86,
-    // ivf 0.80/0.78, pq 0.92, embedding-dedup 0.79/0.78 at sf0.01 —
+    // ivf 0.80/0.78, pq 0.92, embedding-dedup 0.79/0.78 at sf0.01,
+    // hard-band miners (4 planes × 16 tables) 0.82/0.90 neg and
+    // 0.92/0.86 pos vs their exact twins —
     // a drop below 0.6 means the hash families or the corpus shifted, not
     // noise (the pipeline is deterministic end to end).
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
          q <- Seq("q_sim_lsh_recall", "q_sim_ivf_recall", "q_sim_pq_recall",
            "q_sim_ivfpq_recall", "q_dedup_embedding_recall", "q_sim_sq_recall",
-           "q_sim_bq_recall", "q_dedup_semantic_recall")) {
+           "q_sim_bq_recall", "q_dedup_semantic_recall",
+           "q_sim_hard_neg_lsh_recall", "q_sim_hard_pos_lsh_recall")) {
       val row = SparkEntry.queries(q)(spark, dir).collect().head
       val recall = row.getAs[Double]("recall")
       assert(recall >= 0.6, s"$q at $dir: recall $recall below the 0.6 floor")

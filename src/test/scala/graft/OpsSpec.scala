@@ -2101,6 +2101,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Double]("cosine") >= 0.8))
   }
 
+  test("LSH hard miners match the exact miners at a generous table count") {
+    // planes=2, tables=8: per-table collision for an in-band pair at
+    // cosine ~0.5 is (1-θ/π)^2 ≈ 0.44, so 8 OR'd tables find it with
+    // ~0.99 probability — and the hash family is seeded/deterministic, so
+    // this is a fixed outcome, not a flaky one. With every band member
+    // found, the banded miner's output (incl. ranks — both rank by exact
+    // cosine) must EQUAL the exact miner's.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"probe_id", $"rank").collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toList
+    assert(
+      rows(Similarity.hardNegativesLsh(bandVecs, bandProbe, "embedding", "vec_id",
+        k = 10, maxCos = 0.8, minCos = 0.4, planes = 2, tables = 8)) ==
+      rows(Similarity.hardNegatives(bandVecs, bandProbe, "embedding", "vec_id",
+        k = 10, maxCos = 0.8, minCos = 0.4)))
+    assert(
+      rows(Similarity.hardPositivesLsh(bandVecs, bandProbe, "embedding", "vec_id",
+        k = 10, minCos = 0.8, planes = 2, tables = 8)) ==
+      rows(Similarity.hardPositives(bandVecs, bandProbe, "embedding", "vec_id",
+        k = 10, minCos = 0.8)))
+  }
+
   test("zero vectors (NaN cosine) never surface in either miner") {
     val negs = Similarity.hardNegatives(bandVecs, bandProbe, "embedding", "vec_id",
       k = 10, maxCos = 0.5).collect()

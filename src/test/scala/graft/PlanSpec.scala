@@ -101,6 +101,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-scale hard miners: banded equi-join, no broadcast cross of the corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(Similarity.hardNegativesLsh(emb, emb.filter($"vec_id" < 3),
+      "embedding", "vec_id", k = 5, maxCos = 0.25, minCos = 0.05,
+      planes = 4, tables = 16))
+    assert(p.contains("topk_by_score"), p)      // bounded heap ranks, not row_number
+    // ONE window is expected: the lazy-path over-full-bucket guard sizes
+    // buckets with a count window (its exchange is reused by the bucket
+    // join); ranking itself must NOT be a per-probe row_number window
+    assert(!p.contains("row_number"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // candidates come from the (table, bucket) equi-join — a nested-loop
+    // join anywhere means the banding degenerated to a cross
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("minhash near-dup candidate generation never plans a cartesian product") {
     // Lazy keeps the full plan visible (the default materializes eagerly
     // and returns a scan of the checkpointed result)

@@ -27,9 +27,24 @@ object RecallProbe {
       show("lsh 6x24", graft.ops.Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, planes = 6, tables = 24))
       show("lsh 5x24", graft.ops.Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, planes = 5, tables = 24))
       val idx16 = graft.ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 16)
-      show("ivf 16/4 (driver)", graft.ops.Similarity.ivfSearch(idx16, emb, probes, "embedding", "vec_id", 5, nprobe = 4))
-      show("ivf 16/6", graft.ops.Similarity.ivfSearch(idx16, emb, probes, "embedding", "vec_id", 5, nprobe = 6))
+      show("ivf 16/4", graft.ops.Similarity.ivfSearch(idx16, emb, probes, "embedding", "vec_id", 5, nprobe = 4))
+      show("ivf 16/6 (driver)", graft.ops.Similarity.ivfSearch(idx16, emb, probes, "embedding", "vec_id", 5, nprobe = 6))
       show("ivf 16/8", graft.ops.Similarity.ivfSearch(idx16, emb, probes, "embedding", "vec_id", 5, nprobe = 8))
+      // banded hard miners vs their exact twins (recallAtK compares
+      // (probe, neighbor) pairs, so it works for any ranked pair output)
+      val exNeg = graft.ops.Similarity.hardNegatives(emb, probes, "embedding", "vec_id",
+        k = 5, maxCos = 0.25, minCos = 0.05)
+      val exPos = graft.ops.Similarity.hardPositives(emb, probes, "embedding", "vec_id",
+        k = 5, minCos = 0.25)
+      for ((pl, tb) <- Seq((5, 16), (5, 24), (4, 16))) {
+        def negLsh = graft.ops.Similarity.hardNegativesLsh(emb, probes, "embedding", "vec_id",
+          k = 5, maxCos = 0.25, minCos = 0.05, planes = pl, tables = tb)
+        def posLsh = graft.ops.Similarity.hardPositivesLsh(emb, probes, "embedding", "vec_id",
+          k = 5, minCos = 0.25, planes = pl, tables = tb)
+        val rn = graft.ops.Similarity.recallAtK(exNeg, negLsh).collect().head.getAs[Double]("recall")
+        val rp = graft.ops.Similarity.recallAtK(exPos, posLsh).collect().head.getAs[Double]("recall")
+        println(f"$dir hardneg-lsh ${pl}x$tb: recall=$rn%.3f  hardpos-lsh: recall=$rp%.3f")
+      }
     }
     spark.stop()
   }
