@@ -474,6 +474,18 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // the capstone composition: (anchor, hard-positive, hard-negative)
+    // triplets ready for a contrastive loss — both miners are full
+    // oracles, so the assembled triplets are too
+    "q_sim_triplets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.miningTriplets(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        kPos = 3, kNeg = 3, minPosCos = 0.25, maxNegCos = 0.25, minNegCos = 0.05)
+        .withColumn("pos_cosine", round(col("pos_cosine"), 4))
+        .withColumn("neg_cosine", round(col("neg_cosine"), 4))
+        .orderBy(col("anchor_id"), col("pos_rank"), col("neg_rank"))
+    }),
+
     "q_sim_hard_neg_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 10)
@@ -1851,6 +1863,35 @@ object SparkEntry {
         |      AND list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) > 0
         |  ) WHERE round(cosine, 6) >= 0.25
         |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_sim_triplets" ->
+      """WITH scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        |           / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cosine
+        |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) p
+        |  WHERE c.vec_id <> p.vec_id
+        |    AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0
+        |    AND list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) > 0
+        |), pos AS (
+        |  SELECT probe_id AS anchor_id, neighbor_id AS pos_id,
+        |         round(round(cosine, 6), 4) AS pos_cosine, rank AS pos_rank FROM (
+        |    SELECT probe_id, neighbor_id, cosine,
+        |           row_number() OVER (PARTITION BY probe_id ORDER BY cosine ASC, neighbor_id) AS rank
+        |    FROM scored WHERE round(cosine, 6) >= 0.25
+        |  ) WHERE rank <= 3
+        |), neg AS (
+        |  SELECT probe_id AS anchor_id, neighbor_id AS neg_id,
+        |         round(round(cosine, 6), 4) AS neg_cosine, rank AS neg_rank FROM (
+        |    SELECT probe_id, neighbor_id, cosine,
+        |           row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    FROM scored WHERE round(cosine, 6) < 0.25 AND round(cosine, 6) >= 0.05
+        |  ) WHERE rank <= 3
+        |)
+        |SELECT pos.anchor_id, pos_id, neg_id, pos_cosine, neg_cosine, pos_rank, neg_rank
+        |FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+        |ORDER BY pos.anchor_id, pos_rank, neg_rank""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id, n_chars, n_words, punct_ratio, stopword_ratio, mean_word_len,

@@ -870,6 +870,43 @@ object Similarity {
     rankTopK(scored, k, asc = true)
   }
 
+  /** Contrastive-training triplet assembly: the composition the two hard
+    * miners exist for. For each anchor, the kPos hardest positives cross
+    * the kNeg hardest negatives → (anchor_id, pos_id, neg_id, pos_cosine,
+    * neg_cosine, pos_rank, neg_rank), kPos×kNeg rows per anchor — the
+    * (a, p, n) rows a triplet/InfoNCE loss consumes directly.
+    *
+    * Scale shape: both miners are broadcast-probe scans with bounded-heap
+    * tails, so each side is ≤ k rows per anchor BEFORE the final join;
+    * the triplet join is an equi-join on anchor id between two
+    * (|anchors| × k)-sized inputs — never corpus-sized. The per-anchor
+    * cross of two ≤k lists is bounded by construction (kPos×kNeg), not a
+    * data-dependent blow-up. Anchors with an empty band on either side
+    * emit no triplets (inner join): a training set wants complete
+    * triplets, not null-padded ones.
+    */
+  def miningTriplets(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      kPos: Int,
+      kNeg: Int,
+      minPosCos: Double,
+      maxNegCos: Double,
+      minNegCos: Double = -1.0,
+  ): DataFrame = {
+    val pos = hardPositives(corpus, probes, vecCol, idCol, kPos, minPosCos)
+      .select(col("probe_id").as("anchor_id"), col("neighbor_id").as("pos_id"),
+        col("cosine").as("pos_cosine"), col("rank").as("pos_rank"))
+    val neg = hardNegatives(corpus, probes, vecCol, idCol, kNeg, maxNegCos, minNegCos)
+      .select(col("probe_id").as("anchor_id"), col("neighbor_id").as("neg_id"),
+        col("cosine").as("neg_cosine"), col("rank").as("neg_rank"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("pos_cosine"), col("neg_cosine"), col("pos_rank"), col("neg_rank"))
+  }
+
   /** Corpus-scale hard-negative mining: [[hardNegatives]] semantics with
     * [[lshTopK]]'s SRP-banded candidate generation instead of the
     * broadcast cross — the scale path the exact miner's scaladoc promises.

@@ -2124,6 +2124,21 @@ class OpsSpec extends AnyFunSuite {
         k = 10, minCos = 0.8)))
   }
 
+  test("triplet assembly crosses each anchor's positives with its negatives") {
+    val got = Similarity.miningTriplets(bandVecs, bandProbe, "embedding", "vec_id",
+      kPos = 2, kNeg = 2, minPosCos = 0.8, maxNegCos = 0.8, minNegCos = 0.4)
+      .collect()
+    // positives ranked ascending: {3 (~0.85), 2 (~0.95)}; negatives
+    // descending: {4 (~0.70), 5 (~0.50)} → exactly the 2×2 cross
+    val trip = got.map(r => (r.getAs[Long]("anchor_id"),
+      r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"))).toSet
+    assert(trip == Set((100L, 3L, 4L), (100L, 3L, 5L), (100L, 2L, 4L), (100L, 2L, 5L)))
+    assert(got.forall(r => r.getAs[Double]("pos_cosine") > r.getAs[Double]("neg_cosine")))
+    val ranks = got.map(r => ((r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id")),
+      (r.getAs[Int]("pos_rank"), r.getAs[Int]("neg_rank")))).toMap
+    assert(ranks((3L, 4L)) == (1, 1)) // hardest positive × hardest negative
+  }
+
   test("zero vectors (NaN cosine) never surface in either miner") {
     val negs = Similarity.hardNegatives(bandVecs, bandProbe, "embedding", "vec_id",
       k = 10, maxCos = 0.5).collect()
