@@ -968,6 +968,97 @@ object Similarity {
     rankTopK(scored, k, asc = true)
   }
 
+  /** Streaming twin of the banded hard miners: anchors arrive as a
+    * stream, the corpus is static. The batch [[lshScored]] re-joins the
+    * probe side after candidate dedup — on a stream that would be a
+    * stream-stream join, so the streaming stage instead CARRIES the probe
+    * vector through the banding (pvec duplicated `tables`× per probe —
+    * per-micro-batch anchors are small; the corpus side still shuffles
+    * ids only). Shape: stateless band projection → stream-static
+    * (table, bucket) equi-join → stateful (probe, neighbor) dedup (the
+    * multi-table hit guard; state is per-pair and unbounded, the
+    * continuous-serving tradeoff, same as the other serving twins) →
+    * static vector re-join → band filter → ONE bounded-heap aggregation
+    * (complete mode). Spark permits the stateful dedup before the single
+    * aggregation; a second aggregation would not be allowed.
+    */
+  private def lshScoredStream(
+      corpus: DataFrame,
+      probeStream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      planes: Int,
+      tables: Int,
+      maxBucketSize: Int,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val dims = vecDims(corpus, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .filter(nonZeroVec(col("cvec")))
+    val p = probeStream.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .filter(nonZeroVec(col("pvec")))
+    def bands(vec: String): Column = explode(array((0 until tables).map { t =>
+      struct(lit(t).as("table"), srpBucket(col(vec), planes, dims, table = t).as("bucket"))
+    }: _*))
+    val bandedC = Dedup.dropOverfullBuckets(
+      c.select(col("neighbor_id"), bands("cvec").as("tb"))
+        .select(col("neighbor_id"), col("tb.table"), col("tb.bucket")),
+      Seq("table", "bucket"), maxBucketSize, "lshScoredStream", logMetric = false)
+    val bandedP = p.select(col("probe_id"), col("pvec"), bands("pvec").as("tb"))
+      .select(col("probe_id"), col("pvec"), col("tb.table"), col("tb.bucket"))
+    bandedP
+      .join(bandedC, Seq("table", "bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("pvec"), col("neighbor_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Streaming [[hardNegativesLsh]]: run with `outputMode("complete")`. */
+  def hardNegativesLshStream(
+      corpus: DataFrame,
+      probeStream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      maxCos: Double,
+      minCos: Double = -1.0,
+      planes: Int = 12,
+      tables: Int = 1,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(minCos < maxCos, s"empty band: minCos $minCos >= maxCos $maxCos")
+    val scored = lshScoredStream(corpus, probeStream, vecCol, idCol, planes,
+      tables, maxBucketSize)
+      .filter(!isnan(col("cosine")))
+      .filter(round(col("cosine"), 6) < maxCos &&
+        round(col("cosine"), 6) >= minCos)
+    rankTopK(scored, k)
+  }
+
+  /** Streaming [[hardPositivesLsh]]: run with `outputMode("complete")`. */
+  def hardPositivesLshStream(
+      corpus: DataFrame,
+      probeStream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      minCos: Double,
+      planes: Int = 12,
+      tables: Int = 1,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val scored = lshScoredStream(corpus, probeStream, vecCol, idCol, planes,
+      tables, maxBucketSize)
+      .filter(!isnan(col("cosine")))
+      .filter(round(col("cosine"), 6) >= minCos)
+    rankTopK(scored, k, asc = true)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one: the
     * fraction of true (probe, neighbor) pairs the approximate search
     * found. Both inputs are `(probe_id, neighbor_id, …)` as produced by

@@ -452,6 +452,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed anchors against the static corpus mine the batch twins' bands") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probeRows = emb.filter($"vec_id" < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def run(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            name: String): Set[(Long, Long, Int)] = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = mk(input.toDF().toDF("vec_id", "embedding"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        input.addData(probeRows.toSeq: _*)
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      } finally q.stop()
+    }
+    val negS = run(s => graft.ops.Similarity.hardNegativesLshStream(emb, s,
+      "embedding", "vec_id", k = 3, maxCos = 0.25, minCos = 0.05,
+      planes = 4, tables = 16), "hardneg_stream")
+    val negB = graft.ops.Similarity.hardNegativesLsh(emb, emb.filter($"vec_id" < 5),
+      "embedding", "vec_id", k = 3, maxCos = 0.25, minCos = 0.05,
+      planes = 4, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(negS == negB)
+    assert(negS.nonEmpty)
+    val posS = run(s => graft.ops.Similarity.hardPositivesLshStream(emb, s,
+      "embedding", "vec_id", k = 3, minCos = 0.1,
+      planes = 4, tables = 16), "hardpos_stream")
+    val posB = graft.ops.Similarity.hardPositivesLsh(emb, emb.filter($"vec_id" < 5),
+      "embedding", "vec_id", k = 3, minCos = 0.1,
+      planes = 4, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(posS == posB)
+    assert(posS.nonEmpty)
+  }
+
   test("streaming semantic dedup matches the batch increment's cross pairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
