@@ -1046,6 +1046,18 @@ object SparkEntry {
         budget = 30000L, salt = "r4")
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // epoch allocation under a 45k-token budget at 2-epoch repetition cap:
+    // weights derived from the source name (src<i> → i%5 + 1) so the
+    // water-filling exercises both regimes — at sf0.01 the high-weight
+    // sources saturate and the rest split λ proportionally; at sf0.1 the
+    // same budget saturates nothing (10× the tokens)
+    "q_sample_epoch_alloc" -> ((s, dir) =>
+      Sample.epochAllocation(t(s, dir, "documents"), "source",
+        TextOps.tokenCount(col("text")),
+        substring(col("source"), 4, 8).cast("int") % 5 + 1,
+        budgetTokens = 45000.0, maxEpochs = 2.0)
+        .orderBy(col("source"))),
+
     // per-group quantile gate: keep docs at/above their language's median
     // length — the relative-threshold curation knob (distributions differ
     // per language, so one absolute cutoff can't express this)
@@ -2770,6 +2782,41 @@ object SparkEntry {
          |QUALIFY row_number() OVER (
          |  PARTITION BY user_id
          |  ORDER BY ${oracleMd5Long("CAST(event_id AS VARCHAR) || '#r3'")}, event_id) <= 5""".stripMargin,
+
+    // water-filling mirror: the saturation flag splits the r-sorted frame
+    // (prefix caps exact-integer, same double ops as the Spark plan)
+    "q_sample_epoch_alloc" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(sum($oracleWsTokens) AS DOUBLE) AS tokens,
+         |         CAST(CAST(substr(source, 4) AS INT) % 5 + 1 AS DOUBLE) AS w
+         |  FROM documents GROUP BY source
+         |), sized AS (
+         |  SELECT *, 2.0 * tokens AS cap, (2.0 * tokens) / w AS r FROM per
+         |  WHERE tokens > 0 AND w > 0
+         |), win AS (
+         |  SELECT *,
+         |    coalesce(sum(cap) OVER (ORDER BY r, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_cap,
+         |    sum(w) OVER (ORDER BY r, source
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf_w,
+         |    least(45000.0, sum(cap) OVER ()) AS budget
+         |  FROM sized
+         |), flagged AS (
+         |  SELECT *, pre_cap + r * suf_w <= budget AS saturated FROM win
+         |), lam AS (
+         |  SELECT *,
+         |    coalesce(sum(CASE WHEN saturated THEN cap END) OVER (), 0) AS sat_cap,
+         |    sum(CASE WHEN NOT saturated THEN w END) OVER () AS unsat_w
+         |  FROM flagged
+         |)
+         |SELECT source, CAST(tokens AS BIGINT) AS tokens, CAST(w AS INT) AS weight,
+         |  cap,
+         |  round(CASE WHEN saturated THEN cap
+         |             ELSE (budget - sat_cap) / unsat_w * w END, 6) AS alloc_tokens,
+         |  round(round(CASE WHEN saturated THEN cap
+         |             ELSE (budget - sat_cap) / unsat_w * w END, 6) / tokens, 6) AS epochs,
+         |  saturated
+         |FROM lam ORDER BY source""".stripMargin,
 
     "q_sample_cap_tokens" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

@@ -366,4 +366,76 @@ object Sample {
           .cast("long") - 1L)
       .drop("__h")
   }
+
+  /** Token-budget epoch allocation — the data-constrained-scaling
+    * question ("Scaling Data-Constrained Language Models", Muennighoff
+    * et al. 2023): given a total training token budget, per-source
+    * target weights, and a repetition cap, how many tokens (epochs) of
+    * each source should the mixture draw? Proportional-to-weight
+    * allocation with per-source capacity caps `cap = maxEpochs × tokens`
+    * is the water-filling problem `alloc_i = min(cap_i, λ·w_i)` with λ
+    * set so the allocations sum to `min(budget, Σcap)`. λ has a closed
+    * form once sources are sorted by saturation point `r = cap/w`: a
+    * source saturates iff the budget needed to saturate it given every
+    * earlier source saturated — `prefixCap(before) + r·suffixW(from)` —
+    * fits the budget (monotone in r, so the flag splits the sorted frame
+    * in two), and λ is the remaining budget over the unsaturated weight.
+    *
+    * Scale shape: ONE corpus-scale aggregation (groupBy source, sum of
+    * tokens — map-side combined), then every window below runs on the
+    * |sources|-row aggregate: the single-partition WindowExec this plans
+    * is bounded by source cardinality (dozens-to-hundreds), never by
+    * corpus size. Everything stays declarative — full SQL oracle, and
+    * all arithmetic is exact-integer sums + identical-operand double
+    * ops, so the oracle matches bit-for-bit.
+    *
+    * `weight` and `tokens` are per-row expressions; weight must be
+    * constant within a source (the per-source value is taken as `max`)
+    * and positive — nonpositive/null-weight or zero-token sources are
+    * dropped from the allocation. Output per source: total tokens,
+    * weight, capacity, allocated tokens, epochs (= alloc/tokens ≤
+    * maxEpochs), and the saturation flag.
+    */
+  def epochAllocation(
+      docs: DataFrame,
+      sourceCol: String,
+      tokens: Column,
+      weight: Column,
+      budgetTokens: Double,
+      maxEpochs: Double,
+  ): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val per = docs
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(tokens).cast("double").as("tokens"),
+        max(weight).cast("double").as("w"))
+      .filter(col("tokens") > 0 && col("w") > 0)
+      .withColumn("cap", lit(maxEpochs) * col("tokens"))
+      .withColumn("r", col("cap") / col("w"))
+    val bySat = Window.orderBy(col("r"), col("source"))
+    val whole = Window.partitionBy()
+    per
+      .withColumn("pre_cap", coalesce(
+        sum(col("cap")).over(bySat.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("suf_w",
+        sum(col("w")).over(bySat.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("budget",
+        least(lit(budgetTokens), sum(col("cap")).over(whole)))
+      .withColumn("saturated",
+        col("pre_cap") + col("r") * col("suf_w") <= col("budget"))
+      .withColumn("sat_cap", coalesce(
+        sum(when(col("saturated"), col("cap"))).over(whole), lit(0.0)))
+      .withColumn("unsat_w",
+        sum(when(!col("saturated"), col("w"))).over(whole))
+      .withColumn("lambda",
+        when(col("unsat_w") > 0, (col("budget") - col("sat_cap")) / col("unsat_w")))
+      .withColumn("alloc_tokens",
+        round(when(col("saturated"), col("cap")).otherwise(col("lambda") * col("w")), 6))
+      .withColumn("epochs", round(col("alloc_tokens") / col("tokens"), 6))
+      .select(col("source"), col("tokens").cast("long").as("tokens"),
+        col("w").cast("int").as("weight"), col("cap"),
+        col("alloc_tokens"), col("epochs"), col("saturated"))
+  }
 }

@@ -2054,6 +2054,36 @@ class OpsSpec extends AnyFunSuite {
     assert(approx == got)
   }
 
+  test("epoch allocation water-fills: caps bind in r order, rest proportional") {
+    // caps (maxE=2): A 200, B 200, C 100; r = cap/w: C 20, B 50, A 200.
+    // budget 260: C saturates (needs 20×Σw=200 ≤ 260); λ = (260-100)/5
+    // = 32 → B gets 128 (1.28 epochs), A gets 32 (0.32 epochs);
+    // allocations sum exactly to the budget.
+    val docs = Seq(("A", 100L, 1), ("B", 100L, 4), ("C", 50L, 5))
+      .toDF("source", "n", "w")
+    val got = Sample.epochAllocation(docs, "source", $"n", $"w",
+      budgetTokens = 260.0, maxEpochs = 2.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("alloc_tokens"), r.getAs[Double]("epochs"),
+          r.getAs[Boolean]("saturated")))).toMap
+    assert(got("C") == ((100.0, 2.0, true)))
+    assert(got("B") == ((128.0, 1.28, false)))
+    assert(got("A") == ((32.0, 0.32, false)))
+    assert(got.values.map(_._1).sum == 260.0)
+
+    // budget beyond total capacity: everything saturates at maxEpochs
+    val full = Sample.epochAllocation(docs, "source", $"n", $"w",
+      budgetTokens = 1000.0, maxEpochs = 2.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("epochs"), r.getAs[Boolean]("saturated")))).toMap
+    assert(full.values.forall(_ == ((2.0, true))))
+
+    // zero-token / nonpositive-weight sources are excluded
+    val dirty = docs.union(Seq(("D", 0L, 3), ("E", 10L, 0)).toDF("source", "n", "w"))
+    assert(Sample.epochAllocation(dirty, "source", $"n", $"w", 260.0, 2.0)
+      .collect().map(_.getString(0)).toSet == Set("A", "B", "C"))
+  }
+
   // ---- hard-negative / hard-positive mining ----
   // Planted bands: each corpus vector (c, sqrt(1-c^2), 0) has cosine ~c
   // with the anchor (1,0,0); the duplicate has cosine exactly 1.0 (pins
