@@ -1058,6 +1058,19 @@ object SparkEntry {
         budgetTokens = 45000.0, maxEpochs = 2.0)
         .orderBy(col("source"))),
 
+    // the allocation MATERIALIZED: floor(epochs) full copies per source +
+    // a hash-sampled fractional epoch, every copy epoch-tagged
+    "q_sample_epoch_expand" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val alloc = Sample.epochAllocation(d, "source",
+        TextOps.tokenCount(col("text")),
+        substring(col("source"), 4, 8).cast("int") % 5 + 1,
+        budgetTokens = 45000.0, maxEpochs = 2.0)
+      Sample.expandEpochs(d, "source", "doc_id", alloc, salt = "r6")
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // per-group quantile gate: keep docs at/above their language's median
     // length — the relative-threshold curation knob (distributions differ
     // per language, so one absolute cutoff can't express this)
@@ -2817,6 +2830,42 @@ object SparkEntry {
          |             ELSE (budget - sat_cap) / unsat_w * w END, 6) / tokens, 6) AS epochs,
          |  saturated
          |FROM lam ORDER BY source""".stripMargin,
+
+    "q_sample_epoch_expand" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(sum($oracleWsTokens) AS DOUBLE) AS tokens,
+         |         CAST(CAST(substr(source, 4) AS INT) % 5 + 1 AS DOUBLE) AS w
+         |  FROM documents GROUP BY source
+         |), sized AS (
+         |  SELECT *, 2.0 * tokens AS cap, (2.0 * tokens) / w AS r FROM per
+         |  WHERE tokens > 0 AND w > 0
+         |), win AS (
+         |  SELECT *,
+         |    coalesce(sum(cap) OVER (ORDER BY r, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_cap,
+         |    sum(w) OVER (ORDER BY r, source
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf_w,
+         |    least(45000.0, sum(cap) OVER ()) AS budget
+         |  FROM sized
+         |), flagged AS (
+         |  SELECT *, pre_cap + r * suf_w <= budget AS saturated FROM win
+         |), lam AS (
+         |  SELECT *,
+         |    coalesce(sum(CASE WHEN saturated THEN cap END) OVER (), 0) AS sat_cap,
+         |    sum(CASE WHEN NOT saturated THEN w END) OVER () AS unsat_w
+         |  FROM flagged
+         |), alloc AS (
+         |  SELECT source, round(round(CASE WHEN saturated THEN cap
+         |      ELSE (budget - sat_cap) / unsat_w * w END, 6) / tokens, 6) AS epochs
+         |  FROM lam
+         |)
+         |SELECT d.doc_id, d.source, CAST(u.epoch AS INT) AS epoch
+         |FROM documents d JOIN alloc a USING (source),
+         |unnest(generate_series(0, CAST(floor(a.epochs) AS INT))) AS u(epoch)
+         |WHERE u.epoch < CAST(floor(a.epochs) AS INT)
+         |   OR (${oracleMd5Long("CAST(d.doc_id AS VARCHAR) || '@e' || CAST(u.epoch AS VARCHAR) || '#r6'")} % 1000000)
+         |      < CAST(floor((a.epochs - floor(a.epochs)) * 1000000.0 + 0.5) AS BIGINT)
+         |ORDER BY d.doc_id, epoch""".stripMargin,
 
     "q_sample_cap_tokens" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

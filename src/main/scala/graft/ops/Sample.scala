@@ -438,4 +438,42 @@ object Sample {
         col("w").cast("int").as("weight"), col("cap"),
         col("alloc_tokens"), col("epochs"), col("saturated"))
   }
+
+  /** Materialize an [[epochAllocation]] into the realized training mix:
+    * each source's rows appear `floor(epochs)` times in full plus a
+    * salted-hash sample of the fractional remainder, every copy tagged
+    * with an `epoch` index (0-based) so the downstream [[shuffleOrder]]
+    * can address copies independently. Fractions quantize to millionths —
+    * the same contract as [[resampleToShares]], so the fractional pick
+    * has a true SQL oracle and is rerun/layout/retry-stable; the
+    * fractional epoch's salt folds in the epoch index, keeping its pick
+    * independent of any other sample drawn from the same keys.
+    *
+    * Scale shape: the allocation table is |sources|-sized and broadcast;
+    * the explode multiplies each row by its source's ⌈epochs⌉ — that
+    * multiplication IS the requested output (the training set), not
+    * overhead — and the fractional filter is the usual narrow hash
+    * predicate. No shuffle anywhere.
+    */
+  def expandEpochs(
+      docs: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      allocation: DataFrame, // (source, epochs, …) as produced by epochAllocation
+      salt: String = "",
+  ): DataFrame = {
+    val alloc = allocation
+      .select(col("source").as("__src"), col("epochs").as("__epochs"))
+    val joined = docs.join(
+      broadcast(alloc), col(sourceCol).cast("string") === col("__src"), "inner")
+    val full = floor(col("__epochs")).cast("int")
+    val frac = col("__epochs") - floor(col("__epochs"))
+    val cut = floor(frac * 1000000.0 + 0.5).cast("long")
+    joined
+      .withColumn("epoch", explode(sequence(lit(0), full)))
+      .filter(col("epoch") < full ||
+        pmod(saltedHash(concat(col(keyCol).cast("string"), lit("@e"),
+          col("epoch").cast("string")), salt), lit(1000000L)) < cut)
+      .drop("__src", "__epochs")
+  }
 }

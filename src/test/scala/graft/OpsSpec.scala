@@ -2084,6 +2084,28 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("A", "B", "C"))
   }
 
+  test("epoch expansion: full copies exact, fractional epoch hash-sampled") {
+    val docs = (0 until 100).map(i => (i.toLong, if (i < 50) "A" else "B"))
+      .toDF("doc_id", "source")
+    val alloc = Seq(("A", 2.0), ("B", 0.5)).toDF("source", "epochs")
+    val got = Sample.expandEpochs(docs, "source", "doc_id", alloc, salt = "t")
+      .groupBy($"source", $"epoch").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // A at 2.0 epochs: epochs 0 and 1 complete, no epoch-2 stragglers
+    assert(got(("A", 0)) == 50L && got(("A", 1)) == 50L)
+    assert(!got.contains(("A", 2)))
+    // B at 0.5 epochs: one partial epoch, hash-approximate around 25 of 50
+    val b0 = got(("B", 0))
+    assert(!got.contains(("B", 1)))
+    assert(b0 > 10 && b0 < 40, s"fractional epoch kept $b0 of 50")
+    // deterministic: the same call picks the same rows
+    val again = Sample.expandEpochs(docs, "source", "doc_id", alloc, salt = "t")
+      .filter($"source" === "B").select($"doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sample.expandEpochs(docs, "source", "doc_id", alloc, salt = "t")
+      .filter($"source" === "B").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   // ---- hard-negative / hard-positive mining ----
   // Planted bands: each corpus vector (c, sqrt(1-c^2), 0) has cosine ~c
   // with the anchor (1,0,0); the duplicate has cosine exactly 1.0 (pins
