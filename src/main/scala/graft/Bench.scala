@@ -132,8 +132,12 @@ object Bench {
       clearAll()
       name -> (if (ok) dt else Double.NaN)
     }
+    // cap canary threads at physical cores: with SPARK_GRAFT_CPUS above
+    // availableProcessors the idle multi-canary would exceed single-thread
+    // time by oversubscription alone and mislabel a quiet window as loaded
+    val canaryThreads = math.min(cpus.toInt, Runtime.getRuntime.availableProcessors)
     val canaryBefore = canarySeconds()
-    val canaryMtBefore = canarySecondsMulti(cpus.toInt)
+    val canaryMtBefore = canarySecondsMulti(canaryThreads)
     val escalated = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // failed reps are excluded from the min (a fast failure must not
@@ -156,13 +160,21 @@ object Bench {
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val canaryAfter = canarySeconds()
-    val canaryMtAfter = canarySecondsMulti(cpus.toInt)
+    val canaryMtAfter = canarySecondsMulti(canaryThreads)
     // window quality: how loaded was the whole box while queries ran.
     // min(before, after): a transient spike in one measurement is not a
     // contended window; a loaded window inflates both. > 1.5 means every
     // absolute query time in this artifact carries external inflation and
     // round-over-round comparisons should renormalize or rerun.
     val loadFactor = math.min(canaryMtBefore, canaryMtAfter) / CanaryIdleCalibSec
+    // calibration-free secondary signal: multi-thread over single-thread
+    // canary from the SAME run. Idle ≈ 1 (every canary thread owns a
+    // core); whole-box contention inflates the multi canary more than the
+    // lone-thread one. Unlike load_factor it needs no per-container-class
+    // constant, so it degrades gracefully off the calibrated 32-core box
+    // (where CanaryIdleCalibSec would mislabel windows).
+    val loadFactorRel = math.min(canaryMtBefore / canaryBefore,
+      canaryMtAfter / canaryAfter)
     val contended = loadFactor > 1.5
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -173,7 +185,9 @@ object Bench {
         s""""canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter,""" +
         s""""canary_mt_before_sec":$canaryMtBefore,"canary_mt_after_sec":$canaryMtAfter,""" +
         s""""canary_idle_calib_sec":$CanaryIdleCalibSec,""" +
-        f""""load_factor":$loadFactor%.3f,"contended":$contended,""" +
+        // raw interpolation, not f"%.3f": Formatter is locale-sensitive
+        // and a comma-decimal default locale would emit invalid JSON
+        s""""load_factor":$loadFactor,"load_factor_rel":$loadFactorRel,"contended":$contended,""" +
         s""""escalated":$esc}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

@@ -351,15 +351,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     // driver-visible honesty meter for the one approximate near-DUP path:
-    // pair recall of the SRP-banded pass against the exact all-pairs
-    // cosine truth (O(n²), fine at the verification SFs). Measured at the
-    // pinned config: 0.79 (sf0.01) / 0.78 (sf0.1). CONTRACT: recall >= 0.6
-    // at the driver config, both correctness SFs, asserted by
-    // DriverSuiteSpec ("ANN recall floor") like the q_sim_*_recall rows
+    // pair recall of the SRP-banded pass against the exact cosine truth
+    // RESTRICTED to a deterministic 1-in-4 probe sample (probeOneIn —
+    // the knob that makes this meter runnable at 100 TB: truth cost is
+    // |sample| × |corpus|, not |corpus|², and restricted-truth recall is
+    // an unbiased estimate of full recall; parity with the full meter is
+    // pinned by OpsSpec "sampled exactCosinePairs ≡ full truth
+    // restricted"). CONTRACT: recall >= 0.6 at the driver config, both
+    // correctness SFs, asserted by DriverSuiteSpec ("ANN recall floor")
     "q_dedup_embedding_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Dedup.pairRecall(
-        Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45),
+        Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45,
+          probeOneIn = 4),
         Dedup.embeddingNearDups(emb, "embedding", "vec_id",
           threshold = 0.45, planes = 5, tables = 12))
     }),
@@ -372,13 +376,16 @@ object SparkEntry {
         nClusters = 8, threshold = 0.45, nProbe = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // pair recall of within-cell pairs vs the exact all-pairs truth —
-    // what the cluster-boundary trade costs at this config. CONTRACT:
-    // >= 0.6 at both correctness SFs (DriverSuiteSpec "ANN recall floor")
+    // pair recall of within-cell pairs vs the exact truth restricted to
+    // a 1-in-4 probe sample (same sampled-meter pattern as
+    // q_dedup_embedding_recall) — what the cluster-boundary trade costs
+    // at this config. CONTRACT: >= 0.6 at both correctness SFs
+    // (DriverSuiteSpec "ANN recall floor")
     "q_dedup_semantic_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Dedup.pairRecall(
-        Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45),
+        Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45,
+          probeOneIn = 4),
         Dedup.semanticDedup(emb, "embedding", "vec_id",
           nClusters = 8, threshold = 0.45, nProbe = 2))
     }),
@@ -403,16 +410,19 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // 5 planes × 16 tables: tuned for the synthetic corpus where true
+    // 5 planes × 24 tables: tuned for the synthetic corpus where true
     // neighbors sit at moderate cosine (~0.3-0.5) — more tables OR
     // together independent hash families so moderate-similarity pairs
     // still collide somewhere (see lshTopK scaladoc for the math).
-    // Measured recall@5 at this config: 0.84 (sf0.01) / 0.86 (sf0.1);
-    // the ≥ 0.6 floor is contracted in DriverSuiteSpec at both SFs.
+    // Raised from 16 tables in round 7: the hash-sampled probe set made
+    // the recall audit representative and 16 tables measured 0.672 at
+    // sf0.01 — above the 0.6 floor but within one config shift of
+    // flapping; 24 tables buys the margin for 1.5× the banded rows.
+    // The ≥ 0.6 floor is contracted in DriverSuiteSpec at both SFs.
     "q_sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
-        k = 5, planes = 5, tables = 16)
+        k = 5, planes = 5, tables = 24)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -488,7 +498,7 @@ object SparkEntry {
 
     "q_sim_hard_neg_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
       Similarity.recallAtK(
         Similarity.hardNegatives(emb, probes, "embedding", "vec_id",
           k = 5, maxCos = 0.25, minCos = 0.05),
@@ -498,7 +508,7 @@ object SparkEntry {
 
     "q_sim_hard_pos_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
       Similarity.recallAtK(
         Similarity.hardPositives(emb, probes, "embedding", "vec_id",
           k = 5, minCos = 0.25),
@@ -539,7 +549,7 @@ object SparkEntry {
 
     "q_sim_sq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
       ops.Similarity.recallAtK(
         ops.Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
         ops.Similarity.sqTopK(sqFor(s, dir, normalize = true), emb, probes,
@@ -560,25 +570,30 @@ object SparkEntry {
 
     // binary-quantization ANN (1 bit/dim): scan XOR+POPCNTs one long per
     // corpus row, exact re-rank of rerank*k — rows-only (approximate),
-    // recall contracted below
+    // recall contracted below. rerank = 64 (was 32 in round 6): 64-bit
+    // codes give only 65 distinct Hamming values, so candidate ties are
+    // massive and the cheap part (popcount scan) dwarfs the re-rank —
+    // doubling the re-ranked tail bought the recall floor a >= 0.15
+    // margin (was 0.72 vs 0.6 at sf0.1, one unlucky tie-break from
+    // flapping) for negligible scan cost.
     "q_sim_bq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       ops.Similarity.bqTopK(emb, emb.filter(col("vec_id") < 10),
-        "embedding", "vec_id", k = 5, rerank = 32)
+        "embedding", "vec_id", k = 5, rerank = 64)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
     "q_sim_bq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
       ops.Similarity.recallAtK(
         ops.Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
-        ops.Similarity.bqTopK(emb, probes, "embedding", "vec_id", 5, rerank = 32))
+        ops.Similarity.bqTopK(emb, probes, "embedding", "vec_id", 5, rerank = 64))
     }),
 
     "q_sim_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
         Similarity.pqTopK(pqFor(s, dir, m = 16, ksub = 16), emb, probes,
@@ -586,43 +601,52 @@ object SparkEntry {
     }),
 
     // IVF+PQ combined (FAISS IVFADC layout): cell pruning bounds the
-    // scan, PQ bounds bytes per scanned row — rows-only (approximate)
+    // scan, PQ bounds bytes per scanned row — rows-only (approximate).
+    // rerank = 16 (was 8 in round 6): the representative hash-sampled
+    // probe set measured 0.697 at sf0.1 — above the floor but thin;
+    // doubling the exact-rescored tail compounds both approximations'
+    // slack (cell miss + PQ distortion) for candidate-sized extra cost.
     "q_sim_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfPqTopK(ivfIndexFor(s, dir, nlist = 16),
         pqFor(s, dir, m = 16, ksub = 16), emb,
         emb.filter(col("vec_id") < 10), "embedding", "vec_id",
-        k = 5, nprobe = 8, rerank = 8)
+        k = 5, nprobe = 8, rerank = 16)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
     "q_sim_ivfpq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
         Similarity.ivfPqTopK(ivfIndexFor(s, dir, nlist = 16),
           pqFor(s, dir, m = 16, ksub = 16), emb, probes,
-          "embedding", "vec_id", 5, nprobe = 8, rerank = 8))
+          "embedding", "vec_id", 5, nprobe = 8, rerank = 16))
     }),
 
     // driver-visible approximation quality: recall@5 of each ANN path
     // against the exact brute-force result — one row the driver can watch
-    // across rounds. CONTRACT: recall >= 0.6 at the driver configs, at
-    // both correctness SFs, asserted by DriverSuiteSpec ("ANN recall
-    // floor") so these rows cannot silently drift.
+    // across rounds. The probe set is a deterministic salted hash-sample
+    // (probeSample, ~1/25 of the corpus: ~20 probes at sf0.01, ~80 at
+    // sf0.1) fed to BOTH sides, so the truth cost is |sample| × |corpus|
+    // by construction — the pattern that keeps the recall meter runnable
+    // at 100 TB (pick oneIn so the sample stays audit-sized). CONTRACT:
+    // recall >= 0.6 at the driver configs, at both correctness SFs,
+    // asserted by DriverSuiteSpec ("ANN recall floor") so these rows
+    // cannot silently drift.
     "q_sim_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 5),
         Similarity.lshTopK(emb, probes, "embedding", "vec_id", k = 5,
-          planes = 5, tables = 16))
+          planes = 5, tables = 24))
     }),
 
     "q_sim_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 5),
         Similarity.ivfSearch(ivfIndexFor(s, dir, nlist = 16), emb, probes,
@@ -1848,7 +1872,10 @@ object SparkEntry {
         |             / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
         |                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
         |             c.vec_id) AS rank
-        |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) p
+        |  FROM (SELECT * FROM embeddings
+        |        WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0) c,
+        |       (SELECT * FROM embeddings WHERE vec_id < 10
+        |        AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0) p
         |  WHERE c.vec_id <> p.vec_id
         |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 

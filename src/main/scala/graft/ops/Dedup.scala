@@ -1284,25 +1284,56 @@ object Dedup {
       .filter(col(idCol) === col("dup_group")).drop("dup_group")
   }
 
-  /** EXACT all-pairs cosine pairs at/above a threshold — the ground truth
-    * for [[embeddingNearDups]]'s recall meter. Deliberately O(n²): run it
-    * on a verification sample (the correctness SFs here), never the full
-    * corpus — that is the approximate operator's job. Output matches
+  /** EXACT cosine pairs at/above a threshold — the ground truth for
+    * [[embeddingNearDups]]'s recall meter. Output matches
     * embeddingNearDups' (id_a, id_b) shape.
+    *
+    * `probeOneIn` is the knob that makes the honesty meter runnable at
+    * corpus scale: with `probeOneIn = N > 1`, a deterministic salted
+    * hash-sample ([[Sample.sampleByHash]], a narrow scan-side filter)
+    * keeps ~1/N of the rows as PROBES, and the truth is exactly the full
+    * truth restricted to pairs incident to a sampled probe. Cost drops
+    * from |corpus|² to |sample| × |corpus| — at 100 TB pick N so |sample|
+    * is audit-sized (e.g. 1e6) and the truth side is bounded by
+    * construction. Recall measured against the restricted truth is an
+    * unbiased estimate of full-truth pair recall as long as the
+    * approximate pass doesn't condition on the (salted, private) sample —
+    * [[pairRecall]] needs no change: its semi-join only ever counts truth
+    * pairs, so the found side is restricted automatically.
+    *
+    * `probeOneIn = 1` (default) is the exact all-pairs meter —
+    * deliberately O(n²), for verification samples (the correctness SFs
+    * here), never the full corpus.
     */
   def exactCosinePairs(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double,
+      probeOneIn: Int = 1,
+      probeSalt: String = "recall-probe",
   ): DataFrame = {
+    require(probeOneIn >= 1, "probeOneIn must be >= 1")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    base.select(col("id").as("id_a"), col("vec").as("vec_a"))
-      .crossJoin(base.select(col("id").as("id_b"), col("vec").as("vec_b")))
-      .filter(col("id_a") < col("id_b"))
-      .filter(Similarity.cosineNative(col("vec_a"), col("vec_b")) >= threshold)
-      .select(col("id_a"), col("id_b"))
+    if (probeOneIn == 1) {
+      base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+        .crossJoin(base.select(col("id").as("id_b"), col("vec").as("vec_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Similarity.cosineNative(col("vec_a"), col("vec_b")) >= threshold)
+        .select(col("id_a"), col("id_b"))
+    } else {
+      // sampled probes × full corpus; pairs normalize to (min, max) and
+      // dedup because a pair with BOTH endpoints sampled is found twice
+      val probes = Sample.sampleByHash(base, "id", probeOneIn, probeSalt)
+      probes.select(col("id").as("id_p"), col("vec").as("vec_p"))
+        .crossJoin(base.select(col("id").as("id_o"), col("vec").as("vec_o")))
+        .filter(col("id_p") =!= col("id_o"))
+        .filter(Similarity.cosineNative(col("vec_p"), col("vec_o")) >= threshold)
+        .select(least(col("id_p"), col("id_o")).as("id_a"),
+          greatest(col("id_p"), col("id_o")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** Pair recall of an approximate near-dup pass against an exact truth

@@ -133,6 +133,13 @@ object Similarity {
   /** Exact cosine top-k: for each probe row, the k nearest corpus rows.
     * The probe set must be small (it is broadcast); the corpus streams.
     * Returns (probe_id, neighbor_id, cosine, rank), self-matches excluded.
+    *
+    * Zero vectors are dropped on BOTH sides before scoring — the same
+    * discipline as [[lshTopK]]'s candidate stage. This matters doubly
+    * here because bruteForceTopK is the TRUTH side of [[recallAtK]]: a
+    * zero corpus vector's NaN cosine sorts above every real number in the
+    * exact top-k while the approximate side (which prefilters) never
+    * returns it, asymmetrically depressing measured recall.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -143,7 +150,9 @@ object Similarity {
   ): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .filter(nonZeroVec(col("cvec")))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .filter(nonZeroVec(col("pvec")))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("pvec"), col("cvec")))
@@ -1067,6 +1076,24 @@ object Similarity {
     * Scale shape: a semi-join on (probe, neighbor) plus two counts; both
     * sides are k rows per probe, never corpus-sized.
     */
+  /** Deterministic probe sample for [[recallAtK]] at corpus scale: keep
+    * ~1/`oneIn` of the rows by salted hash of the id ([[Sample
+    * .sampleByHash]] — a narrow scan-side filter, same rows on any
+    * cluster layout). Feed the SAME sampled frame to both the exact side
+    * ([[bruteForceTopK]], whose cost is |probes| × |corpus|) and the
+    * approximate side, and recallAtK over the pair is an unbiased
+    * estimate of full-probe-set recall with the truth cost bounded by
+    * construction — at 100 TB pick `oneIn` so the sample is audit-sized.
+    * The salt keeps the sample private to the meter: an index tuned on
+    * the same ids it is audited with would overstate recall.
+    */
+  def probeSample(
+      probes: DataFrame,
+      idCol: String,
+      oneIn: Int,
+      salt: String = "recall-probe",
+  ): DataFrame = Sample.sampleByHash(probes, idCol, oneIn, salt)
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val pair = Seq("probe_id", "neighbor_id")
     // distinct guards against duplicate (probe, neighbor) rows in either

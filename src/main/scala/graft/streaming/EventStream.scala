@@ -53,6 +53,19 @@ object EventStream {
     * schema must be declared up front, so probe the on-disk `ts` type with
     * a batch footer read (falling back to TimestampType for an
     * as-yet-empty directory) and normalize after.
+    *
+    * SESSION-CONFIG SIDE EFFECT (shared with [[readEventsBatch]]): this
+    * sets `spark.sql.session.timeZone=UTC` and
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the CALLER'S session
+    * and leaves them set — the ns→µs long arithmetic and the NTZ cast in
+    * [[normalizeTs]] are only correct under UTC, and a scoped save/restore
+    * would race concurrent queries on the same session (Spark session
+    * config is session-global, not per-query). Any timestamp
+    * parsing/rendering elsewhere in the session switches to UTC after the
+    * first events read. Callers that need a different session timezone
+    * should read events through `SparkSession.newSession()` (separate
+    * conf, shared catalog/cache), or pin UTC session-wide up front as
+    * `Bench.main` and `SparkEntry.session` do.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -64,7 +77,9 @@ object EventStream {
   }
 
   /** Batch read of an events parquet path with the same ts normalization
-    * as the stream — batch/streaming parity for the events family.
+    * as the stream — batch/streaming parity for the events family. Shares
+    * [[readEvents]]'s documented session-config side effect (UTC session
+    * timezone + nanosAsLong stay set on the caller's session).
     */
   def readEventsBatch(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -156,12 +156,16 @@ class DriverSuiteSpec extends AnyFunSuite {
   test("ANN recall floor: driver configs keep recall@5 >= 0.6 at both SFs") {
     // the contract behind q_sim_lsh_recall / q_sim_ivf_recall /
     // q_sim_pq_recall: the driver rows report a number, this test makes
-    // the number a promise. Measured headroom at the pinned configs (lsh
-    // 5 planes × 16 tables, ivf nlist=16 nprobe=6, pq m=16 ksub=16
-    // rerank=8, embedding near-dup 5 planes × 12 tables): lsh 0.84/0.86,
-    // ivf 0.80/0.78, pq 0.92, embedding-dedup 0.79/0.78 at sf0.01,
-    // hard-band miners (4 planes × 16 tables) 0.82/0.90 neg and
-    // 0.92/0.86 pos vs their exact twins —
+    // the number a promise. Since round 7 every meter uses the SAMPLED
+    // truth pattern (probeSample oneIn=25 for the recallAtK rows,
+    // exactCosinePairs probeOneIn=4 for the pair meters) — the 100 TB
+    // configuration, exercised at the correctness SFs. Measured headroom
+    // at the pinned configs (lsh 5 planes × 24 tables, ivf nlist=16
+    // nprobe=6, pq m=16 ksub=16 rerank=8, ivfpq nprobe=8 rerank=16,
+    // bq rerank=64, embedding near-dup 5 planes × 12 tables), sf0.01 /
+    // sf0.1: lsh 0.86/0.89, ivf 0.85/0.77, pq 0.90/0.77, ivfpq
+    // 0.91/0.80, sq 1.0/1.0, bq 0.98/0.88, embedding-dedup 1.0/0.74,
+    // semantic-dedup 1.0/0.83, hard-neg 0.82/0.86, hard-pos 0.87/0.86 —
     // a drop below 0.6 means the hash families or the corpus shifted, not
     // noise (the pipeline is deterministic end to end).
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");

@@ -816,6 +816,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("sampled exactCosinePairs ≡ full truth restricted to pairs incident to the probe sample") {
+    // the contract that makes the sampled honesty meter honest: with
+    // probeOneIn = N the output is EXACTLY the full all-pairs truth
+    // filtered to pairs touching a sampled probe — not an approximation
+    // of the truth, a deterministic restriction of it. pairRecall against
+    // the restricted truth is then an unbiased estimate of full recall.
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val full = pairs(Dedup.exactCosinePairs(df, "embedding", "vec_id", threshold = 0.2))
+    val sampleIds = Sample.sampleByHash(df.select($"vec_id".as("id")), "id", 3, "recall-probe")
+      .collect().map(_.getLong(0)).toSet
+    assert(sampleIds.nonEmpty && sampleIds.size < 60, s"degenerate sample: $sampleIds")
+    val restricted = full.filter { case (a, b) => sampleIds(a) || sampleIds(b) }
+    assert(restricted.nonEmpty && restricted.size < full.size,
+      s"fixture too small to distinguish: full=${full.size} restricted=${restricted.size}")
+    val sampled = pairs(Dedup.exactCosinePairs(df, "embedding", "vec_id", threshold = 0.2,
+      probeOneIn = 3))
+    assert(sampled == restricted)
+  }
+
   test("language id picks the stopword-dominant language") {
     val df = Seq(
       (0L, "the cat and the dog play in the garden of the house"),

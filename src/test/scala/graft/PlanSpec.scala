@@ -76,6 +76,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sampled recall meter: exactCosinePairs truth side is sample-bounded") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45,
+      probeOneIn = 4)
+    // the cross join's PROBE side must carry the deterministic salted
+    // hash-sample filter (md5-derived), bounding truth cost to
+    // |sample| × |corpus| by construction — the property that makes the
+    // honesty meter runnable at 100 TB. The corpus side must NOT be
+    // filtered (the restriction is probe-side only, or the "truth" would
+    // silently shrink to sample × sample).
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    val j = joins.head
+    val probeSide =
+      if (j.left.toString.contains("md5")) j.left else j.right
+    val corpusSide = if (probeSide eq j.left) j.right else j.left
+    assert(probeSide.toString.contains("md5"),
+      s"no hash-sample filter on either join side:\n$j")
+    assert(!corpusSide.toString.contains("md5"),
+      s"corpus side unexpectedly sampled (truth would shrink to sample²):\n$j")
+  }
+
   test("hard-band miners broadcast probes, band-filter before the bounded heap") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     for ((df, bandMarker) <- Seq(
