@@ -1215,13 +1215,35 @@ object SparkEntry {
       TextOps.c4Clean(t(s, dir, "documents"), "text", "doc_id",
         sep = " the ", minLineWords = 4, requireTerminalPunct = false)),
 
-    // ---- training-data pipeline: multimodal (stub codec, real plumbing) ----
+    // ---- training-data pipeline: multimodal ----
+    // REAL header parse (round 7): payloads carry genuine container
+    // structure (PNG/JPEG/WAV/AVI, built declaratively from the
+    // documents table), decodeMeta walks the actual bytes (media_meta
+    // native expression), and the oracle rebuilds the same header bytes
+    // in DuckDB blob SQL and parses the dimensions back out of them at
+    // the container offsets — both engines read the numbers out of the
+    // bytes, neither copies the generator formulas.
     "q_mm_decode_meta" -> ((s, dir) => {
-      val media = Multimodal.syntheticMediaTable(t(s, dir, "documents"))
+      graft.functions.GraftFunctions.register(s)
+      val media = Multimodal.encodedMediaTable(t(s, dir, "documents"))
       media.select(col("media_id"), col("modality"),
-        Multimodal.decodeMeta(col("payload"), col("modality")).as("meta"))
-        .select(col("media_id"), col("modality"),
-          col("meta.width"), col("meta.height"), col("meta.sample_rate"), col("meta.n_frames"))
+        Multimodal.decodeMeta(col("payload")).as("m"))
+        .select(col("media_id"), col("modality"), col("m.format").as("format"),
+          col("m.width"), col("m.height"), col("m.sample_rate"), col("m.n_frames"))
+    }),
+
+    // parse → resize composition over the REAL parsed metadata: the
+    // round-6 resize row kept its synthetic-metadata oracle; this one
+    // proves resizeMeta composes on decodeMeta's output unchanged
+    "q_mm_decode_resize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val media = Multimodal.encodedMediaTable(t(s, dir, "documents"))
+      media.select(col("media_id"), Multimodal.decodeMeta(col("payload")).as("m"))
+        .filter(col("m.width").isNotNull)
+        .select(col("media_id"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          Multimodal.resizeMeta(col("m"), 256).getField("width").as("r_width"),
+          Multimodal.resizeMeta(col("m"), 256).getField("height").as("r_height"))
     }),
 
     // features are array<float>; canonicalized to a fixed-format joined
@@ -1414,6 +1436,89 @@ object SparkEntry {
     */
   private def oracleMd5Long(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Little-endian u32 of an int expression as 8 hex chars (byte-swapped
+    * big-endian hex) — the DuckDB mirror of Multimodal's `le32` byte
+    * builder, emitted as hex text to be `unhex`ed into the header blob.
+    */
+  private def oracleLe32Hex(e: String): String =
+    s"substr(lpad(hex($e),8,'0'),7,2)||substr(lpad(hex($e),8,'0'),5,2)||" +
+      s"substr(lpad(hex($e),8,'0'),3,2)||substr(lpad(hex($e),8,'0'),1,2)"
+
+  /** Parse a big-endian unsigned int out of the header blob's hex dump
+    * `hh` at 1-based BYTE offset `byteOff`, `nBytes` wide.
+    */
+  private def oracleBeParse(byteOff: Int, nBytes: Int): String =
+    s"CAST('0x'||substr(hh,${2 * byteOff - 1},${2 * nBytes}) AS BIGINT)"
+
+  /** Parse a little-endian u32 out of the header hex dump `hh` at 1-based
+    * BYTE offset `byteOff` (swap the four byte pairs, then read as hex).
+    */
+  private def oracleLeParse(byteOff: Int): String = {
+    val c = 2 * byteOff - 1
+    s"CAST('0x'||substr(hh,${c + 6},2)||substr(hh,${c + 4},2)||" +
+      s"substr(hh,${c + 2},2)||substr(hh,$c,2) AS BIGINT)"
+  }
+
+  /** The decode-meta oracle core: rebuild the SAME container header bytes
+    * the Spark encoder writes (PNG sig+IHDR / JPEG SOI+APP0+SOF0 / WAV
+    * RIFF+fmt / AVI RIFF+hdrl+avih, as one unhex'ed blob), then detect
+    * the format from the magic bytes and parse the dimensions back OUT of
+    * the bytes at the container offsets — the oracle reads the numbers
+    * from the blob exactly like the media_meta expression does, it does
+    * not shortcut to the generator formulas. Yields (media_id, modality,
+    * format, width, height, sample_rate, n_frames).
+    */
+  private lazy val oracleDecodeMeta: String = {
+    // header hex layouts; text bytes ride after these prefixes and are
+    // irrelevant to the parse (all parsed fields sit inside the prefix)
+    val pngHex = "'89504E470D0A1A0A'||'0000000D'||'49484452'" + // sig, len 13, IHDR
+      "||lpad(hex(w),8,'0')||lpad(hex(h),8,'0')"
+    val jpegHex = "'FFD8'||'FFE00010'||'4A464946'||'00010100000100010000'" + // SOI, APP0 len 16, JFIF\0...
+      "||'FFC0000B08'||lpad(hex(h),4,'0')||lpad(hex(w),4,'0')" // SOF0 len 11, prec 8, H, W
+    val wavHex = s"'52494646'||${oracleLe32Hex("36+len")}||'57415645'" + // RIFF, size, WAVE
+      s"||'666D7420'||'10000000'||'01000100'||${oracleLe32Hex("rate")}" // fmt , 16, PCM mono, rate
+    val aviHex = s"'52494646'||${oracleLe32Hex("88+len")}||'41564920'" + // RIFF, size, AVI_
+      s"||'4C495354'||'44000000'||'6864726C'||'61766968'||'38000000'" + // LIST, 68, hdrl, avih, 56
+      s"||${oracleLe32Hex("33333")}||'000000000000000000000000'" + // µs/frame, 3 zero dwords
+      s"||${oracleLe32Hex("fr")}||'00000000'||'01000000'||'00000000'" + // frames, initial, streams, bufsize
+      s"||${oracleLe32Hex("w")}||${oracleLe32Hex("h")}" // dwWidth, dwHeight
+    s"""SELECT doc_id AS media_id, modality,
+       |  CASE WHEN substr(hh,1,16) = '89504E470D0A1A0A' THEN 'png'
+       |       WHEN substr(hh,1,4) = 'FFD8' THEN 'jpeg'
+       |       WHEN substr(hh,1,8) = '52494646' AND substr(hh,17,8) = '57415645' THEN 'wav'
+       |       WHEN substr(hh,1,8) = '52494646' AND substr(hh,17,8) = '41564920' THEN 'avi'
+       |  END AS format,
+       |  CAST(CASE WHEN substr(hh,1,16) = '89504E470D0A1A0A' THEN ${oracleBeParse(17, 4)}
+       |            WHEN substr(hh,1,4) = 'FFD8' THEN ${oracleBeParse(28, 2)}
+       |            WHEN substr(hh,17,8) = '41564920' THEN ${oracleLeParse(65)}
+       |  END AS INTEGER) AS width,
+       |  CAST(CASE WHEN substr(hh,1,16) = '89504E470D0A1A0A' THEN ${oracleBeParse(21, 4)}
+       |            WHEN substr(hh,1,4) = 'FFD8' THEN ${oracleBeParse(26, 2)}
+       |            WHEN substr(hh,17,8) = '41564920' THEN ${oracleLeParse(69)}
+       |  END AS INTEGER) AS height,
+       |  CAST(CASE WHEN substr(hh,17,8) = '57415645' THEN ${oracleLeParse(25)}
+       |  END AS INTEGER) AS sample_rate,
+       |  CAST(CASE WHEN substr(hh,17,8) = '41564920' THEN ${oracleLeParse(49)}
+       |  END AS INTEGER) AS n_frames
+       |FROM (
+       |  SELECT doc_id, modality, hex(unhex(CASE c
+       |    WHEN 'png' THEN $pngHex
+       |    WHEN 'jpeg' THEN $jpegHex
+       |    WHEN 'wav' THEN $wavHex
+       |    ELSE $aviHex END)) AS hh
+       |  FROM (
+       |    SELECT doc_id, len,
+       |      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |      CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 'png'
+       |           WHEN doc_id % 3 = 0 THEN 'jpeg'
+       |           WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'avi' END AS c,
+       |      len % 1280 + 640 AS w, len % 720 + 360 AS h, len % 240 + 24 AS fr,
+       |      [8000,16000,22050,44100,48000][(len % 5) + 1] AS rate
+       |    FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+       |  )
+       |)""".stripMargin
+  }
 
   /** The gopherPass boolean recomputed inline over `text` with
     * sep = ' the ' (the driver-query config) — the same rounded-metric
@@ -1815,18 +1920,25 @@ object SparkEntry {
         |  WHERE doc_id % 3 = 2
         |)""".stripMargin,
 
-    // the stub codec's pseudo-metadata is md5-derived, so the whole
-    // decode is SQL-expressible: a true oracle over the synthetic
-    // media table (payload = utf-8 text bytes; DuckDB md5(VARCHAR)
-    // hashes the same bytes)
-    "q_mm_decode_meta" ->
-      s"""SELECT doc_id AS media_id,
-         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-         |  CASE WHEN doc_id % 3 <> 1 THEN CAST(h % 1280 + 640 AS INTEGER) END AS width,
-         |  CASE WHEN doc_id % 3 <> 1 THEN CAST(h % 720 + 360 AS INTEGER) END AS height,
-         |  CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate,
-         |  CASE WHEN doc_id % 3 = 2 THEN CAST(h % 240 + 24 AS INTEGER) END AS n_frames
-         |FROM (SELECT doc_id, ${oracleMd5Long("text")} AS h FROM documents)""".stripMargin,
+    // REAL header parse both sides: Spark's media_meta walks the
+    // container bytes; the oracle rebuilds the identical header blob in
+    // DuckDB (unhex of the same byte layout) and parses format + fields
+    // back OUT of the blob at the container offsets — see
+    // oracleDecodeMeta for the byte maps
+    "q_mm_decode_meta" -> oracleDecodeMeta,
+
+    // decodeMeta → resizeMeta composition: the resize arithmetic applied
+    // to the dimensions parsed out of the header bytes
+    "q_mm_decode_resize" ->
+      s"""SELECT media_id, width, height,
+         |  CAST(floor(width * scale) AS INTEGER) AS r_width,
+         |  CAST(floor(height * scale) AS INTEGER) AS r_height
+         |FROM (
+         |  SELECT media_id, width, height,
+         |    least(1.0, 256.0 / greatest(width, height)) AS scale
+         |  FROM ($oracleDecodeMeta)
+         |  WHERE width IS NOT NULL
+         |)""".stripMargin,
 
     "q_mm_features" ->
       s"""SELECT doc_id AS media_id,

@@ -1056,6 +1056,7 @@ object GraftFunctions {
       add("sq_dot", exprs => SqDot(exprs(0), exprs(1)))
       add("sign_pack", exprs => SignPack(exprs(0)))
       add("hamming_dist", exprs => HammingDist(exprs(0), exprs(1)))
+      add("media_meta", exprs => MediaMeta(exprs(0)))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -1134,6 +1135,12 @@ object GraftFunctions {
     */
   def hammingDist(a: Column, b: Column): Column =
     call_function("hamming_dist", a, b)
+
+  /** Container-header parse of a binary media payload
+    * (struct<format,width,height,sample_rate,n_frames>, NULL when no
+    * container is recognized); requires `register(spark)` first.
+    */
+  def mediaMeta(payload: Column): Column = call_function("media_meta", payload)
 
   /** PQ code of a (normalized, array<double>) vector against a codebook
     * literal; requires `register(spark)` first.

@@ -1008,25 +1008,75 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall(!_.isNullAt(0)))
   }
 
-  test("multimodal: stub decode metadata is deterministic and modality-shaped") {
-    val media = Multimodal.syntheticMediaTable(
-      Seq((0L, "some image bytes"), (1L, "audio payload here"), (2L, "video data stream")).toDF("doc_id", "text"))
+  test("multimodal: real header parse recovers the encoded dimensions per container") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = (0L to 5L).map(i => (i, s"payload body number $i padded ${"x" * i.toInt}"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.encodedMediaTable(docs)
     val got = media.select($"media_id", $"modality",
-      Multimodal.decodeMeta($"payload", $"modality").as("meta")).collect()
+      Multimodal.decodeMeta($"payload").as("m")).collect()
     got.foreach { r =>
-      val meta = r.getStruct(2)
-      r.getString(1) match {
-        case "image" =>
-          assert(meta.getAs[Int]("width") >= 640 && meta.isNullAt(meta.fieldIndex("sample_rate")))
-        case "audio" =>
-          assert(meta.getAs[Int]("sample_rate") == 16000 && meta.isNullAt(meta.fieldIndex("width")))
-        case "video" =>
-          assert(meta.getAs[Int]("n_frames") >= 24 && meta.getAs[Int]("width") >= 640)
+      val id = r.getLong(0)
+      val m = r.getStruct(2)
+      val len = docs.filter($"doc_id" === id).collect().head.getString(1).getBytes("UTF-8").length
+      val expFormat =
+        if (id % 3 == 0) (if (id % 2 == 0) "png" else "jpeg")
+        else if (id % 3 == 1) "wav" else "avi"
+      assert(m.getAs[String]("format") == expFormat, s"id $id")
+      expFormat match {
+        case "png" | "jpeg" =>
+          assert(m.getAs[Int]("width") == len % 1280 + 640, s"id $id")
+          assert(m.getAs[Int]("height") == len % 720 + 360, s"id $id")
+          assert(m.isNullAt(m.fieldIndex("sample_rate")) && m.isNullAt(m.fieldIndex("n_frames")))
+        case "wav" =>
+          val rates = Seq(8000, 16000, 22050, 44100, 48000)
+          assert(m.getAs[Int]("sample_rate") == rates(len % 5), s"id $id")
+          assert(m.isNullAt(m.fieldIndex("width")))
+        case "avi" =>
+          assert(m.getAs[Int]("width") == len % 1280 + 640, s"id $id")
+          assert(m.getAs[Int]("height") == len % 720 + 360, s"id $id")
+          assert(m.getAs[Int]("n_frames") == len % 240 + 24, s"id $id")
       }
     }
-    // determinism
-    val again = media.select(Multimodal.decodeMeta($"payload", $"modality").as("meta")).collect()
-    assert(got.map(_.getStruct(2).toString).sameElements(again.map(_.getStruct(0).toString)))
+  }
+
+  test("media parser walks segments generally, not at fixed offsets") {
+    import graft.functions.MediaParseUtil
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    // JPEG with TWO extra APPn segments and a COM before SOF2 (not SOF0)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe1.toByte) ++ be16(6) ++ Array[Byte](1, 2, 3, 4) ++ // APP1
+      Array[Byte](0xff.toByte, 0xee.toByte) ++ be16(4) ++ Array[Byte](9, 9) ++       // APP14
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++ be16(5) ++ fcc("hi!") ++              // COM
+      Array[Byte](0xff.toByte, 0xc2.toByte) ++ be16(11) ++ Array[Byte](8) ++         // SOF2 (progressive)
+      be16(480) ++ be16(640) ++ Array[Byte](1, 1, 0x11, 0)
+    val j = MediaParseUtil.parse(jpeg)
+    assert(j != null && j.getUTF8String(0).toString == "jpeg")
+    assert(j.getInt(1) == 640 && j.getInt(2) == 480)
+    // PNG with a non-IHDR chunk first (walker must skip it)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(3) ++ fcc("tEXt") ++ Array[Byte](1, 2, 3) ++ be32(0) ++ // odd leading chunk
+      be32(13) ++ fcc("IHDR") ++ be32(800) ++ be32(600) ++ Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    val p = MediaParseUtil.parse(png)
+    assert(p != null && p.getUTF8String(0).toString == "png")
+    assert(p.getInt(1) == 800 && p.getInt(2) == 600)
+    // WAV with a LIST chunk (odd size -> word-aligned skip) before fmt
+    val wav = fcc("RIFF") ++ le32(100) ++ fcc("WAVE") ++
+      fcc("LIST") ++ le32(5) ++ Array[Byte](1, 2, 3, 4, 5, 0) ++ // padded to even
+      fcc("fmt ") ++ le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(44100) ++
+      le32(88200) ++ Array[Byte](2, 0, 16, 0)
+    val wv = MediaParseUtil.parse(wav)
+    assert(wv != null && wv.getUTF8String(0).toString == "wav")
+    assert(wv.getInt(3) == 44100)
+    // garbage and truncation parse to null, never throw
+    assert(MediaParseUtil.parse(Array[Byte]()) == null)
+    assert(MediaParseUtil.parse(fcc("not a media file")) == null)
+    assert(MediaParseUtil.parse(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)) == null)
+    assert(MediaParseUtil.parse(jpeg.take(12)) == null)
+    assert(MediaParseUtil.parse(png.take(20)) == null)
   }
 
   test("multimodal: stub features have requested dim and bounded range") {
@@ -1056,9 +1106,10 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("resize preserves aspect ratio within bounds") {
-    val media = Multimodal.syntheticMediaTable(Seq((0L, "an image payload")).toDF("doc_id", "text"))
+    graft.functions.GraftFunctions.register(spark)
+    val media = Multimodal.encodedMediaTable(Seq((0L, "an image payload")).toDF("doc_id", "text"))
     val row = media
-      .withColumn("meta", Multimodal.decodeMeta($"payload", $"modality"))
+      .withColumn("meta", Multimodal.decodeMeta($"payload"))
       .withColumn("resized", Multimodal.resizeMeta($"meta", 256))
       .select($"meta.width", $"meta.height", $"resized.width", $"resized.height")
       .collect().head

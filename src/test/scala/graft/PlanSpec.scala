@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Sample, Similarity}
+import graft.ops.{Dedup, Multimodal, Sample, Similarity}
 
 /** Plan-shape regression guards: the scale-critical physical-plan
   * properties (pushdown, pruning, partial aggregation, no cartesian
@@ -74,6 +74,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("topk_by_score"), p)      // bounded-heap aggregate, no window
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("media encode + header decode is a shuffle-free codegen projection") {
+    graft.functions.GraftFunctions.register(spark)
+    val media = Multimodal.encodedMediaTable(docs)
+    val p = plan(media.select($"media_id", $"modality",
+      Multimodal.decodeMeta($"payload").as("m")))
+    assert(!p.contains("Exchange"), p) // encode + parse never shuffle
+    // "*(1) Project" = the projection runs inside whole-stage codegen
+    // (media_meta participates via its static-call doGenCode)
+    assert(p.contains("*(1) Project"), p)
   }
 
   test("sampled recall meter: exactCosinePairs truth side is sample-bounded") {

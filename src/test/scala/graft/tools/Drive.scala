@@ -55,13 +55,13 @@ object Drive {
       " / " +
       graft.sources.GraftSource.parquet(spark, s"$sfDir/lineitem.parquet", """{ "l_returnflag": "number" }"""))
 
-    println("== md5-derived stub codec + rolling fingerprint (round 3) ==")
+    println("== real container headers (round 7) + rolling fingerprint ==")
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val media = graft.ops.Multimodal.syntheticMediaTable(docs)
+    val media = graft.ops.Multimodal.encodedMediaTable(docs)
     media.select(col("media_id"), col("modality"),
-      graft.ops.Multimodal.decodeMeta(col("payload"), col("modality")).as("meta")).show(6, false)
+      graft.ops.Multimodal.decodeMeta(col("payload")).as("meta")).show(6, false)
     media.select(col("media_id"),
       graft.ops.Multimodal.featurize(col("payload"), 4).as("features")).show(3, false)
     docs.select(col("doc_id"),
