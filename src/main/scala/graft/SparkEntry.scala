@@ -1048,6 +1048,33 @@ object SparkEntry {
     "q_stats_key_skew" -> ((s, dir) =>
       ops.Stats.keySkew(events(s, dir), "user_id")),
 
+    // the REMEDY for the skew q_stats_key_skew measures: two-stage salted
+    // aggregation over the events hot key — count/sum/avg merge partial
+    // buffers, the exact distinct-count salts by value hash so per-bucket
+    // distinct sets are disjoint. Result is identical to the unsalted
+    // groupBy (full DuckDB oracle); the two-exchange plan shape is pinned
+    // in PlanSpec, the parity + spread behavior in OpsSpec.
+    "q_stats_salted_agg" -> ((s, dir) => {
+      import ops.Stats.SaltedAggSpec._
+      // value is cast to DECIMAL before aggregating: the events values
+      // carry 2 decimals, so double sums regularly land avg on an exact
+      // rounding half-point where FP association order (which the salted
+      // two-stage deliberately changes) decides the direction — decimal
+      // sums are exact and order-independent, so salted ≡ unsalted ≡
+      // DuckDB bit-for-bit
+      ops.Stats.saltedAgg(
+        events(s, dir).withColumn("value", col("value").cast("decimal(18,6)")),
+        Seq("user_id"),
+        Seq(Count("n_events"), Sum("value", "sum_value"),
+          Avg("value", "avg_value"), DistinctCount("event_type", "n_event_types")),
+        nSalts = 8)
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 4).cast("double").as("sum_value"),
+          round(col("avg_value"), 6).cast("double").as("avg_value"),
+          col("n_event_types"))
+        .orderBy(col("user_id"))
+    }),
+
     // temperature-scaled source mixture weights (alpha = 0.7, the
     // standard up-weight-the-tail setting)
     "q_sample_temperature" -> ((s, dir) =>
@@ -2920,6 +2947,16 @@ object SparkEntry {
         |  round(quantile_cont(n, 0.99), 6) AS p99_per_key,
         |  round(max(n) / avg(n), 6) AS skew_ratio
         |FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1)""".stripMargin,
+
+    // the salted two-stage must agree with the plain grouped aggregation
+    // — that IS the oracle: DuckDB computes the unsalted groupBy
+    "q_stats_salted_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(round(sum(v), 4) AS DOUBLE) AS sum_value,
+        |  CAST(round(sum(v) / count(v), 6) AS DOUBLE) AS avg_value,
+        |  count(DISTINCT event_type) AS n_event_types
+        |FROM (SELECT user_id, event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events)
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q_dedup_source_overlap" ->
       s"""WITH h AS (

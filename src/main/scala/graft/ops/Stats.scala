@@ -80,6 +80,119 @@ object Stats {
         round(expr("percentile(n, 0.99D)"), 6).as("p99_per_key"),
         round(max(col("n")) / avg(col("n")), 6).as("skew_ratio"))
 
+  /** Aggregate specifications [[saltedAgg]] knows how to decompose into a
+    * mergeable partial + final pair. Only decomposable aggregates belong
+    * here — a holistic aggregate (exact percentile) cannot be computed
+    * through salting and is deliberately unrepresentable.
+    */
+  sealed trait SaltedAggSpec { def as: String }
+  object SaltedAggSpec {
+    /** `count(*)` → partial counts, final sum. */
+    case class Count(as: String) extends SaltedAggSpec
+    /** `sum(valueCol)` → partial sums, final sum. */
+    case class Sum(valueCol: String, as: String) extends SaltedAggSpec
+    case class Min(valueCol: String, as: String) extends SaltedAggSpec
+    case class Max(valueCol: String, as: String) extends SaltedAggSpec
+    /** `avg(valueCol)` → partial (sum, count), final sum/sum — never an
+      * average of averages (that would weight salt buckets equally).
+      */
+    case class Avg(valueCol: String, as: String) extends SaltedAggSpec
+    /** Exact `count(DISTINCT valueCol)`: the salt is REQUIRED to be the
+      * hash of the value, so each distinct value lands in exactly one
+      * salt bucket — per-bucket distinct sets are disjoint and the final
+      * stage just sums their sizes. This is the spec that makes salting
+      * more than a convenience: a hot key's distinct-set buffer never
+      * assembles on one task.
+      */
+    case class DistinctCount(valueCol: String, as: String) extends SaltedAggSpec
+  }
+
+  /** Two-stage salted aggregation for skewed group keys — the REMEDY for
+    * what [[keySkew]] measures: stage 1 aggregates on (key, salt) with
+    * `nSalts` deterministic hash-salt buckets, stage 2 merges the partial
+    * buffers on the key alone. The hot key's work spreads across up to
+    * `nSalts` stage-1 reduce tasks; stage 2 only ever sees `nSalts` small
+    * partial rows per key.
+    *
+    * When this matters at 100 TB — be precise, because for plain
+    * algebraic aggregates (sum/count/min/max/avg) Spark's map-side
+    * partial aggregation already bounds the reduce input to one partial
+    * row per (key, map partition), and salting buys little:
+    *  - buffer-shaped aggregates: an exact distinct-count's partial
+    *    state is the distinct SET, so a hot key concentrates its whole
+    *    value set on one reduce task regardless of map-side combine —
+    *    [[SaltedAggSpec.DistinctCount]] salts by value hash, making the
+    *    per-bucket sets disjoint and each bounded by |distinct|/nSalts;
+    *  - map-side combine degradation: under memory pressure the
+    *    hash-aggregate falls back to sort-based spill on exactly the
+    *    partitions a hot key floods; pre-splitting the key keeps every
+    *    stage-1 group under ~rows/nSalts;
+    *  - AQE does NOT split skewed aggregation partitions (its skew
+    *    handling is join-only) — a salted plan is the only way to bound
+    *    the reduce task for a pathological key without changing the
+    *    final result.
+    *
+    * The salt is `hash(distinct-value)` when a DistinctCount spec is
+    * present (correctness requires it — at most one distinct column per
+    * call), else the concatenation of the referenced value columns. A
+    * caveat either way: if the salt source is constant within the hot
+    * key, rows cannot spread; pass `saltOn` with a row-discriminating
+    * expression (an event id, a timestamp) for those shapes.
+    *
+    * Results are identical to the unsalted `groupBy(key).agg(...)` (the
+    * merge functions are exact, not approximate) — pinned by the unit
+    * parity test and the driver row's full DuckDB oracle.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      specs: Seq[SaltedAggSpec],
+      nSalts: Int = 32,
+      saltOn: Option[Column] = None,
+  ): DataFrame = {
+    import SaltedAggSpec._
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(specs.nonEmpty, "need at least one aggregate")
+    require(nSalts >= 2, "nSalts must be >= 2 (1 salt is just groupBy)")
+    val distinctCols = specs.collect { case DistinctCount(v, _) => v }.distinct
+    require(distinctCols.size <= 1,
+      s"at most one DistinctCount column per call (distinct sets must be " +
+        s"disjoint across salt buckets), got ${distinctCols.mkString(", ")}")
+    require(distinctCols.isEmpty || saltOn.isEmpty,
+      "DistinctCount requires the salt to be the value hash; saltOn cannot override it")
+    val saltSource: Column = distinctCols.headOption.map(col).orElse(saltOn).getOrElse {
+      val valueCols = specs.collect {
+        case Sum(v, _) => v; case Min(v, _) => v; case Max(v, _) => v; case Avg(v, _) => v
+      }.distinct
+      if (valueCols.isEmpty) lit("") // Count-only: spreads by hash("") = 1 bucket; pass saltOn
+      else concat_ws("", valueCols.map(c => col(c).cast("string")): _*)
+    }
+    val salt = pmod(Sample.saltedHash(saltSource, "salted-agg"), lit(nSalts.toLong))
+    // stage 1: partial buffers per (key, salt)
+    val partials = specs.zipWithIndex.flatMap {
+      case (Count(_), i) => Seq(count(lit(1)).as(s"__p${i}_n"))
+      case (Sum(v, _), i) => Seq(sum(col(v)).as(s"__p${i}_s"))
+      case (Min(v, _), i) => Seq(min(col(v)).as(s"__p${i}_m"))
+      case (Max(v, _), i) => Seq(max(col(v)).as(s"__p${i}_m"))
+      case (Avg(v, _), i) => Seq(sum(col(v)).as(s"__p${i}_s"), count(col(v)).as(s"__p${i}_n"))
+      case (DistinctCount(v, _), i) => Seq(countDistinct(col(v)).as(s"__p${i}_d"))
+    }
+    val stage1 = df
+      .groupBy((keyCols.map(col) :+ salt.as("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+    // stage 2: merge the partials per key
+    val finals = specs.zipWithIndex.map {
+      case (Count(as), i) => sum(col(s"__p${i}_n")).as(as)
+      case (Sum(_, as), i) => sum(col(s"__p${i}_s")).as(as)
+      case (Min(_, as), i) => min(col(s"__p${i}_m")).as(as)
+      case (Max(_, as), i) => max(col(s"__p${i}_m")).as(as)
+      case (Avg(_, as), i) =>
+        (sum(col(s"__p${i}_s")) / sum(col(s"__p${i}_n"))).as(as)
+      case (DistinctCount(_, as), i) => sum(col(s"__p${i}_d")).as(as)
+    }
+    stage1.groupBy(keyCols.map(col): _*).agg(finals.head, finals.tail: _*)
+  }
+
   /** Per-group cardinality with BOTH the exact count and the
     * HyperLogLog++ estimate (`approx_count_distinct` at relative standard
     * deviation `rsd`), plus the realized relative error — the honesty

@@ -1617,6 +1617,41 @@ class OpsSpec extends AnyFunSuite {
     assert(sk.getDouble(5) == 6.0)    // skew = 60/10
   }
 
+  test("salted aggregation equals the unsalted groupBy on a pathological key") {
+    import Stats.SaltedAggSpec._
+    // one pathological key with 5,000 rows, a handful of normal keys —
+    // the shape that stalls an unsalted reduce task at scale
+    val rows = (0 until 5000).map(i => (0L, i % 17, s"t${i % 5}")) ++
+      (1L to 4L).flatMap(k => (0 until 10).map(i => (k, i, s"t${i % 3}")))
+    val df = rows.toDF("k", "v", "tag")
+    val specs = Seq(Count("n"), Sum("v", "sv"), Min("v", "mn"), Max("v", "mx"),
+      Avg("v", "av"), DistinctCount("tag", "nd"))
+    val salted = Stats.saltedAgg(df, Seq("k"), specs, nSalts = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getDouble(5), r.getLong(6))).toMap
+    val plain = df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+      min($"v").as("mn"), max($"v").as("mx"), avg($"v").as("av"),
+      countDistinct($"tag").as("nd"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(salted == plain)
+    // the salt actually SPREADS the hot key: recompute stage 1's salt
+    // (hash of the distinct column, the forced choice) and check the hot
+    // key's rows land in several buckets — bounded task sizes, not one
+    val spread = df.filter($"k" === 0L)
+      .select(pmod(Sample.saltedHash($"tag", "salted-agg"), lit(8L)).as("salt"))
+      .distinct().count()
+    assert(spread >= 3, s"hot key spread over only $spread salt buckets")
+    // holistic-aggregate misuse is unrepresentable; bad configs reject
+    intercept[IllegalArgumentException] {
+      Stats.saltedAgg(df, Seq("k"), specs, nSalts = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.saltedAgg(df, Seq("k"),
+        Seq(DistinctCount("tag", "a"), DistinctCount("v", "b")), nSalts = 8)
+    }
+  }
+
   test("histogram: floor binning, group split, nulls excluded, empty bins absent") {
     val df = Seq(("a", Some(0.0)), ("a", Some(99.9)), ("a", Some(100.0)),
       ("a", Some(250.0)), ("b", Some(-0.5)), ("b", None)).toDF("g", "x")

@@ -76,6 +76,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("salted aggregation: the key-only exchange happens once, over partials") {
+    import graft.ops.Stats, Stats.SaltedAggSpec._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      "Exchange hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(plan(df)).map(_.group(1)).toSeq
+    // plain algebraic specs: exactly two exchanges, (key, salt) then key
+    val simple = exchanges(Stats.saltedAgg(ev, Seq("user_id"),
+      Seq(Count("n"), Sum("value", "sv")), nSalts = 8))
+    assert(simple.size == 2, simple)
+    assert(simple.count(s => s.contains("user_id") && !s.contains("_groupingexpression")) == 1,
+      simple)
+    // with an exact distinct-count Spark adds its (key, salt, value)
+    // distinct exchange — even finer-keyed, so still skew-safe. The
+    // invariant that matters: the KEY-ONLY partitioning (where a hot key
+    // would concentrate) appears exactly once, at the final merge, where
+    // each key contributes at most nSalts partial rows.
+    val withDistinct = exchanges(Stats.saltedAgg(ev, Seq("user_id"),
+      Seq(Count("n"), Sum("value", "sv"), DistinctCount("event_type", "nd")),
+      nSalts = 8))
+    assert(withDistinct.count(s =>
+      !s.contains("_groupingexpression") && !s.contains("event_type")) == 1, withDistinct)
+    // plan strings print outermost-first: the head is the FINAL merge —
+    // the only key-alone partitioning; every earlier stage carries the
+    // salt (and/or the distinct value) in its key
+    assert(!withDistinct.head.contains("_groupingexpression"), withDistinct)
+    assert(withDistinct.tail.forall(s =>
+      s.contains("_groupingexpression") || s.contains("event_type")), withDistinct)
+  }
+
   test("media encode + header decode is a shuffle-free codegen projection") {
     graft.functions.GraftFunctions.register(spark)
     val media = Multimodal.encodedMediaTable(docs)
