@@ -93,12 +93,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // pinned posture shared with Verify and cluster runs (CLUSTER.md)
+    val spark = SparkEntry.session("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // full cleanup between measurements: SQL cache AND raw persisted RDD
     // blocks — localCheckpoint blocks live in the BlockManager, which
@@ -176,6 +172,18 @@ object Bench {
     val loadFactorRel = math.min(canaryMtBefore / canaryBefore,
       canaryMtAfter / canaryAfter)
     val contended = loadFactor > 1.5
+    // compile-throughput rider: a shortened CompileBench run embedded in
+    // every per-round BENCH artifact so front-end regressions are
+    // driver-visible (the full-length run stays `runMain graft.CompileBench`
+    // → COMPILE_r{N}.json). Runs AFTER the closing canaries so its
+    // single-threaded CPU burn cannot contaminate the query window's load
+    // measurement.
+    val compileJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_COMPILE", "1") == "0") "null"
+      else try CompileBench.run(warmupOps = 10000, opsPerRound = 10000, rounds = 2)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] compile bench failed: $e"); "null"
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val esc = escalated.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -188,7 +196,7 @@ object Bench {
         // raw interpolation, not f"%.3f": Formatter is locale-sensitive
         // and a comma-decimal default locale would emit invalid JSON
         s""""load_factor":$loadFactor,"load_factor_rel":$loadFactorRel,"contended":$contended,""" +
-        s""""escalated":$esc}"""
+        s""""escalated":$esc,"compile":$compileJson}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")

@@ -27,16 +27,22 @@ object CompileBench {
     ("nested_from", "SELECT AVG(spells_power) AS avg_power FROM (SELECT AVG(spells.power), age) WHERE age > 18 GROUP BY NULL", 2378L),
   )
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    println(run(warmupOps = 20000, opsPerRound = 20000, rounds = 5))
+
+  /** Run the five workloads and return the JSON line. [[Bench]] embeds a
+    * shortened run (fewer ops) into every per-round BENCH artifact so
+    * front-end throughput regressions are driver-visible; `main` keeps the
+    * full-length run for the standalone COMPILE_r{N}.json artifact.
+    */
+  def run(warmupOps: Int, opsPerRound: Int, rounds: Int): String = {
     val schema = Schema.fromString(schemaJson)
       .fold(e => sys.error(e), identity)
     val results = workloads.map { case (name, query, baseline) =>
       // sanity: must compile
       Compiler.compile(schema, query).fold(e => sys.error(s"$name: $e"), identity)
       // warmup (JIT)
-      (1 to 20000).foreach(_ => Compiler.compile(schema, query))
-      val rounds = 5
-      val opsPerRound = 20000
+      (1 to warmupOps).foreach(_ => Compiler.compile(schema, query))
       val times = (1 to rounds).map { _ =>
         val t0 = System.nanoTime()
         (1 to opsPerRound).foreach(_ => Compiler.compile(schema, query))
@@ -51,6 +57,6 @@ object CompileBench {
     val ratio = results.map { case (k, v, b) =>
       s""""$k":${math.round(v.toDouble / b * 100) / 100.0}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"compile_ops_per_sec","queries":$qs,"baseline":$base,"ratio_vs_baseline":$ratio}""")
+    s"""{"metric":"compile_ops_per_sec","queries":$qs,"baseline":$base,"ratio_vs_baseline":$ratio}"""
   }
 }

@@ -24,6 +24,56 @@ import graft.ops.{Dedup, Multimodal, Sample, Similarity, TextOps}
   */
 object SparkEntry {
 
+  /** The pinned session posture every graft entrypoint (Bench, Verify,
+    * a spark-submit run — see CLUSTER.md) builds with, so the driver's
+    * local[32] runs and a real multi-executor cluster agree on the
+    * execution-model assumptions the operators make:
+    *
+    *  - **AQE on, skew-join handling on**: the as-of join
+    *    (`ops/Joins.scala`), sessionization, and hot-key groupBys tolerate
+    *    zipfian keys because AQE splits skewed *join* partitions at
+    *    runtime. (AQE never splits skewed *aggregation* keys — that is
+    *    what `Stats.saltedAgg` exists for.)
+    *  - **AQE partition coalescing on**: banded LSH candidate joins
+    *    (MinHash / SimHash / SRP buckets, IVF cells) produce many
+    *    near-empty post-shuffle partitions once the bucket guard drops
+    *    degenerate buckets; coalescing folds them away instead of
+    *    scheduling thousands of empty tasks at cluster scale.
+    *  - **shuffle partitions = core count locally** (the container is one
+    *    JVM; 200 four-row tasks would be pure scheduling overhead). At
+    *    cluster scale set `SPARK_GRAFT_SHUFFLE_PARTITIONS` to ~2-3× total
+    *    executor cores and let AQE coalesce down per stage.
+    *  - **UTC session timezone**: the events oracle and all timestamp
+    *    rendering assume it (see `streaming/EventStream.scala` scaladoc on
+    *    the session-config side effect).
+    */
+  def pinnedConfs(shufflePartitions: Int): Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.session.timeZone" -> "UTC",
+  )
+
+  /** Build the session all entrypoints share. The master is whatever
+    * spark-submit provided (`spark.master` arrives as a system property);
+    * only when absent — the sbt-run local case — does it default to
+    * `local[cores]` with the UI off. [[pinnedConfs]] are applied in both
+    * modes, so `spark-submit --conf` overrides of OTHER settings compose
+    * while the posture above stays pinned.
+    */
+  def session(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
+    val b0 = SparkSession.builder().appName(appName)
+    val b1 =
+      if (sys.props.contains("spark.master")) b0
+      else b0.master(s"local[$cpus]").config("spark.ui.enabled", "false")
+    pinnedConfs(shuffle).foldLeft(b1) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+  }
+
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 

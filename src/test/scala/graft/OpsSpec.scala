@@ -197,6 +197,41 @@ class OpsSpec extends AnyFunSuite {
     assert(lazyPairs == default)
   }
 
+  test("Materialize.Lazy construction runs NO Spark job (eager guard opt-out)") {
+    // Interactive / plan-only callers must be able to build the operator
+    // without triggering any action: under Lazy the degenerate-bucket
+    // guard is the window form (a plan node), never the eager metric
+    // aggregation, and nothing persists or collects. A listener counts
+    // job starts; the eager default validates the wiring (it MUST run
+    // jobs — it materializes the pair set at construction).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // positive control: default (Local) materializes eagerly → jobs run
+      Dedup.minHashNearDups(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(jobs.get() > 0, "listener wiring: eager construction must run jobs")
+      val afterEager = jobs.get()
+      // the assertion under test: Lazy construction schedules nothing
+      Dedup.minHashNearDups(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, threshold = 0.5,
+        materialize = Dedup.Materialize.Lazy)
+      Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+        threshold = 0.99, planes = 8,
+        materialize = Dedup.Materialize.Lazy)
+      Thread.sleep(500) // listener bus is async; give a stray job time to surface
+      assert(jobs.get() == afterEager,
+        s"Lazy construction ran ${jobs.get() - afterEager} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("Materialize.Reliable checkpoints the result and matches the default") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
