@@ -1010,6 +1010,14 @@ object SparkEntry {
         Seq("train" -> 0.88, "val" -> 0.06, "test" -> 0.06), salt = "r4")
         .select(col("doc_id"), col("split"))),
 
+    // leakage-safe split: assignment keyed on the near-dup CLUSTER label,
+    // so near-duplicates can never straddle the train/eval boundary
+    "q_sample_split_safe" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(t(s, dir, "documents"), "text", "doc_id",
+        Seq("train" -> 0.88, "val" -> 0.06, "test" -> 0.06), salt = "r7",
+        numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("doc_id"), col("dup_group"), col("split"))),
+
     // deterministic pre-training shuffle: salted-hash permutation as
     // (shard, pos) addresses — ONE shard-partition + per-shard sort
     "q_sample_shuffle" -> ((s, dir) =>
@@ -2862,6 +2870,18 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |  ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r4'")} % 1000000 AS b
          |FROM documents)""".stripMargin,
+
+    // the components CTE recomputes the exact near-dup clusters, then the
+    // split bucket hashes the CLUSTER label (min id) — every member of a
+    // family shares the bucket, so the whole family lands on one side
+    "q_sample_split_safe" ->
+      s"""SELECT doc_id, dup_group,
+         |  CASE WHEN b < 880000 THEN 'train'
+         |       WHEN b < 940000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, dup_group,
+         |  ${oracleMd5Long("CAST(dup_group AS VARCHAR) || '#r7'")} % 1000000 AS b
+         |FROM ($oracleNearDupComponents))""".stripMargin,
 
     // the shuffle permutation is pure hash arithmetic + a windowed
     // row_number — both engines replay it exactly

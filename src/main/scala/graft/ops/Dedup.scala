@@ -1002,6 +1002,43 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn", "dup_group")
   }
 
+  /** Leakage-safe train/val/test split: assign the split on the near-dup
+    * CLUSTER label instead of the document id, so near-duplicates can
+    * never straddle the train/eval boundary. A plain per-doc hash split
+    * leaks: two near-identical crawls of one page land on opposite sides
+    * with probability 2·p·(1−p), silently inflating eval scores (the
+    * train/test contamination Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", measure directly). Composes
+    * [[nearDupGroups]] (`dup_group` = min-id per connected near-dup
+    * cluster) with [[Sample.splitByHash]] keyed on the cluster label:
+    * every member of a cluster shares one hash bucket, so the whole
+    * family moves as a unit. Singletons are their own cluster
+    * (`dup_group` = own id), so assignment stays growth-stable exactly
+    * like `splitByHash` — adding documents never migrates old ones unless
+    * a new edge merges their cluster (the correct behavior: the merged
+    * family must land on ONE side).
+    *
+    * Scale shape: everything [[nearDupGroups]] costs (banded candidates,
+    * pointer-jump components), plus a narrow hash projection — the split
+    * itself adds no shuffle.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.7,
+      materialize: Materialize = Materialize.Local,
+  ): DataFrame =
+    Sample.splitByHash(
+      nearDupGroups(df, textCol, idCol, numHashes, bands, shingleSize, threshold,
+        materialize),
+      "dup_group", weights, salt)
+
   /** N-gram Jaccard near-duplicates: exact Jaccard over word n-gram sets,
     * with MinHash banding as the candidate generator (never all-pairs).
     * This is `minHashNearDups` re-verified with a different n — kept as its

@@ -1971,6 +1971,28 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(withRest("train") - withRest("rest")) < 200)
   }
 
+  test("leakage-safe split keeps every near-dup cluster on one side") {
+    val ws = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val split = Dedup.leakageSafeSplit(docs, "text", "doc_id", ws, salt = "s",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .select(col("doc_id"), col("dup_group"), col("split")).collect()
+    assert(split.length == 6)
+    val byGroup = split.groupBy(_.getAs[Long]("dup_group"))
+    // the planted family (0=1 exact, 2/3 near) is one cluster...
+    assert(byGroup.exists(_._2.length >= 3))
+    // ...and no cluster straddles a split boundary
+    byGroup.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[String]("split")).toSet.size == 1)
+    }
+    // the assignment IS splitByHash on the cluster label — same buckets,
+    // no private re-derivation that could drift from the plain split
+    val byLabel = Sample.splitByHash(docs.select(col("doc_id")), "doc_id", ws, salt = "s")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    split.foreach { r =>
+      assert(r.getAs[String]("split") == byLabel(r.getAs[Long]("dup_group")))
+    }
+  }
+
   test("cross-source overlap counts shared distinct content per source pair") {
     val corpus = Seq(
       (0L, "web", "shared one"),
