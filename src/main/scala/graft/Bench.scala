@@ -187,7 +187,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val esc = escalated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries report -1 per entry but must not SUBTRACT from the
+    // headline total (a broken query would read as a round-over-round
+    // improvement); they are excluded from the sum and listed explicitly
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter,""" +
@@ -196,7 +201,7 @@ object Bench {
         // raw interpolation, not f"%.3f": Formatter is locale-sensitive
         // and a comma-decimal default locale would emit invalid JSON
         s""""load_factor":$loadFactor,"load_factor_rel":$loadFactorRel,"contended":$contended,""" +
-        s""""escalated":$esc,"compile":$compileJson}"""
+        s""""escalated":$esc,"failed":$failedJson,"compile":$compileJson}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")

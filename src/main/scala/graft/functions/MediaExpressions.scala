@@ -62,13 +62,17 @@ object MediaParseUtil {
   def parse(bytes: Array[Byte]): InternalRow = {
     val n = bytes.length
     // ---- PNG: signature + IHDR chunk walk ----
+    // cursor arithmetic in Long: a malformed 32-bit declared length near
+    // 0xFFFFFFFF would wrap an Int cursor to 0 (infinite loop) or negative
+    // (index crash) — the null-on-malformed contract forbids both
     if (n >= 8 && bytes.take(8).sameElements(PngSig)) {
-      var p = 8
+      var p = 8L
       while (p + 8 <= n) {
-        val clen = be32(bytes, p)
-        if (fourcc(bytes, p + 4, "IHDR") && clen >= 13 && p + 16 <= n)
-          return row("png", be32(bytes, p + 8), be32(bytes, p + 12), -1, -1)
-        p += (12 + clen).toInt // len + type + body + crc
+        val pi = p.toInt
+        val clen = be32(bytes, pi)
+        if (fourcc(bytes, pi + 4, "IHDR") && clen >= 13 && p + 16 <= n)
+          return row("png", be32(bytes, pi + 8), be32(bytes, pi + 12), -1, -1)
+        p += 12L + clen // len + type + body + crc
       }
       return null
     }
@@ -98,33 +102,36 @@ object MediaParseUtil {
     // ---- RIFF containers: WAV and AVI ----
     if (n >= 12 && fourcc(bytes, 0, "RIFF")) {
       if (fourcc(bytes, 8, "WAVE")) {
-        var p = 12
+        var p = 12L // Long cursor: see the PNG walk
         while (p + 8 <= n) {
-          val csz = le32(bytes, p + 4)
-          if (fourcc(bytes, p, "fmt ") && csz >= 8 && p + 16 <= n)
-            return row("wav", -1, -1, le32(bytes, p + 12), -1)
-          p += (8 + csz + (csz & 1)).toInt // chunks are word-aligned
+          val pi = p.toInt
+          val csz = le32(bytes, pi + 4)
+          if (fourcc(bytes, pi, "fmt ") && csz >= 8 && p + 16 <= n)
+            return row("wav", -1, -1, le32(bytes, pi + 12), -1)
+          p += 8L + csz + (csz & 1) // chunks are word-aligned
         }
         return null
       }
       if (fourcc(bytes, 8, "AVI ")) {
-        var p = 12
+        var p = 12L // Long cursor: see the PNG walk
         while (p + 12 <= n) {
-          val csz = le32(bytes, p + 4)
-          if (fourcc(bytes, p, "LIST") && fourcc(bytes, p + 8, "hdrl")) {
+          val pi = p.toInt
+          val csz = le32(bytes, pi + 4)
+          if (fourcc(bytes, pi, "LIST") && fourcc(bytes, pi + 8, "hdrl")) {
             // walk inside the hdrl list for the avih MainAVIHeader
             var q = p + 12
-            val end = math.min(n.toLong, p + 8 + csz).toInt
+            val end = math.min(n.toLong, p + 8 + csz)
             while (q + 8 <= end) {
-              val hsz = le32(bytes, q + 4)
-              if (fourcc(bytes, q, "avih") && hsz >= 40 && q + 48 <= n)
-                return row("avi", le32(bytes, q + 40), le32(bytes, q + 44),
-                  -1, le32(bytes, q + 24))
-              q += (8 + hsz + (hsz & 1)).toInt
+              val qi = q.toInt
+              val hsz = le32(bytes, qi + 4)
+              if (fourcc(bytes, qi, "avih") && hsz >= 40 && q + 48 <= n)
+                return row("avi", le32(bytes, qi + 40), le32(bytes, qi + 44),
+                  -1, le32(bytes, qi + 24))
+              q += 8L + hsz + (hsz & 1)
             }
             return null
           }
-          p += (8 + csz + (csz & 1)).toInt
+          p += 8L + csz + (csz & 1)
         }
         return null
       }

@@ -1352,7 +1352,14 @@ object Dedup {
   ): DataFrame = {
     require(probeOneIn >= 1, "probeOneIn must be >= 1")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // zero/null vectors are excluded from the TRUTH exactly as the
+    // operators under audit exclude them: a zero vector's cosine is NaN
+    // (0/0), which ANSI mode turns into a runtime error and non-ANSI
+    // sorts ABOVE every real number — either way the truth side would
+    // diverge from the banded passes (the same discipline bruteForceTopK
+    // applies on both sides of recallAtK)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(Similarity.nonZeroVec(col("vec")))
     if (probeOneIn == 1) {
       base.select(col("id").as("id_a"), col("vec").as("vec_a"))
         .crossJoin(base.select(col("id").as("id_b"), col("vec").as("vec_b")))
@@ -1361,9 +1368,13 @@ object Dedup {
         .select(col("id_a"), col("id_b"))
     } else {
       // sampled probes × full corpus; pairs normalize to (min, max) and
-      // dedup because a pair with BOTH endpoints sampled is found twice
+      // dedup because a pair with BOTH endpoints sampled is found twice.
+      // The probe side is broadcast (the bruteForceTopK discipline): the
+      // contract above says |sample| is audit-sized, and a broadcast
+      // nested loop streams the corpus ONCE against it instead of
+      // re-scanning per probe partition in a CartesianProduct
       val probes = Sample.sampleByHash(base, "id", probeOneIn, probeSalt)
-      probes.select(col("id").as("id_p"), col("vec").as("vec_p"))
+      broadcast(probes.select(col("id").as("id_p"), col("vec").as("vec_p")))
         .crossJoin(base.select(col("id").as("id_o"), col("vec").as("vec_o")))
         .filter(col("id_p") =!= col("id_o"))
         .filter(Similarity.cosineNative(col("vec_p"), col("vec_o")) >= threshold)

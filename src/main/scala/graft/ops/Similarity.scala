@@ -1068,14 +1068,6 @@ object Similarity {
     rankTopK(scored, k, asc = true)
   }
 
-  /** Recall@k of an approximate top-k result against the exact one: the
-    * fraction of true (probe, neighbor) pairs the approximate search
-    * found. Both inputs are `(probe_id, neighbor_id, …)` as produced by
-    * [[bruteForceTopK]] / [[lshTopK]] / [[ivfSearch]]. One small row out —
-    * the number a pipeline watches to know its ANN index is still honest.
-    * Scale shape: a semi-join on (probe, neighbor) plus two counts; both
-    * sides are k rows per probe, never corpus-sized.
-    */
   /** Deterministic probe sample for [[recallAtK]] at corpus scale: keep
     * ~1/`oneIn` of the rows by salted hash of the id ([[Sample
     * .sampleByHash]] — a narrow scan-side filter, same rows on any
@@ -1094,6 +1086,14 @@ object Similarity {
       salt: String = "recall-probe",
   ): DataFrame = Sample.sampleByHash(probes, idCol, oneIn, salt)
 
+  /** Recall@k of an approximate top-k result against the exact one: the
+    * fraction of true (probe, neighbor) pairs the approximate search
+    * found. Both inputs are `(probe_id, neighbor_id, …)` as produced by
+    * [[bruteForceTopK]] / [[lshTopK]] / [[ivfSearch]]. One small row out —
+    * the number a pipeline watches to know its ANN index is still honest.
+    * Scale shape: a semi-join on (probe, neighbor) plus two counts; both
+    * sides are k rows per probe, never corpus-sized.
+    */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val pair = Seq("probe_id", "neighbor_id")
     // distinct guards against duplicate (probe, neighbor) rows in either

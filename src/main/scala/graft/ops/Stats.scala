@@ -134,10 +134,13 @@ object Stats {
     *
     * The salt is `hash(distinct-value)` when a DistinctCount spec is
     * present (correctness requires it — at most one distinct column per
-    * call), else the concatenation of the referenced value columns. A
-    * caveat either way: if the salt source is constant within the hot
-    * key, rows cannot spread; pass `saltOn` with a row-discriminating
-    * expression (an event id, a timestamp) for those shapes.
+    * call), else the concatenation of the referenced value columns;
+    * Count-only specs (no value column at all) REJECT without an explicit
+    * `saltOn` — a constant salt is one bucket, i.e. no spread for an
+    * extra exchange. A caveat either way: if the salt source is constant
+    * within the hot key, rows cannot spread; pass `saltOn` with a
+    * row-discriminating expression (an event id, a timestamp) for those
+    * shapes.
     *
     * Results are identical to the unsalted `groupBy(key).agg(...)` (the
     * merge functions are exact, not approximate) — pinned by the unit
@@ -164,8 +167,14 @@ object Stats {
       val valueCols = specs.collect {
         case Sum(v, _) => v; case Min(v, _) => v; case Max(v, _) => v; case Avg(v, _) => v
       }.distinct
-      if (valueCols.isEmpty) lit("") // Count-only: spreads by hash("") = 1 bucket; pass saltOn
-      else concat_ws("", valueCols.map(c => col(c).cast("string")): _*)
+      // Count-only specs have NO value column to salt on: hash of a
+      // constant is one bucket — zero spread at the cost of an extra
+      // exchange. Unrepresentable, like the other degenerate configs.
+      require(valueCols.nonEmpty,
+        "Count-only specs cannot spread (no value column to salt on); " +
+          "pass saltOn = Some(<row-discriminating expression>, e.g. an " +
+          "event id or timestamp)")
+      concat_ws("\u0001", valueCols.map(c => col(c).cast("string")): _*)
     }
     val salt = pmod(Sample.saltedHash(saltSource, "salted-agg"), lit(nSalts.toLong))
     // stage 1: partial buffers per (key, salt)

@@ -874,6 +874,27 @@ class OpsSpec extends AnyFunSuite {
     assert(sampled == restricted)
   }
 
+  test("exactCosinePairs excludes zero vectors from the truth side") {
+    // a zero vector's cosine is NaN (0/0) and NaN compares ABOVE every
+    // real number in Spark SQL, so without the prefilter every pair
+    // incident to it would enter the truth and depress measured recall —
+    // the same asymmetry bruteForceTopK guards against on both sides
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f)),   // near-dup of 0
+      (2L, Array(0f, 0f, 0f)),      // zero vector: must be invisible
+      (3L, Array(0f, 1f, 0f)),      // orthogonal to 0/1
+    ).toDF("vec_id", "embedding")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val full = pairs(Dedup.exactCosinePairs(df, "embedding", "vec_id", threshold = 0.5))
+    assert(full == Set((0L, 1L)), s"zero vector leaked into the truth: $full")
+    val sampled = pairs(Dedup.exactCosinePairs(df, "embedding", "vec_id",
+      threshold = 0.5, probeOneIn = 2))
+    assert(!sampled.exists { case (a, b) => a == 2L || b == 2L },
+      s"zero vector leaked into the sampled truth: $sampled")
+  }
+
   test("language id picks the stopword-dominant language") {
     val df = Seq(
       (0L, "the cat and the dog play in the garden of the house"),
@@ -1112,6 +1133,25 @@ class OpsSpec extends AnyFunSuite {
     assert(MediaParseUtil.parse(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)) == null)
     assert(MediaParseUtil.parse(jpeg.take(12)) == null)
     assert(MediaParseUtil.parse(png.take(20)) == null)
+    // malformed 32-bit chunk lengths near 0xFFFFFFFF must parse to null,
+    // never wrap the cursor into an infinite loop (Int overflow to 0) or
+    // a negative index crash — one bad crawl row must not hang a task
+    val hugePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(0xfffffff4) ++ fcc("tEXt") ++ Array[Byte](0, 0, 0, 0)
+    assert(MediaParseUtil.parse(hugePng) == null)
+    val maxIntPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(0x7fffffff) ++ fcc("tEXt") ++ Array[Byte](0, 0, 0, 0)
+    assert(MediaParseUtil.parse(maxIntPng) == null)
+    val hugeWav = fcc("RIFF") ++ le32(100) ++ fcc("WAVE") ++
+      fcc("LIST") ++ le32(0xfffffff0) ++ Array[Byte](0, 0, 0, 0)
+    assert(MediaParseUtil.parse(hugeWav) == null)
+    val hugeAvi = fcc("RIFF") ++ le32(100) ++ fcc("AVI ") ++
+      fcc("JUNK") ++ le32(0xfffffff0) ++ Array[Byte](0, 0, 0, 0)
+    assert(MediaParseUtil.parse(hugeAvi) == null)
+    val hugeAviInner = fcc("RIFF") ++ le32(100) ++ fcc("AVI ") ++
+      fcc("LIST") ++ le32(40) ++ fcc("hdrl") ++
+      fcc("JUNK") ++ le32(0xfffffff0) ++ Array[Byte](0, 0, 0, 0)
+    assert(MediaParseUtil.parse(hugeAviInner) == null)
   }
 
   test("multimodal: stub features have requested dim and bounded range") {
@@ -1685,6 +1725,16 @@ class OpsSpec extends AnyFunSuite {
       Stats.saltedAgg(df, Seq("k"),
         Seq(DistinctCount("tag", "a"), DistinctCount("v", "b")), nSalts = 8)
     }
+    // Count-only has no value column to salt on → constant salt → one
+    // bucket → zero spread: rejected without an explicit saltOn
+    intercept[IllegalArgumentException] {
+      Stats.saltedAgg(df, Seq("k"), Seq(Count("n")), nSalts = 8)
+    }
+    val countOnly = Stats.saltedAgg(df, Seq("k"), Seq(Count("n")), nSalts = 8,
+        saltOn = Some($"v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(countOnly == df.groupBy($"k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   test("histogram: floor binning, group split, nulls excluded, empty bins absent") {
