@@ -1020,7 +1020,10 @@ object Dedup {
     *
     * Scale shape: everything [[nearDupGroups]] costs (banded candidates,
     * pointer-jump components), plus a narrow hash projection — the split
-    * itself adds no shuffle.
+    * itself adds no shuffle. A production pipeline that already
+    * materialized its clusters (a stored `dup_group` column) should skip
+    * this and call `Sample.splitByHash(df, "dup_group", …)` directly —
+    * this operator IS that call, composed with the cluster computation.
     */
   def leakageSafeSplit(
       df: DataFrame,

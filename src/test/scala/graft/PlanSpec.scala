@@ -139,6 +139,12 @@ class PlanSpec extends AnyFunSuite {
       s"no hash-sample filter on either join side:\n$j")
     assert(!corpusSide.toString.contains("md5"),
       s"corpus side unexpectedly sampled (truth would shrink to sample²):\n$j")
+    // the audit-sized probe sample is broadcast: the corpus streams ONCE
+    // against it instead of re-scanning per probe partition in a
+    // CartesianProduct
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
   }
 
   test("hard-band miners broadcast probes, band-filter before the bounded heap") {

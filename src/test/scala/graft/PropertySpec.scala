@@ -19,6 +19,29 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("media walker is total: any byte payload parses to a row or null, never throws") {
+    import graft.functions.MediaParseUtil
+    // fuzz the container walkers, biased toward valid magic prefixes so
+    // the chunk/segment loops actually run over random tails — random
+    // bytes make declared 32-bit chunk lengths uniformly huge, exactly
+    // the class that once wrapped an Int cursor into a hang/crash
+    val magics: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      Array[Byte](0xff.toByte, 0xd8.toByte),
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII"),
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII"),
+    )
+    val bytesGen = for {
+      magic <- Gen.oneOf(magics)
+      n <- Gen.chooseNum(0, 300)
+      body <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield magic ++ body.toArray
+    samples(bytesGen, 2000).foreach { bs =>
+      MediaParseUtil.parse(bs) // must return (row or null), not throw/hang
+    }
+  }
+
   test("TopKBuffer matches a sort-based reference on random inputs (insert + merge)") {
     val idOrd = Ordering.Long.on[Any](_.asInstanceOf[Long])
     val entryGen = for {
