@@ -266,6 +266,31 @@ object SparkEntry {
       q(t(s, dir, "lineitem"),
         "SELECT l_orderkey, l_linenumber ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 40")),
 
+    // schema breadth: the same dialect operators over every remaining
+    // star-schema table (orders/customer/part/supplier/region), so each
+    // driver-generated source and its type mix (int32/int64/double/string;
+    // the timestamp column is correctly outside the dialect's closed
+    // world) is exercised through the full compile lifecycle. Aggregates
+    // stay on integer-valued columns so both engines compute bit-identical
+    // values (the established double-summation discipline).
+    "q_d6_orders_group" -> ((s, dir) =>
+      q(t(s, dir, "orders"),
+        "SELECT COUNT(o_orderkey), MAX(o_custkey) AS max_cust GROUP BY o_orderstatus")),
+
+    "q_d6_customer_group" -> ((s, dir) =>
+      q(t(s, dir, "customer"),
+        "SELECT AVG(c_nationkey) AS avg_nation, COUNT(c_custkey) GROUP BY c_mktsegment")),
+
+    "q_d6_part_filter" -> ((s, dir) =>
+      q(t(s, dir, "part"),
+        "SELECT p_partkey, p_size WHERE p_size > 25 ORDER BY p_partkey LIMIT 200")),
+
+    "q_d6_supplier_distinct" -> ((s, dir) =>
+      qx(t(s, dir, "supplier"), "SELECT DISTINCT s_nationkey")),
+
+    "q_d6_region_filter" -> ((s, dir) =>
+      q(t(s, dir, "region"), "SELECT r_name WHERE r_regionkey > 1")),
+
     // flat-array reductions (P2/P4/P5/P7) over the embeddings table
     "q_p2_avg_flat" -> ((s, dir) =>
       q(t(s, dir, "embeddings"), "SELECT vec_id, AVG(embedding) AS avg_val")
@@ -1878,6 +1903,23 @@ object SparkEntry {
     // reference semantics: LIMIT 100 then OFFSET 40 = SQL LIMIT 60 OFFSET 40
     "q_o2_limit_offset" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 60 OFFSET 40",
+
+    // schema-breadth rows: grouped COUNT mirrors the reference's
+    // double-typed `count` naming quirk (same CAST as q_g4_count)
+    "q_d6_orders_group" ->
+      "SELECT o_orderstatus AS _id, CAST(count(*) AS DOUBLE) AS count, max(o_custkey) AS max_cust FROM orders GROUP BY o_orderstatus",
+
+    "q_d6_customer_group" ->
+      "SELECT c_mktsegment AS _id, avg(c_nationkey) AS avg_nation, CAST(count(*) AS DOUBLE) AS count FROM customer GROUP BY c_mktsegment",
+
+    "q_d6_part_filter" ->
+      "SELECT p_partkey, p_size FROM part WHERE p_size > 25 ORDER BY p_partkey LIMIT 200",
+
+    "q_d6_supplier_distinct" ->
+      "SELECT DISTINCT s_nationkey FROM supplier",
+
+    "q_d6_region_filter" ->
+      "SELECT r_name FROM region WHERE r_regionkey > 1",
 
     "q_p2_avg_flat" ->
       "SELECT vec_id, round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS avg_val FROM embeddings",
