@@ -304,6 +304,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("compiler is total: garbage input returns a Left, never throws") {
+    // the front end (lex → parse → analyze → plan) must reject arbitrary
+    // input with an error VALUE — an exception from a user-typed query
+    // string is a bug regardless of how malformed the input is
+    val soupTokens = Gen.oneOf(
+      "SELECT", "WHERE", "GROUP", "BY", "ORDER", "LIMIT", "OFFSET", "AND",
+      "OR", "NOT", "AVG", "COUNT", "FROM", "AS", "DISTINCT", "(", ")", ",",
+      ".", "=", "<", ">", "<=", "!=", "age", "name", "spells.power",
+      "bonus", "NULL", "TRUE", "42", "-7", "3.14", "'quoted", "\"", "#",
+      "__x", ";")
+    val garbage = Gen.frequency(
+      3 -> Gen.asciiPrintableStr,
+      3 -> Gen.listOf(soupTokens).map(_.mkString(" ")),
+      1 -> Gen.listOfN(30, Gen.chooseNum(32, 0xFFFF).map(_.toChar)).map(_.mkString),
+    )
+    samples(garbage, 1500).foreach { s =>
+      Compiler.compile(schema, s)            // Either — must not throw
+      Compiler.compile(schema, s, extensions = true)
+    }
+    // pathological shapes with a deliberate bias to break recursion/lexing
+    Seq("", " ", "\n\t", "(" * 500, "SELECT " + "NOT(" * 200 + "x" + ")" * 200,
+        "SELECT " + "a." * 300 + "b", "SELECT 'unterminated",
+        "SELECT name WHERE " + "age > 1 AND " * 150 + "age > 1",
+        " ", "SELECT 😀").foreach { s =>
+      Compiler.compile(schema, s)
+      Compiler.compile(schema, s, extensions = true)
+    }
+  }
+
   test("compiled queries: inferred output schema == planned DataFrame schema") {
     samples(queryGen, 60).foreach { q =>
       Compiler.compile(schema, q) match {
