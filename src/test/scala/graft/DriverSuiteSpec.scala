@@ -30,6 +30,20 @@ class DriverSuiteSpec extends AnyFunSuite {
   private def run(q: String, df: DataFrame = flat): DataFrame =
     Compiler.queryOrThrow(df, q)
 
+  test("driver contract: every oracle key has a queries entry") {
+    // an orphan oracle key makes the driver's compare report NO SPARK
+    // OUTPUT for that row — a silent correctness-score hole, caught here
+    // instead of in the round artifact
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle keys without queries: $orphans")
+    // rows-only queries (no oracle) are legitimate, but must be the
+    // documented approximate set, not an accidental omission — pin the
+    // count so a new query silently missing its oracle trips review
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.size == 26, s"rows-only query count changed (${rowsOnly.size}): " +
+      s"either add the missing oracle or update this pin.\n$rowsOnly")
+  }
+
   test("SELECT SUM(lvl) GROUP BY age (ref :638)") {
     val got = run("SELECT SUM(lvl) GROUP BY age").collect()
       .map(r => r.getAs[Double]("_id") -> r.getAs[Double]("lvl")).toMap
