@@ -960,6 +960,35 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    // hashed-n-gram (unigram+bigram, 2048 md5 buckets) importance
+    // log-weight of every document under target = the English slice,
+    // raw = the whole corpus — the "how target-like is this document"
+    // selection signal
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Dsir.logWeights(docs, docs.filter(col("lang") === "en"), docs,
+        "text", "doc_id")
+    }),
+
+    // DSIR Gumbel top-100 resample: deterministic md5-seeded Gumbel race
+    // over the importance weights — a soft draw toward the target mix
+    // rather than a hard threshold (the published method's key property)
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Dsir.resample(docs, docs.filter(col("lang") === "en"), docs,
+        "text", "doc_id", n = 100, seed = "graft-r7")
+    }),
+
+    // hashed-n-gram distribution divergence (KL both ways + JS, bits)
+    // between the English and non-English slices — the mixture-drift /
+    // source-distance meter over the same bucket models DSIR scores with
+    "q_lm_divergence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Dsir.ngramDivergence(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
+    }),
+
     // the full curation pipeline (gates + keep-first dedup) in one pass
     "q_curate" -> ((s, dir) =>
       ops.Curate.curate(t(s, dir, "documents"), "text", "doc_id")
@@ -1546,6 +1575,39 @@ object SparkEntry {
     */
   private def oracleMd5Long(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Shared hashed-n-gram feature CTEs for the DSIR/divergence oracles:
+    * one row per (doc, n-gram OCCURRENCE) with its 2048-way md5 bucket —
+    * mirrors `Dsir.hashedNgramBuckets` (unigrams ++ 2-token shingles,
+    * multiplicity preserved).
+    */
+  private val oracleDsirFeat =
+    s"""toks AS (
+       |  SELECT doc_id, lang, $oracleTokens AS tokens FROM documents
+       |), ng AS (
+       |  SELECT doc_id, lang, unnest(tokens) AS g FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, lang, unnest(${oracleShingles(2)}) AS g FROM toks
+       |), feat AS (
+       |  SELECT doc_id, lang, ${oracleMd5Long("g")} % 2048 AS bucket FROM ng
+       |)""".stripMargin
+
+  /** The DSIR per-document importance-weight SELECT (target = English
+    * slice, raw = whole corpus, add-1 smoothing over 2048 buckets) —
+    * shared by the weights and resample oracles.
+    */
+  private val oracleDsirWeights =
+    s"""WITH $oracleDsirFeat,
+       |tc AS (SELECT bucket, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY 1),
+       |rc AS (SELECT bucket, count(*) AS cr FROM feat GROUP BY 1),
+       |tot AS (SELECT
+       |  (SELECT CAST(count(*) AS DOUBLE) FROM feat WHERE lang = 'en') AS nt,
+       |  (SELECT CAST(count(*) AS DOUBLE) FROM feat) AS nr)
+       |SELECT f.doc_id, count(*) AS n_ngrams,
+       |  round(sum(log2((coalesce(ct, 0) + 1.0) / (nt + 2048.0))
+       |          - log2((coalesce(cr, 0) + 1.0) / (nr + 2048.0))), 6) AS log_weight
+       |FROM feat f LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot
+       |GROUP BY 1""".stripMargin
 
   /** Little-endian u32 of an int expression as 8 hex chars (byte-swapped
     * big-endian hex) — the DuckDB mirror of Multimodal's `le32` byte
@@ -2774,6 +2836,61 @@ object SparkEntry {
          |JOIN cb USING (bigram)
          |JOIN cu ON cu.token = split_part(tf.bigram, ' ', 1), tot
          |GROUP BY doc_id""".stripMargin,
+
+    // DSIR importance weights: full recomputation of the hashed-n-gram
+    // bucket models and per-doc log-weights (same md5 buckets, same
+    // smoothing) — since raw = the whole corpus, every scored bucket is
+    // present in rc, so the left joins reproduce the engine's
+    // ratio-table lookup exactly
+    "q_dsir_weights" -> oracleDsirWeights,
+
+    // DSIR Gumbel top-100: the weights above + the deterministic
+    // md5-seeded uniform -> Gumbel race, ordered on the unrounded key
+    "q_dsir_resample" ->
+      s"""WITH w AS ($oracleDsirWeights)
+         |SELECT doc_id, n_ngrams, log_weight, round(key, 6) AS sample_key FROM (
+         |  SELECT *, log_weight + -ln(-ln(
+         |    (${oracleMd5Long("'graft-r7#' || CAST(doc_id AS VARCHAR)")} % 1000000 + 0.5)
+         |      / 1000000.0)) AS key
+         |  FROM w
+         |) ORDER BY key DESC LIMIT 100""".stripMargin,
+
+    // hashed-n-gram KL/JS divergence between the English and non-English
+    // slices: per-occupied-bucket terms + the closed-form zero-count
+    // remainder, mirroring Dsir.ngramDivergence term for term
+    "q_lm_divergence" ->
+      s"""WITH $oracleDsirFeat,
+         |ac AS (SELECT bucket, count(*) AS ca FROM feat WHERE lang = 'en' GROUP BY 1),
+         |bc AS (SELECT bucket, count(*) AS cb FROM feat WHERE lang <> 'en' GROUP BY 1),
+         |j AS (
+         |  SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |  FROM ac FULL OUTER JOIN bc USING (bucket)
+         |), tot AS (
+         |  SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb FROM j
+         |), pq AS (
+         |  SELECT na, nb,
+         |    (ca + 1.0) / (na + 2048.0) AS p,
+         |    (cb + 1.0) / (nb + 2048.0) AS q
+         |  FROM j, tot
+         |), agg AS (
+         |  SELECT count(*) AS nocc, any_value(na) AS na, any_value(nb) AS nb,
+         |    sum(p * log2(p / q)) AS kab,
+         |    sum(q * log2(q / p)) AS kba,
+         |    sum(p * log2(p / ((p + q) / 2.0)) / 2.0
+         |      + q * log2(q / ((p + q) / 2.0)) / 2.0) AS js
+         |  FROM pq
+         |), fin AS (
+         |  SELECT nocc, kab, kba, js,
+         |    1.0 / (na + 2048.0) AS p0, 1.0 / (nb + 2048.0) AS q0,
+         |    CAST(2048 - nocc AS DOUBLE) AS rest
+         |  FROM agg
+         |)
+         |SELECT nocc AS n_buckets_occupied,
+         |  round(kab + rest * p0 * log2(p0 / q0), 6) AS kl_ab_bits,
+         |  round(kba + rest * q0 * log2(q0 / p0), 6) AS kl_ba_bits,
+         |  round(js + rest * (p0 * log2(p0 / ((p0 + q0) / 2.0)) / 2.0
+         |    + q0 * log2(q0 / ((p0 + q0) / 2.0)) / 2.0), 6) AS js_bits
+         |FROM fin""".stripMargin,
 
     "q_lm_tfidf" ->
       s"""WITH toks AS (

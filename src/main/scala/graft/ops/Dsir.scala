@@ -1,0 +1,279 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data selection via importance resampling — the DSIR recipe (Xie et
+  * al., "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023, arXiv:2302.03169): represent every document as a bag of
+  * HASHED n-grams (unigrams + bigrams bucketed into `B` hash buckets),
+  * fit smoothed bucket distributions on a small TARGET corpus (the
+  * distribution you want more of) and on the RAW corpus (what you have),
+  * score each raw document by its importance log-weight
+  * `sum log2(p_target(bucket) / p_raw(bucket))` over its n-gram
+  * occurrences, and resample without replacement with Gumbel top-k so
+  * the selected set is a draw from the importance-weighted distribution
+  * rather than a hard threshold.
+  *
+  * Everything is deterministic and md5-derived (the
+  * [[graft.functions.GraftFunctions.md5Long60]] convention shared with
+  * the fingerprint/multimodal ops), so a DuckDB oracle recomputes
+  * weights, Gumbel keys, and the selected set bit-for-bit — including
+  * the "randomness", which comes from hashing a seed with the document
+  * id instead of an RNG.
+  *
+  * Scale shape (100 TB): the bucket tables are at most `B` rows
+  * (default 2048 — the paper uses 10k; collisions are part of the
+  * method, not a defect), so the model side is always broadcast-sized
+  * regardless of corpus size. Scoring is one explode + one broadcast
+  * join + one map-side-combinable per-document sum — a single shuffle
+  * keyed by the document id. Resampling is a TakeOrdered top-k, never a
+  * global sort. Driver state is bounded by `B` doubles. The initial
+  * physical plan repeats the model's bucket-count subtrees (ratios and
+  * totals share lineage); the identical count shuffles are deduplicated
+  * at runtime by AQE exchange-stage reuse, which
+  * [[graft.SparkEntry.session]] pins on — the corpora are NOT scanned
+  * once per repeated subtree.
+  */
+object Dsir {
+
+  /** Bucketed n-gram (unigram + bigram) occurrences of a text column:
+    * `array<long>` of hash buckets in `[0, buckets)`, multiplicity
+    * preserved. Tokenization is the shared lowercase-alnum
+    * [[TextOps.tokens]]; bigrams are the 2-token shingles of
+    * [[graft.functions.GraftFunctions.wordShingles]] (space-joined, the
+    * same convention the MinHash/decontamination oracles already pin
+    * against DuckDB). Requires `GraftFunctions.register` (callers below
+    * do it).
+    */
+  def hashedNgramBuckets(text: Column, buckets: Int): Column = {
+    val ngrams = concat(
+      TextOps.tokens(text),
+      graft.functions.GraftFunctions.wordShingles(text, 2))
+    transform(ngrams, g =>
+      pmod(graft.functions.GraftFunctions.md5Long60(g.cast("binary")), lit(buckets.toLong)))
+  }
+
+  /** Hashed n-gram bucket counts over a corpus: one row per OCCUPIED
+    * bucket (≤ `buckets` rows — broadcast-sized by construction). One
+    * explode + one map-side-combinable count shuffle.
+    */
+  def bucketCounts(corpus: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .select(explode(hashedNgramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-occupied-bucket importance log-ratio table plus the scalar
+    * frame of totals: returns `(ratios, scalars)` where `ratios` is
+    * `(bucket, log_ratio)` over buckets occupied in EITHER corpus and
+    * `scalars` is one row `(dsir_n_target, dsir_n_raw, dsir_default)` —
+    * `dsir_default` being the log-ratio of a bucket unseen in both
+    * corpora (`log2((Nr + aB) / (Nt + aB))`), which scoring applies to
+    * any bucket outside the table. Smoothing is add-`alpha` over the
+    * full `B` buckets: `p(b) = (c_t(b) + a) / (N_t + aB)`.
+    */
+  def logRatios(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      buckets: Int,
+      alpha: Double = 1.0,
+  ): (DataFrame, DataFrame) = {
+    require(buckets >= 2, "buckets must be >= 2")
+    require(alpha > 0, "alpha must be > 0 (zero-count buckets need mass)")
+    val tc = bucketCounts(target, textCol, buckets).withColumnRenamed("n", "ct")
+    val rc = bucketCounts(raw, textCol, buckets).withColumnRenamed("n", "cr")
+    val joined = tc.join(rc, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val scalars = joined.agg(
+      sum(col("ct")).cast("double").as("dsir_n_target"),
+      sum(col("cr")).cast("double").as("dsir_n_raw"))
+      .withColumn("dsir_default",
+        log2((col("dsir_n_raw") + lit(alpha * buckets)) /
+          (col("dsir_n_target") + lit(alpha * buckets))))
+    val ratios = joined.crossJoin(broadcast(scalars))
+      .select(col("bucket"),
+        (log2((col("ct") + lit(alpha)) / (col("dsir_n_target") + lit(alpha * buckets))) -
+          log2((col("cr") + lit(alpha)) / (col("dsir_n_raw") + lit(alpha * buckets))))
+          .as("log_ratio"))
+    (ratios, scalars)
+  }
+
+  /** Per-document DSIR importance log-weight of `docs` under
+    * target-vs-raw hashed n-gram models:
+    * `(idCol, n_ngrams, log_weight)` with the weight rounded to 6 dp
+    * (the shared float-oracle convention). Documents with zero n-grams
+    * are dropped (no defined weight — the [[Lm]] explode convention).
+    *
+    * Plan: explode → broadcast-join the ≤`B`-row ratio table → one
+    * per-id sum shuffle. The ratio table rides a broadcast, never a
+    * shuffle.
+    */
+  def logWeights(
+      docs: DataFrame,
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 2048,
+      alpha: Double = 1.0,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val (ratios, scalars) = logRatios(target, raw, textCol, buckets, alpha)
+    docs
+      .select(col(idCol), explode(hashedNgramBuckets(col(textCol), buckets)).as("bucket"))
+      .join(broadcast(ratios), Seq("bucket"), "left")
+      .crossJoin(broadcast(scalars.select(col("dsir_default"))))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        round(sum(coalesce(col("log_ratio"), col("dsir_default"))), 6).as("log_weight"))
+  }
+
+  /** Deterministic uniform in (0, 1) from a seed and an id column — the
+    * md5-derived coin every sampling op in [[Sample]] uses, here at 6
+    * decimal digits of resolution (ample for a top-k race; both engines
+    * recompute it exactly).
+    */
+  private def hashUniform(seed: String, id: Column): Column =
+    (pmod(graft.functions.GraftFunctions.md5Long60(
+      concat(lit(seed), lit("#"), id.cast("string")).cast("binary")),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+
+  /** Gumbel top-`n` importance resampling (without replacement): select
+    * the `n` documents maximizing `log_weight + Gumbel(0,1)` where the
+    * Gumbel noise `-ln(-ln(u))` comes from the deterministic per-id
+    * uniform. Equivalent to sampling n docs without replacement with
+    * probability proportional to their importance weights (Vieira,
+    * "Gumbel-max trick and weighted reservoir sampling", 2014) — soft
+    * selection, so near-target documents win often but the tail keeps
+    * diversity, which is the point of DSIR over a hard threshold.
+    *
+    * Output: `(idCol, n_ngrams, log_weight, sample_key)` for the
+    * selected docs, `sample_key` rounded to 6 dp. The top-k runs on the
+    * UNROUNDED key (hash-derived, ties impossible) as a TakeOrdered —
+    * no global sort at any scale.
+    */
+  def resample(
+      docs: DataFrame,
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      buckets: Int = 2048,
+      alpha: Double = 1.0,
+      seed: String = "dsir",
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val gumbel = -log(-log(hashUniform(seed, col(idCol))))
+    logWeights(docs, target, raw, textCol, idCol, buckets, alpha)
+      .withColumn("sample_key_raw", col("log_weight") + gumbel)
+      .orderBy(col("sample_key_raw").desc)
+      .limit(n)
+      .select(col(idCol), col("n_ngrams"), col("log_weight"),
+        round(col("sample_key_raw"), 6).as("sample_key"))
+  }
+
+  /** Streaming twin of [[logWeights]]: score an unbounded document
+    * stream against a PRETRAINED ratio model — completely STATELESS.
+    * The ≤`B`-row ratio table collects once at query-build time into a
+    * dense `Array[Double]` literal indexed by bucket (the
+    * [[Lm.unigramBitsStream]] trade, and cheaper: the model is
+    * bounded by `B`, not by vocabulary), and each document scores in
+    * one projection — n-gram fold via `aggregate`, no explode, no
+    * streaming aggregation, no state store, any output mode. Works
+    * identically on a batch frame (the parity test uses that).
+    */
+  def logWeightsStream(
+      docs: DataFrame,
+      ratios: DataFrame,
+      scalars: DataFrame,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 2048,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val default = scalars.select(col("dsir_default")).collect()(0).getDouble(0)
+    val table = Array.fill(buckets)(default)
+    ratios.select(col("bucket").cast("long"), col("log_ratio").cast("double"))
+      .collect()
+      .foreach(r => table(r.getLong(0).toInt) = r.getDouble(1))
+    val tableLit = typedLit(table.toSeq)
+    val bks = hashedNgramBuckets(col(textCol), buckets)
+    val weightSum = aggregate(bks, lit(0.0), (acc, b) =>
+      acc + element_at(tableLit, (b + lit(1L)).cast("int")))
+    docs
+      .filter(size(bks) > 0)
+      .select(
+        col(idCol),
+        size(bks).cast("long").as("n_ngrams"),
+        round(weightSum, 6).as("log_weight"))
+  }
+
+  /** Hashed n-gram distribution divergence between two corpora — the
+    * mixture-drift meter: KL(A‖B), KL(B‖A), and the bounded symmetric
+    * Jensen–Shannon divergence, all in BITS over the same smoothed
+    * `B`-bucket models DSIR scores with. Use it to detect when a data
+    * source shifts against a reference snapshot, to rank candidate
+    * sources by distance to a target mix, or to sanity-check that a
+    * resampled output actually moved toward the target (JS(output,
+    * target) < JS(input, target)).
+    *
+    * The sum over the `B - n_occupied` buckets unseen in both corpora
+    * is identical per bucket, so it is added in closed form — the
+    * aggregate only touches occupied buckets. One row out:
+    * `(n_buckets_occupied, kl_ab_bits, kl_ba_bits, js_bits)`, 6 dp.
+    * Scale shape: two bucket-count shuffles (≤`B` rows each), then
+    * scalar math — corpus size only affects the counting scans.
+    */
+  def ngramDivergence(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      buckets: Int = 2048,
+      alpha: Double = 1.0,
+  ): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    require(alpha > 0, "alpha must be > 0")
+    val ac = bucketCounts(a, textCol, buckets).withColumnRenamed("n", "ca")
+    val bc = bucketCounts(b, textCol, buckets).withColumnRenamed("n", "cb")
+    val joined = ac.join(bc, Seq("bucket"), "full_outer")
+      .select(
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(
+      sum(col("ca")).cast("double").as("na"),
+      sum(col("cb")).cast("double").as("nb"))
+    val aB = alpha * buckets
+    val p = (col("ca") + lit(alpha)) / (col("na") + lit(aB))
+    val q = (col("cb") + lit(alpha)) / (col("nb") + lit(aB))
+    val m = (p + q) / lit(2.0)
+    val occupied = joined.crossJoin(broadcast(totals))
+      .agg(
+        count(lit(1)).as("n_buckets_occupied"),
+        first(col("na")).as("na"),
+        first(col("nb")).as("nb"),
+        sum(p * log2(p / q)).as("kl_ab_occ"),
+        sum(q * log2(q / p)).as("kl_ba_occ"),
+        sum(p * log2(p / m) / lit(2.0) + q * log2(q / m) / lit(2.0)).as("js_occ"))
+    // closed-form remainder: every unoccupied bucket contributes the
+    // same zero-count term
+    val p0 = lit(alpha) / (col("na") + lit(aB))
+    val q0 = lit(alpha) / (col("nb") + lit(aB))
+    val m0 = (p0 + q0) / lit(2.0)
+    val rest = (lit(buckets.toLong) - col("n_buckets_occupied")).cast("double")
+    occupied.select(
+      col("n_buckets_occupied"),
+      round(col("kl_ab_occ") + rest * p0 * log2(p0 / q0), 6).as("kl_ab_bits"),
+      round(col("kl_ba_occ") + rest * q0 * log2(q0 / p0), 6).as("kl_ba_bits"),
+      round(col("js_occ") +
+        rest * (p0 * log2(p0 / m0) / lit(2.0) + q0 * log2(q0 / m0) / lit(2.0)), 6)
+        .as("js_bits"))
+  }
+}

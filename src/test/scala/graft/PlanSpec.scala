@@ -460,6 +460,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("DSIR: broadcast ratio lookup, partial-agg sums, TakeOrdered resample") {
+    val en = docs.filter($"lang" === "en")
+    val p = plan(graft.ops.Dsir.logWeights(docs, en, docs, "text", "doc_id"))
+    // the ≤B-row ratio table reaches the n-gram stream as a broadcast
+    // hash join on the bucket — the corpus-sized side never shuffles to
+    // meet the model (the model build itself may SMJ two ≤B-row frames)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-doc weight sum is map-side combined
+    assert("partial_count".r.findAllIn(p).nonEmpty, p)
+    // resampling is a bounded top-k, never a global range sort
+    val pr = plan(graft.ops.Dsir.resample(docs, en, docs, "text", "doc_id", n = 10))
+    assert(pr.contains("TakeOrderedAndProject"), pr)
+    assert(!pr.contains("Exchange rangepartitioning"), pr)
+    // the divergence meter: bucket-count shuffles only, no cartesian
+    val pd = plan(graft.ops.Dsir.ngramDivergence(en, docs, "text"))
+    assert(!pd.contains("CartesianProduct"), pd)
+  }
+
   test("LM scoring: partial-agg counts, token-keyed join, broadcast totals only") {
     val p = plan(graft.ops.Lm.unigramBits(docs, docs, "text", "doc_id"))
     // every aggregate (train counts, per-doc tf, per-doc reduce) is
