@@ -451,6 +451,18 @@ object SparkEntry {
         nClusters = 8, threshold = 0.45, nProbe = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // D4-style diversification (Tirumala et al. 2023): drop the 25% most
+    // prototypical vectors of each k-means cell, keep the diverse rest.
+    // Deterministic (trainIvf's seeded sample + literal centroids) but
+    // k-means is not SQL-expressible → rows-only; the per-cell quota and
+    // the kept-vs-dropped prototypicality ordering are contracted by
+    // DriverSuiteSpec ("D4 diversification")
+    "q_dedup_d4" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 8)
+      Dedup.diversify(emb, "embedding", "vec_id", index, dropFraction = 0.25)
+    }),
+
     // pair recall of within-cell pairs vs the exact truth restricted to
     // a 1-in-4 probe sample (same sampled-meter pattern as
     // q_dedup_embedding_recall) — what the cluster-boundary trade costs

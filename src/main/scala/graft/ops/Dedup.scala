@@ -1324,6 +1324,73 @@ object Dedup {
       .filter(col(idCol) === col("dup_group")).drop("dup_group")
   }
 
+  /** Per-row prototypicality under a trained [[Similarity.IvfIndex]]:
+    * `(idCol, cell, proto)` where `cell` is the literal-centroid argmax
+    * assignment (the same one [[Similarity.assignCell]] computes — ties
+    * broken identically, by score then cell index) and `proto` is the
+    * cosine of the row's vector to its OWN cell's centroid — the
+    * "how close to the cluster prototype" signal D4-style
+    * diversification prunes on (Tirumala et al., "D4: Improving LLM
+    * Pretraining via Document De-Duplication and Diversification",
+    * arXiv:2308.12284). A narrow codegen'd projection: the centroids
+    * ship as literal weight arrays, zero shuffles, zero joins. Rows
+    * with null or zero vectors are dropped (no defined cosine).
+    */
+  def prototypicality(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      index: Similarity.IvfIndex,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import graft.functions.GraftFunctions.vecDot
+    val vec = col(vecCol)
+    val scored = array(index.centroids.zipWithIndex.map { case (c, i) =>
+      val norm2 = c.map(x => x * x).sum
+      struct(
+        (vecDot(vec, typedLit(c)) - lit(norm2 / 2.0)).as("score"),
+        lit(i).as("cell"),
+        (vecDot(vec, typedLit(c)) /
+          (lit(math.sqrt(norm2).max(1e-12)) * sqrt(vecDot(vec, vec)))).as("cos"))
+    }: _*)
+    val best = array_max(scored)
+    df.filter(Similarity.nonZeroVec(vec))
+      .select(col(idCol), best.getField("cell").as("cell"),
+        round(best.getField("cos"), 6).as("proto"))
+  }
+
+  /** D4-style diversification: drop the `dropFraction` MOST prototypical
+    * rows of every cluster (`ceil(dropFraction × cellN)` rows, ranked by
+    * prototypicality descending with the id as a deterministic
+    * tiebreak), keeping the diverse remainder. The second half of the
+    * published D4 recipe — run it AFTER [[semanticDedupKeepFirst]]:
+    * SemDeDup removes the near-identical, this removes the redundant
+    * middle of each semantic cluster.
+    *
+    * Returns the KEPT rows as `(idCol, cell, proto)`. One hash exchange
+    * on the cell plus a per-cell window sort — no global sort; per-cell
+    * cost scales with CELL size, so `nClusters` grows with the corpus
+    * exactly as in [[semanticDedup]] (D4 used 11k clusters for CC-scale
+    * corpora).
+    */
+  def diversify(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      index: Similarity.IvfIndex,
+      dropFraction: Double = 0.25,
+  ): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction < 1.0,
+      "dropFraction must be in [0, 1)")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("proto").desc, col(idCol))
+    prototypicality(df, vecCol, idCol, index)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .filter(col("__rk") > ceil(col("__n") * lit(dropFraction)))
+      .drop("__rk", "__n")
+  }
+
   /** EXACT cosine pairs at/above a threshold — the ground truth for
     * [[embeddingNearDups]]'s recall meter. Output matches
     * embeddingNearDups' (id_a, id_b) shape.

@@ -40,7 +40,7 @@ class DriverSuiteSpec extends AnyFunSuite {
     // documented approximate set, not an accidental omission — pin the
     // count so a new query silently missing its oracle trips review
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.size == 26, s"rows-only query count changed (${rowsOnly.size}): " +
+    assert(rowsOnly.size == 27, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
@@ -190,6 +190,33 @@ class DriverSuiteSpec extends AnyFunSuite {
       val row = SparkEntry.queries(q)(spark, dir).collect().head
       val recall = row.getAs[Double]("recall")
       assert(recall >= 0.6, s"$q at $dir: recall $recall below the 0.6 floor")
+    }
+  }
+
+  test("D4 diversification: per-cell drop quota and prototypicality ordering") {
+    // the contract behind q_dedup_d4 (rows-only — k-means isn't
+    // SQL-expressible): for every cell, exactly ceil(0.25 × cellN) rows
+    // are dropped, and every dropped row is at least as prototypical as
+    // every kept row (ties at the boundary allowed)
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = SparkEntry.t(spark, dir, "embeddings")
+      val index = graft.ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 8)
+      val all = graft.ops.Dedup.prototypicality(emb, "embedding", "vec_id", index)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val kept = SparkEntry.queries("q_dedup_d4")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val keptIds = kept.map(_._1).toSet
+      for ((cell, rows) <- all.groupBy(_._2)) {
+        val keptRows = rows.filter(r => keptIds(r._1))
+        val dropped = rows.filterNot(r => keptIds(r._1))
+        assert(dropped.length == math.ceil(rows.length * 0.25).toInt,
+          s"$dir cell $cell: ${dropped.length} dropped of ${rows.length}")
+        if (keptRows.nonEmpty && dropped.nonEmpty)
+          assert(keptRows.map(_._3).max <= dropped.map(_._3).min,
+            s"$dir cell $cell: kept a row more prototypical than a dropped one")
+      }
+      // kept output agrees with the independent prototypicality pass
+      assert(kept.toSet.subsetOf(all.toSet))
     }
   }
 

@@ -460,6 +460,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("D4: prototypicality is a shuffle-free scan; diversify adds ONE cell exchange") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val index = graft.ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 4)
+    // centroid cosines are literal-weight projections — no joins, no shuffle
+    val pp = plan(graft.ops.Dedup.prototypicality(emb, "embedding", "vec_id", index))
+    assert(!pp.contains("Exchange"), pp)
+    assert(!pp.contains("Join"), pp)
+    // the per-cell quota window is the only exchange; never a global sort
+    val pd = plan(graft.ops.Dedup.diversify(emb, "embedding", "vec_id", index))
+    assert("Exchange hashpartitioning".r.findAllIn(pd).size == 1, pd)
+    assert(!pd.contains("Exchange rangepartitioning"), pd)
+  }
+
   test("DSIR: broadcast ratio lookup, partial-agg sums, TakeOrdered resample") {
     val en = docs.filter($"lang" === "en")
     val p = plan(graft.ops.Dsir.logWeights(docs, en, docs, "text", "doc_id"))
