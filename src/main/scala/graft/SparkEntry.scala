@@ -977,20 +977,19 @@ object SparkEntry {
     // log-weight of every document under target = the English slice,
     // raw = the whole corpus — the "how target-like is this document"
     // selection signal
-    "q_dsir_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      ops.Dsir.logWeights(docs, docs.filter(col("lang") === "en"), docs,
-        "text", "doc_id")
-    }),
+    // (subset path: the target is a slice of the corpus, so one n-gram
+    // pass builds both count tables — two corpus-scale hash passes
+    // total; parity with the two-corpus form is a DsirSpec test)
+    "q_dsir_weights" -> ((s, dir) =>
+      ops.Dsir.logWeightsSubset(t(s, dir, "documents"),
+        col("lang") === "en", "text", "doc_id")),
 
     // DSIR Gumbel top-100 resample: deterministic md5-seeded Gumbel race
     // over the importance weights — a soft draw toward the target mix
     // rather than a hard threshold (the published method's key property)
-    "q_dsir_resample" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      ops.Dsir.resample(docs, docs.filter(col("lang") === "en"), docs,
-        "text", "doc_id", n = 100, seed = "graft-r7")
-    }),
+    "q_dsir_resample" -> ((s, dir) =>
+      ops.Dsir.resampleSubset(t(s, dir, "documents"), col("lang") === "en",
+        "text", "doc_id", n = 100, seed = "graft-r7")),
 
     // hashed-n-gram distribution divergence (KL both ways + JS, bits)
     // between the English and non-English slices — the mixture-drift /

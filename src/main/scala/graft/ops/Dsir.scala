@@ -90,6 +90,47 @@ object Dsir {
       .select(col("bucket"),
         coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
+    ratiosFromCounts(joined, buckets, alpha)
+  }
+
+  /** [[logRatios]] for the target-is-a-slice-of-raw case (`targetPred`
+    * marks the target rows INSIDE `raw`): both bucket-count tables come
+    * out of ONE n-gram pass over the raw corpus — `cr` counts every
+    * occurrence, `ct` counts the occurrences whose row satisfies the
+    * predicate. Same math, same outputs as the two-corpus form; one
+    * fewer corpus-scale hash pass. Prefer this whenever the target is a
+    * labeled/filtered subset (quality slice, language slice, curated
+    * flag); the two-corpus [[logRatios]] remains for an EXTERNAL target
+    * corpus, where the target pass is small anyway.
+    */
+  def logRatiosSubset(
+      raw: DataFrame,
+      targetPred: Column,
+      textCol: String,
+      buckets: Int,
+      alpha: Double = 1.0,
+  ): (DataFrame, DataFrame) = {
+    require(buckets >= 2, "buckets must be >= 2")
+    require(alpha > 0, "alpha must be > 0 (zero-count buckets need mass)")
+    graft.functions.GraftFunctions.register(raw.sparkSession)
+    val joined = raw
+      .select(targetPred.as("__is_t"),
+        explode(hashedNgramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        count_if(col("__is_t")).as("ct"),
+        count(lit(1)).as("cr"))
+    ratiosFromCounts(joined, buckets, alpha)
+  }
+
+  /** Shared tail of [[logRatios]]/[[logRatiosSubset]]: smoothed
+    * log-ratio table + scalar totals from a (bucket, ct, cr) frame.
+    */
+  private def ratiosFromCounts(
+      joined: DataFrame,
+      buckets: Int,
+      alpha: Double,
+  ): (DataFrame, DataFrame) = {
     val scalars = joined.agg(
       sum(col("ct")).cast("double").as("dsir_n_target"),
       sum(col("cr")).cast("double").as("dsir_n_raw"))
@@ -102,6 +143,29 @@ object Dsir {
           log2((col("cr") + lit(alpha)) / (col("dsir_n_raw") + lit(alpha * buckets))))
           .as("log_ratio"))
     (ratios, scalars)
+  }
+
+  /** Score `docs` against a prebuilt `(ratios, scalars)` model — the
+    * shared scoring tail of the [[logWeights]] variants: explode →
+    * broadcast ratio lookup → one per-id sum shuffle.
+    */
+  def logWeightsWith(
+      docs: DataFrame,
+      ratios: DataFrame,
+      scalars: DataFrame,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 2048,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol), explode(hashedNgramBuckets(col(textCol), buckets)).as("bucket"))
+      .join(broadcast(ratios), Seq("bucket"), "left")
+      .crossJoin(broadcast(scalars.select(col("dsir_default"))))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        round(sum(coalesce(col("log_ratio"), col("dsir_default"))), 6).as("log_weight"))
   }
 
   /** Per-document DSIR importance log-weight of `docs` under
@@ -123,16 +187,26 @@ object Dsir {
       buckets: Int = 2048,
       alpha: Double = 1.0,
   ): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
     val (ratios, scalars) = logRatios(target, raw, textCol, buckets, alpha)
-    docs
-      .select(col(idCol), explode(hashedNgramBuckets(col(textCol), buckets)).as("bucket"))
-      .join(broadcast(ratios), Seq("bucket"), "left")
-      .crossJoin(broadcast(scalars.select(col("dsir_default"))))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_ngrams"),
-        round(sum(coalesce(col("log_ratio"), col("dsir_default"))), 6).as("log_weight"))
+    logWeightsWith(docs, ratios, scalars, textCol, idCol, buckets)
+  }
+
+  /** [[logWeights]] when the target is a predicate-marked slice of the
+    * raw corpus: one n-gram pass builds both count tables
+    * ([[logRatiosSubset]]), one scores — two corpus-scale hash passes
+    * total instead of three. Identical output to
+    * `logWeights(raw, raw.filter(targetPred), raw, …)`.
+    */
+  def logWeightsSubset(
+      raw: DataFrame,
+      targetPred: Column,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 2048,
+      alpha: Double = 1.0,
+  ): DataFrame = {
+    val (ratios, scalars) = logRatiosSubset(raw, targetPred, textCol, buckets, alpha)
+    logWeightsWith(raw, ratios, scalars, textCol, idCol, buckets)
   }
 
   /** Deterministic uniform in (0, 1) from a seed and an id column — the
@@ -170,9 +244,39 @@ object Dsir {
       alpha: Double = 1.0,
       seed: String = "dsir",
   ): DataFrame = {
+    resampleFrom(logWeights(docs, target, raw, textCol, idCol, buckets, alpha),
+      idCol, n, seed)
+  }
+
+  /** [[resample]] on the subset path ([[logWeightsSubset]]'s one-pass
+    * model build).
+    */
+  def resampleSubset(
+      raw: DataFrame,
+      targetPred: Column,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      buckets: Int = 2048,
+      alpha: Double = 1.0,
+      seed: String = "dsir",
+  ): DataFrame =
+    resampleFrom(logWeightsSubset(raw, targetPred, textCol, idCol, buckets, alpha),
+      idCol, n, seed)
+
+  /** The Gumbel top-`n` race over a precomputed weights frame — shared
+    * tail of the [[resample]] variants.
+    */
+  def resampleFrom(
+      weights: DataFrame,
+      idCol: String,
+      n: Int,
+      seed: String = "dsir",
+  ): DataFrame = {
     require(n >= 1, "n must be >= 1")
+    graft.functions.GraftFunctions.register(weights.sparkSession)
     val gumbel = -log(-log(hashUniform(seed, col(idCol))))
-    logWeights(docs, target, raw, textCol, idCol, buckets, alpha)
+    weights
       .withColumn("sample_key_raw", col("log_weight") + gumbel)
       .orderBy(col("sample_key_raw").desc)
       .limit(n)

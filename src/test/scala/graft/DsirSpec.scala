@@ -69,6 +69,23 @@ class DsirSpec extends AnyFunSuite {
     assert(keyed.map(_._2).distinct.length == 5)
   }
 
+  test("subset path is bit-identical to the two-corpus form") {
+    // logWeightsSubset / resampleSubset fold the target count into the
+    // raw pass (one corpus scan fewer); the math must not move
+    val pred = col("doc_id") < 10L
+    val general = Dsir.logWeights(raw, raw.filter(pred), raw, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val subset = Dsir.logWeightsSubset(raw, pred, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(subset == general)
+    val rs = Dsir.resampleSubset(raw, pred, "text", "doc_id", n = 3, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    val rg = Dsir.resample(raw, raw.filter(pred), raw, "text", "doc_id",
+        n = 3, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    assert(rs == rg)
+  }
+
   test("streaming scorer matches the batch weights on the same frame") {
     val (ratios, scalars) = Dsir.logRatios(target, raw, "text", buckets = 2048)
     val streamed = Dsir.logWeightsStream(raw, ratios, scalars, "text", "doc_id")
