@@ -1053,6 +1053,16 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +: metrics: _*)
     }),
 
+    // compression-ratio redundancy signal (native deflate_len
+    // expression): deterministic per JDK zlib but not SQL-expressible →
+    // rows-only; bounds + determinism contracted by DriverSuiteSpec
+    // ("compression ratio signal"), planted ordering in OpsSpec
+    "q_text_compress" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val metrics = TextOps.compressionMetrics(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(col("doc_id") +: metrics: _*)
+    }),
+
     // PII scrubbing: counts per cascade stage + fingerprint of the
     // scrubbed text (the synthetic corpus has no PII, so counts are 0 and
     // fp equals md5(text) — the oracle still verifies the whole cascade

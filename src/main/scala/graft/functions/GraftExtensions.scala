@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("array_sum", "array_sum(arr) - sum of a numeric array, accumulated in double"),
       (exprs: Seq[Expression]) => ArraySum(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      info("deflate_len", "deflate_len(text) - DEFLATE-compressed byte length of the UTF-8 text"),
+      (exprs: Seq[Expression]) => DeflateLen(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       info("topk_by_score", "topk_by_score(score, id, k) - bounded top-k by (score desc, id asc) as array<struct<id, score>>"),
       (exprs: Seq[Expression]) =>

@@ -1057,6 +1057,7 @@ object GraftFunctions {
       add("sign_pack", exprs => SignPack(exprs(0)))
       add("hamming_dist", exprs => HammingDist(exprs(0), exprs(1)))
       add("media_meta", exprs => MediaMeta(exprs(0)))
+      add("deflate_len", exprs => DeflateLen(exprs(0)))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -1072,6 +1073,9 @@ object GraftFunctions {
 
   /** SimHash column (60-bit, md5-derived); requires `register(spark)` first. */
   def simHash60(text: Column): Column = call_function("simhash60", text)
+
+  /** DEFLATE length column; requires `register(spark)` first. */
+  def deflateLen(text: Column): Column = call_function("deflate_len", text)
 
   /** Native numeric-array sum (double); requires `register(spark)` first. */
   def arraySum(arr: Column): Column = call_function("array_sum", arr)
@@ -1311,6 +1315,64 @@ object SimHashUtil {
   * no token array, no interpreted 60-lane voting tree. See [[SimHashUtil]]
   * for why the token hash is md5-derived and the width is 60.
   */
+/** DEFLATE-compressed byte length of a string's UTF-8 bytes — the
+  * compression-ratio quality signal (highly compressible text is
+  * template/boilerplate/repetition; used by CCNet-class pipelines as a
+  * cheap redundancy meter that catches structure n-gram counts miss).
+  * Raw deflate (no zlib header), fixed compression level, thread-local
+  * `Deflater` reuse so the hot path allocates nothing per row.
+  * Deterministic for a given JDK's zlib; cross-JVM-vendor stability is
+  * NOT contracted (hence rows-only at the driver, unit-contracted).
+  */
+case class DeflateLen(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deflate_len requires string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateUtil.deflateLen(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateUtil.deflateLen($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+
+  override def prettyName: String = "deflate_len"
+}
+
+/** Runtime helper for [[DeflateLen]] — shared by interpreted eval and
+  * generated code.
+  */
+object DeflateUtil {
+  // Deflater is stateful and not thread-safe; one per executor thread,
+  // reset per call (cheap) instead of allocated per row (native memory)
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  }
+  private val buf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
+  def deflateLen(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = local.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val b = buf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(b)
+    total
+  }
+}
+
 case class SimHash60(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

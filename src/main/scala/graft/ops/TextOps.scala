@@ -401,6 +401,30 @@ object TextOps {
       regexp_count(text, lit("[^\\x00-\\x7F]")).cast("double") / greatest(length(text), lit(1)), 6),
   )
 
+  /** Compression-ratio quality signal: raw-DEFLATE compressed length of
+    * the UTF-8 bytes over the byte length ([[graft.functions.DeflateLen]]
+    * native expression — thread-local Deflater, codegen'd, shuffle-free).
+    * Low ratio = redundant text (templates, boilerplate, generated spam)
+    * — structure the n-gram repetition meters miss when the repeats are
+    * long-range or lightly mutated; near-1 ratio on long text = high
+    * entropy (random strings, encoded blobs). The standard cheap
+    * redundancy meter beside [[repetitionMetrics]]. Requires
+    * `GraftFunctions.register` (driver callers do it).
+    *
+    * Deterministic per JDK zlib; not contracted across JVM vendors, so
+    * the driver row is rows-only with bounds/determinism contracts
+    * (DriverSuiteSpec) instead of a DuckDB oracle.
+    */
+  def compressionMetrics(text: Column): Seq[(String, Column)] = {
+    val n = octet_length(text).cast("long")
+    val dl = graft.functions.GraftFunctions.deflateLen(text)
+    Seq(
+      "n_bytes" -> n,
+      "deflate_len" -> dl,
+      "compress_ratio" ->
+        round(dl.cast("double") / greatest(n, lit(1L)).cast("double"), 6))
+  }
+
   /** Canonical text: lowercase, whitespace collapsed, trimmed. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -40,7 +40,7 @@ class DriverSuiteSpec extends AnyFunSuite {
     // documented approximate set, not an accidental omission — pin the
     // count so a new query silently missing its oracle trips review
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.size == 27, s"rows-only query count changed (${rowsOnly.size}): " +
+    assert(rowsOnly.size == 28, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
@@ -190,6 +190,30 @@ class DriverSuiteSpec extends AnyFunSuite {
       val row = SparkEntry.queries(q)(spark, dir).collect().head
       val recall = row.getAs[Double]("recall")
       assert(recall >= 0.6, s"$q at $dir: recall $recall below the 0.6 floor")
+    }
+  }
+
+  test("compression ratio signal: bounds, agreement with byte length, determinism") {
+    // the contract behind q_text_compress (rows-only — no deflate in
+    // DuckDB): compressed length is positive and within the raw-deflate
+    // envelope (stored-block overhead ≤ 11 bytes + 5 per 16 KiB), real
+    // text compresses on average, and the signal is deterministic
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = SparkEntry.queries("q_text_compress")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (id, n, dl, ratio) =>
+        assert(dl > 0, s"$dir doc $id: deflate_len $dl")
+        assert(dl <= n + 11 + 5 * (n / 16384 + 1), s"$dir doc $id: $dl vs $n bytes")
+        // short docs (min 44 bytes here) can exceed 1.0 by the block
+        // overhead; the envelope above is the hard bound, this the sanity
+        assert(ratio > 0.0 && ratio <= 1.3, s"$dir doc $id: ratio $ratio")
+      }
+      assert(rows.map(_._4).sum / rows.length < 0.9,
+        s"$dir: real text should compress on average")
+      val again = SparkEntry.queries("q_text_compress")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSet == again.toSet, s"$dir: signal not deterministic")
     }
   }
 

@@ -1641,6 +1641,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compression ratio: repetition compresses, entropy doesn't, null stays null") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val repetitive = ("lorem ipsum dolor sit amet " * 40).trim
+    val highEntropy = Seq.fill(240)(('a' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq((0L, repetitive), (1L, highEntropy), (2L, ""))
+      .toDF("doc_id", "text")
+      .union(Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val m = TextOps.compressionMetrics($"text").map { case (n, c) => c.as(n) }
+    val got = df.select($"doc_id" +: m: _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ratioRep = got(0L).getDouble(3)
+    val ratioEnt = got(1L).getDouble(3)
+    // boilerplate repetition compresses an order of magnitude better
+    assert(ratioRep < 0.2, s"repetitive ratio $ratioRep")
+    assert(ratioEnt > 0.5, s"high-entropy ratio $ratioEnt")
+    assert(ratioRep < ratioEnt / 3)
+    // empty text: guard denominator, tiny positive deflate output
+    assert(got(2L).getLong(1) == 0L && got(2L).getLong(2) > 0L)
+    // null text propagates null through the native expression
+    assert(got(3L).isNullAt(2) && got(3L).isNullAt(3))
+    // SQL surface via the extensions injector
+    assert(spark.sql("SELECT deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa')")
+      .collect().head.getLong(0) > 0)
+  }
+
   test("hash embedding: unit norm, near-dups close, unrelated far, empty -> null") {
     graft.functions.GraftFunctions.register(spark)
     val df = docs.union(Seq((9L, "")).toDF("doc_id", "text"))
