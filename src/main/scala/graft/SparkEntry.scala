@@ -1053,6 +1053,15 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +: metrics: _*)
     }),
 
+    // phrase-blocklist gate (C4 badwords rule shape): ONE Aho–Corasick
+    // automaton probe per row vs a per-phrase contains chain — same
+    // semantics, so the oracle is the OR-of-contains SQL
+    "q_text_blocklist" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.blocklisted(col("text"), blockPhrases).as("blocked"))
+    }),
+
     // compression-ratio redundancy signal (native deflate_len
     // expression): deterministic per JDK zlib but not SQL-expressible →
     // rows-only; bounds + determinism contracted by DriverSuiteSpec
@@ -1596,6 +1605,12 @@ object SparkEntry {
     */
   private def oracleMd5Long(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** The q_text_blocklist phrase list — bigram phrases from the synthetic
+    * corpus vocabulary so both hit and miss paths are exercised.
+    */
+  private val blockPhrases = Seq(
+    "big slow", "fast group", "window big", "merge big join", "slow column")
 
   /** Shared hashed-n-gram feature CTEs for the DSIR/divergence oracles:
     * one row per (doc, n-gram OCCURRENCE) with its 2048-way md5 bucket —
@@ -2912,6 +2927,13 @@ object SparkEntry {
          |  round(js + rest * (p0 * log2(p0 / ((p0 + q0) / 2.0)) / 2.0
          |    + q0 * log2(q0 / ((p0 + q0) / 2.0)) / 2.0), 6) AS js_bits
          |FROM fin""".stripMargin,
+
+    // blocklist gate: the automaton's substring semantics ARE the
+    // OR-of-contains chain, so the chain is the oracle
+    "q_text_blocklist" ->
+      s"""SELECT doc_id, (${blockPhrases
+        .map(p => s"contains(lower(text), '$p')").mkString(" OR ")}) AS blocked
+         |FROM documents""".stripMargin,
 
     "q_lm_tfidf" ->
       s"""WITH toks AS (

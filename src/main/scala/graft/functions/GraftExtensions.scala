@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("deflate_len", "deflate_len(text) - DEFLATE-compressed byte length of the UTF-8 text"),
       (exprs: Seq[Expression]) => DeflateLen(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("contains_any"),
+      info("contains_any", "contains_any(text, patterns) - Aho-Corasick any-substring match against a literal array<string>"),
+      (exprs: Seq[Expression]) => ContainsAny(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       info("topk_by_score", "topk_by_score(score, id, k) - bounded top-k by (score desc, id asc) as array<struct<id, score>>"),
       (exprs: Seq[Expression]) =>

@@ -1058,6 +1058,7 @@ object GraftFunctions {
       add("hamming_dist", exprs => HammingDist(exprs(0), exprs(1)))
       add("media_meta", exprs => MediaMeta(exprs(0)))
       add("deflate_len", exprs => DeflateLen(exprs(0)))
+      add("contains_any", exprs => ContainsAny(exprs(0), exprs(1)))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -1076,6 +1077,13 @@ object GraftFunctions {
 
   /** DEFLATE length column; requires `register(spark)` first. */
   def deflateLen(text: Column): Column = call_function("deflate_len", text)
+
+  /** Multi-pattern substring containment (Aho–Corasick over a literal
+    * pattern list); requires `register(spark)` first.
+    */
+  def containsAny(text: Column, patterns: Seq[String]): Column =
+    call_function("contains_any", text,
+      org.apache.spark.sql.functions.typedLit(patterns))
 
   /** Native numeric-array sum (double); requires `register(spark)` first. */
   def arraySum(arr: Column): Column = call_function("array_sum", arr)
@@ -1371,6 +1379,160 @@ object DeflateUtil {
     while (!d.finished()) total += d.deflate(b)
     total
   }
+}
+
+/** Aho–Corasick multi-pattern substring automaton over UTF-8 bytes
+  * (Aho & Corasick 1975) — built ONCE per plan from a foldable pattern
+  * list and probed per row in O(text bytes), independent of pattern
+  * count. Transitions live in one open-addressed long→int table
+  * (key = node << 8 | byte) so a 100k-phrase blocklist costs ~4 bytes
+  * per pattern byte, not 256-way dense nodes. Empty patterns are
+  * ignored (a match-everything pattern is never what a blocklist
+  * means).
+  */
+final class AhoCorasick(patterns: Array[Array[Byte]]) extends Serializable {
+  private val pats = patterns.filter(p => p != null && p.length > 0)
+  // open-addressed transition table, capacity = power of two ≥ 2× edges
+  private val cap: Int = {
+    val need = math.max(16, pats.map(_.length).sum * 2)
+    Integer.highestOneBit(need - 1) << 1
+  }
+  private val mask = cap - 1
+  private val tKeys = new Array[Long](cap) // stored key + 1; 0 = empty
+  private val tVals = new Array[Int](cap)
+
+  private def put(node: Int, b: Byte, child: Int): Unit = {
+    val key = (node.toLong << 8) | (b & 0xFFL)
+    var i = (java.lang.Long.hashCode(key * 0x9E3779B97F4A7C15L) & mask)
+    while (tKeys(i) != 0 && tKeys(i) != key + 1) i = (i + 1) & mask
+    tKeys(i) = key + 1
+    tVals(i) = child
+  }
+
+  /** Child of (node, byte) or -1. */
+  private def get(node: Int, b: Byte): Int = {
+    val key = (node.toLong << 8) | (b & 0xFFL)
+    var i = (java.lang.Long.hashCode(key * 0x9E3779B97F4A7C15L) & mask)
+    while (tKeys(i) != 0) {
+      if (tKeys(i) == key + 1) return tVals(i)
+      i = (i + 1) & mask
+    }
+    -1
+  }
+
+  private val (fail: Array[Int], terminal: Array[Boolean]) = {
+    // trie
+    val childLists = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[(Byte, Int)])
+    val term = scala.collection.mutable.ArrayBuffer(false)
+    for (p <- pats) {
+      var node = 0
+      for (b <- p) {
+        var next = get(node, b)
+        if (next < 0) {
+          next = childLists.length
+          childLists += scala.collection.mutable.ArrayBuffer.empty[(Byte, Int)]
+          term += false
+          put(node, b, next)
+          childLists(node) += ((b, next))
+        }
+        node = next
+      }
+      term(node) = true
+    }
+    // BFS failure links; terminal propagates through them
+    val f = new Array[Int](childLists.length)
+    val queue = new java.util.ArrayDeque[Int]()
+    childLists(0).foreach { case (_, c) => f(c) = 0; queue.add(c) }
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      if (term(f(u))) term(u) = true
+      childLists(u).foreach { case (b, c) =>
+        var v = f(u)
+        var w = get(v, b)
+        while (v != 0 && w < 0) { v = f(v); w = get(v, b) }
+        f(c) = if (w >= 0 && w != c) w else 0
+        queue.add(c)
+      }
+    }
+    (f, term.toArray)
+  }
+
+  val isEmpty: Boolean = pats.isEmpty
+
+  /** True iff any pattern occurs as a substring of the bytes. */
+  def matches(bytes: Array[Byte]): Boolean = {
+    if (isEmpty) return false
+    var state = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      var next = get(state, b)
+      while (state != 0 && next < 0) { state = fail(state); next = get(state, b) }
+      if (next >= 0) state = next
+      if (terminal(state)) return true
+      i += 1
+    }
+    false
+  }
+
+  def matchesUtf8(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    matches(s.getBytes)
+}
+
+/** `contains_any(text, patterns)` — does the text contain ANY of the
+  * pattern strings as a substring? The patterns must be a FOLDABLE
+  * array<string> (the blocklist ships with the plan); matching runs the
+  * [[AhoCorasick]] automaton built once at plan init — O(text) per row
+  * regardless of list size, where the `contains(...) OR contains(...)`
+  * chain is O(list × text) and its codegen grows with the list. Matching
+  * is byte-exact (case-sensitive): lowercase the text/patterns at the
+  * call site for case-insensitive blocklists.
+  */
+case class ContainsAny(textExpr: Expression, patternsExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = textExpr
+  override def right: Expression = patternsExpr
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (textExpr.dataType, patternsExpr.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if patternsExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          "contains_any requires a foldable (literal) pattern array")
+      case (t, p) => TypeCheckResult.TypeCheckFailure(
+        s"contains_any requires (string, array<string>), got " +
+          s"(${t.simpleString}, ${p.simpleString})")
+    }
+
+  @transient private lazy val automaton: AhoCorasick = {
+    val arr = patternsExpr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr == null) null
+    else {
+      val pats = Array.tabulate(arr.numElements()) { i =>
+        if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      }
+      new AhoCorasick(pats)
+    }
+  }
+
+  override protected def nullSafeEval(text: Any, patsIgnored: Any): Any =
+    automaton.matchesUtf8(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ac", automaton, classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $ref.matchesUtf8($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ContainsAny =
+    copy(textExpr = newLeft, patternsExpr = newRight)
+
+  override def prettyName: String = "contains_any"
 }
 
 case class SimHash60(child: Expression)

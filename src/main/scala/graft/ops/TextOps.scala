@@ -401,6 +401,21 @@ object TextOps {
       regexp_count(text, lit("[^\\x00-\\x7F]")).cast("double") / greatest(length(text), lit(1)), 6),
   )
 
+  /** Phrase-blocklist predicate: true iff the lowercased text contains
+    * ANY of the phrases — C4's "bad words" page-removal rule
+    * generalized to arbitrary curation lists. One
+    * [[graft.functions.ContainsAny]] Aho–Corasick probe per row,
+    * O(text) regardless of list size; the `contains OR contains` chain
+    * this replaces is O(list × text) with codegen that grows per
+    * phrase — unusable at real blocklist sizes (C4's list is ~400
+    * phrases; URL blocklists run to 100k+). The automaton ships with
+    * the plan as one reference object. Requires
+    * `GraftFunctions.register`.
+    */
+  def blocklisted(text: Column, phrases: Seq[String]): Column =
+    graft.functions.GraftFunctions.containsAny(
+      lower(text), phrases.map(_.toLowerCase).distinct)
+
   /** Compression-ratio quality signal: raw-DEFLATE compressed length of
     * the UTF-8 bytes over the byte length ([[graft.functions.DeflateLen]]
     * native expression — thread-local Deflater, codegen'd, shuffle-free).
@@ -798,11 +813,12 @@ object TextOps {
       val enough = lineWords(l) >= minLineWords
       if (requireTerminalPunct) enough && trim(l).rlike("[.!?\"]$") else enough
     }
+    // one Aho–Corasick probe instead of a per-phrase contains chain —
+    // same substring semantics, O(text) per row at any list size
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val blocked =
       if (blocklist.isEmpty) lit(false)
-      else blocklist
-        .map(p => contains(lower(col(textCol)), lit(p.toLowerCase)))
-        .reduce(_ || _)
+      else blocklisted(col(textCol), blocklist)
     val kept = filter(segs, lineOk _)
     docs
       .filter(!blocked)

@@ -192,4 +192,62 @@ class VectorExprSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(top.getAs[Double]("cosine") == hof)
   }
+
+  test("contains_any: overlaps, suffixes, multibyte, case, empties, nulls") {
+    GraftFunctions.register(spark)
+    val pats = Seq("abc", "bcd", "héllo", "tail")
+    val df = Seq(
+      (0L, "xxabcdxx"),   // 'abc' and 'bcd' overlapping
+      (1L, "xbcd"),       // suffix-only match via failure links
+      (2L, "say héllo!"), // multibyte UTF-8 pattern
+      (3L, "ABC"),        // case-sensitive: no match
+      (4L, "ab cd bc d"), // fragments only
+      (5L, "xxxtail"),    // match ends at the last byte
+      (6L, ""),
+    ).toDF("id", "t")
+      .union(Seq((7L, null.asInstanceOf[String])).toDF("id", "t"))
+    val got = df.select($"id", GraftFunctions.containsAny($"t", pats).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+    assert(got(0L) == true && got(1L) == true && got(2L) == true && got(5L) == true)
+    assert(got(3L) == false && got(4L) == false && got(6L) == false)
+    assert(got(7L) == null) // null text propagates
+    // empty pattern list never matches; empty strings in the list ignored
+    assert(df.filter($"t".isNotNull)
+      .select(GraftFunctions.containsAny($"t", Seq.empty[String]))
+      .collect().forall(!_.getBoolean(0)))
+    assert(df.filter($"id" === 4L)
+      .select(GraftFunctions.containsAny($"t", Seq("", "bc d")))
+      .collect().head.getBoolean(0))
+  }
+
+  test("contains_any agrees with the naive contains chain on random fixtures") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    def word(alpha: Int): String =
+      Seq.fill(4 + rnd.nextInt(4))(('a' + rnd.nextInt(alpha)).toChar).mkString
+    // patterns over a wider alphabet than the texts: most patterns can't
+    // occur, so both outcomes are exercised at 2000-pattern scale
+    val pats = Seq.fill(2000)(word(12)).distinct
+    val texts = (0L until 300L).map(i => (i, Seq.fill(30)(word(6)).mkString(" ")))
+    val df = texts.toDF("id", "t")
+    val native = df.select($"id", GraftFunctions.containsAny($"t", pats).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val naive = texts.map { case (i, t) => i -> pats.exists(t.contains) }.toMap
+    assert(native == naive)
+    assert(native.values.exists(identity) && native.values.exists(!_),
+      "fixture should exercise both outcomes")
+  }
+
+  test("contains_any demands a literal pattern list and string input") {
+    GraftFunctions.register(spark)
+    val df = Seq(("a", Seq("a"))).toDF("t", "p")
+    val e = intercept[Exception] {
+      df.select(org.apache.spark.sql.functions.call_function(
+        "contains_any", $"t", $"p")).collect()
+    }
+    assert(e.getMessage.contains("foldable") || e.getMessage.contains("DATATYPE_MISMATCH"))
+    // SQL surface through the registry
+    assert(spark.sql("SELECT contains_any('big slow scan', array('big slow', 'zz'))")
+      .collect().head.getBoolean(0))
+  }
 }
