@@ -451,6 +451,14 @@ object SparkEntry {
         nClusters = 8, threshold = 0.45, nProbe = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Dolma/RefinedWeb-style corpus-level paragraph dedup: segments
+    // (split on " the " — the synthetic corpus has no newlines) deduped
+    // globally by normalized digest, first occurrence by (doc, pos)
+    // survives, documents reassembled in order
+    "q_dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(t(s, dir, "documents"), "text", "doc_id",
+        sep = " the ")),
+
     // D4-style diversification (Tirumala et al. 2023): drop the 25% most
     // prototypical vectors of each k-means cell, keep the diverse rest.
     // Deterministic (trainIvf's seeded sample + literal centroids) but
@@ -2927,6 +2935,32 @@ object SparkEntry {
          |  round(js + rest * (p0 * log2(p0 / ((p0 + q0) / 2.0)) / 2.0
          |    + q0 * log2(q0 / ((p0 + q0) / 2.0)) / 2.0), 6) AS js_bits
          |FROM fin""".stripMargin,
+
+    // paragraph dedup: full recomputation — positional split, global
+    // first-occurrence window over the normalized digest (blank
+    // segments always kept), ordered string_agg reassembly
+    "q_dedup_paragraph" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' the ') AS parts FROM documents
+         |), p0 AS (
+         |  SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM base
+         |), p AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |    parts[CAST(i AS INTEGER)] AS part FROM p0
+         |), n AS (
+         |  SELECT doc_id, i, part, ${oracleNormExpr("part")} AS nm FROM p
+         |), k AS (
+         |  SELECT doc_id, i, part,
+         |    (length(nm) = 0 OR
+         |     row_number() OVER (PARTITION BY md5(nm) ORDER BY doc_id, i) = 1) AS keep
+         |  FROM n
+         |)
+         |SELECT doc_id,
+         |  coalesce(string_agg(part, ' the ' ORDER BY i) FILTER (WHERE keep), '')
+         |    AS text_dedup,
+         |  count(*) FILTER (WHERE keep) AS n_paras_kept,
+         |  count(*) FILTER (WHERE NOT keep) AS n_paras_removed
+         |FROM k GROUP BY doc_id""".stripMargin,
 
     // blocklist gate: the automaton's substring semantics ARE the
     // OR-of-contains chain, so the chain is the oracle

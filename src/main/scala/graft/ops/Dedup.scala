@@ -1324,6 +1324,61 @@ object Dedup {
       .filter(col(idCol) === col("dup_group")).drop("dup_group")
   }
 
+  /** Corpus-level PARAGRAPH dedup — the sub-document pass the Dolma and
+    * RefinedWeb pipelines run between exact-doc and near-dup dedup
+    * (Soldaini et al. 2024, arXiv:2402.00159; Penedo et al. 2023):
+    * split every document on `sep`, drop every paragraph whose
+    * normalized content already occurred EARLIER in the corpus (first
+    * occurrence ordered by (idCol, position) survives), and reassemble
+    * each document from its surviving paragraphs in order. Catches the
+    * shared boilerplate (headers, footers, nav, disclaimers) that
+    * document-level dedup can't touch because the surrounding text
+    * differs. Whitespace-only paragraphs are always kept — they are
+    * formatting, not content, and deduping them would garble every
+    * document after the first.
+    *
+    * Output: `(idCol, text_dedup, n_paras_kept, n_paras_removed)` — one
+    * row per input document (a fully-deduped document keeps its row
+    * with empty text).
+    *
+    * Scale shape: the keep/drop decision shuffles only
+    * (digest, id, pos) — paragraph TEXT stays out of the dedup window
+    * and rides exactly one shuffle, the per-document reassembly. Both
+    * shuffles are hash exchanges; no global sort.
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n",
+  ): DataFrame = {
+    val paras = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+      .withColumn("__norm", TextOps.normalized(col("__para")))
+    // slim dedup pass: digests + addresses only
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol), col("__pos"))
+    val keepFlags = paras
+      .select(col(idCol), col("__pos"),
+        md5(col("__norm").cast("binary")).as("__digest"),
+        (length(col("__norm")) === 0).as("__blank"))
+      .withColumn("__keep", col("__blank") || row_number().over(w) === 1)
+      .select(col(idCol), col("__pos"), col("__keep"))
+    paras
+      .join(keepFlags, Seq(idCol, "__pos"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("__keep"),
+              struct(col("__pos"), col("__para"))))),
+            s => s.getField("__para")),
+          sep).as("text_dedup"),
+        count(when(col("__keep"), lit(1))).as("n_paras_kept"),
+        count(when(!col("__keep"), lit(1))).as("n_paras_removed"))
+  }
+
   /** Per-row prototypicality under a trained [[Similarity.IvfIndex]]:
     * `(idCol, cell, proto)` where `cell` is the literal-centroid argmax
     * assignment (the same one [[Similarity.assignCell]] computes — ties

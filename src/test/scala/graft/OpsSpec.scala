@@ -737,6 +737,24 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 10L, 100L))
   }
 
+  test("paragraph dedup: global first occurrence survives, docs reassemble in order") {
+    val df = Seq(
+      (0L, "unique alpha\nSHARED FOOTER\nunique beta"),
+      (1L, "unique gamma\nshared footer\n\nunique delta"), // dup footer (case), blank para
+      (2L, "shared   footer"), // whitespace-normalized dup, whole doc
+      (3L, "unique epsilon"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 0 owns the first occurrence of the footer — nothing removed
+    assert(got(0L) == (("unique alpha\nSHARED FOOTER\nunique beta", 3L, 0L)))
+    // doc 1 loses its footer but keeps the blank separator paragraph
+    assert(got(1L) == (("unique gamma\n\nunique delta", 3L, 1L)))
+    // doc 2 was ONLY the footer: row survives with empty text
+    assert(got(2L) == (("", 0L, 1L)))
+    assert(got(3L) == (("unique epsilon", 1L, 0L)))
+  }
+
   test("D4 diversify: drops the per-cell most prototypical rows, keeps the spread") {
     // two planted clusters: a tight core (prototypical) + a spread tail
     // per cluster; dropping 50% per cell must drop the core rows first

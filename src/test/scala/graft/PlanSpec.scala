@@ -460,6 +460,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("paragraph dedup: digest-keyed window, hash exchanges only, no cartesian") {
+    val p = plan(graft.ops.Dedup.paragraphDedup(docs, "text", "doc_id"))
+    // the keep/drop window shuffles on the digest (paragraph text is
+    // projected out before the window by construction)
+    assert(p.contains("hashpartitioning(__digest"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("D4: prototypicality is a shuffle-free scan; diversify adds ONE cell exchange") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val index = graft.ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 4)
