@@ -459,6 +459,18 @@ object SparkEntry {
       Dedup.paragraphDedup(t(s, dir, "documents"), "text", "doc_id",
         sep = " the ")),
 
+    // incremental paragraph dedup (the daily-crawl shape): batch docs
+    // (id >= 250) against the stored digest set of the accepted history
+    // (id < 250) — history-seen segments drop, in-batch first occurrence
+    // survives, blanks exempt
+    "q_dedup_para_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.paragraphDedupIncrement(
+        docs.filter(col("doc_id") >= 250),
+        Dedup.paragraphDigests(docs.filter(col("doc_id") < 250), "text", " the "),
+        "text", "doc_id", sep = " the ")
+    }),
+
     // D4-style diversification (Tirumala et al. 2023): drop the 25% most
     // prototypical vectors of each k-means cell, keep the diverse rest.
     // Deterministic (trainIvf's seeded sample + literal centroids) but
@@ -2953,6 +2965,39 @@ object SparkEntry {
          |  SELECT doc_id, i, part,
          |    (length(nm) = 0 OR
          |     row_number() OVER (PARTITION BY md5(nm) ORDER BY doc_id, i) = 1) AS keep
+         |  FROM n
+         |)
+         |SELECT doc_id,
+         |  coalesce(string_agg(part, ' the ' ORDER BY i) FILTER (WHERE keep), '')
+         |    AS text_dedup,
+         |  count(*) FILTER (WHERE keep) AS n_paras_kept,
+         |  count(*) FILTER (WHERE NOT keep) AS n_paras_removed
+         |FROM k GROUP BY doc_id""".stripMargin,
+
+    // incremental paragraph dedup: the batch oracle + a NOT IN against
+    // the history's distinct digest set
+    "q_dedup_para_incr" ->
+      s"""WITH hist AS (
+         |  SELECT DISTINCT md5(nm) AS digest FROM (
+         |    SELECT ${oracleNormExpr("part")} AS nm FROM (
+         |      SELECT unnest(string_split(text, ' the ')) AS part
+         |      FROM documents WHERE doc_id < 250))
+         |  WHERE length(nm) > 0
+         |), base AS (
+         |  SELECT doc_id, string_split(text, ' the ') AS parts
+         |  FROM documents WHERE doc_id >= 250
+         |), p0 AS (
+         |  SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM base
+         |), p AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |    parts[CAST(i AS INTEGER)] AS part FROM p0
+         |), n AS (
+         |  SELECT doc_id, i, part, ${oracleNormExpr("part")} AS nm FROM p
+         |), k AS (
+         |  SELECT doc_id, i, part,
+         |    (length(nm) = 0 OR
+         |     (md5(nm) NOT IN (SELECT digest FROM hist) AND
+         |      row_number() OVER (PARTITION BY md5(nm) ORDER BY doc_id, i) = 1)) AS keep
          |  FROM n
          |)
          |SELECT doc_id,

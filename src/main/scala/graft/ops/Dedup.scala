@@ -1352,21 +1352,37 @@ object Dedup {
       idCol: String,
       sep: String = "\n",
   ): DataFrame = {
-    val paras = docs
-      .select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("__pos", "__para")))
-      .withColumn("__norm", TextOps.normalized(col("__para")))
+    val paras = splitParas(docs, textCol, idCol, sep)
     // slim dedup pass: digests + addresses only
     val w = Window.partitionBy(col("__digest")).orderBy(col(idCol), col("__pos"))
     val keepFlags = paras
-      .select(col(idCol), col("__pos"),
-        md5(col("__norm").cast("binary")).as("__digest"),
-        (length(col("__norm")) === 0).as("__blank"))
+      .select(col(idCol), col("__pos"), col("__digest"), col("__blank"))
       .withColumn("__keep", col("__blank") || row_number().over(w) === 1)
       .select(col(idCol), col("__pos"), col("__keep"))
-    paras
-      .join(keepFlags, Seq(idCol, "__pos"))
+    reassembleParas(paras.join(keepFlags, Seq(idCol, "__pos")), idCol, sep)
+  }
+
+  /** (id, __pos, __para, __digest, __blank) exploded paragraph rows —
+    * shared front of the paragraph-dedup family.
+    */
+  private def splitParas(
+      docs: DataFrame, textCol: String, idCol: String, sep: String): DataFrame = {
+    val norm = TextOps.normalized(col("__para"))
+    docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+      .withColumn("__digest", md5(norm.cast("binary")))
+      .withColumn("__blank", length(norm) === 0)
+  }
+
+  /** Rebuild (idCol, text_dedup, n_paras_kept, n_paras_removed) from
+    * flagged paragraph rows — shared tail of the family. One hash
+    * exchange on the id.
+    */
+  private def reassembleParas(
+      flagged: DataFrame, idCol: String, sep: String): DataFrame =
+    flagged
       .groupBy(col(idCol))
       .agg(
         array_join(
@@ -1377,6 +1393,82 @@ object Dedup {
           sep).as("text_dedup"),
         count(when(col("__keep"), lit(1))).as("n_paras_kept"),
         count(when(!col("__keep"), lit(1))).as("n_paras_removed"))
+
+  /** The paragraph digest STORE: one row per distinct non-blank
+    * normalized-paragraph digest — the persisted state of the
+    * incremental lifecycle ([[minHashSignatures]]' sibling). Persist it
+    * (parquet), extend it with each accepted batch's digests (union +
+    * distinct, or an append + dedup-on-read), and hand it to
+    * [[paragraphDedupIncrement]] / [[paragraphDedupStream]].
+    */
+  def paragraphDigests(
+      docs: DataFrame,
+      textCol: String,
+      sep: String = "\n",
+  ): DataFrame =
+    docs
+      .select(explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as("__para"))
+      .select(TextOps.normalized(col("__para")).as("__n"))
+      .filter(length(col("__n")) > 0)
+      .select(md5(col("__n").cast("binary")).as("digest"))
+      .dropDuplicates("digest")
+
+  /** Incremental paragraph dedup — the daily-crawl shape: a new batch
+    * against the STORED digest set of everything already accepted.
+    * Batch paragraphs whose digest is in the store are dropped; within
+    * the batch, the global first occurrence (by (idCol, position))
+    * survives; blanks are exempt as in [[paragraphDedup]]. With the
+    * store built from a history whose ids all precede the batch's,
+    * the output equals the full-corpus [[paragraphDedup]] restricted
+    * to batch documents (parity-tested).
+    *
+    * Scale shape: the store join is a digest-keyed equi-join (16-byte
+    * digests, no text); everything else matches the batch operator.
+    */
+  def paragraphDedupIncrement(
+      batch: DataFrame,
+      historyDigests: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n",
+  ): DataFrame = {
+    val paras = splitParas(batch, textCol, idCol, sep)
+    val seen = historyDigests.select(col("digest").as("__digest"))
+      .dropDuplicates("__digest").withColumn("__seen", lit(true))
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol), col("__pos"))
+    val keepFlags = paras
+      .select(col(idCol), col("__pos"), col("__digest"), col("__blank"))
+      .join(seen, Seq("__digest"), "left")
+      .withColumn("__keep",
+        col("__blank") || (col("__seen").isNull && row_number().over(w) === 1))
+      .select(col(idCol), col("__pos"), col("__keep"))
+    reassembleParas(paras.join(keepFlags, Seq(idCol, "__pos")), idCol, sep)
+  }
+
+  /** Streaming twin of [[paragraphDedupIncrement]]: micro-batch
+    * documents explode statelessly, anti-join the STATIC digest store,
+    * and emit surviving `(idCol, __pos, paragraph)` rows — no state
+    * store, append mode. Cross-document dedup WITHIN the stream is
+    * deliberately not attempted (reassembly and in-stream first-
+    * occurrence both need per-document aggregation state); the batch
+    * operator owns that, the stream filters against accepted history —
+    * the [[TextOps.decontaminateStream]] trade. Works identically on a
+    * batch frame (parity test).
+    */
+  def paragraphDedupStream(
+      stream: DataFrame,
+      historyDigests: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n",
+  ): DataFrame = {
+    val paras = splitParas(stream, textCol, idCol, sep)
+    val seen = historyDigests.select(col("digest").as("__digest"))
+      .dropDuplicates("__digest")
+    paras
+      .join(seen, Seq("__digest"), "left_anti")
+      .select(col(idCol), col("__pos"), col("__para").as("paragraph"))
   }
 
   /** Per-row prototypicality under a trained [[Similarity.IvfIndex]]:

@@ -755,6 +755,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == (("unique epsilon", 1L, 0L)))
   }
 
+  test("incremental paragraph dedup matches the full pass restricted to the batch") {
+    val history = Seq(
+      (0L, "unique alpha\nSHARED FOOTER\nunique beta"),
+      (1L, "unique gamma\nshared footer"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "fresh zeta\nshared footer\nfresh eta"),   // footer from history drops
+      (11L, "batch-local dup\nfresh theta"),
+      (12L, "batch-local dup\n\nfresh iota"),          // in-batch first-occurrence
+    ).toDF("doc_id", "text")
+    val inc = Dedup.paragraphDedupIncrement(batch,
+        Dedup.paragraphDigests(history, "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(inc(10L) == (("fresh zeta\nfresh eta", 2L, 1L)))
+    assert(inc(11L) == (("batch-local dup\nfresh theta", 2L, 0L)))
+    assert(inc(12L) == (("\nfresh iota", 2L, 1L))) // blank kept, dup dropped
+    // parity: equals the full-corpus pass restricted to batch docs
+    // (history ids precede batch ids)
+    val full = Dedup.paragraphDedup(history.union(batch), "text", "doc_id")
+      .filter($"doc_id" >= 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(inc == full)
+    // streaming twin (on a batch frame): surviving paragraph rows are
+    // exactly the anti-join of batch paragraphs vs the history store
+    val streamed = Dedup.paragraphDedupStream(batch,
+        Dedup.paragraphDigests(history, "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed.map(_._1) == Set(10L, 11L, 12L))
+    assert(!streamed.exists(_._3.toLowerCase.contains("shared footer")))
+    assert(streamed.count(_._3 == "batch-local dup") == 2) // no in-stream dedup
+  }
+
   test("D4 diversify: drops the per-cell most prototypical rows, keeps the spread") {
     // two planted clusters: a tight core (prototypical) + a spread tail
     // per cluster; dropping 50% per cell must drop the core rows first

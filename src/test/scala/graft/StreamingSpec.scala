@@ -118,6 +118,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming paragraph dedup filters against the static digest store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq((0L, "keep me\nshared footer")).toDF("doc_id", "text")
+    val store = graft.ops.Dedup.paragraphDigests(history, "text")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.Dedup.paragraphDedupStream(
+        input.toDF().toDF("doc_id", "text"), store, "text", "doc_id")
+      .writeStream.format("memory").queryName("para_stream")
+      .outputMode("append").start()
+    try {
+      val data = Seq((10L, "fresh one\nshared footer"), (11L, "fresh two"))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("para_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val batch = graft.ops.Dedup.paragraphDedupStream(
+          data.toDF("doc_id", "text"), store, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set((10L, 0, "fresh one"), (11L, 0, "fresh two")))
+    } finally q.stop()
+  }
+
   test("trained-BPE subword counting composes with streams (stateless projection)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
