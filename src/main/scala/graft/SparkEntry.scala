@@ -826,6 +826,24 @@ object SparkEntry {
         ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0) > 0)
     }),
 
+    // operating-point sweep over the trained classifier's score: one
+    // scan computes P/R/F1 at every candidate cutoff — how a quality
+    // filter's threshold gets frozen
+    "q_text_threshold_sweep" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
+        .collect()
+      val w = new Array[Int](64)
+      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
+      // grid spans the observed score distribution (5th-95th pct is
+      // roughly ±2e-4 at both SFs) so every operating point is live
+      ops.Stats.thresholdSweep(d,
+        col("lang") === "en",
+        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6),
+        Seq(-2.0e-4, -1.0e-4, -5.0e-5, 0.0, 5.0e-5, 1.0e-4, 2.0e-4))
+    }),
+
     // context-budget clipping to the first 30 whitespace tokens
     "q_text_truncate" -> ((s, dir) => {
       val (clipped, dropped) = TextOps.truncateTokens(col("text"), maxTokens = 30)
@@ -2642,6 +2660,73 @@ object SparkEntry {
          |)
          |SELECT doc_id, score, score > 0 AS pred_en
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // threshold sweep: the trained-score CTE chain, then per-threshold
+    // confusion counts + P/R/F1 (scores rounded identically on both
+    // sides, so >= comparisons agree at the boundary)
+    "q_text_threshold_sweep" ->
+      s"""WITH th0 AS (
+         |  SELECT (lang = 'en') AS pos,
+         |    CAST(h % 64 AS INTEGER) AS b,
+         |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM (
+         |    SELECT lang, ${oracleMd5Long("tok")} AS h FROM (
+         |      SELECT lang, unnest($oracleTokens) AS tok FROM documents
+         |    )
+         |  )
+         |), agg AS (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN pos THEN sgn END) AS DOUBLE) AS s_pos,
+         |    CAST(sum(CASE WHEN NOT pos THEN sgn END) AS DOUBLE) AS s_neg
+         |  FROM th0 GROUP BY b
+         |), tot AS (
+         |  SELECT CAST(count(*) FILTER (pos) AS DOUBLE) AS t_pos,
+         |         CAST(count(*) FILTER (NOT pos) AS DOUBLE) AS t_neg
+         |  FROM th0
+         |), w AS (
+         |  SELECT b AS bucket,
+         |    floor(1000.0 * (coalesce(s_pos, 0) / t_pos - coalesce(s_neg, 0) / t_neg)
+         |      + 0.5) AS weight
+         |  FROM agg CROSS JOIN tot
+         |), toks AS (
+         |  SELECT doc_id, lang, $oracleTokens AS tokens FROM documents
+         |), th AS (
+         |  SELECT doc_id, ${oracleMd5Long("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+         |), cells AS (
+         |  SELECT doc_id, CAST(h % 64 AS INTEGER) AS b,
+         |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+         |  FROM th GROUP BY 1, 2
+         |), dots AS (
+         |  SELECT doc_id, sum(v * weight) AS dot
+         |  FROM cells JOIN w ON w.bucket = cells.b GROUP BY 1
+         |), scored AS (
+         |  SELECT t.doc_id, (t.lang = 'en') AS pos,
+         |    CASE WHEN len(t.tokens) > 0
+         |      THEN round(d.dot / (1000.0 * len(t.tokens)) + 0.0, 6) END AS score
+         |  FROM toks t LEFT JOIN dots d USING (doc_id)
+         |), ts AS (
+         |  SELECT unnest([CAST(-0.0002 AS DOUBLE), -0.0001, -0.00005, 0.0,
+         |                 0.00005, 0.0001, 0.0002]) AS threshold
+         |), cm AS (
+         |  SELECT threshold,
+         |    count(*) FILTER (pos AND score >= threshold) AS tp,
+         |    count(*) FILTER (NOT pos AND score >= threshold) AS fp,
+         |    count(*) FILTER (pos AND score < threshold) AS fn,
+         |    count(*) FILTER (NOT pos AND score < threshold) AS tn
+         |  FROM scored CROSS JOIN ts
+         |  WHERE score IS NOT NULL
+         |  GROUP BY threshold
+         |)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy,
+         |  round(CASE WHEN tp + fp > 0
+         |    THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+         |  round(CASE WHEN tp + fn > 0
+         |    THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+         |  round(CASE WHEN tp * 2 + fp + fn > 0
+         |    THEN CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) END, 6) AS f1
+         |FROM cm""".stripMargin,
 
     // the full train -> score -> evaluate chain, ending in one
     // confusion-count aggregate (same CTE chain as q_text_trained_score)

@@ -311,6 +311,55 @@ object Stats {
           .as("f1"))): _*)
   }
 
+  /** Operating-point sweep for a SCORED binary classifier: confusion
+    * counts and accuracy/precision/recall/F1 of `score >= t` against the
+    * boolean label, for every candidate threshold — the
+    * threshold-selection scorecard run before freezing a quality-filter
+    * cutoff. Rows with a null label or score are excluded (zero-token
+    * documents have no defined score).
+    *
+    * ONE corpus scan: all thresholds' TP/FP/FN/TN are conditional sums
+    * inside a single map-side-combined aggregation (a 1-row frame),
+    * unpivoted to |thresholds| driver-sized rows with `stack` — the
+    * corpus is never shuffled and never scanned per threshold.
+    */
+  def thresholdSweep(
+      df: DataFrame,
+      label: Column,
+      score: Column,
+      thresholds: Seq[Double],
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(label && score >= t, 1L).otherwise(0L)).as(s"tp_$i"),
+        sum(when(!label && score >= t, 1L).otherwise(0L)).as(s"fp_$i"),
+        sum(when(label && score < t, 1L).otherwise(0L)).as(s"fn_$i"),
+        sum(when(!label && score < t, 1L).otherwise(0L)).as(s"tn_$i"))
+    }
+    val wide = df.filter(label.isNotNull && score.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds.zipWithIndex
+      .map { case (t, i) =>
+        s"CAST(${java.lang.Double.toString(t)} AS DOUBLE), tp_$i, fp_$i, fn_$i, tn_$i"
+      }
+      .mkString(", ")
+    wide
+      .selectExpr(s"stack(${thresholds.length}, $stackArgs) " +
+        "AS (threshold, tp, fp, fn, tn)")
+      .select(
+        col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+        round(when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))), 6).as("precision"),
+        round(when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("recall"),
+        round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          (col("tp") * 2).cast("double") / (col("tp") * 2 + col("fp") + col("fn"))), 6)
+          .as("f1"))
+  }
+
   def approxDistinct(
       df: DataFrame,
       keyCol: String,

@@ -737,6 +737,25 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 10L, 100L))
   }
 
+  test("threshold sweep: hand-computed confusion per cutoff, nulls excluded") {
+    val df = Seq(
+      (true, Some(0.9)), (true, Some(0.6)), (true, Some(0.2)),
+      (false, Some(0.8)), (false, Some(0.1)),
+      (true, None), // null score drops
+    ).toDF("label", "score")
+    val got = Stats.thresholdSweep(df, $"label", $"score", Seq(0.0, 0.5, 1.0))
+      .collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        Option(r.get(6)).map(_.asInstanceOf[Double]),
+        Option(r.get(7)).map(_.asInstanceOf[Double])))).toMap
+    // t=0.0: everything predicted positive
+    assert(got(0.0) == ((3L, 2L, 0L, 0L, Some(0.6), Some(1.0))))
+    // t=0.5: tp {0.9,0.6}, fp {0.8}, fn {0.2}, tn {0.1}
+    assert(got(0.5) == ((2L, 1L, 1L, 1L, Some(0.666667), Some(0.666667))))
+    // t=1.0: nothing predicted positive → precision undefined (null)
+    assert(got(1.0) == ((0L, 0L, 3L, 2L, None, Some(0.0))))
+  }
+
   test("paragraph dedup: global first occurrence survives, docs reassemble in order") {
     val df = Seq(
       (0L, "unique alpha\nSHARED FOOTER\nunique beta"),
