@@ -844,6 +844,20 @@ object SparkEntry {
         Seq(-2.0e-4, -1.0e-4, -5.0e-5, 0.0, 5.0e-5, 1.0e-4, 2.0e-4))
     }),
 
+    // exact ROC-AUC of the trained classifier (tie-corrected rank
+    // statistic) — the threshold-free counterpart of the sweep
+    "q_text_auc" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
+        .collect()
+      val w = new Array[Int](64)
+      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
+      ops.Stats.rocAuc(d,
+        col("lang") === "en",
+        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6))
+    }),
+
     // context-budget clipping to the first 30 whitespace tokens
     "q_text_truncate" -> ((s, dir) => {
       val (clipped, dropped) = TextOps.truncateTokens(col("text"), maxTokens = 30)
@@ -1643,6 +1657,55 @@ object SparkEntry {
     */
   private def oracleMd5Long(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Shared train→score CTE chain for the classifier-evaluator oracles
+    * (mirrors q_text_trained_score): defines CTEs up to
+    * `scored(doc_id, pos, score)` — Rocchio weights recomputed
+    * bit-exactly, documents scored by the same hash-feature dot, scores
+    * rounded to 6 dp, zero-token docs scored NULL.
+    */
+  private val oracleTrainedScoredCte =
+    s"""th0 AS (
+       |  SELECT (lang = 'en') AS pos,
+       |    CAST(h % 64 AS INTEGER) AS b,
+       |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM (
+       |    SELECT lang, ${oracleMd5Long("tok")} AS h FROM (
+       |      SELECT lang, unnest($oracleTokens) AS tok FROM documents
+       |    )
+       |  )
+       |), agg AS (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN pos THEN sgn END) AS DOUBLE) AS s_pos,
+       |    CAST(sum(CASE WHEN NOT pos THEN sgn END) AS DOUBLE) AS s_neg
+       |  FROM th0 GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(count(*) FILTER (pos) AS DOUBLE) AS t_pos,
+       |         CAST(count(*) FILTER (NOT pos) AS DOUBLE) AS t_neg
+       |  FROM th0
+       |), w AS (
+       |  SELECT b AS bucket,
+       |    floor(1000.0 * (coalesce(s_pos, 0) / t_pos - coalesce(s_neg, 0) / t_neg)
+       |      + 0.5) AS weight
+       |  FROM agg CROSS JOIN tot
+       |), toks AS (
+       |  SELECT doc_id, lang, $oracleTokens AS tokens FROM documents
+       |), th AS (
+       |  SELECT doc_id, ${oracleMd5Long("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+       |), cells AS (
+       |  SELECT doc_id, CAST(h % 64 AS INTEGER) AS b,
+       |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+       |  FROM th GROUP BY 1, 2
+       |), dots AS (
+       |  SELECT doc_id, sum(v * weight) AS dot
+       |  FROM cells JOIN w ON w.bucket = cells.b GROUP BY 1
+       |), scored AS (
+       |  SELECT t.doc_id, (t.lang = 'en') AS pos,
+       |    CASE WHEN len(t.tokens) > 0
+       |      THEN round(d.dot / (1000.0 * len(t.tokens)) + 0.0, 6) END AS score
+       |  FROM toks t LEFT JOIN dots d USING (doc_id)
+       |)""".stripMargin
 
   /** The q_text_blocklist phrase list — bigram phrases from the synthetic
     * corpus vocabulary so both hit and miss paths are exercised.
@@ -2665,47 +2728,7 @@ object SparkEntry {
     // confusion counts + P/R/F1 (scores rounded identically on both
     // sides, so >= comparisons agree at the boundary)
     "q_text_threshold_sweep" ->
-      s"""WITH th0 AS (
-         |  SELECT (lang = 'en') AS pos,
-         |    CAST(h % 64 AS INTEGER) AS b,
-         |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
-         |  FROM (
-         |    SELECT lang, ${oracleMd5Long("tok")} AS h FROM (
-         |      SELECT lang, unnest($oracleTokens) AS tok FROM documents
-         |    )
-         |  )
-         |), agg AS (
-         |  SELECT b,
-         |    CAST(sum(CASE WHEN pos THEN sgn END) AS DOUBLE) AS s_pos,
-         |    CAST(sum(CASE WHEN NOT pos THEN sgn END) AS DOUBLE) AS s_neg
-         |  FROM th0 GROUP BY b
-         |), tot AS (
-         |  SELECT CAST(count(*) FILTER (pos) AS DOUBLE) AS t_pos,
-         |         CAST(count(*) FILTER (NOT pos) AS DOUBLE) AS t_neg
-         |  FROM th0
-         |), w AS (
-         |  SELECT b AS bucket,
-         |    floor(1000.0 * (coalesce(s_pos, 0) / t_pos - coalesce(s_neg, 0) / t_neg)
-         |      + 0.5) AS weight
-         |  FROM agg CROSS JOIN tot
-         |), toks AS (
-         |  SELECT doc_id, lang, $oracleTokens AS tokens FROM documents
-         |), th AS (
-         |  SELECT doc_id, ${oracleMd5Long("tok")} AS h
-         |  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
-         |), cells AS (
-         |  SELECT doc_id, CAST(h % 64 AS INTEGER) AS b,
-         |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
-         |  FROM th GROUP BY 1, 2
-         |), dots AS (
-         |  SELECT doc_id, sum(v * weight) AS dot
-         |  FROM cells JOIN w ON w.bucket = cells.b GROUP BY 1
-         |), scored AS (
-         |  SELECT t.doc_id, (t.lang = 'en') AS pos,
-         |    CASE WHEN len(t.tokens) > 0
-         |      THEN round(d.dot / (1000.0 * len(t.tokens)) + 0.0, 6) END AS score
-         |  FROM toks t LEFT JOIN dots d USING (doc_id)
-         |), ts AS (
+      s"""WITH $oracleTrainedScoredCte, ts AS (
          |  SELECT unnest([CAST(-0.0002 AS DOUBLE), -0.0001, -0.00005, 0.0,
          |                 0.00005, 0.0001, 0.0002]) AS threshold
          |), cm AS (
@@ -2727,6 +2750,27 @@ object SparkEntry {
          |  round(CASE WHEN tp * 2 + fp + fn > 0
          |    THEN CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) END, 6) AS f1
          |FROM cm""".stripMargin,
+
+    // exact ROC-AUC: distinct-score frame with cumulative-below counts →
+    // average ranks → tie-corrected Mann–Whitney U
+    "q_text_auc" ->
+      s"""WITH $oracleTrainedScoredCte, g AS (
+         |  SELECT score AS s, count(*) AS cnt, count(*) FILTER (pos) AS pos
+         |  FROM scored WHERE score IS NOT NULL GROUP BY score
+         |), r AS (
+         |  SELECT *, coalesce(sum(cnt) OVER (
+         |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |  FROM g
+         |), a AS (
+         |  SELECT CAST(sum(pos) AS BIGINT) AS np,
+         |         CAST(sum(cnt - pos) AS BIGINT) AS nn,
+         |         sum(pos * (below + (cnt + 1.0) / 2.0)) AS rs
+         |  FROM r
+         |)
+         |SELECT np AS n_pos, nn AS n_neg,
+         |  round(CASE WHEN np > 0 AND nn > 0
+         |    THEN (rs - np * (np + 1.0) / 2.0) / (CAST(np AS DOUBLE) * nn) END, 6) AS auc
+         |FROM a""".stripMargin,
 
     // the full train -> score -> evaluate chain, ending in one
     // confusion-count aggregate (same CTE chain as q_text_trained_score)

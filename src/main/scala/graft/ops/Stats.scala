@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Key-distribution diagnostics — the "look before you shuffle" checks a
@@ -358,6 +359,47 @@ object Stats {
         round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
           (col("tp") * 2).cast("double") / (col("tp") * 2 + col("fp") + col("fn"))), 6)
           .as("f1"))
+  }
+
+  /** EXACT ROC-AUC of a scored binary classifier — the rank statistic
+    * (Mann–Whitney U with average-rank tie correction):
+    * `AUC = (Σ_pos avgRank(score) − nPos(nPos+1)/2) / (nPos · nNeg)`,
+    * the probability a random positive outscores a random negative
+    * (ties count ½). One row out: `(n_pos, n_neg, auc)`; null AUC when
+    * either class is empty. Null labels/scores excluded.
+    *
+    * Scale shape: rows collapse to one frame row per DISTINCT score
+    * (map-side-combined count/pos sums), and only that frame sees the
+    * ordered cumulative window. With scores rounded to 6 dp (the
+    * engine-wide float convention) the distinct-score frame is bounded
+    * (≤ a few million rows) regardless of corpus size — the
+    * single-partition window is [[graft.ops.Sample.epochAllocation]]'s
+    * bounded-frame pattern, never a corpus-wide sort.
+    */
+  def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val base = df.filter(label.isNotNull && score.isNotNull)
+      .select(label.as("__y"), score.as("__s"))
+    val byScore = base.groupBy(col("__s"))
+      .agg(
+        count(lit(1)).as("__cnt"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("__below", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .withColumn("__avg_rank",
+        col("__below") + (col("__cnt") + lit(1.0)) / lit(2.0))
+    ranked
+      .agg(
+        sum(col("__pos")).as("__np"),
+        sum(col("__cnt") - col("__pos")).as("__nn"),
+        sum(col("__pos") * col("__avg_rank")).as("__rs"))
+      .select(
+        col("__np").as("n_pos"),
+        col("__nn").as("n_neg"),
+        round(when(col("__np") > 0 && col("__nn") > 0,
+          (col("__rs") - col("__np") * (col("__np") + lit(1.0)) / lit(2.0)) /
+            (col("__np") * col("__nn"))), 6).as("auc"))
   }
 
   def approxDistinct(

@@ -756,6 +756,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1.0) == ((0L, 0L, 3L, 2L, None, Some(0.0))))
   }
 
+  test("ROC-AUC: hand-computed U statistic with ties, degenerate classes null") {
+    // pairs: (.9 vs .5) win, (.9 vs .1) win, (.5 vs .5) tie=0.5,
+    // (.5 vs .1) win → U = 3.5 of 4 → AUC 0.875
+    val df = Seq(
+      (true, Some(0.9)), (true, Some(0.5)),
+      (false, Some(0.5)), (false, Some(0.1)),
+      (true, None), // null score drops
+    ).toDF("label", "score")
+    val r = Stats.rocAuc(df, $"label", $"score").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 0.875)))
+    // perfect separation → 1.0; inverted → 0.0
+    val sep = Seq((true, 0.9), (true, 0.8), (false, 0.2)).toDF("label", "score")
+    assert(Stats.rocAuc(sep, $"label", $"score").collect().head.getDouble(2) == 1.0)
+    assert(Stats.rocAuc(sep, !$"label", $"score").collect().head.getDouble(2) == 0.0)
+    // single-class input: AUC undefined (null), counts still reported
+    val one = Seq((true, 0.9), (true, 0.1)).toDF("label", "score")
+    assert(Stats.rocAuc(one, $"label", $"score").collect().head.isNullAt(2))
+  }
+
   test("paragraph dedup: global first occurrence survives, docs reassemble in order") {
     val df = Seq(
       (0L, "unique alpha\nSHARED FOOTER\nunique beta"),
