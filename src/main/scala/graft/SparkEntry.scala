@@ -858,6 +858,30 @@ object SparkEntry {
         round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6))
     }),
 
+    // average precision of the trained classifier (PR-space summary —
+    // the imbalanced-gate counterpart of q_text_auc)
+    "q_text_ap" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
+        .collect()
+      val w = new Array[Int](64)
+      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
+      ops.Stats.averagePrecision(d,
+        col("lang") === "en",
+        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6))
+    }),
+
+    // classic conversion funnel over the events table: signup → view →
+    // click → purchase within 12 h of the signup anchor, greedy
+    // first-match per user, one user-keyed fold (unwindowed the
+    // synthetic events saturate every step — the window makes each
+    // stage discriminating: 1500 → 299 → 34 → 3 at sf0.1)
+    "q_events_funnel" -> ((s, dir) =>
+      graft.streaming.EventStream.funnel(events(s, dir),
+        Seq("signup", "view", "click", "purchase"),
+        withinMinutes = Some(720L))),
+
     // context-budget clipping to the first 30 whitespace tokens
     "q_text_truncate" -> ((s, dir) => {
       val (clipped, dropped) = TextOps.truncateTokens(col("text"), maxTokens = 30)
@@ -2771,6 +2795,61 @@ object SparkEntry {
          |  round(CASE WHEN np > 0 AND nn > 0
          |    THEN (rs - np * (np + 1.0) / 2.0) / (CAST(np AS DOUBLE) * nn) END, 6) AS auc
          |FROM a""".stripMargin,
+
+    // average precision: descending cumulative precision at each
+    // distinct threshold, Σ pos_k · P_k / nPos
+    "q_text_ap" ->
+      s"""WITH $oracleTrainedScoredCte, g AS (
+         |  SELECT score AS s, count(*) AS cnt, count(*) FILTER (pos) AS pos
+         |  FROM scored WHERE score IS NOT NULL GROUP BY score
+         |), r AS (
+         |  SELECT *,
+         |    sum(cnt) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcnt,
+         |    sum(pos) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos
+         |  FROM g
+         |), a AS (
+         |  SELECT CAST(sum(pos) AS BIGINT) AS np,
+         |         CAST(sum(cnt - pos) AS BIGINT) AS nn,
+         |         sum(pos * CAST(cumpos AS DOUBLE) / cumcnt) AS sap
+         |  FROM r
+         |)
+         |SELECT np AS n_pos, nn AS n_neg,
+         |  round(CASE WHEN np > 0 THEN sap / np END, 6) AS average_precision
+         |FROM a""".stripMargin,
+
+    // greedy first-match funnel: chained min-timestamp CTEs, one per
+    // step — each step's users are the previous step's with a strictly
+    // later occurrence of the step's type, within 12 h of the anchor
+    // (the anchor rides the chain via any_value — one value per user)
+    "q_events_funnel" ->
+      s"""WITH u1 AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1
+         |), u2 AS (
+         |  SELECT e.user_id, min(epoch_us(ts)) AS t2, any_value(t1) AS a2
+         |  FROM events e JOIN u1 USING (user_id)
+         |  WHERE event_type = 'view' AND epoch_us(ts) > t1
+         |    AND epoch_us(ts) - t1 <= CAST(720 AS BIGINT) * 60 * 1000000
+         |  GROUP BY 1
+         |), u3 AS (
+         |  SELECT e.user_id, min(epoch_us(ts)) AS t3, any_value(a2) AS a3
+         |  FROM events e JOIN u2 USING (user_id)
+         |  WHERE event_type = 'click' AND epoch_us(ts) > t2
+         |    AND epoch_us(ts) - a2 <= CAST(720 AS BIGINT) * 60 * 1000000
+         |  GROUP BY 1
+         |), u4 AS (
+         |  SELECT e.user_id, min(epoch_us(ts)) AS t4
+         |  FROM events e JOIN u3 USING (user_id)
+         |  WHERE event_type = 'purchase' AND epoch_us(ts) > t3
+         |    AND epoch_us(ts) - a3 <= CAST(720 AS BIGINT) * 60 * 1000000
+         |  GROUP BY 1
+         |)
+         |SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM u1
+         |UNION ALL SELECT 2, 'view', count(*) FROM u2
+         |UNION ALL SELECT 3, 'click', count(*) FROM u3
+         |UNION ALL SELECT 4, 'purchase', count(*) FROM u4""".stripMargin,
 
     // the full train -> score -> evaluate chain, ending in one
     // confusion-count aggregate (same CTE chain as q_text_trained_score)

@@ -402,6 +402,40 @@ object Stats {
             (col("__np") * col("__nn"))), 6).as("auc"))
   }
 
+  /** Average precision — the PR-space summary for IMBALANCED gates
+    * (where ROC-AUC flatters): the step integral
+    * `AP = Σ_k (R_k − R_{k−1}) · P_k` over distinct score thresholds
+    * descending (ties share a threshold; the scikit-learn
+    * `average_precision_score` convention). Since
+    * `R_k − R_{k−1} = pos_k / nPos`, AP reduces to
+    * `Σ_k pos_k · P_k / nPos` — no totals join needed. One row out:
+    * `(n_pos, n_neg, average_precision)`, null when no positives.
+    * Same bounded distinct-rounded-score frame as [[rocAuc]].
+    */
+  def averagePrecision(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val base = df.filter(label.isNotNull && score.isNotNull)
+      .select(label.as("__y"), score.as("__s"))
+    val byScore = base.groupBy(col("__s"))
+      .agg(
+        count(lit(1)).as("__cnt"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("__cumcnt", sum(col("__cnt")).over(w))
+      .withColumn("__cumpos", sum(col("__pos")).over(w))
+      .agg(
+        sum(col("__pos")).as("__np"),
+        sum(col("__cnt") - col("__pos")).as("__nn"),
+        sum(col("__pos") * col("__cumpos").cast("double") / col("__cumcnt"))
+          .as("__s_ap"))
+      .select(
+        col("__np").as("n_pos"),
+        col("__nn").as("n_neg"),
+        round(when(col("__np") > 0, col("__s_ap") / col("__np")), 6)
+          .as("average_precision"))
+  }
+
   def approxDistinct(
       df: DataFrame,
       keyCol: String,

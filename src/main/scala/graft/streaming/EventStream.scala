@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -129,6 +129,97 @@ object EventStream {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
       )
+  }
+
+  /** Per-user funnel stage: how far each user progresses through the
+    * ordered `steps` — the classic product-analytics conversion query
+    * as ONE user-keyed aggregation. Greedy first-match semantics (the
+    * standard convention): the chain anchors at the user's FIRST
+    * step-1 event, then each later step matches its earliest
+    * strictly-later occurrence; with `withinMinutes`, every subsequent
+    * step must land within that window of the anchor (greedy — the
+    * anchor does not re-try later step-1 events; exact for the
+    * unwindowed case, the documented product-analytics convention for
+    * the windowed one).
+    *
+    * Output: `(userCol, stage)` where stage ∈ [0, steps.length] is the
+    * number of steps completed.
+    *
+    * Scale shape: one hash shuffle on the user; events fold per user
+    * via sorted `collect_list` + the `aggregate` HOF — state per user
+    * is one (stage, ts, ts) struct, comparisons on exact
+    * `unix_micros` longs. Per-user event lists are session-sized (the
+    * [[sessionizeBatch]] assumption); no window function, no self-join
+    * per step.
+    */
+  def funnelStages(
+      events: DataFrame,
+      steps: Seq[String],
+      withinMinutes: Option[Long] = None,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+  ): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val k = steps.length
+    val stepsLit = typedLit(steps)
+    val withinUs = withinMinutes.map(_ * 60L * 1000000L)
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol)).as("t"), col(typeCol).as("ty"))))
+    // acc: (stage, t_anchor) — t_prev is the fold's last-advanced t; we
+    // fold with (stage, tprev, tanchor)
+    val init = struct(lit(0).as("stage"), lit(Long.MinValue).as("tprev"),
+      lit(Long.MinValue).as("tanchor"))
+    def step(acc: Column, e: Column): Column = {
+      val stage = acc.getField("stage")
+      val tprev = acc.getField("tprev")
+      val tanchor = acc.getField("tanchor")
+      val t = e.getField("t")
+      val wantedType = element_at(stepsLit, stage + 1) === e.getField("ty")
+      val ordered = stage === 0 || t > tprev
+      val inWindow = withinUs match {
+        case Some(us) => stage === 0 || t - tanchor <= us
+        case None => lit(true)
+      }
+      when(stage < k && wantedType && ordered && inWindow,
+        struct(
+          (stage + 1).as("stage"),
+          t.as("tprev"),
+          when(stage === 0, t).otherwise(tanchor).as("tanchor")))
+        .otherwise(acc)
+    }
+    events
+      .groupBy(col(userCol))
+      .agg(aggregate(evs, init, step _).getField("stage").as("stage"))
+  }
+
+  /** The funnel REPORT over [[funnelStages]]: one row per step with the
+    * number of users who completed at least that step (cumulative by
+    * construction — step k's users are a subset of step k−1's). The
+    * per-stage histogram is |steps|+1 rows; the reverse-cumulative sum
+    * runs on that driver-sized frame, never on users.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      withinMinutes: Option[Long] = None,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+  ): DataFrame = {
+    val stages = funnelStages(events, steps, withinMinutes, userCol, tsCol, typeCol)
+    val hist = stages.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+    // users at deeper stages also completed this step → reverse cumsum
+    val w = Window.orderBy(col("step"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val spark = events.sparkSession
+    import spark.implicits._
+    steps.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }
+      .toDF("step", "event_type")
+      .join(hist.withColumnRenamed("stage", "step"), Seq("step"), "left")
+      .withColumn("n_users", sum(coalesce(col("n"), lit(0L))).over(w))
+      .select(col("step"), col("event_type"), col("n_users"))
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

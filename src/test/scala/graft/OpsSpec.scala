@@ -775,6 +775,51 @@ class OpsSpec extends AnyFunSuite {
     assert(Stats.rocAuc(one, $"label", $"score").collect().head.isNullAt(2))
   }
 
+  test("average precision: hand-computed step integral, perfect and null cases") {
+    // desc ranking: .9(+) P=1 → .8(−) → .5(+) P=2/3 ⇒ AP = (1 + 2/3)/2
+    val df = Seq(
+      (true, 0.9), (false, 0.8), (true, 0.5), (false, 0.1),
+    ).toDF("label", "score")
+    val r = Stats.averagePrecision(df, $"label", $"score").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 0.833333)))
+    val sep = Seq((true, 0.9), (false, 0.2)).toDF("label", "score")
+    assert(Stats.averagePrecision(sep, $"label", $"score")
+      .collect().head.getDouble(2) == 1.0)
+    val none = Seq((false, 0.9)).toDF("label", "score")
+    assert(Stats.averagePrecision(none, $"label", $"score")
+      .collect().head.isNullAt(2))
+  }
+
+  test("funnel: strict order, greedy anchor, window cutoff, reverse-cumulative report") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(1), "signup"), (1L, ts(2), "view"), (1L, ts(3), "click"), (1L, ts(4), "purchase"),
+      // user 2: view BEFORE signup and none after → stalls at stage 1
+      (2L, ts(1), "view"), (2L, ts(2), "signup"), (2L, ts(3), "click"),
+      // user 3: view at the SAME instant as signup → strict > rejects it
+      (3L, ts(1), "signup"), (3L, ts(1), "view"), (3L, ts(2), "purchase"),
+      // user 4: never signs up
+      (4L, ts(1), "view"), (4L, ts(2), "click"),
+    ).toDF("user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val steps = Seq("signup", "view", "click", "purchase")
+    val stages = graft.streaming.EventStream.funnelStages(ev, steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stages == Map(1L -> 4, 2L -> 1, 3L -> 1, 4L -> 0))
+    val report = graft.streaming.EventStream.funnel(ev, steps)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(report == Set((1, "signup", 3L), (2, "view", 1L),
+      (3, "click", 1L), (4, "purchase", 1L)))
+    // 15-minute window: user 5 signs up, views at +10, clicks at +20 →
+    // greedy anchor at signup, click falls outside → stage 2
+    val ev5 = Seq((5L, ts(0), "signup"), (5L, ts(10), "view"), (5L, ts(20), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val s5 = graft.streaming.EventStream.funnelStages(ev5, steps,
+      withinMinutes = Some(15L)).collect().head.getInt(1)
+    assert(s5 == 2)
+  }
+
   test("paragraph dedup: global first occurrence survives, docs reassemble in order") {
     val df = Seq(
       (0L, "unique alpha\nSHARED FOOTER\nunique beta"),
