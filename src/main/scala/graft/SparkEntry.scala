@@ -882,6 +882,11 @@ object SparkEntry {
         Seq("signup", "view", "click", "purchase"),
         withinMinutes = Some(720L))),
 
+    // day-N cohort retention: users cohorted by first-signup date,
+    // active-day offsets 0..7 — calendar-sized output
+    "q_events_retention" -> ((s, dir) =>
+      graft.streaming.EventStream.retention(events(s, dir), "signup", maxDays = 7)),
+
     // context-budget clipping to the first 30 whitespace tokens
     "q_text_truncate" -> ((s, dir) => {
       val (clipped, dropped) = TextOps.truncateTokens(col("text"), maxTokens = 30)
@@ -2850,6 +2855,28 @@ object SparkEntry {
          |UNION ALL SELECT 2, 'view', count(*) FROM u2
          |UNION ALL SELECT 3, 'click', count(*) FROM u3
          |UNION ALL SELECT 4, 'purchase', count(*) FROM u4""".stripMargin,
+
+    // retention: first-signup cohorts × distinct active dates, offsets
+    // counted per (cohort, offset), sizes re-joined
+    "q_events_retention" ->
+      s"""WITH cohorts AS (
+         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1
+         |), sizes AS (
+         |  SELECT cohort_date, count(*) AS n_cohort FROM cohorts GROUP BY 1
+         |), activity AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+         |), j AS (
+         |  SELECT c.cohort_date,
+         |    CAST(date_diff('day', c.cohort_date, a.active_date) AS INTEGER)
+         |      AS day_offset
+         |  FROM cohorts c JOIN activity a USING (user_id)
+         |  WHERE date_diff('day', c.cohort_date, a.active_date) BETWEEN 0 AND 7
+         |)
+         |SELECT j.cohort_date, day_offset, count(*) AS n_active,
+         |  any_value(n_cohort) AS n_cohort
+         |FROM j JOIN sizes USING (cohort_date)
+         |GROUP BY 1, 2""".stripMargin,
 
     // the full train -> score -> evaluate chain, ending in one
     // confusion-count aggregate (same CTE chain as q_text_trained_score)

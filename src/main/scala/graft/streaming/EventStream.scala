@@ -222,6 +222,49 @@ object EventStream {
       .select(col("step"), col("event_type"), col("n_users"))
   }
 
+  /** Cohort retention — the third classic alongside [[sessionizeBatch]]
+    * and [[funnel]]: users cohorted by the calendar date of their FIRST
+    * `cohortEvent`, then for each day offset `0..maxDays`, how many of
+    * the cohort were active (any event) exactly that many days later.
+    * Output: `(cohort_date, day_offset, n_active, n_cohort)` — one row
+    * per (cohort, offset) that had any activity; `day_offset = 0` is
+    * the cohort day itself, so `n_active = n_cohort` there by
+    * construction.
+    *
+    * Scale shape: events collapse to distinct (user, date) activity
+    * rows at the scan; the cohort frame is one user-keyed min-
+    * aggregation; the join keys on the user; counts are map-side
+    * combined. Output is |cohorts| × |offsets| rows — calendar-sized,
+    * never user-sized.
+    */
+  def retention(
+      events: DataFrame,
+      cohortEvent: String,
+      maxDays: Int = 30,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+  ): DataFrame = {
+    require(maxDays >= 0, "maxDays must be >= 0")
+    val cohorts = events
+      .filter(col(typeCol) === cohortEvent)
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    val cohortSizes = cohorts.groupBy(col("cohort_date"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val activity = events
+      .select(col(userCol), to_date(col(tsCol)).as("active_date"))
+      .dropDuplicates(userCol, "active_date")
+    cohorts
+      .join(activity, Seq(userCol))
+      .withColumn("day_offset", datediff(col("active_date"), col("cohort_date")))
+      .filter(col("day_offset") >= 0 && col("day_offset") <= maxDays)
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSizes, Seq("cohort_date"))
+      .select(col("cohort_date"), col("day_offset"), col("n_active"), col("n_cohort"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -820,6 +820,32 @@ class OpsSpec extends AnyFunSuite {
     assert(s5 == 2)
   }
 
+  test("retention: first-event cohorts, distinct active days, offset bounds") {
+    def ts(day: Int, h: Int = 1) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1: signs up day 1, active days 1, 2, 2 (dup), 5
+      (1L, ts(1), "signup"), (1L, ts(2), "view"), (1L, ts(2, 9), "click"), (1L, ts(5), "view"),
+      // user 2: signs up day 1, never returns
+      (2L, ts(1), "signup"),
+      // user 3: active day 1 BEFORE signing up day 2 — negative offset drops
+      (3L, ts(1), "view"), (3L, ts(2), "signup"), (3L, ts(3), "view"),
+      // user 4: no signup → no cohort
+      (4L, ts(1), "view"),
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.streaming.EventStream.retention(ev, "signup", maxDays = 7)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("2024-01-01", 0)) == ((2L, 2L))) // users 1+2 on cohort day
+    assert(got(("2024-01-01", 1)) == ((1L, 2L))) // only user 1 returns
+    assert(got(("2024-01-01", 4)) == ((1L, 2L)))
+    assert(got(("2024-01-02", 0)) == ((1L, 1L))) // user 3's cohort
+    assert(got(("2024-01-02", 1)) == ((1L, 1L)))
+    assert(!got.contains(("2024-01-01", 2))) // no activity → no row
+    assert(got.keys.forall(_._2 >= 0)) // pre-signup activity dropped
+  }
+
   test("paragraph dedup: global first occurrence survives, docs reassemble in order") {
     val df = Seq(
       (0L, "unique alpha\nSHARED FOOTER\nunique beta"),
