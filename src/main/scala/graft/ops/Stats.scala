@@ -331,15 +331,20 @@ object Stats {
       thresholds: Seq[Double],
   ): DataFrame = {
     require(thresholds.nonEmpty, "thresholds must be non-empty")
+    // project ONCE before anything references them: the label/score
+    // expressions would otherwise be re-evaluated inside every
+    // conditional sum (4 × |thresholds| copies of e.g. a classifier
+    // scoring expression)
+    val base = labeledScores(df, label, score)
+    val y = col("__y"); val s = col("__s")
     val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
       Seq(
-        sum(when(label && score >= t, 1L).otherwise(0L)).as(s"tp_$i"),
-        sum(when(!label && score >= t, 1L).otherwise(0L)).as(s"fp_$i"),
-        sum(when(label && score < t, 1L).otherwise(0L)).as(s"fn_$i"),
-        sum(when(!label && score < t, 1L).otherwise(0L)).as(s"tn_$i"))
+        sum(when(y && s >= t, 1L).otherwise(0L)).as(s"tp_$i"),
+        sum(when(!y && s >= t, 1L).otherwise(0L)).as(s"fp_$i"),
+        sum(when(y && s < t, 1L).otherwise(0L)).as(s"fn_$i"),
+        sum(when(!y && s < t, 1L).otherwise(0L)).as(s"tn_$i"))
     }
-    val wide = df.filter(label.isNotNull && score.isNotNull)
-      .agg(aggs.head, aggs.tail: _*)
+    val wide = base.agg(aggs.head, aggs.tail: _*)
     val stackArgs = thresholds.zipWithIndex
       .map { case (t, i) =>
         s"CAST(${java.lang.Double.toString(t)} AS DOUBLE), tp_$i, fp_$i, fn_$i, tn_$i"
@@ -376,9 +381,16 @@ object Stats {
     * single-partition window is [[graft.ops.Sample.epochAllocation]]'s
     * bounded-frame pattern, never a corpus-wide sort.
     */
+  /** (__y, __s) with nulls dropped — label/score expressions evaluated
+    * exactly once per row (a classifier score is an expensive
+    * expression; filtering on the raw expressions would double it).
+    */
+  private def labeledScores(df: DataFrame, label: Column, score: Column): DataFrame =
+    df.select(label.as("__y"), score.as("__s"))
+      .filter(col("__y").isNotNull && col("__s").isNotNull)
+
   def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
-    val base = df.filter(label.isNotNull && score.isNotNull)
-      .select(label.as("__y"), score.as("__s"))
+    val base = labeledScores(df, label, score)
     val byScore = base.groupBy(col("__s"))
       .agg(
         count(lit(1)).as("__cnt"),
@@ -413,8 +425,7 @@ object Stats {
     * Same bounded distinct-rounded-score frame as [[rocAuc]].
     */
   def averagePrecision(df: DataFrame, label: Column, score: Column): DataFrame = {
-    val base = df.filter(label.isNotNull && score.isNotNull)
-      .select(label.as("__y"), score.as("__s"))
+    val base = labeledScores(df, label, score)
     val byScore = base.groupBy(col("__s"))
       .agg(
         count(lit(1)).as("__cnt"),
