@@ -1264,6 +1264,14 @@ object SparkEntry {
     "q_dedup_source_overlap" -> ((s, dir) =>
       ops.Dedup.crossSourceOverlap(t(s, dir, "documents"), "text", "source")),
 
+    // the same matrix in its 100 TB configuration: per-source HLL
+    // sketches + inclusion–exclusion, digests never shuffle. Sketch
+    // estimates by contract → rows-only; every pair's error vs the
+    // exact twin is contracted within its own emitted err_bound
+    // (DriverSuiteSpec "approx source overlap")
+    "q_dedup_source_overlap_approx" -> ((s, dir) =>
+      ops.Dedup.crossSourceOverlapApprox(t(s, dir, "documents"), "text", "source")),
+
     // key-distribution diagnostics on the natural join key of events
     "q_stats_heavy_hitters" -> ((s, dir) =>
       ops.Stats.heavyHitters(events(s, dir), "user_id", k = 20)),

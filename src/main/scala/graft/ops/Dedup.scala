@@ -218,6 +218,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The 100 TB twin of [[crossSourceOverlap]]: the same cross-source
+    * duplication matrix from mergeable HLL sketches
+    * (`hll_sketch_agg` / `hll_union`, Apache DataSketches) instead of a
+    * digest self-join — ONE corpus scan builds |sources| kilobyte-sized
+    * sketches (map-side combined), and every pair's intersection comes
+    * from inclusion–exclusion `|A| + |B| − |A∪B|` on the sketch frame
+    * (|sources|² driver-sized rows; the digests never shuffle at all).
+    *
+    * Sketch intersections inherit the UNION's absolute error, so each
+    * row carries its own `err_bound` (3 × HLL rsd × n_union — rsd =
+    * 1.04/√2^lgK ≈ 1.6% at the default lgK=12): an intersection smaller
+    * than the bound is indistinguishable from zero, which is the honest
+    * semantics of sketch-based overlap at scale. The exact twin remains
+    * the verification-scale meter; DriverSuiteSpec contracts that every
+    * pair's approx error is within `err_bound` and the diagonal (each
+    * source's own cardinality, where inclusion–exclusion cancels to the
+    * plain HLL estimate) is within 3×rsd relative.
+    */
+  def crossSourceOverlapApprox(
+      docs: DataFrame,
+      textCol: String,
+      srcCol: String,
+      lgConfigK: Int = 12,
+  ): DataFrame = {
+    require(lgConfigK >= 4 && lgConfigK <= 21, "lgConfigK must be in [4, 21]")
+    val rsd = 1.04 / math.sqrt((1L << lgConfigK).toDouble)
+    val sk = docs
+      .select(col(srcCol).as("src"), contentDigest(col(textCol)).as("__ch"))
+      .groupBy(col("src"))
+      .agg(hll_sketch_agg(col("__ch"), lit(lgConfigK)).as("__sk"))
+    sk.as("a").join(broadcast(sk.as("b")), col("a.src") <= col("b.src"))
+      .select(
+        col("a.src").as("src_a"), col("b.src").as("src_b"),
+        hll_sketch_estimate(col("a.__sk")).as("n_a"),
+        hll_sketch_estimate(col("b.__sk")).as("n_b"),
+        hll_sketch_estimate(hll_union(col("a.__sk"), col("b.__sk"))).as("n_union"))
+      .withColumn("n_shared_approx",
+        greatest(col("n_a") + col("n_b") - col("n_union"), lit(0L)))
+      .withColumn("err_bound",
+        round(lit(3.0 * rsd) * col("n_union").cast("double"), 2))
+  }
+
   /** Diff two corpus snapshots by document id + content digest: which
     * documents were added, removed, or changed between crawls — the
     * input audit every incremental-ingestion pipeline runs before

@@ -40,7 +40,7 @@ class DriverSuiteSpec extends AnyFunSuite {
     // documented approximate set, not an accidental omission — pin the
     // count so a new query silently missing its oracle trips review
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.size == 28, s"rows-only query count changed (${rowsOnly.size}): " +
+    assert(rowsOnly.size == 29, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
@@ -190,6 +190,36 @@ class DriverSuiteSpec extends AnyFunSuite {
       val row = SparkEntry.queries(q)(spark, dir).collect().head
       val recall = row.getAs[Double]("recall")
       assert(recall >= 0.6, s"$q at $dir: recall $recall below the 0.6 floor")
+    }
+  }
+
+  test("approx source overlap stays inside its own emitted error bound") {
+    // the contract behind q_dedup_source_overlap_approx: for every
+    // source pair, |approx − exact| ≤ the row's err_bound, and the
+    // diagonal (plain per-source cardinality) is within 3×rsd relative
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact = SparkEntry.queries("q_dedup_source_overlap")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val approx = SparkEntry.queries("q_dedup_source_overlap_approx")(spark, dir)
+        .collect()
+      assert(approx.nonEmpty)
+      approx.foreach { r =>
+        val key = (r.getString(0), r.getString(1))
+        val shared = r.getAs[Long]("n_shared_approx")
+        val bound = r.getAs[Double]("err_bound")
+        val truth = exact.getOrElse(key, 0L)
+        assert(math.abs(shared - truth) <= bound + 1e-9,
+          s"$dir $key: approx $shared vs exact $truth, bound $bound")
+        if (key._1 == key._2) // diagonal: plain HLL estimate of |A|
+          assert(math.abs(shared - truth) <= 0.05 * truth + 1,
+            s"$dir diagonal $key: $shared vs $truth")
+      }
+      // approx covers the FULL pair triangle (exact's inner join drops
+      // zero-overlap pairs; the sketch version reports them as ~0)
+      val approxKeys = approx.map(r => (r.getString(0), r.getString(1))).toSet
+      assert(exact.keySet.subsetOf(approxKeys))
+      val s = approxKeys.map(_._1).size
+      assert(approxKeys.size == s * (s + 1) / 2, s"$dir: not a full triangle")
     }
   }
 

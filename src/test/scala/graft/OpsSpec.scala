@@ -820,6 +820,26 @@ class OpsSpec extends AnyFunSuite {
     assert(s5 == 2)
   }
 
+  test("approx source overlap: planted shared set within the emitted bound") {
+    // X = docs 0-599, Y = docs 300-899 → true shared 300, union 900
+    val planted = ((0 until 600).map(i => ("X", s"document number $i body")) ++
+      (300 until 900).map(i => ("Y", s"document number $i body")))
+      .toDF("source", "text")
+    val rows = Dedup.crossSourceOverlapApprox(planted, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(5), r.getDouble(6), r.getLong(4)))).toMap
+    val (sharedXY, boundXY, unionXY) = rows(("X", "Y"))
+    assert(math.abs(sharedXY - 300L) <= boundXY, s"$sharedXY vs 300 ± $boundXY")
+    assert(math.abs(unionXY - 900L) <= boundXY)
+    val (sharedXX, _, _) = rows(("X", "X"))
+    assert(math.abs(sharedXX - 600L) <= 0.05 * 600 + 1)
+    // matches the exact twin's pair universe semantics (exact drops
+    // nothing here — every pair overlaps or is a diagonal)
+    val exact = Dedup.crossSourceOverlap(planted, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact(("X", "Y")) == 300L && exact(("X", "X")) == 600L)
+  }
+
   test("retention: first-event cohorts, distinct active days, offset bounds") {
     def ts(day: Int, h: Int = 1) =
       java.sql.Timestamp.valueOf(f"2024-01-${day}%02d $h%02d:00:00")
