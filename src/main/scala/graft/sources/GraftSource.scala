@@ -156,4 +156,52 @@ object GraftSource {
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
     writeTail(out, path, partitionCols, maxRecordsPerFile)
   }
+
+  /** Deterministic SHARDED export with a verification manifest — the
+    * training-serving handoff: rows land in `numShards` shards by
+    * `pmod(xxhash64(id), n)` (stable across reruns, retries, and
+    * cluster layouts — the [[graft.ops.Sample]] determinism contract),
+    * sorted by id within each shard (parquet row-group pruning on the
+    * id), written as `shard=K/` partition directories. The returned
+    * MANIFEST — also written to `<path>__manifest` — has one row per
+    * shard: `(shard, n_rows, ids_xor)` where `ids_xor` is the
+    * order-independent XOR of the ids' md5-derived 60-bit hashes. A
+    * consumer re-derives the same three numbers from whatever it read
+    * and compares: any lost, duplicated, or corrupted-id row flips the
+    * XOR. Aggregation is map-side combined; the manifest is
+    * `numShards` rows — driver-sized.
+    */
+  def writeShardedWithManifest(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      numShards: Int,
+      maxRecordsPerFile: Long = 5000000L,
+  ): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val sharded = df.withColumn("shard",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col(idCol)),
+        org.apache.spark.sql.functions.lit(numShards.toLong)).cast("int"))
+    writeParquetSorted(sharded, path, sortCols = Seq(idCol),
+      partitionCols = Seq("shard"), maxRecordsPerFile = maxRecordsPerFile)
+    val manifest = shardManifest(sharded, idCol)
+    manifest.coalesce(1).write.mode("overwrite").parquet(path + "__manifest")
+    manifest
+  }
+
+  /** The manifest of an already-sharded frame (must carry a `shard`
+    * column): `(shard, n_rows, ids_xor)`. Run it on the CONSUMER side
+    * over what was actually read and compare with the producer's
+    * manifest — equality certifies the handoff.
+    */
+  def shardManifest(sharded: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    sharded.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(bit_xor(
+          graft.functions.GraftFunctions.md5Long60(col(idCol).cast("string").cast("binary"))),
+          lit(0L)).as("ids_xor"))
+  }
 }
