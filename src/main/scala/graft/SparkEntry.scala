@@ -3145,6 +3145,8 @@ object SparkEntry {
 
     // DSIR Gumbel top-100: the weights above + the deterministic
     // md5-seeded uniform -> Gumbel race, ordered on the unrounded key
+    // with the id tiebreak (equal-weight docs can tie — the uniform has
+    // only 1e6 distinct values)
     "q_dsir_resample" ->
       s"""WITH w AS ($oracleDsirWeights)
          |SELECT doc_id, n_ngrams, log_weight, round(key, 6) AS sample_key FROM (
@@ -3152,7 +3154,7 @@ object SparkEntry {
          |    (${oracleMd5Long("'graft-r7#' || CAST(doc_id AS VARCHAR)")} % 1000000 + 0.5)
          |      / 1000000.0)) AS key
          |  FROM w
-         |) ORDER BY key DESC LIMIT 100""".stripMargin,
+         |) ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
 
     // hashed-n-gram KL/JS divergence between the English and non-English
     // slices: per-occupied-bucket terms + the closed-form zero-count

@@ -1381,12 +1381,17 @@ object Dedup {
     *
     * Output: `(idCol, text_dedup, n_paras_kept, n_paras_removed)` — one
     * row per input document (a fully-deduped document keeps its row
-    * with empty text).
+    * with empty text; a NULL-text document is treated as empty text and
+    * keeps its row too).
     *
-    * Scale shape: the keep/drop decision shuffles only
-    * (digest, id, pos) — paragraph TEXT stays out of the dedup window
-    * and rides exactly one shuffle, the per-document reassembly. Both
-    * shuffles are hash exchanges; no global sort.
+    * Scale shape: the keep/drop decision shuffles only slim
+    * (key, id, pos) rows, kept POSITIONS aggregate per document as an
+    * integer-only exchange, and the document TEXT rides exactly ONE
+    * shuffle — the id-keyed join with its own kept-position list — and
+    * never explodes at all (each row re-splits and reassembles its own
+    * text in place). Blank paragraphs are window-keyed per row (see
+    * [[splitParas]]) so the corpus-wide md5("") key never funnels into
+    * one task. All exchanges are hash exchanges; no global sort.
     */
   def paragraphDedup(
       docs: DataFrame,
@@ -1394,47 +1399,73 @@ object Dedup {
       idCol: String,
       sep: String = "\n",
   ): DataFrame = {
-    val paras = splitParas(docs, textCol, idCol, sep)
-    // slim dedup pass: digests + addresses only
-    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol), col("__pos"))
-    val keepFlags = paras
-      .select(col(idCol), col("__pos"), col("__digest"), col("__blank"))
+    val w = Window.partitionBy(col("__wkey")).orderBy(col(idCol), col("__pos"))
+    val flagged = slimParas(docs, textCol, idCol, sep)
       .withColumn("__keep", col("__blank") || row_number().over(w) === 1)
-      .select(col(idCol), col("__pos"), col("__keep"))
-    reassembleParas(paras.join(keepFlags, Seq(idCol, "__pos")), idCol, sep)
+    reassembleFromPositions(docs, flagged, textCol, idCol, sep)
   }
 
-  /** (id, __pos, __para, __digest, __blank) exploded paragraph rows —
-    * shared front of the paragraph-dedup family.
+  /** (id, __pos, __para, __digest, __blank, __wkey) exploded paragraph
+    * rows — shared front of the paragraph-dedup family. `__wkey` is the
+    * dedup window/join key: the normalized-content digest for non-blank
+    * paragraphs, but a per-row salted key for BLANKS — every blank in
+    * the corpus normalizes to "" and would otherwise funnel into the
+    * single md5("") partition (a guaranteed straggler at corpus scale),
+    * while the keep rule ignores their window rank anyway. The "b:"
+    * prefix cannot collide with a 32-hex md5 digest. NULL text is
+    * treated as empty text so every document yields at least one row.
     */
   private def splitParas(
       docs: DataFrame, textCol: String, idCol: String, sep: String): DataFrame = {
     val norm = TextOps.normalized(col("__para"))
     docs
       .select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__para")))
       .withColumn("__digest", md5(norm.cast("binary")))
       .withColumn("__blank", length(norm) === 0)
+      .withColumn("__wkey",
+        when(col("__blank"),
+          concat(lit("b:"), col(idCol).cast("string"), lit(":"),
+            col("__pos").cast("string")))
+          .otherwise(col("__digest")))
   }
 
-  /** Rebuild (idCol, text_dedup, n_paras_kept, n_paras_removed) from
-    * flagged paragraph rows — shared tail of the family. One hash
-    * exchange on the id.
+  /** [[splitParas]] without the paragraph text — the shuffle payload of
+    * the batch dedup passes.
     */
-  private def reassembleParas(
-      flagged: DataFrame, idCol: String, sep: String): DataFrame =
-    flagged
+  private def slimParas(
+      docs: DataFrame, textCol: String, idCol: String, sep: String): DataFrame =
+    splitParas(docs, textCol, idCol, sep)
+      .select(col(idCol), col("__pos"), col("__blank"), col("__wkey"))
+
+  /** Rebuild `(idCol, text_dedup, n_paras_kept, n_paras_removed)` from
+    * flagged slim rows: kept positions aggregate per document, join the
+    * original documents on the id (the ONE text shuffle), and each row
+    * reassembles its own text from the positions — `get` is 0-based and
+    * null-safe, matching posexplode's positions.
+    */
+  private def reassembleFromPositions(
+      docs: DataFrame, flagged: DataFrame, textCol: String, idCol: String,
+      sep: String): DataFrame = {
+    val kept = flagged
       .groupBy(col(idCol))
       .agg(
-        array_join(
-          transform(
-            sort_array(collect_list(when(col("__keep"),
-              struct(col("__pos"), col("__para"))))),
-            s => s.getField("__para")),
-          sep).as("text_dedup"),
+        sort_array(collect_list(when(col("__keep"), col("__pos")))).as("__kept"),
         count(when(col("__keep"), lit(1))).as("n_paras_kept"),
         count(when(!col("__keep"), lit(1))).as("n_paras_removed"))
+    docs
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep)).as("__parr"))
+      .join(kept, Seq(idCol))
+      .select(col(idCol),
+        array_join(
+          transform(col("__kept"), p => get(col("__parr"), p)), sep)
+          .as("text_dedup"),
+        col("n_paras_kept"), col("n_paras_removed"))
+  }
 
   /** The paragraph digest STORE: one row per distinct non-blank
     * normalized-paragraph digest — the persisted state of the
@@ -1465,8 +1496,12 @@ object Dedup {
     * the output equals the full-corpus [[paragraphDedup]] restricted
     * to batch documents (parity-tested).
     *
-    * Scale shape: the store join is a digest-keyed equi-join (16-byte
-    * digests, no text); everything else matches the batch operator.
+    * Scale shape: the store join is a key-keyed equi-join (16-byte
+    * digests, no text; blank rows carry their per-row salted key, so
+    * they match nothing and never skew the join); the join's hash
+    * partitioning on `__wkey` is exactly what the first-occurrence
+    * window needs, so no extra exchange appears between them.
+    * Everything else matches the batch operator.
     */
   def paragraphDedupIncrement(
       batch: DataFrame,
@@ -1475,17 +1510,14 @@ object Dedup {
       idCol: String,
       sep: String = "\n",
   ): DataFrame = {
-    val paras = splitParas(batch, textCol, idCol, sep)
-    val seen = historyDigests.select(col("digest").as("__digest"))
-      .dropDuplicates("__digest").withColumn("__seen", lit(true))
-    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol), col("__pos"))
-    val keepFlags = paras
-      .select(col(idCol), col("__pos"), col("__digest"), col("__blank"))
-      .join(seen, Seq("__digest"), "left")
+    val seen = historyDigests.select(col("digest").as("__wkey"))
+      .dropDuplicates("__wkey").withColumn("__seen", lit(true))
+    val w = Window.partitionBy(col("__wkey")).orderBy(col(idCol), col("__pos"))
+    val flagged = slimParas(batch, textCol, idCol, sep)
+      .join(seen, Seq("__wkey"), "left")
       .withColumn("__keep",
         col("__blank") || (col("__seen").isNull && row_number().over(w) === 1))
-      .select(col(idCol), col("__pos"), col("__keep"))
-    reassembleParas(paras.join(keepFlags, Seq(idCol, "__pos")), idCol, sep)
+    reassembleFromPositions(batch, flagged, textCol, idCol, sep)
   }
 
   /** Streaming twin of [[paragraphDedupIncrement]]: micro-batch
@@ -1506,10 +1538,13 @@ object Dedup {
       sep: String = "\n",
   ): DataFrame = {
     val paras = splitParas(stream, textCol, idCol, sep)
-    val seen = historyDigests.select(col("digest").as("__digest"))
-      .dropDuplicates("__digest")
+    // anti-join on the salted window key: blanks match nothing (the
+    // store holds md5 digests only) and so survive without funneling
+    // into one md5("") join partition
+    val seen = historyDigests.select(col("digest").as("__wkey"))
+      .dropDuplicates("__wkey")
     paras
-      .join(seen, Seq("__digest"), "left_anti")
+      .join(seen, Seq("__wkey"), "left_anti")
       .select(col(idCol), col("__pos"), col("__para").as("paragraph"))
   }
 
@@ -1523,7 +1558,9 @@ object Dedup {
     * Pretraining via Document De-Duplication and Diversification",
     * arXiv:2308.12284). A narrow codegen'd projection: the centroids
     * ship as literal weight arrays, zero shuffles, zero joins. Rows
-    * with null or zero vectors are dropped (no defined cosine).
+    * with null or zero vectors are dropped (no defined cosine). The
+    * scored struct array IS [[Similarity.cellScores]] (cosine-extended)
+    * — one definition of the argmax, no copy to drift.
     */
   def prototypicality(
       df: DataFrame,
@@ -1532,26 +1569,19 @@ object Dedup {
       index: Similarity.IvfIndex,
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    import graft.functions.GraftFunctions.vecDot
     val vec = col(vecCol)
-    val scored = array(index.centroids.zipWithIndex.map { case (c, i) =>
-      val norm2 = c.map(x => x * x).sum
-      struct(
-        (vecDot(vec, typedLit(c)) - lit(norm2 / 2.0)).as("score"),
-        lit(i).as("cell"),
-        (vecDot(vec, typedLit(c)) /
-          (lit(math.sqrt(norm2).max(1e-12)) * sqrt(vecDot(vec, vec)))).as("cos"))
-    }: _*)
-    val best = array_max(scored)
+    val best = array_max(Similarity.cellScores(index, vec, withCosine = true))
     df.filter(Similarity.nonZeroVec(vec))
       .select(col(idCol), best.getField("cell").as("cell"),
         round(best.getField("cos"), 6).as("proto"))
   }
 
   /** D4-style diversification: drop the `dropFraction` MOST prototypical
-    * rows of every cluster (`ceil(dropFraction × cellN)` rows, ranked by
-    * prototypicality descending with the id as a deterministic
-    * tiebreak), keeping the diverse remainder. The second half of the
+    * rows of every cluster (`min(ceil(dropFraction × cellN), cellN − 1)`
+    * rows, ranked by prototypicality descending with the id as a
+    * deterministic tiebreak — every cell keeps at least one row, so a
+    * singleton/tiny cell is never deleted outright), keeping the
+    * diverse remainder. The second half of the
     * published D4 recipe — run it AFTER [[semanticDedupKeepFirst]]:
     * SemDeDup removes the near-identical, this removes the redundant
     * middle of each semantic cluster.
@@ -1576,7 +1606,10 @@ object Dedup {
     prototypicality(df, vecCol, idCol, index)
       .withColumn("__rk", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("cell"))))
-      .filter(col("__rk") > ceil(col("__n") * lit(dropFraction)))
+      // the ceil quota is capped at __n - 1: a cell always keeps at
+      // least one row, so skewed k-means cells (singletons, tiny
+      // rare-topic clusters) are thinned, never deleted outright
+      .filter(col("__rk") > least(ceil(col("__n") * lit(dropFraction)), col("__n") - 1))
       .drop("__rk", "__n")
   }
 

@@ -230,8 +230,11 @@ object Dsir {
     *
     * Output: `(idCol, n_ngrams, log_weight, sample_key)` for the
     * selected docs, `sample_key` rounded to 6 dp. The top-k runs on the
-    * UNROUNDED key (hash-derived, ties impossible) as a TakeOrdered —
-    * no global sort at any scale.
+    * UNROUNDED key with the id as a deterministic tiebreak (the uniform
+    * has only 1e6 distinct values, so equal-weight documents — e.g.
+    * pre-dedup duplicates — DO tie at corpus scale) as a TakeOrdered —
+    * no global sort at any scale, same selected set on every rerun and
+    * cluster layout.
     */
   def resample(
       docs: DataFrame,
@@ -278,7 +281,7 @@ object Dsir {
     val gumbel = -log(-log(hashUniform(seed, col(idCol))))
     weights
       .withColumn("sample_key_raw", col("log_weight") + gumbel)
-      .orderBy(col("sample_key_raw").desc)
+      .orderBy(col("sample_key_raw").desc, col(idCol))
       .limit(n)
       .select(col(idCol), col("n_ngrams"), col("log_weight"),
         round(col("sample_key_raw"), 6).as("sample_key"))
@@ -313,7 +316,14 @@ object Dsir {
     val weightSum = aggregate(bks, lit(0.0), (acc, b) =>
       acc + element_at(tableLit, (b + lit(1L)).cast("int")))
     docs
-      .filter(size(bks) > 0)
+      // the empty-doc gate runs on the TOKEN count, not size(bks): the
+      // two are equal by construction (hashedNgramBuckets is a 1:1
+      // transform over tokens ++ shingles, and shingles are empty
+      // whenever tokens are), but the token form skips the per-n-gram
+      // md5 work — the filter operator can't share the projection's
+      // bucket computation (codegen CSE doesn't span Filter→Project,
+      // and a pre-projected column would be pushed back down anyway)
+      .filter(size(TextOps.tokens(col(textCol))) > 0)
       .select(
         col(idCol),
         size(bks).cast("long").as("n_ngrams"),

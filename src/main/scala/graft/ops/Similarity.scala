@@ -423,15 +423,24 @@ object Similarity {
 
   /** Cell score per centroid as a literal-weight dot product; argmax via
     * array_max over (score, cell) structs — lexicographic, codegen'd.
-    * Shared by [[ivfSearch]] and [[ivfPqTopK]].
+    * Shared by [[ivfSearch]], [[ivfPqTopK]], and (with `withCosine`)
+    * [[Dedup.prototypicality]]. The optional third `cos` field is the
+    * row-to-centroid cosine; it sits AFTER (score, cell) in the struct,
+    * so the lexicographic argmax is bit-identical with or without it —
+    * one definition of the assignment tie-break for every caller.
     */
-  private def cellScores(index: IvfIndex, vec: Column): Column = {
+  private[ops] def cellScores(
+      index: IvfIndex, vec: Column, withCosine: Boolean = false): Column = {
     import graft.functions.GraftFunctions.vecDot
+    val rowNorm = sqrt(vecDot(vec, vec))
     array(index.centroids.zipWithIndex.map {
       case (c, i) =>
         val norm2 = c.map(x => x * x).sum
-        struct((vecDot(vec, typedLit(c)) - lit(norm2 / 2.0)).as("score"),
-          lit(i).as("cell"))
+        val d = vecDot(vec, typedLit(c))
+        val base = Seq((d - lit(norm2 / 2.0)).as("score"), lit(i).as("cell"))
+        struct((if (withCosine)
+          base :+ (d / (lit(math.sqrt(norm2).max(1e-12)) * rowNorm)).as("cos")
+        else base): _*)
     }: _*)
   }
 

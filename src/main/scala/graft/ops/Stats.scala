@@ -300,17 +300,24 @@ object Stats {
         sum(when(!a && !p, 1L).otherwise(0L)).as("tn"))
       .select(
         (groupCols.map(col) ++ Seq(
-        col("tp"), col("fp"), col("fn"), col("tn"),
-        round((col("tp") + col("tn")).cast("double") /
-          (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
-        round(when(col("tp") + col("fp") > 0,
-          col("tp").cast("double") / (col("tp") + col("fp"))), 6).as("precision"),
-        round(when(col("tp") + col("fn") > 0,
-          col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("recall"),
-        round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
-          (col("tp") * 2).cast("double") / (col("tp") * 2 + col("fp") + col("fn"))), 6)
-          .as("f1"))): _*)
+        col("tp"), col("fp"), col("fn"), col("tn")) ++ confusionMetrics): _*)
   }
+
+  /** The guarded accuracy/precision/recall/F1 block over `tp fp fn tn`
+    * columns — ONE definition of the zero-denominator convention
+    * (undefined → null) and the 6-dp rounding, shared by
+    * [[binaryEvalByGroup]] and [[thresholdSweep]].
+    */
+  private def confusionMetrics: Seq[Column] = Seq(
+    round((col("tp") + col("tn")).cast("double") /
+      (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+    round(when(col("tp") + col("fp") > 0,
+      col("tp").cast("double") / (col("tp") + col("fp"))), 6).as("precision"),
+    round(when(col("tp") + col("fn") > 0,
+      col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("recall"),
+    round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
+      (col("tp") * 2).cast("double") / (col("tp") * 2 + col("fp") + col("fn"))), 6)
+      .as("f1"))
 
   /** Operating-point sweep for a SCORED binary classifier: confusion
     * counts and accuracy/precision/recall/F1 of `score >= t` against the
@@ -354,16 +361,8 @@ object Stats {
       .selectExpr(s"stack(${thresholds.length}, $stackArgs) " +
         "AS (threshold, tp, fp, fn, tn)")
       .select(
-        col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
-        round((col("tp") + col("tn")).cast("double") /
-          (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
-        round(when(col("tp") + col("fp") > 0,
-          col("tp").cast("double") / (col("tp") + col("fp"))), 6).as("precision"),
-        round(when(col("tp") + col("fn") > 0,
-          col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("recall"),
-        round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
-          (col("tp") * 2).cast("double") / (col("tp") * 2 + col("fp") + col("fn"))), 6)
-          .as("f1"))
+        (Seq(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn")) ++
+          confusionMetrics): _*)
   }
 
   /** EXACT ROC-AUC of a scored binary classifier — the rank statistic

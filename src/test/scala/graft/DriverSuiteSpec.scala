@@ -249,9 +249,10 @@ class DriverSuiteSpec extends AnyFunSuite {
 
   test("D4 diversification: per-cell drop quota and prototypicality ordering") {
     // the contract behind q_dedup_d4 (rows-only — k-means isn't
-    // SQL-expressible): for every cell, exactly ceil(0.25 × cellN) rows
-    // are dropped, and every dropped row is at least as prototypical as
-    // every kept row (ties at the boundary allowed)
+    // SQL-expressible): for every cell, exactly
+    // min(ceil(0.25 × cellN), cellN − 1) rows are dropped (a cell
+    // always keeps at least one row), and every dropped row is at least
+    // as prototypical as every kept row (ties at the boundary allowed)
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val emb = SparkEntry.t(spark, dir, "embeddings")
       val index = graft.ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 8)
@@ -263,7 +264,8 @@ class DriverSuiteSpec extends AnyFunSuite {
       for ((cell, rows) <- all.groupBy(_._2)) {
         val keptRows = rows.filter(r => keptIds(r._1))
         val dropped = rows.filterNot(r => keptIds(r._1))
-        assert(dropped.length == math.ceil(rows.length * 0.25).toInt,
+        assert(dropped.length ==
+            math.min(math.ceil(rows.length * 0.25).toInt, rows.length - 1),
           s"$dir cell $cell: ${dropped.length} dropped of ${rows.length}")
         if (keptRows.nonEmpty && dropped.nonEmpty)
           assert(keptRows.map(_._3).max <= dropped.map(_._3).min,

@@ -884,6 +884,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == (("unique epsilon", 1L, 0L)))
   }
 
+  test("paragraph dedup: NULL text keeps its row (treated as empty text)") {
+    val df = Seq(
+      (0L, Some("shared\nonly")),
+      (1L, None), // NULL text must NOT vanish from the output
+      (2L, Some("shared")),
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got(0L) == (("shared\nonly", 2L, 0L)))
+    assert(got(1L) == (("", 1L, 0L))) // one blank paragraph, kept
+    assert(got(2L) == (("", 0L, 1L)))
+  }
+
   test("incremental paragraph dedup matches the full pass restricted to the batch") {
     val history = Seq(
       (0L, "unique alpha\nSHARED FOOTER\nunique beta"),
@@ -948,6 +962,9 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L, 13L, 14L), s"kept $kept")
     // dropFraction = 0 keeps everything
     assert(Dedup.diversify(df, "v", "id", index, dropFraction = 0.0).count() == 10)
+    // the ceil quota is capped at cellN − 1: even a drastic fraction
+    // thins cells down to one survivor, never deletes a cell outright
+    assert(Dedup.diversify(df, "v", "id", index, dropFraction = 0.9).count() == 2)
   }
 
   test("incremental semantic dedup: batch vs celled history matches the full pass") {

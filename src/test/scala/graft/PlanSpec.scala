@@ -460,11 +460,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("paragraph dedup: digest-keyed window, hash exchanges only, no cartesian") {
+  test("paragraph dedup: salted-key window, text shuffles once on the id") {
     val p = plan(graft.ops.Dedup.paragraphDedup(docs, "text", "doc_id"))
-    // the keep/drop window shuffles on the digest (paragraph text is
-    // projected out before the window by construction)
-    assert(p.contains("hashpartitioning(__digest"), p)
+    // the keep/drop window shuffles on the salted key (text is projected
+    // out before the window; blanks never share the md5("") partition)
+    assert(p.contains("hashpartitioning(__wkey"), p)
+    // at most three hash exchanges: slim window on __wkey, integer-only
+    // kept-position agg on the id, and at most ONE text-carrying
+    // exchange — the docs side of the id-keyed reassembly join (at this
+    // SF the kept-position agg broadcasts instead, so the text side
+    // doesn't shuffle at all). The old (id, pos)-keyed flag join that
+    // shuffled exploded text is gone.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    assert(!"hashpartitioning\\(doc_id#\\d+L?, __pos".r.findAllIn(p).hasNext, p)
     assert(!p.contains("Exchange rangepartitioning"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
