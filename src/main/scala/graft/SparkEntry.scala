@@ -1134,6 +1134,15 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +: metrics: _*)
     }),
 
+    // BM25 relevance retrieval against a literal query (Okapi, Lucene
+    // lower-bounded idf) — the lexical data-selection complement of the
+    // embedding ANN ladder: 'dup' is rare (df 25/500 at sf0.01) so it
+    // dominates, 'hash'/'scan' are near-ubiquitous background terms.
+    // Top-50 on the unrounded score, id tiebreak, full oracle
+    "q_text_bm25" -> ((s, dir) =>
+      ops.Retrieval.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        query = "dup hash scan", k = 50)),
+
     // phrase-blocklist gate (C4 badwords rule shape): ONE Aho–Corasick
     // automaton probe per row vs a per-phrase contains chain — same
     // semantics, so the oracle is the OR-of-contains SQL
@@ -3251,6 +3260,37 @@ object SparkEntry {
          |  count(*) FILTER (WHERE keep) AS n_paras_kept,
          |  count(*) FILTER (WHERE NOT keep) AS n_paras_removed
          |FROM k GROUP BY doc_id""".stripMargin,
+
+    // BM25 top-50: mirrors Retrieval.scored's fixed-order double
+    // arithmetic term for term (exact integer tf/df/N/dl, one avgdl
+    // division, Lucene lower-bounded idf), ordered on the unrounded
+    // score with the id tiebreak
+    "q_text_bm25" -> {
+      val terms = Seq("dup", "hash", "scan")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t')) AS tf_$i" }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+      val matched = terms.indices
+        .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      val score = terms.indices.map(i =>
+        s"ln(1.0 + (n - df_$i + 0.5) / (df_$i + 0.5)) * " +
+          s"(CAST(tf_$i AS DOUBLE) * 2.2) / (CAST(tf_$i AS DOUBLE) + " +
+          s"1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, $oracleTokens AS toks FROM documents
+         |), d AS (
+         |  SELECT doc_id, len(toks) AS dl, $tfs FROM tok
+         |), s AS (
+         |  SELECT count(*) AS n, sum(dl) AS sumdl, $dfs FROM d
+         |)
+         |SELECT doc_id, CAST($matched AS BIGINT) AS matched_terms,
+         |  round($score, 6) AS bm25
+         |FROM d, s
+         |WHERE ($matched) > 0
+         |ORDER BY ($score) DESC, doc_id LIMIT 50""".stripMargin
+    },
 
     // blocklist gate: the automaton's substring semantics ARE the
     // OR-of-contains chain, so the chain is the oracle

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Query-relevance retrieval over a document corpus — the "select
+  * training data by relevance to a target task" shape: score every
+  * document against a literal query with Okapi BM25 (Robertson et al.,
+  * "Okapi at TREC-3", 1994; idf in the Lucene lower-bounded form
+  * `ln(1 + (N − df + 0.5)/(df + 0.5))`, never negative) and keep the
+  * best. Data-selection-by-retrieval is a standard curation move
+  * (domain-targeted corpus construction, eval-adjacent mining) and the
+  * lexical complement of the embedding ANN ladder in [[Similarity]].
+  *
+  * Scale shape: the QUERY is driver-sized (a handful of literal terms),
+  * so nothing ever builds a corpus-wide inverted index — per-document
+  * term frequencies are a narrow codegen'd projection over the token
+  * array, corpus statistics (N, Σdl, per-term df) collapse to ONE
+  * map-side-combined aggregation row broadcast back to the scan, and
+  * the top-k is a TakeOrdered, never a global sort. Two corpus scans
+  * (stats + scoring), zero data-sized shuffles.
+  */
+object Retrieval {
+
+  /** [[TextOps.tokens]]' exact lowercase-alnum tokenization applied to
+    * the query string on the driver; duplicates collapse (BM25 is
+    * defined over distinct query terms), first-occurrence order kept.
+    */
+  def queryTerms(query: String): Seq[String] =
+    query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+
+  /** BM25 scores for every document matching ≥1 query term:
+    * `(idCol, matched_terms, bm25)`, score rounded to 6 dp. `k1`
+    * (term-frequency saturation) and `b` (length normalization) default
+    * to the standard 1.2 / 0.75.
+    */
+  def bm25(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      query: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame =
+    scored(docs, textCol, idCol, query, k1, b)
+      .select(col(idCol), col("matched_terms"),
+        round(col("__raw"), 6).as("bm25"))
+
+  /** The `k` highest-scoring documents — [[bm25]] ordered on the
+    * UNROUNDED score with the id as a deterministic tiebreak, as a
+    * TakeOrdered (no global sort at any scale).
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    scored(docs, textCol, idCol, query, k1, b)
+      .orderBy(col("__raw").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("matched_terms"),
+        round(col("__raw"), 6).as("bm25"))
+  }
+
+  /** Shared scorer: `(idCol, matched_terms, __raw)` for matching docs.
+    * All arithmetic is fixed-order double math over exact integer
+    * counts (tf, df, N, dl as longs; Σdl exact; avgdl one division), so
+    * the score is bit-reproducible across engines — the DuckDB oracle
+    * mirrors this expression tree term for term.
+    */
+  private def scored(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      query: String,
+      k1: Double,
+      b: Double,
+  ): DataFrame = {
+    val qTerms = queryTerms(query)
+    require(qTerms.nonEmpty, s"query '$query' has no tokens")
+    val k1p1 = k1 + 1.0
+    val oneMb = 1.0 - b
+    // per-doc: token-array length + one tf per query term, one narrow
+    // projection (the token split is CSE'd across the tf counters)
+    val toks = TextOps.tokens(col(textCol))
+    val withTf = docs.select(
+      (Seq(col(idCol), size(toks).cast("long").as("__dl")) ++
+        qTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf_$i")
+        }): _*)
+    // ONE stats row: N, Σdl, df per term — broadcast, never a shuffle
+    // of the corpus
+    val statAggs = Seq(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")) ++
+      qTerms.indices.map(i =>
+        sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    def term(i: Int): Column = {
+      val tf = col(s"__tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df_$i") + lit(0.5)) / (col(s"__df_$i") + lit(0.5)))
+      idf * (tf * lit(k1p1)) /
+        (tf + lit(k1) * (lit(oneMb) + lit(b) * col("__dl").cast("double") / avgdl))
+    }
+    val matched = qTerms.indices
+      .map(i => when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    withTf
+      .crossJoin(broadcast(stats))
+      .withColumn("matched_terms", matched)
+      .filter(col("matched_terms") > 0)
+      .withColumn("__raw", qTerms.indices.map(term).reduce(_ + _))
+      .select(col(idCol), col("matched_terms"), col("__raw"))
+  }
+}

@@ -2673,6 +2673,35 @@ class OpsSpec extends AnyFunSuite {
     assert(ranks((3L, 4L)) == (1, 1)) // hardest positive × hardest negative
   }
 
+  test("BM25: rare terms dominate, tf raises, non-matching docs drop") {
+    val df = Seq(
+      (0L, "apple banana banana banana"),
+      (1L, "apple cherry"),
+      (2L, "cherry cherry cherry"),
+      (3L, "durian fig grape"),
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(df, "text", "doc_id", "apple banana")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // only docs containing a query term appear
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L)._1 == 2L && got(1L)._1 == 1L)
+    // doc 0 matches both terms incl. the rarer 'banana' (df 1 vs 2) —
+    // must outscore the apple-only doc
+    assert(got(0L)._2 > got(1L)._2)
+    // higher tf raises the score (with saturation): cherry×3 > cherry×1
+    val ch = Retrieval.bm25(df, "text", "doc_id", "cherry")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ch.keySet == Set(1L, 2L) && ch(2L) > ch(1L))
+    // duplicate query terms collapse (BM25 is over distinct terms)
+    val dup = Retrieval.bm25(df, "text", "doc_id", "cherry CHERRY cherry!")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(dup == ch)
+    // top-k is the score-desc head with the id tiebreak
+    val top = Retrieval.bm25TopK(df, "text", "doc_id", "apple banana", k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L))
+  }
+
   test("zero vectors (NaN cosine) never surface in either miner") {
     val negs = Similarity.hardNegatives(bandVecs, bandProbe, "embedding", "vec_id",
       k = 10, maxCos = 0.5).collect()

@@ -490,6 +490,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!pd.contains("Exchange rangepartitioning"), pd)
   }
 
+  test("BM25: broadcast stats row, TakeOrdered top-k, no data-sized shuffle") {
+    val p = plan(graft.ops.Retrieval.bm25TopK(docs, "text", "doc_id",
+      "dup hash scan", 50))
+    // the top-k is a bounded TakeOrdered, never a global range sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // the one-row corpus-stats aggregate attaches as a broadcast —
+    // the corpus itself never hash-shuffles
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("DSIR: broadcast ratio lookup, partial-agg sums, TakeOrdered resample") {
     val en = docs.filter($"lang" === "en")
     val p = plan(graft.ops.Dsir.logWeights(docs, en, docs, "text", "doc_id"))
