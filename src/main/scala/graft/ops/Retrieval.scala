@@ -67,6 +67,88 @@ object Retrieval {
         round(col("__raw"), 6).as("bm25"))
   }
 
+  /** Corpus statistics for [[bm25]] as a persistable ONE-ROW frame —
+    * `(n, sumdl, df_0 … df_{k−1})` in [[queryTerms]] order. The
+    * train-once state of the steady-state/streaming scorer (the same
+    * store lifecycle as the IVF/PQ/BPE/classifier models): persist it
+    * (parquet), hand it to [[bm25Stream]], refresh on corpus change.
+    */
+  def bm25Stats(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      query: String,
+  ): DataFrame = {
+    val qTerms = queryTerms(query)
+    require(qTerms.nonEmpty, s"query '$query' has no tokens")
+    val tf = withTf(docs, textCol, idCol, qTerms)
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl")) ++
+      qTerms.indices.map(i =>
+        sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    tf.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Stateless steady-state scorer over a PRECOMPUTED stats frame —
+    * works identically on a batch frame or an unbounded STREAM (no
+    * aggregation, no join, no state store, any output mode): the
+    * bounded stats row (2 + |terms| longs) collects at query-build time
+    * and the per-term idf constants ship as double literals, so each
+    * document scores in one codegen'd projection. Exact [[bm25]] parity
+    * when the stats came from the same corpus (both sides run the same
+    * fixed-order double arithmetic — parity-tested).
+    */
+  def bm25Stream(
+      docs: DataFrame,
+      stats: DataFrame,
+      textCol: String,
+      idCol: String,
+      query: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    val qTerms = queryTerms(query)
+    require(qTerms.nonEmpty, s"query '$query' has no tokens")
+    val row = stats.select(
+      (Seq(col("n").cast("long"), col("sumdl").cast("long")) ++
+        qTerms.indices.map(i => col(s"df_$i").cast("long"))): _*).collect()(0)
+    val n = row.getLong(0)
+    require(n > 0, "bm25 stats frame has an empty corpus (n = 0)")
+    val avgdl = row.getLong(1).toDouble / n
+    val k1p1 = k1 + 1.0
+    val oneMb = 1.0 - b
+    val withTfCols = withTf(docs, textCol, idCol, qTerms)
+    def term(i: Int): Column = {
+      val df = row.getLong(2 + i)
+      // same ln over the same exact double as the in-plan form
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val tf = col(s"__tf_$i").cast("double")
+      lit(idf) * (tf * lit(k1p1)) /
+        (tf + lit(k1) * (lit(oneMb) + lit(b) * col("__dl").cast("double") / lit(avgdl)))
+    }
+    val matched = qTerms.indices
+      .map(i => when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    withTfCols
+      .withColumn("matched_terms", matched)
+      .filter(col("matched_terms") > 0)
+      .select(col(idCol), col("matched_terms"),
+        round(qTerms.indices.map(term).reduce(_ + _), 6).as("bm25"))
+  }
+
+  /** Per-doc token length + one tf column per query term — ONE narrow
+    * projection (the token split is CSE'd across the tf counters),
+    * shared by the batch scorer, the stats pass, and the stream scorer.
+    */
+  private def withTf(
+      docs: DataFrame, textCol: String, idCol: String,
+      qTerms: Seq[String]): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(
+      (Seq(col(idCol), size(toks).cast("long").as("__dl")) ++
+        qTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf_$i")
+        }): _*)
+  }
+
   /** Shared scorer: `(idCol, matched_terms, __raw)` for matching docs.
     * All arithmetic is fixed-order double math over exact integer
     * counts (tf, df, N, dl as longs; Σdl exact; avgdl one division), so
@@ -85,20 +167,13 @@ object Retrieval {
     require(qTerms.nonEmpty, s"query '$query' has no tokens")
     val k1p1 = k1 + 1.0
     val oneMb = 1.0 - b
-    // per-doc: token-array length + one tf per query term, one narrow
-    // projection (the token split is CSE'd across the tf counters)
-    val toks = TextOps.tokens(col(textCol))
-    val withTf = docs.select(
-      (Seq(col(idCol), size(toks).cast("long").as("__dl")) ++
-        qTerms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf_$i")
-        }): _*)
+    val tfCols = withTf(docs, textCol, idCol, qTerms)
     // ONE stats row: N, Σdl, df per term — broadcast, never a shuffle
     // of the corpus
     val statAggs = Seq(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")) ++
       qTerms.indices.map(i =>
         sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
-    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val stats = tfCols.agg(statAggs.head, statAggs.tail: _*)
     val avgdl = col("__sumdl").cast("double") / col("__n")
     def term(i: Int): Column = {
       val tf = col(s"__tf_$i").cast("double")
@@ -109,7 +184,7 @@ object Retrieval {
     }
     val matched = qTerms.indices
       .map(i => when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
-    withTf
+    tfCols
       .crossJoin(broadcast(stats))
       .withColumn("matched_terms", matched)
       .filter(col("matched_terms") > 0)

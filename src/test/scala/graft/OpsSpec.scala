@@ -2702,6 +2702,31 @@ class OpsSpec extends AnyFunSuite {
     assert(top == Seq(0L))
   }
 
+  test("BM25 steady-state scorer matches the in-plan batch scorer exactly") {
+    val df = Seq(
+      (0L, "apple banana banana banana"),
+      (1L, "apple cherry"),
+      (2L, "cherry cherry cherry"),
+      (3L, "durian fig grape"),
+    ).toDF("doc_id", "text")
+    val stats = Retrieval.bm25Stats(df, "text", "doc_id", "apple banana")
+    // the persistable one-row store: n, sumdl, one df per distinct term
+    val s = stats.collect()(0)
+    assert(s.getLong(0) == 4L && s.getLong(1) == 12L)
+    assert(s.getLong(2) == 2L && s.getLong(3) == 1L) // df(apple), df(banana)
+    // bit-exact parity: same fixed-order double arithmetic both paths
+    val batch = Retrieval.bm25(df, "text", "doc_id", "apple banana")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val steady = Retrieval.bm25Stream(df, stats, "text", "doc_id", "apple banana")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(steady == batch)
+    // stateless by construction: one projection, no join/agg/shuffle
+    val p = Retrieval.bm25Stream(df, stats, "text", "doc_id", "apple banana")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Aggregate") &&
+      !p.contains("Exchange"), p)
+  }
+
   test("zero vectors (NaN cosine) never surface in either miner") {
     val negs = Similarity.hardNegatives(bandVecs, bandProbe, "embedding", "vec_id",
       k = 10, maxCos = 0.5).collect()

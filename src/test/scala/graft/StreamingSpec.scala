@@ -142,6 +142,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BM25 scores a document stream against the static stats store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "apple banana banana"), (1L, "apple cherry"), (2L, "durian"),
+    ).toDF("doc_id", "text")
+    val stats = graft.ops.Retrieval.bm25Stats(corpus, "text", "doc_id", "apple banana")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.Retrieval.bm25Stream(
+        input.toDF().toDF("doc_id", "text"), stats, "text", "doc_id",
+        "apple banana")
+      .writeStream.format("memory").queryName("bm25_stream")
+      .outputMode("append").start()
+    try {
+      val data = Seq((10L, "banana banana fresh"), (11L, "apple pie"),
+        (12L, "no match here"))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bm25_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.ops.Retrieval.bm25Stream(
+          data.toDF("doc_id", "text"), stats, "text", "doc_id", "apple banana")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Set(10L, 11L)) // non-matching doc drops
+    } finally q.stop()
+  }
+
   test("trained-BPE subword counting composes with streams (stateless projection)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
