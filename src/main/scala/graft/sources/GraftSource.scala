@@ -190,6 +190,53 @@ object GraftSource {
     manifest
   }
 
+  /** BUCKETED parquet table — the co-located-join layout. Rows hash
+    * into `nBuckets` bucket files on `bucketCols` at WRITE time and the
+    * bucketing is recorded in the session catalog, so every later
+    * equi-join or aggregation on the bucket key between same-bucketed
+    * tables runs with ZERO exchange (plan-guarded in SourcesSpec). Each
+    * bucket file is additionally sorted on the key — parquet row-group
+    * min/max pruning on key lookups; Spark 3+ no longer propagates that
+    * order into sort-merge joins by default (SPARK-28632 — the in-task
+    * re-sort of an already-sorted bucket is nearly free; opt back in
+    * with `spark.sql.legacy.bucketedTableScan.outputOrdering` where the
+    * sort itself dominates). At 100 TB this is the
+    * difference between re-shuffling the fact table on every query and
+    * paying the layout shuffle once: bucket both sides of a recurring
+    * join (doc ↔ metadata, batch ↔ signature store) on the same key
+    * and count.
+    *
+    * The frame is pre-repartitioned into the same hash layout the
+    * bucketing uses (Spark's bucket assignment IS
+    * `HashPartitioning(bucketCols, nBuckets)`), so each bucket is ONE
+    * file, not one-per-task — the small-files guard of [[writeParquet]]
+    * applied to buckets.
+    *
+    * Read it back with `spark.table(name)` — the bucket metadata lives
+    * in the catalog, so a bare `read.parquet(path)` of the same files
+    * sees plain parquet and re-shuffles. On a cluster, a persistent
+    * metastore makes the layout durable across sessions; data files are
+    * external at `path` either way.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      name: String,
+      path: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+  ): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    df.repartition(nBuckets, bucketCols.map(col): _*)
+      .write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
   /** The manifest of an already-sharded frame (must carry a `shard`
     * column): `(shard, n_rows, ids_xor)`. Run it on the CONSUMER side
     * over what was actually read and compare with the producer's

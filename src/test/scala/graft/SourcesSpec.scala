@@ -129,4 +129,46 @@ class SourcesSpec extends AnyFunSuite {
       "doc_id").collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(again == produced)
   }
+
+  test("bucketed tables: co-located join and aggregation run with ZERO exchange") {
+    val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    try {
+      GraftSource.writeBucketed(docs.select($"doc_id", $"lang"),
+        "bk_meta", s"$base/meta", Seq("doc_id"), nBuckets = 4)
+      GraftSource.writeBucketed(docs.select($"doc_id", $"n_chars"),
+        "bk_len", s"$base/len", Seq("doc_id"), nBuckets = 4)
+      val a = spark.table("bk_meta")
+      val b = spark.table("bk_len")
+      // the recurring equi-join on the bucket key: correct rows...
+      val joined = a.join(b, Seq("doc_id"))
+      assert(joined.count() == docs.count())
+      // ...and the layout shuffle was paid at write time — the join plan
+      // has NO exchange on either side, and the per-bucket sort order
+      // means no per-task sort either. At test scale the planner would
+      // just broadcast (and rightly skip the bucketed read), so pin the
+      // 100 TB-shaped plan by disabling auto-broadcast for the asserts.
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val jp = a.join(b, Seq("doc_id")).queryExecution.executedPlan.toString
+        assert(jp.contains("SortMergeJoin"), jp)
+        assert(!jp.contains("Exchange"), jp)
+        assert(jp.contains("Bucketed: true"), jp)
+        assert(jp.contains("SelectedBucketsCount: 4 out of 4"), jp)
+        // bucket-keyed aggregation skips its exchange too
+        val ap = a.groupBy($"doc_id").count().queryExecution.executedPlan.toString
+        assert(!ap.contains("Exchange"), ap)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      // one file per bucket: the pre-repartition collapses per-task files
+      val files = new java.io.File(s"$base/meta").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 4, files.map(_.getName).mkString(","))
+      // a bare path read sees plain parquet — same rows, no bucket info
+      assert(spark.read.parquet(s"$base/meta").count() == docs.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_meta")
+      spark.sql("DROP TABLE IF EXISTS bk_len")
+    }
+  }
 }
