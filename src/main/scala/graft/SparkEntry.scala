@@ -1441,6 +1441,20 @@ object SparkEntry {
         size(fp).cast("long").as("n_selected"))
     }),
 
+    // Unicode NFC canonical composition (native nfc_normalize): the
+    // digest-stability hygiene step before any digest-keyed dedup on
+    // non-ASCII corpora. This corpus is ASCII so every row reports
+    // already_nfc = true — the oracle still verifies the expression
+    // end-to-end; combining-mark/ligature semantics live in
+    // VectorExprSpec's planted fixtures
+    "q_text_nfc" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val nfc = graft.functions.GraftFunctions.nfcNormalize(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        length(nfc).cast("long").as("nfc_chars"),
+        (nfc === col("text")).as("already_nfc"))
+    }),
+
     // encoding-hygiene metrics (this corpus is clean ASCII, so counts are
     // 0 and the ratio 0.0 — the oracle still verifies every expression;
     // planted mojibake semantics live in OpsSpec)
@@ -3797,6 +3811,15 @@ object SparkEntry {
         |  c.value AS last_click_value, c.props AS last_click_props,
         |  c.ts_us AS last_click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    // NFC normalization: DuckDB's utf8proc-backed nfc_normalize vs the
+    // engine's java.text.Normalizer — both implement UAX #15 canonical
+    // composition, so length and identity agree on any input
+    "q_text_nfc" ->
+      """SELECT doc_id,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_chars,
+        |  nfc_normalize(text) = text AS already_nfc
+        |FROM documents""".stripMargin,
 
     "q_text_encoding" ->
       """SELECT doc_id,

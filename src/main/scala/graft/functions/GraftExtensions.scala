@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("contains_any", "contains_any(text, patterns) - Aho-Corasick any-substring match against a literal array<string>"),
       (exprs: Seq[Expression]) => ContainsAny(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition (run before digest-keyed dedup on non-ASCII corpora)"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       info("topk_by_score", "topk_by_score(score, id, k) - bounded top-k by (score desc, id asc) as array<struct<id, score>>"),
       (exprs: Seq[Expression]) =>

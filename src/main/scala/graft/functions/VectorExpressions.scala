@@ -1059,6 +1059,7 @@ object GraftFunctions {
       add("media_meta", exprs => MediaMeta(exprs(0)))
       add("deflate_len", exprs => DeflateLen(exprs(0)))
       add("contains_any", exprs => ContainsAny(exprs(0), exprs(1)))
+      add("nfc_normalize", exprs => NfcNormalize(exprs(0)))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -1077,6 +1078,9 @@ object GraftFunctions {
 
   /** DEFLATE length column; requires `register(spark)` first. */
   def deflateLen(text: Column): Column = call_function("deflate_len", text)
+
+  /** Unicode NFC normalization column; requires `register(spark)` first. */
+  def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
 
   /** Multi-pattern substring containment (Aho–Corasick over a literal
     * pattern list); requires `register(spark)` first.
@@ -1378,6 +1382,61 @@ object DeflateUtil {
     var total = 0L
     while (!d.finished()) total += d.deflate(b)
     total
+  }
+}
+
+/** Unicode NFC normalization (canonical composition) as a native
+  * expression. Web text mixes precomposed and combining-mark encodings
+  * of the SAME characters (é as U+00E9 vs e + U+0301), which evades
+  * every digest-keyed dedup/decontamination pass — md5 of the two
+  * byte sequences differs although the text is canonically identical.
+  * Run `nfc_normalize` before digesting wherever the corpus isn't
+  * ASCII-clean. NFC (not NFKC) deliberately: canonical equivalence
+  * only — ligatures, fullwidth forms, and superscripts stay distinct
+  * (collapsing those is a lossy editorial choice, not hygiene).
+  *
+  * Fast paths keep the common case allocation-free inside codegen: an
+  * all-ASCII string (bytes == chars) or an already-normalized string
+  * returns the input UTF8String untouched; only actually-denormalized
+  * rows pay the String round trip.
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcUtil.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcUtil.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
+/** Runtime helper for [[NfcNormalize]] — shared by interpreted eval and
+  * generated code.
+  */
+object NfcUtil {
+  import java.text.Normalizer
+
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    // ASCII fast path: one byte per char means no mark could compose
+    if (s.numBytes == s.numChars) return s
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 }
 

@@ -220,6 +220,43 @@ class VectorExprSpec extends AnyFunSuite {
       .collect().head.getBoolean(0))
   }
 
+  test("nfc_normalize: combining marks compose, NFC-only scope, digests unify") {
+    GraftFunctions.register(spark)
+    val composed = "caf\u00e9"   // precomposed e-acute
+    val decomposed = "cafe\u0301" // e + combining acute
+    val df = Seq(
+      (0L, composed),
+      (1L, decomposed),
+      (2L, "\ufb01le"),           // fi ligature: NFC keeps it (NFKC wouldn't)
+      (3L, "plain ascii"),
+      (4L, "\u212b"),             // ANGSTROM SIGN -> U+00C5 under NFC
+    ).toDF("id", "t")
+      .union(Seq((5L, null.asInstanceOf[String])).toDF("id", "t"))
+    val got = df.select($"id",
+        GraftFunctions.nfcNormalize($"t").as("n"),
+        md5(GraftFunctions.nfcNormalize($"t").cast("binary")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          (if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    // the two encodings of "cafe-acute" become byte-identical — and so
+    // do their digests (the dedup-stability property this exists for)
+    assert(got(0L)._1 == composed && got(1L)._1 == composed)
+    assert(got(0L)._2 == got(1L)._2)
+    // canonical-only: the ligature survives NFC untouched
+    assert(got(2L)._1 == "\ufb01le")
+    // ASCII fast path is identity; singleton canonical mappings apply
+    assert(got(3L)._1 == "plain ascii")
+    assert(got(4L)._1 == "\u00c5")
+    assert(got(5L)._1 == null) // null propagates
+    // agrees with java.text.Normalizer on arbitrary mixed rows
+    val mixed = "\u01fabc\u00f1o\u0308"
+    val probe = Seq((0L, mixed))
+      .toDF("id", "t")
+      .select(GraftFunctions.nfcNormalize($"t")).collect().head.getString(0)
+    assert(probe == java.text.Normalizer.normalize(
+      mixed, java.text.Normalizer.Form.NFC))
+  }
+
   test("contains_any agrees with the naive contains chain on random fixtures") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(17)
