@@ -844,6 +844,37 @@ object SparkEntry {
         Seq(-2.0e-4, -1.0e-4, -5.0e-5, 0.0, 5.0e-5, 1.0e-4, 2.0e-4))
     }),
 
+    // calibration reliability bins of the trained classifier over the
+    // live score range (the sweep's ±e-4 band): frac_pos vs mean_score
+    // per bin — the "is this score usable as a probability" diagnostic
+    "q_text_calibration" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
+        .collect()
+      val w = new Array[Int](64)
+      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
+      ops.Stats.calibrationBins(d,
+        col("lang") === "en",
+        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6),
+        bins = 8, lo = -4.0e-4, hi = 4.0e-4)
+    }),
+
+    // expected calibration error: the one-number summary of the bins
+    // above (weighted |frac_pos − mean_score| + the worst bin)
+    "q_text_ece" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
+        .collect()
+      val w = new Array[Int](64)
+      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
+      ops.Stats.expectedCalibrationError(d,
+        col("lang") === "en",
+        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6),
+        bins = 8, lo = -4.0e-4, hi = 4.0e-4)
+    }),
+
     // exact ROC-AUC of the trained classifier (tie-corrected rank
     // statistic) — the threshold-free counterpart of the sweep
     "q_text_auc" -> ((s, dir) => {
@@ -2813,6 +2844,39 @@ object SparkEntry {
 
     // exact ROC-AUC: distinct-score frame with cumulative-below counts →
     // average ranks → tie-corrected Mann–Whitney U
+    // calibration bins: same clamp-into-edge-bins binning, avg of the
+    // rounded scores and of the 0/1 label — mirrors calibrationBins'
+    // double arithmetic (width 1e-4 exact)
+    "q_text_calibration" ->
+      s"""WITH $oracleTrainedScoredCte, b AS (
+         |  SELECT CAST(least(greatest(
+         |      floor((score - (-4.0E-4)) / 1.0E-4), 0.0), 7.0) AS INTEGER) AS bin,
+         |    pos, score
+         |  FROM scored WHERE score IS NOT NULL
+         |)
+         |SELECT bin, count(*) AS n, round(avg(score), 6) AS mean_score,
+         |  round(avg(CASE WHEN pos THEN CAST(1.0 AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END), 6) AS frac_pos
+         |FROM b GROUP BY bin""".stripMargin,
+
+    // ECE over the ROUNDED bin stats (deterministic by construction)
+    "q_text_ece" ->
+      s"""WITH $oracleTrainedScoredCte, b AS (
+         |  SELECT CAST(least(greatest(
+         |      floor((score - (-4.0E-4)) / 1.0E-4), 0.0), 7.0) AS INTEGER) AS bin,
+         |    pos, score
+         |  FROM scored WHERE score IS NOT NULL
+         |), c AS (
+         |  SELECT bin, count(*) AS n, round(avg(score), 6) AS mean_score,
+         |    round(avg(CASE WHEN pos THEN CAST(1.0 AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END), 6) AS frac_pos
+         |  FROM b GROUP BY bin
+         |)
+         |SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_bins,
+         |  round(sum(n * abs(frac_pos - mean_score)) / sum(n), 6) AS ece,
+         |  round(max(abs(frac_pos - mean_score)), 6) AS max_gap
+         |FROM c""".stripMargin,
+
     "q_text_auc" ->
       s"""WITH $oracleTrainedScoredCte, g AS (
          |  SELECT score AS s, count(*) AS cnt, count(*) FILTER (pos) AS pos

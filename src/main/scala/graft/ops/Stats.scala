@@ -388,6 +388,61 @@ object Stats {
     df.select(label.as("__y"), score.as("__s"))
       .filter(col("__y").isNotNull && col("__s").isNotNull)
 
+  /** Calibration (reliability) bins of a scored binary classifier:
+    * `bins` equal-width score bins over `[lo, hi)` (out-of-range scores
+    * clamp into the edge bins, so every row is counted), each reporting
+    * `(bin, n, mean_score, frac_pos)` — a well-calibrated scorer has
+    * `frac_pos ≈ mean_score` per bin; systematic gaps mean the score is
+    * not usable as a probability and a threshold chosen on held-out
+    * data ([[thresholdSweep]]) shifts on the production mix. Null
+    * labels/scores excluded. ONE map-side-combined aggregation, output
+    * ≤ `bins` rows (empty bins emit nothing).
+    */
+  def calibrationBins(
+      df: DataFrame,
+      label: Column,
+      score: Column,
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0,
+  ): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    require(hi > lo, "hi must exceed lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col("__s") - lit(lo)) / lit(width)), lit(0.0)), lit(bins - 1.0))
+      .cast("int")
+    labeledScores(df, label, score)
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("__s")), 6).as("mean_score"),
+        round(avg(when(col("__y"), 1.0).otherwise(0.0)), 6).as("frac_pos"))
+  }
+
+  /** Expected Calibration Error over [[calibrationBins]]' ROUNDED bin
+    * stats (deterministic across engines by construction):
+    * `ECE = Σ_b (n_b / N) · |frac_pos_b − mean_score_b|`, plus the max
+    * per-bin gap. One row: `(n, n_bins, ece, max_gap)`, 6 dp — the
+    * scalar honesty meter for "can this score gate at probability p".
+    */
+  def expectedCalibrationError(
+      df: DataFrame,
+      label: Column,
+      score: Column,
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0,
+  ): DataFrame = {
+    val gap = abs(col("frac_pos") - col("mean_score"))
+    calibrationBins(df, label, score, bins, lo, hi)
+      .agg(
+        sum(col("n")).as("n"),
+        count(lit(1)).as("n_bins"),
+        round(sum(col("n").cast("double") * gap) / sum(col("n")), 6).as("ece"),
+        round(max(gap), 6).as("max_gap"))
+  }
+
   def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
     val base = labeledScores(df, label, score)
     val byScore = base.groupBy(col("__s"))

@@ -2673,6 +2673,30 @@ class OpsSpec extends AnyFunSuite {
     assert(ranks((3L, 4L)) == (1, 1)) // hardest positive × hardest negative
   }
 
+  test("calibration bins and ECE: hand-computed gaps, edge clamping, null exclusion") {
+    val df = Seq(
+      (Some(false), Some(0.1)), (Some(false), Some(0.1)),   // bin 1: frac 0, mean .1
+      (Some(true), Some(0.55)), (Some(true), Some(0.55)),   // bin 5: frac .5,
+      (Some(false), Some(0.55)), (Some(false), Some(0.55)), //        mean .55
+      (Some(true), Some(1.5)),   // above hi → clamps into bin 9
+      (Some(false), Some(-0.2)), // below lo → clamps into bin 0
+      (None, Some(0.3)), (Some(true), None), // nulls excluded
+    ).toDF("y", "s")
+    val bins = Stats.calibrationBins(df, col("y"), col("s"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(bins.keySet == Set(0, 1, 5, 9))
+    assert(bins(1) == ((2L, 0.1, 0.0)))
+    assert(bins(5) == ((4L, 0.55, 0.5)))
+    assert(bins(9) == ((1L, 1.5, 1.0)))
+    assert(bins(0) == ((1L, -0.2, 0.0)))
+    // ECE = (2·0.1 + 4·0.05 + 1·0.5 + 1·0.2) / 8 = 1.1/8 = 0.1375
+    val e = Stats.expectedCalibrationError(df, col("y"), col("s")).collect().head
+    assert(e.getLong(0) == 8L && e.getLong(1) == 4L)
+    assert(e.getDouble(2) == 0.1375)
+    assert(e.getDouble(3) == 0.5) // worst bin: the clamped 1.5 row
+  }
+
   test("BM25: rare terms dominate, tf raises, non-matching docs drop") {
     val df = Seq(
       (0L, "apple banana banana banana"),
