@@ -2673,6 +2673,23 @@ class OpsSpec extends AnyFunSuite {
     assert(ranks((3L, 4L)) == (1, 1)) // hardest positive × hardest negative
   }
 
+  test("nfc pre-pass makes digest dedup catch mixed-encoding duplicates") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (0L, "caf\u00e9 menu"),  // precomposed e-acute
+      (1L, "cafe\u0301 menu"), // combining mark — same text, different bytes
+      (2L, "other doc"),
+    ).toDF("doc_id", "text")
+    // raw digests differ: the duplicate slips through
+    assert(Dedup.exactKeepFirst(df, "text", "doc_id").count() == 3)
+    // one nfc_normalize projection upstream and the digest unifies
+    val fixed = df.withColumn("text",
+      graft.functions.GraftFunctions.nfcNormalize(col("text")))
+    val kept = Dedup.exactKeepFirst(fixed, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L))
+  }
+
   test("calibration bins and ECE: hand-computed gaps, edge clamping, null exclusion") {
     val df = Seq(
       (Some(false), Some(0.1)), (Some(false), Some(0.1)),   // bin 1: frac 0, mean .1
