@@ -1174,6 +1174,20 @@ object SparkEntry {
       ops.Retrieval.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
         query = "dup hash scan", k = 50)),
 
+    // reciprocal-rank fusion of two BM25 top-50 lists from different
+    // queries (the expanded-query hybrid shape; same combiner fuses
+    // lexical ∪ ANN lists) — 1/(60+rank) summed, top-30, full oracle
+    "q_text_rrf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ops.Retrieval.reciprocalRankFusion(
+        Seq(
+          (ops.Retrieval.bm25TopK(d, "text", "doc_id", "dup hash scan", k = 50),
+            "bm25"),
+          (ops.Retrieval.bm25TopK(d, "text", "doc_id", "sort key vector", k = 50),
+            "bm25")),
+        idCol = "doc_id", topK = 30)
+    }),
+
     // phrase-blocklist gate (C4 badwords rule shape): ONE Aho–Corasick
     // automaton probe per row vs a per-phrase contains chain — same
     // semantics, so the oracle is the OR-of-contains SQL
@@ -1686,6 +1700,38 @@ object SparkEntry {
   // Shared SQL fragments for the text oracles (must mirror TextOps exactly).
   private val oracleTokens =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** Okapi BM25 top-`k` over `documents` as one DuckDB query — the
+    * Retrieval.scored mirror (exact integer tf/df/N/dl, one avgdl
+    * division, Lucene lower-bounded idf, fixed term order), ordered on
+    * the unrounded score with the id tiebreak. Reused standalone
+    * (q_text_bm25) and as the list CTEs of the RRF fusion oracle.
+    */
+  private def oracleBm25Sql(terms: Seq[String], k: Int): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf_$i" }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val matched = terms.indices
+      .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val score = terms.indices.map(i =>
+      s"ln(1.0 + (n - df_$i + 0.5) / (df_$i + 0.5)) * " +
+        s"(CAST(tf_$i AS DOUBLE) * 2.2) / (CAST(tf_$i AS DOUBLE) + " +
+        s"1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $oracleTokens AS toks FROM documents
+       |), d AS (
+       |  SELECT doc_id, len(toks) AS dl, $tfs FROM tok
+       |), s AS (
+       |  SELECT count(*) AS n, sum(dl) AS sumdl, $dfs FROM d
+       |)
+       |SELECT doc_id, CAST($matched AS BIGINT) AS matched_terms,
+       |  round($score, 6) AS bm25
+       |FROM d, s
+       |WHERE ($matched) > 0
+       |ORDER BY ($score) DESC, doc_id LIMIT $k""".stripMargin
+  }
 
   /** Word k-shingles of a `tokens` list (mirrors ShingleUtil's k-gram
     * join; empty when the document has fewer than k tokens).
@@ -3339,36 +3385,30 @@ object SparkEntry {
          |  count(*) FILTER (WHERE NOT keep) AS n_paras_removed
          |FROM k GROUP BY doc_id""".stripMargin,
 
-    // BM25 top-50: mirrors Retrieval.scored's fixed-order double
+    // BM25 top-k: mirrors Retrieval.scored's fixed-order double
     // arithmetic term for term (exact integer tf/df/N/dl, one avgdl
     // division, Lucene lower-bounded idf), ordered on the unrounded
     // score with the id tiebreak
-    "q_text_bm25" -> {
-      val terms = Seq("dup", "hash", "scan")
-      val tfs = terms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(toks, x -> x = '$t')) AS tf_$i" }.mkString(", ")
-      val dfs = terms.indices.map(i =>
-        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
-      val matched = terms.indices
-        .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
-      val score = terms.indices.map(i =>
-        s"ln(1.0 + (n - df_$i + 0.5) / (df_$i + 0.5)) * " +
-          s"(CAST(tf_$i AS DOUBLE) * 2.2) / (CAST(tf_$i AS DOUBLE) + " +
-          s"1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))")
-        .mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, $oracleTokens AS toks FROM documents
-         |), d AS (
-         |  SELECT doc_id, len(toks) AS dl, $tfs FROM tok
-         |), s AS (
-         |  SELECT count(*) AS n, sum(dl) AS sumdl, $dfs FROM d
+    "q_text_bm25" -> oracleBm25Sql(Seq("dup", "hash", "scan"), 50),
+
+    // reciprocal-rank fusion of two BM25 lists (expanded-query hybrid):
+    // per-list rank on (rounded score desc, id), 1/(60+rank) summed
+    "q_text_rrf" ->
+      s"""WITH la AS (${oracleBm25Sql(Seq("dup", "hash", "scan"), 50)}),
+         |lb AS (${oracleBm25Sql(Seq("sort", "key", "vector"), 50)}),
+         |r AS (
+         |  SELECT doc_id,
+         |    1.0 / (60 + row_number() OVER (ORDER BY bm25 DESC, doc_id)) AS c
+         |  FROM la
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    1.0 / (60 + row_number() OVER (ORDER BY bm25 DESC, doc_id)) AS c
+         |  FROM lb
          |)
-         |SELECT doc_id, CAST($matched AS BIGINT) AS matched_terms,
-         |  round($score, 6) AS bm25
-         |FROM d, s
-         |WHERE ($matched) > 0
-         |ORDER BY ($score) DESC, doc_id LIMIT 50""".stripMargin
-    },
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |  round(sum(c), 6) AS rrf
+         |FROM r GROUP BY doc_id
+         |ORDER BY sum(c) DESC, doc_id LIMIT 30""".stripMargin,
 
     // blocklist gate: the automaton's substring semantics ARE the
     // OR-of-contains chain, so the chain is the oracle

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Query-relevance retrieval over a document corpus — the "select
@@ -132,6 +133,43 @@ object Retrieval {
       .filter(col("matched_terms") > 0)
       .select(col(idCol), col("matched_terms"),
         round(qTerms.indices.map(term).reduce(_ + _), 6).as("bm25"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * ranked candidate lists — the standard hybrid-retrieval combiner:
+    * each list contributes `1 / (k0 + rank)` per id (rank from its own
+    * score column, descending, id tiebreak; ids absent from a list
+    * contribute nothing), fused score = the sum, output the `topK` best
+    * as `(idCol, n_lists, rrf)`. Fuse [[bm25TopK]] with an ANN top-k
+    * (lexical ∪ embedding hybrid), or several BM25 lists from expanded
+    * queries. `k0 = 60` per the paper.
+    *
+    * Scale shape: inputs are top-k lists BY CONSTRUCTION, so everything
+    * here — including the single-partition rank window — operates on
+    * k-sized frames, never the corpus. Ranks are taken on each list's
+    * (rounded, engine-reproducible) score with the id tiebreak, so the
+    * fusion is deterministic across engines and reruns.
+    */
+  def reciprocalRankFusion(
+      lists: Seq[(DataFrame, String)],
+      idCol: String,
+      topK: Int,
+      k0: Int = 60,
+  ): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k0 >= 1, "k0 must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val contribs = lists.map { case (df, scoreCol) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(idCol),
+        (lit(1.0) / (lit(k0) + row_number().over(w))).as("__c"))
+    }.reduce(_ unionByName _)
+    contribs
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("__s"))
+      .orderBy(col("__s").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("n_lists"), round(col("__s"), 6).as("rrf"))
   }
 
   /** Per-doc token length + one tf column per query term — ONE narrow

@@ -2743,6 +2743,24 @@ class OpsSpec extends AnyFunSuite {
     assert(top == Seq(0L))
   }
 
+  test("reciprocal-rank fusion: hand-computed ranks, overlap wins, topK cuts") {
+    val la = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("id", "s") // ranks 1,2,3
+    val lb = Seq((2L, 9.0), (3L, 8.0), (4L, 7.0)).toDF("id", "s") // ranks 1,2,3
+    val got = Retrieval.reciprocalRankFusion(
+        Seq((la, "s"), (lb, "s")), "id", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // id 2: 1/62 + 1/61; id 3: 1/63 + 1/62; id 1: 1/61; id 4: 1/63
+    assert(got.map(_._1).toSeq == Seq(2L, 3L, 1L, 4L))
+    assert(got.map(_._2).toSeq == Seq(2L, 2L, 1L, 1L))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(got(0)._3 == r6(1.0 / 62 + 1.0 / 61))
+    assert(got(3)._3 == r6(1.0 / 63))
+    // topK bounds the fused list
+    assert(Retrieval.reciprocalRankFusion(
+      Seq((la, "s"), (lb, "s")), "id", topK = 3).count() == 3)
+  }
+
   test("BM25 steady-state scorer matches the in-plan batch scorer exactly") {
     val df = Seq(
       (0L, "apple banana banana banana"),
