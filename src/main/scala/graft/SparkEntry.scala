@@ -380,6 +380,30 @@ object SparkEntry {
         numHashes = 128, bands = 32, threshold = 0.5)
         .select(col("doc_id"), col("dup_group"))),
 
+    // incremental clustering (the daily-crawl shape): history clusters
+    // computed once compress to star edges, the batch's incremental
+    // near-dup pairs fold in, and the merged labels equal the full
+    // recompute — verified by the SAME full-graph recursive-CTE oracle
+    // as q_dedup_components (estimator decisions coincide with exact
+    // Jaccard at these SFs: no pair sits in the estimator's gray zone)
+    "q_dedup_components_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      val prior = Dedup.connectedComponents(
+        Dedup.minHashNearDups(hist, "text", "doc_id",
+          numHashes = 128, bands = 32, threshold = 0.5),
+        hist.select(col("doc_id").as("id")))
+      val incrPairs = Dedup.minHashNearDupsIncremental(
+          Dedup.minHashSignatures(batch, "text", "doc_id", numHashes = 128),
+          Dedup.minHashSignatures(hist, "text", "doc_id", numHashes = 128),
+          numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponentsIncrement(prior, incrPairs,
+          batch.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("dup_group"))
+    }),
+
     // the end-to-end near-dedup: one representative per duplicate cluster
     "q_dedup_near_keep_first" -> ((s, dir) =>
       Dedup.nearDupKeepFirst(t(s, dir, "documents"), "text", "doc_id",
@@ -2311,6 +2335,11 @@ object SparkEntry {
     "q_dedup_simhash_k2" -> oracleSimHash(maxHamming = 8),
 
     "q_dedup_components" -> oracleNearDupComponents,
+
+    // incremental clustering must land on the identical full-graph
+    // labeling — the parity IS the contract, so the oracle is the same
+    // recursive CTE over the complete exact-Jaccard edge set
+    "q_dedup_components_incr" -> oracleNearDupComponents,
 
     "q_dedup_near_keep_first" ->
       s"""SELECT doc_id FROM ($oracleNearDupComponents)

@@ -968,6 +968,37 @@ object Dedup {
     labels
   }
 
+  /** Incremental connected components — the daily-crawl shape for
+    * CLUSTERED dedup: fold a new batch's pairs into PRIOR component
+    * labels without re-walking the historical edge set. The prior
+    * labeling compresses every old component into a STAR (one
+    * `(id, comp)` edge per non-representative node — exactly what
+    * [[connectedComponents]] returns), so the merge's edge set is
+    * `|prior nodes| + |new pairs|` no matter how many historical pair
+    * edges produced those labels — at 100 TB the difference between
+    * clustering against years of accumulated pairs and clustering
+    * against one label table. Labels out are again min-ids over the
+    * merged graph, so the operator is CLOSED under iteration: feed each
+    * day's output in as the next day's prior (label-stability and
+    * full-recompute parity are unit-tested). New-batch ids absent from
+    * every pair join as singletons, exactly like the base operator.
+    */
+  def connectedComponentsIncrement(
+      priorLabels: DataFrame, // (id, comp) from a previous run
+      newPairs: DataFrame,    // (id_a, id_b) pairs touching the batch
+      newNodes: DataFrame,    // (id) the batch's ids
+      maxIterations: Int = 50,
+      materialize: Materialize = Materialize.Local,
+  ): DataFrame = {
+    val starEdges = priorLabels.filter(col("id") =!= col("comp"))
+      .select(col("id").as("id_a"), col("comp").as("id_b"))
+    val nodes = priorLabels.select(col("id"))
+      .union(newNodes.select(col("id"))).distinct()
+    connectedComponents(
+      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      nodes, maxIterations, materialize)
+  }
+
   /** Every row labeled with its near-duplicate cluster (`dup_group` = the
     * minimum id transitively reachable through MinHash near-dup pairs at
     * the threshold). Composition: banded candidate pairs → exact Jaccard

@@ -2673,6 +2673,34 @@ class OpsSpec extends AnyFunSuite {
     assert(ranks((3L, 4L)) == (1, 1)) // hardest positive × hardest negative
   }
 
+  test("incremental connected components: star compression, closure, full parity") {
+    val priorEdges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val histNodes = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val prior = Dedup.connectedComponents(priorEdges, histNodes)
+    // new batch: an edge merging into history (3-4), a batch-only pair
+    // (5-6), and an untouched singleton (7)
+    val newPairs = Seq((3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val newNodes = Seq(4L, 5L, 6L, 7L).toDF("id")
+    val inc = Dedup.connectedComponentsIncrement(prior, newPairs, newNodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 9L -> 9L))
+    // parity: identical to a full recompute over every edge
+    val full = Dedup.connectedComponents(
+        priorEdges.union(newPairs),
+        histNodes.union(newNodes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    // closed under iteration: feeding the output back with no new pairs
+    // is a fixed point
+    val again = Dedup.connectedComponentsIncrement(
+        inc.toSeq.toDF("id", "comp"),
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+        Seq.empty[Long].toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == inc)
+  }
+
   test("nfc pre-pass makes digest dedup catch mixed-encoding duplicates") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(
