@@ -1641,6 +1641,13 @@ object SparkEntry {
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n_events"), col("sum_value"))),
 
+    // windowed anomaly meter: per-(type, hour) volume/value z-scores vs
+    // the per-type baseline, flagged at |z| >= 2 — the monitoring shape
+    // (streaming twin serves a persisted baseline; StreamingSpec parity)
+    "q_events_anomaly" -> ((s, dir) =>
+      graft.streaming.EventStream.windowAnomaly(events(s, dir),
+        zThreshold = 2.0)),
+
     // batch twin of the streaming sessionization (gap = 30 min)
     "q_events_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(events(s, dir), gapMinutes = 30)),
@@ -3911,6 +3918,31 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // anomaly meter: same windowed stats + per-type mean/stddev_pop
+    // baseline, z on the UNROUNDED ratio for the flag (mirroring
+    // anomalyFlags), rounded for display
+    "q_events_anomaly" ->
+      """WITH w AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |    count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type,
+        |    avg(n_events) AS mean_n, stddev_pop(n_events) AS std_n,
+        |    avg(sum_value) AS mean_v, stddev_pop(sum_value) AS std_v
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT w.event_type, w.window_start, n_events, sum_value,
+        |  round(CASE WHEN std_n > 0 THEN (n_events - mean_n) / std_n END, 6)
+        |    AS z_volume,
+        |  round(CASE WHEN std_v > 0 THEN (sum_value - mean_v) / std_v END, 6)
+        |    AS z_value,
+        |  (coalesce(abs(CASE WHEN std_n > 0
+        |      THEN (n_events - mean_n) / std_n END) >= 2.0, false)
+        |   OR coalesce(abs(CASE WHEN std_v > 0
+        |      THEN (sum_value - mean_v) / std_v END) >= 2.0, false)) AS anomalous
+        |FROM w JOIN b USING (event_type)""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
     // as-of implementation (both inclusive at equal timestamps)

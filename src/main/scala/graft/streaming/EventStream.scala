@@ -102,6 +102,116 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Per-(event_type, window) stats — the shared front of the anomaly
+    * meter, batch form: one corpus-scale windowed aggregation down to a
+    * `|types × windows|`-bounded frame. `sum_value` is rounded to 4 dp
+    * (the [[windowedAggregate]] convention) so downstream baselines are
+    * engine-reproducible.
+    */
+  def windowStats(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+  ): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("event_type"), col("w.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+
+  /** The per-type BASELINE over [[windowStats]] windows — `(event_type,
+    * mean_n, std_n, mean_v, std_v)` (population stddev: a single-window
+    * type has std 0, not null). Persist it (parquet) and hand it to
+    * [[windowAnomalyStream]] — the train-once store of the monitoring
+    * lifecycle; refresh on regime change.
+    */
+  def windowBaseline(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+  ): DataFrame =
+    windowStats(events, windowDuration)
+      .groupBy(col("event_type"))
+      .agg(
+        avg(col("n_events")).as("mean_n"), stddev_pop(col("n_events")).as("std_n"),
+        avg(col("sum_value")).as("mean_v"), stddev_pop(col("sum_value")).as("std_v"))
+
+  /** Windowed anomaly meter — the monitoring shape over an event table:
+    * each (event_type, window) scores `z = (x − mean) / std` against the
+    * per-type baseline for BOTH the event count and the value sum, and
+    * flags windows with `|z| ≥ zThreshold` on either. A type whose
+    * baseline is flat (std 0) never flags on that signal (z is null
+    * there, not ±∞). Batch form derives the baseline from the frame
+    * itself; use [[windowAnomalyStream]] with a PERSISTED baseline for
+    * the live twin.
+    *
+    * Scale shape: the corpus collapses in the ONE windowed aggregation;
+    * the baseline is a per-type broadcast; flags are a projection over
+    * the windows frame — nothing downstream of the first agg is
+    * corpus-sized.
+    */
+  def windowAnomaly(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      zThreshold: Double = 3.0,
+  ): DataFrame = {
+    val w = windowStats(events, windowDuration)
+    anomalyFlags(
+      w.join(broadcast(windowBaseline(events, windowDuration)), Seq("event_type")),
+      zThreshold)
+  }
+
+  /** Streaming twin of [[windowAnomaly]] against a PRECOMPUTED
+    * [[windowBaseline]] frame: the per-type baseline (driver-sized by
+    * construction) collects at query-build time and ships as map
+    * literals, so the plan is one watermarked windowed aggregation plus
+    * a stateless projection — no stream-side join after the aggregation
+    * (which append mode would reject), any append-capable sink. Works
+    * identically on a batch frame (parity-tested).
+    */
+  def windowAnomalyStream(
+      stream: DataFrame,
+      baseline: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "2 hours",
+      zThreshold: Double = 3.0,
+  ): DataFrame = {
+    val rows = baseline
+      .select(col("event_type").cast("string"), col("mean_n").cast("double"),
+        col("std_n").cast("double"), col("mean_v").cast("double"),
+        col("std_v").cast("double"))
+      .collect()
+    def m(i: Int) = typedLit(rows.map(r => r.getString(0) -> r.getDouble(i)).toMap)
+    val stats = stream
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("event_type"), col("w.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+    anomalyFlags(
+      stats
+        .withColumn("mean_n", element_at(m(1), col("event_type")))
+        .withColumn("std_n", element_at(m(2), col("event_type")))
+        .withColumn("mean_v", element_at(m(3), col("event_type")))
+        .withColumn("std_v", element_at(m(4), col("event_type"))),
+      zThreshold)
+  }
+
+  /** Shared flag tail: z-scores (null when the baseline std is 0 or the
+    * type is unknown to the baseline) + the either-signal flag.
+    */
+  private def anomalyFlags(joined: DataFrame, zThreshold: Double): DataFrame = {
+    val zN = when(col("std_n") > 0,
+      (col("n_events") - col("mean_n")) / col("std_n"))
+    val zV = when(col("std_v") > 0,
+      (col("sum_value") - col("mean_v")) / col("std_v"))
+    joined.select(
+      col("event_type"), col("window_start"), col("n_events"), col("sum_value"),
+      round(zN, 6).as("z_volume"), round(zV, 6).as("z_value"),
+      (coalesce(abs(zN) >= zThreshold, lit(false)) ||
+        coalesce(abs(zV) >= zThreshold, lit(false))).as("anomalous"))
+  }
+
   /** Batch twin of [[sessionize]]: gap-based sessions as a declarative
     * plan — a lag-derived session-boundary flag, a running sum for the
     * session id, then a per-(user, session) aggregate. Two window passes

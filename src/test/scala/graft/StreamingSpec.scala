@@ -43,6 +43,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed anomaly meter flags the planted spike; flat baselines never flag") {
+    def ts(h: Long, i: Long) = new java.sql.Timestamp(h * 3600L * 1000L + i)
+    // type a: 9 quiet hours of 1 event, then an hour with 12 (the spike);
+    // all values 0 → the value signal has a flat baseline (z null)
+    // type b: constant 2 events/hour, constant values → never anomalous
+    val rows =
+      (0L until 9L).map(h => (ts(h, 0), "a", 0.0)) ++
+        (0L until 12L).map(i => (ts(9, i), "a", 0.0)) ++
+        (0L until 10L).flatMap(h => Seq((ts(h, 0), "b", 1.0), (ts(h, 1), "b", 1.0)))
+    val ev = rows.toDF("ts", "event_type", "value")
+    val got = graft.streaming.EventStream.windowAnomaly(ev, zThreshold = 2.0)
+      .collect()
+    assert(got.length == 20)
+    val flagged = got.filter(_.getAs[Boolean]("anomalous"))
+    // exactly the spike hour: mean 2.1, std_pop 3.3 → z = (12-2.1)/3.3 = 3
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[String]("event_type") == "a")
+    assert(flagged.head.getAs[Long]("n_events") == 12L)
+    assert(flagged.head.getAs[Double]("z_volume") == 3.0)
+    assert(flagged.head.isNullAt(flagged.head.fieldIndex("z_value"))) // flat values
+    // the flat type never flags and its z is null, not ±inf
+    assert(got.filter(_.getAs[String]("event_type") == "b")
+      .forall(r => r.isNullAt(r.fieldIndex("z_volume")) && !r.getAs[Boolean]("anomalous")))
+  }
+
+  test("streaming anomaly meter against the persisted baseline matches batch") {
+    // the file stream source wants a directory; stage the events file into one
+    val dir = java.nio.file.Files.createTempDirectory("events_anom")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val path = dir.toString
+    val batchEv = EventStream.readEventsBatch(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val baseline = EventStream.windowBaseline(batchEv)
+    val q = EventStream.windowAnomalyStream(
+        EventStream.readEvents(spark, path), baseline, zThreshold = 2.0)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("anom_out").collect().map(_.toString).sorted
+      val onBatch = EventStream.windowAnomalyStream(batchEv, baseline, zThreshold = 2.0)
+        .collect().map(_.toString).sorted
+      // literal-baseline path ≡ join-baseline path on the same corpus
+      val joined = EventStream.windowAnomaly(batchEv, zThreshold = 2.0)
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty)
+      assert(streamed.sameElements(onBatch))
+      assert(onBatch.sameElements(joined))
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the gap and aggregates per session") {
     // user 1: events at 0s, 10s, then a 40-min gap, then 2 more → 2 sessions
     // user 2: single event → 1 session
