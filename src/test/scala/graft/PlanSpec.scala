@@ -502,6 +502,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("RRF: fused head is a bounded TakeOrdered over k-sized lists") {
+    val bm = (q: String) => graft.ops.Retrieval.bm25TopK(docs, "text", "doc_id", q, 50)
+    val p = plan(graft.ops.Retrieval.reciprocalRankFusion(
+      Seq((bm("dup hash"), "bm25"), (bm("scan key"), "bm25")), "doc_id", topK = 30))
+    // the embedded bm25 lists keep their scalar-stats broadcast attach
+    // (a 1-row BroadcastNestedLoopJoin — the approved pattern); the
+    // fusion itself adds only bounded work: per-list rank windows over
+    // 50-row frames and one TakeOrdered head, never a global range sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("anomaly meter: corpus collapses in ONE windowed agg, baseline broadcasts") {
+    val ev = graft.streaming.EventStream.readEventsBatch(
+      spark, s"$sfDir/events.parquet")
+    val p = plan(graft.streaming.EventStream.windowAnomaly(ev))
+    // windows frame joins the per-type baseline as a broadcast — the
+    // corpus-scale side never re-shuffles to meet it, and nothing sorts
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both aggregations are map-side combined (partial + final)
+    assert("partial_count".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("DSIR: broadcast ratio lookup, partial-agg sums, TakeOrdered resample") {
     val en = docs.filter($"lang" === "en")
     val p = plan(graft.ops.Dsir.logWeights(docs, en, docs, "text", "doc_id"))
