@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Sample, Similarity, TextOps}
@@ -144,6 +144,21 @@ object SparkEntry {
   private def bpeFor(s: SparkSession, dir: String, n: Int): Seq[ops.Bpe.Merge] =
     bpeCache.computeIfAbsent(s"$dir#$n", _ =>
       ops.Bpe.trainBpe(t(s, dir, "documents"), "text", numMerges = n))
+
+  /** Train the in-engine linear classifier on the corpus and return the
+    * ROUNDED score column — the (register → trainLinearWeights → collect
+    * the 64-int model → native linearScore) chain every evaluator row
+    * shares. ONE definition keeps the seven call sites in lockstep with
+    * `oracleTrainedScoredCte`.
+    */
+  private def trainedScore(s: SparkSession, d: DataFrame): Column = {
+    graft.functions.GraftFunctions.register(s)
+    val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
+      .collect()
+    val w = new Array[Int](64)
+    wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
+    round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity operators (SURVEY.md §2.3), via the dialect compiler ----
@@ -823,15 +838,8 @@ object SparkEntry {
     // (64 ints — the IVF-centroid lifecycle pattern), score with the
     // SAME native expression used at inference
     "q_text_trained_score" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
       val d = t(s, dir, "documents")
-      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
-        .collect()
-      val w = new Array[Int](64)
-      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
-      d.select(col("doc_id"),
-        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6)
-          .as("score"))
+      d.select(col("doc_id"), trainedScore(s, d).as("score"))
         .withColumn("pred_en", col("score") > 0)
         .orderBy(col("doc_id"))
     }),
@@ -854,17 +862,10 @@ object SparkEntry {
     // scan computes P/R/F1 at every candidate cutoff — how a quality
     // filter's threshold gets frozen
     "q_text_threshold_sweep" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
       val d = t(s, dir, "documents")
-      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
-        .collect()
-      val w = new Array[Int](64)
-      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
       // grid spans the observed score distribution (5th-95th pct is
       // roughly ±2e-4 at both SFs) so every operating point is live
-      ops.Stats.thresholdSweep(d,
-        col("lang") === "en",
-        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6),
+      ops.Stats.thresholdSweep(d, col("lang") === "en", trainedScore(s, d),
         Seq(-2.0e-4, -1.0e-4, -5.0e-5, 0.0, 5.0e-5, 1.0e-4, 2.0e-4))
     }),
 
@@ -872,59 +873,31 @@ object SparkEntry {
     // live score range (the sweep's ±e-4 band): frac_pos vs mean_score
     // per bin — the "is this score usable as a probability" diagnostic
     "q_text_calibration" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
       val d = t(s, dir, "documents")
-      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
-        .collect()
-      val w = new Array[Int](64)
-      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
-      ops.Stats.calibrationBins(d,
-        col("lang") === "en",
-        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6),
+      ops.Stats.calibrationBins(d, col("lang") === "en", trainedScore(s, d),
         bins = 8, lo = -4.0e-4, hi = 4.0e-4)
     }),
 
     // expected calibration error: the one-number summary of the bins
     // above (weighted |frac_pos − mean_score| + the worst bin)
     "q_text_ece" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
       val d = t(s, dir, "documents")
-      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
-        .collect()
-      val w = new Array[Int](64)
-      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
-      ops.Stats.expectedCalibrationError(d,
-        col("lang") === "en",
-        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6),
-        bins = 8, lo = -4.0e-4, hi = 4.0e-4)
+      ops.Stats.expectedCalibrationError(d, col("lang") === "en",
+        trainedScore(s, d), bins = 8, lo = -4.0e-4, hi = 4.0e-4)
     }),
 
     // exact ROC-AUC of the trained classifier (tie-corrected rank
     // statistic) — the threshold-free counterpart of the sweep
     "q_text_auc" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
       val d = t(s, dir, "documents")
-      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
-        .collect()
-      val w = new Array[Int](64)
-      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
-      ops.Stats.rocAuc(d,
-        col("lang") === "en",
-        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6))
+      ops.Stats.rocAuc(d, col("lang") === "en", trainedScore(s, d))
     }),
 
     // average precision of the trained classifier (PR-space summary —
     // the imbalanced-gate counterpart of q_text_auc)
     "q_text_ap" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
       val d = t(s, dir, "documents")
-      val wRows = ops.Embeddings.trainLinearWeights(d, "text", col("lang") === "en")
-        .collect()
-      val w = new Array[Int](64)
-      wRows.foreach(r => w(r.getInt(0)) = r.getInt(1))
-      ops.Stats.averagePrecision(d,
-        col("lang") === "en",
-        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = 0.0), 6))
+      ops.Stats.averagePrecision(d, col("lang") === "en", trainedScore(s, d))
     }),
 
     // classic conversion funnel over the events table: signup → view →
@@ -3926,7 +3899,7 @@ object SparkEntry {
       """WITH w AS (
         |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |    count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |  FROM events GROUP BY 1, 2
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
         |), b AS (
         |  SELECT event_type,
         |    avg(n_events) AS mean_n, stddev_pop(n_events) AS std_n,

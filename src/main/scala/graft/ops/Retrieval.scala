@@ -28,7 +28,11 @@ object Retrieval {
     * defined over distinct query terms), first-occurrence order kept.
     */
   def queryTerms(query: String): Seq[String] =
-    query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    // Locale.ROOT: the default-locale toLowerCase diverges from Spark's
+    // locale-independent lower() on e.g. tr-TR JVMs (I → dotless ı),
+    // silently producing query terms no document token can match
+    query.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
 
   /** BM25 scores for every document matching ≥1 query term:
     * `(idCol, matched_terms, bm25)`, score rounded to 6 dp. `k1`
@@ -85,7 +89,11 @@ object Retrieval {
     val tf = withTf(docs, textCol, idCol, qTerms)
     val aggs = Seq(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl")) ++
       qTerms.indices.map(i =>
-        sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+        sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")) :+
+      // the term list rides in the store so a scorer built with a
+      // different term ORDER (same words!) refuses loudly instead of
+      // silently crossing each term with the other's df
+      first(typedLit(qTerms)).as("terms")
     tf.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -109,17 +117,24 @@ object Retrieval {
   ): DataFrame = {
     val qTerms = queryTerms(query)
     require(qTerms.nonEmpty, s"query '$query' has no tokens")
-    val row = stats.select(
-      (Seq(col("n").cast("long"), col("sumdl").cast("long")) ++
-        qTerms.indices.map(i => col(s"df_$i").cast("long"))): _*).collect()(0)
-    val n = row.getLong(0)
+    val collected = stats.select(
+      (Seq(col("terms"), col("n").cast("long"), col("sumdl").cast("long")) ++
+        qTerms.indices.map(i => col(s"df_$i").cast("long"))): _*).collect()
+    require(collected.length == 1,
+      s"bm25 stats frame must be exactly one row, got ${collected.length}")
+    val row = collected(0)
+    val storedTerms = row.getSeq[String](0)
+    require(storedTerms == qTerms,
+      s"bm25 stats store was built for terms $storedTerms, scorer asked for " +
+        s"$qTerms — term ORDER keys the df columns, rebuild or reorder")
+    val n = row.getLong(1)
     require(n > 0, "bm25 stats frame has an empty corpus (n = 0)")
-    val avgdl = row.getLong(1).toDouble / n
+    val avgdl = row.getLong(2).toDouble / n
     val k1p1 = k1 + 1.0
     val oneMb = 1.0 - b
     val withTfCols = withTf(docs, textCol, idCol, qTerms)
     def term(i: Int): Column = {
-      val df = row.getLong(2 + i)
+      val df = row.getLong(3 + i)
       // same ln over the same exact double as the in-plan form
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
       val tf = col(s"__tf_$i").cast("double")

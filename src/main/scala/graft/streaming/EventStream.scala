@@ -113,6 +113,10 @@ object EventStream {
       windowDuration: String = "1 hour",
   ): DataFrame =
     events
+      // typeless events carry no monitoring identity: excluded up front
+      // so the batch join path and the stream map-literal path (which
+      // cannot hold a null key) agree on exactly the same rows
+      .filter(col("event_type").isNotNull)
       .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
@@ -180,14 +184,15 @@ object EventStream {
         col("std_n").cast("double"), col("mean_v").cast("double"),
         col("std_v").cast("double"))
       .collect()
-    def m(i: Int) = typedLit(rows.map(r => r.getString(0) -> r.getDouble(i)).toMap)
-    val stats = stream
-      .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"))
-      .select(col("event_type"), col("w.start").as("window_start"),
-        col("n_events"), col("sum_value"))
+    // per-stat maps skip null cells (an all-null-value type has null
+    // mean_v/std_v): the missing key reads back as null via element_at,
+    // so z is null and the flag false — the same outcome the batch
+    // path's join produces, instead of a Row.getDouble crash here
+    def m(i: Int) = typedLit(
+      rows.filter(r => !r.isNullAt(0) && !r.isNullAt(i))
+        .map(r => r.getString(0) -> r.getDouble(i)).toMap)
+    val stats = windowStats(
+      stream.withWatermark("ts", watermarkDelay), windowDuration)
     anomalyFlags(
       stats
         .withColumn("mean_n", element_at(m(1), col("event_type")))
