@@ -1100,6 +1100,19 @@ object SparkEntry {
       ops.Dsir.resampleSubset(t(s, dir, "documents"), col("lang") === "en",
         "text", "doc_id", n = 100, seed = "graft-r7")),
 
+    // mixture-weight optimizer: blend the five language slices to match
+    // the English slice — the solver must put ~all weight on 'en'
+    // (iterative EG argmin has no SQL mirror → rows-only; recovery and
+    // KL-improvement floors contracted in DriverSuiteSpec)
+    "q_dsir_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      ops.Dsir.optimizeMixture(
+        langs.map(l => l -> docs.filter(col("lang") === l)),
+        docs.filter(col("lang") === "en"), "text")
+        .orderBy(col("source"))
+    }),
+
     // hashed-n-gram distribution divergence (KL both ways + JS, bits)
     // between the English and non-English slices — the mixture-drift /
     // source-distance meter over the same bucket models DSIR scores with

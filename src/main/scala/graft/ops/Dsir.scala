@@ -390,4 +390,97 @@ object Dsir {
         rest * (p0 * log2(p0 / m0) / lit(2.0) + q0 * log2(q0 / m0) / lit(2.0)), 6)
         .as("js_bits"))
   }
+
+  /** Mixture-weight optimizer toward a TARGET distribution — the
+    * "what blend of my sources looks most like the data I want"
+    * solver (the distribution-matching proxy for DoReMi-style mixture
+    * tuning, over the same hashed-n-gram bucket space DSIR scores
+    * with): find simplex weights `w` minimizing
+    * `KL(target ‖ Σ_i w_i · p_i)` by exponentiated-gradient descent.
+    * KL(t‖m) is convex in `w`, and EG keeps iterates on the simplex,
+    * so a fixed iteration budget converges deterministically — no RNG,
+    * no stopping-rule flakiness.
+    *
+    * Output: one row per source,
+    * `(source, weight, kl_uniform_bits, kl_opt_bits)` — the optimized
+    * weight (6 dp, sums to 1 before rounding) plus the target-KL of
+    * the uniform blend and of the optimized blend (the improvement the
+    * solve bought). Feed the weights straight into
+    * [[Sample.mixCorpora]] as per-source fractions.
+    *
+    * Scale shape: each source costs ONE bucket-count pass (≤ `buckets`
+    * rows collected — the [[logRatios]] model-lifecycle pattern); the
+    * solve itself is driver arithmetic over `|sources| × buckets`
+    * doubles. Corpus size only affects the counting scans. Iterative
+    * argmin has no SQL mirror → rows-only driver row with contracted
+    * recovery/improvement floors (DriverSuiteSpec).
+    */
+  def optimizeMixture(
+      sources: Seq[(String, DataFrame)],
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 2048,
+      alpha: Double = 1.0,
+      iterations: Int = 2000,
+      learningRate: Double = 2.0,
+  ): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    require(iterations >= 1 && learningRate > 0.0, "bad solver params")
+    val spark = target.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    // smoothed bucket distribution of one corpus, collected driver-side
+    def dist(df: DataFrame): Array[Double] = {
+      val arr = Array.fill(buckets)(alpha)
+      df.select(explode(hashedNgramBuckets(col(textCol), buckets)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .collect()
+        .foreach(r => arr(r.getLong(0).toInt) += r.getLong(1).toDouble)
+      val z = arr.sum
+      arr.map(_ / z)
+    }
+    val t = dist(target)
+    val ps = sources.map { case (_, df) => dist(df) }
+    def mix(w: Array[Double]): Array[Double] = {
+      val m = new Array[Double](buckets)
+      var i = 0
+      while (i < ps.length) {
+        val p = ps(i); val wi = w(i); var b = 0
+        while (b < buckets) { m(b) += wi * p(b); b += 1 }
+        i += 1
+      }
+      m
+    }
+    def klBits(m: Array[Double]): Double = {
+      var s = 0.0; var b = 0
+      while (b < buckets) { s += t(b) * math.log(t(b) / m(b)); b += 1 }
+      s / math.log(2.0)
+    }
+    var w = Array.fill(sources.size)(1.0 / sources.size)
+    val klUniform = klBits(mix(w))
+    var it = 0
+    while (it < iterations) {
+      val m = mix(w)
+      // ∂KL/∂w_i = −Σ_b t_b · p_ib / m_b (up to the simplex projection
+      // EG performs); multiplicative update stays on the simplex
+      val upd = new Array[Double](w.length)
+      var i = 0
+      while (i < w.length) {
+        val p = ps(i); var g = 0.0; var b = 0
+        while (b < buckets) { g += t(b) * p(b) / m(b); b += 1 }
+        upd(i) = w(i) * math.exp(learningRate * g)
+        i += 1
+      }
+      val z = upd.sum
+      i = 0
+      while (i < w.length) { w(i) = upd(i) / z; i += 1 }
+      it += 1
+    }
+    val klOpt = klBits(mix(w))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    sources.map(_._1).zip(w.toSeq)
+      .map { case (name, wi) => (name, r6(wi), r6(klUniform), r6(klOpt)) }
+      .toDF("source", "weight", "kl_uniform_bits", "kl_opt_bits")
+  }
 }

@@ -40,7 +40,7 @@ class DriverSuiteSpec extends AnyFunSuite {
     // documented approximate set, not an accidental omission — pin the
     // count so a new query silently missing its oracle trips review
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.size == 29, s"rows-only query count changed (${rowsOnly.size}): " +
+    assert(rowsOnly.size == 30, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
@@ -244,6 +244,28 @@ class DriverSuiteSpec extends AnyFunSuite {
       val again = SparkEntry.queries("q_text_compress")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       assert(rows.toSet == again.toSet, s"$dir: signal not deterministic")
+    }
+  }
+
+  test("mixture optimizer: target-source recovery and KL improvement floors") {
+    // the contract behind q_dsir_mixture (iterative EG argmin — no SQL
+    // mirror): blending the language slices toward the 'en' slice must
+    // put nearly all weight on 'en', strictly improve on the uniform
+    // blend, and stay on the simplex
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = SparkEntry.queries("q_dsir_mixture")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(rows.keySet == Set("en", "de", "es", "fr", "zh"), s"$dir: $rows")
+      assert(rows("en")._1 >= 0.9, s"$dir: en weight ${rows("en")._1}")
+      assert(math.abs(rows.values.map(_._1).sum - 1.0) < 1e-3, s"$dir: $rows")
+      val (_, klU, klO) = rows("en")
+      assert(klO < klU, s"$dir: kl $klU -> $klO")
+      // deterministic across reruns (fixed iteration budget, no RNG)
+      val again = SparkEntry.queries("q_dsir_mixture")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(again == rows.map { case (k, v) => k -> v._1 }, s"$dir rerun")
     }
   }
 

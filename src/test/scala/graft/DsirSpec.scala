@@ -143,4 +143,27 @@ class DsirSpec extends AnyFunSuite {
     val jsAfter = Dsir.ngramDivergence(selected, target, "text").collect().head.getDouble(3)
     assert(jsAfter < jsBefore, s"JS should shrink: before $jsBefore after $jsAfter")
   }
+  test("mixture optimizer recovers a pure-source target, improves on uniform, deterministic") {
+    val cook = cookingDocs.toDF("doc_id", "text")
+    // light smoothing: the planted corpora are tiny, and the default
+    // add-one prior (2048 pseudo-counts vs ~60 real n-grams) would
+    // flatten the gradient the test wants to see
+    def solve() = Dsir.optimizeMixture(
+        Seq("spark" -> target, "cooking" -> cook), target, "text",
+        alpha = 0.01)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val got = solve()
+    // the target IS the spark source: essentially all weight lands there
+    assert(got("spark")._1 > 0.95, got)
+    assert(math.abs(got("spark")._1 + got("cooking")._1 - 1.0) < 1e-3)
+    // the optimized blend strictly beats the uniform blend on target KL
+    assert(got("spark")._3 < got("spark")._2, got)
+    // both rows report the SAME before/after KLs (frame-level scalars)
+    assert(got("spark")._2 == got("cooking")._2 && got("spark")._3 == got("cooking")._3)
+    // fixed iteration budget, no RNG: bit-identical on rerun
+    assert(solve() == got)
+  }
+
 }
