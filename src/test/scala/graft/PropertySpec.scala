@@ -371,4 +371,55 @@ class PropertySpec extends AnyFunSuite {
     val r2 = Compiler.queryOrThrow(mages, q2).collect().map(_.getString(0)).toSet
     assert(r1 == r2)
   }
+  test("paragraph dedup invariants on random corpora: accounting, idempotence") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "", " ", "EPS")
+    val para = Gen.listOfN(3, word).map(_.mkString(" "))
+    val doc = Gen.chooseNum(0, 4).flatMap(n => Gen.listOfN(n + 1, para))
+      .map(_.mkString("\n"))
+    val corpora = samples(Gen.listOfN(6, doc), 8)
+    for (docs <- corpora) {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ops.Dedup.paragraphDedup(df, "text", "doc_id")
+      val rows = out.collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // one row per input document, and kept + removed = paragraph count
+      assert(rows.keySet == df.collect().map(_.getLong(0)).toSet)
+      for ((id, (_, kept, removed)) <- rows) {
+        val nParas = docs(id.toInt).split("\n", -1).length
+        assert(kept + removed == nParas, s"doc $id: $kept + $removed != $nParas")
+      }
+      // idempotence: surviving non-blank paragraphs are globally unique
+      // and blanks always survive, so a second pass removes NOTHING
+      val once = out.select(col("doc_id"),
+        col("text_dedup").as("text"))
+      val twice = graft.ops.Dedup.paragraphDedup(once, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      for ((id, (t1, _, _)) <- rows)
+        assert(twice(id) == t1, s"doc $id not a fixed point")
+    }
+  }
+
+  test("RRF depends only on rank order: monotone score transforms change nothing") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 5) {
+      val la = (0L until 8L).map(i => (i, rnd.nextDouble())).toDF("id", "s")
+      val lb = (4L until 12L).map(i => (i, rnd.nextDouble())).toDF("id", "s")
+      def fuse(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        graft.ops.Retrieval.reciprocalRankFusion(Seq((a, "s"), (b, "s")), "id", topK = 12)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val base = fuse(la, lb)
+      // exp() is strictly monotone: identical ranks, identical fusion
+      val warped = fuse(
+        la.select($"id", org.apache.spark.sql.functions.exp($"s").as("s")),
+        lb.select($"id", org.apache.spark.sql.functions.exp($"s").as("s")))
+      assert(warped == base)
+    }
+  }
 }
