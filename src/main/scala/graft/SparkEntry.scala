@@ -1532,6 +1532,25 @@ object SparkEntry {
       TextOps.removeBoilerplate(t(s, dir, "documents"), "text", "doc_id",
         sep = " the ", minDocs = 2)),
 
+    // incremental boilerplate (daily-crawl shape): the batch scrubbed
+    // against the HISTORY's persisted frequent-segment store — history
+    // frequency decides, batch-internal repetition doesn't
+    "q_text_boilerplate_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.removeBoilerplateWith(
+        docs.filter(col("doc_id") >= 250),
+        TextOps.boilerplateDigests(docs.filter(col("doc_id") < 250),
+          "text", " the ", minDocs = 2),
+        "text", "doc_id", sep = " the ")
+    }),
+
+    // exact dedup with the provenance audit trail: which sources held
+    // copies of each surviving representative, and how many
+    "q_dedup_provenance" -> ((s, dir) =>
+      Dedup.exactKeepFirstWithProvenance(t(s, dir, "documents"),
+        "text", "doc_id", "source")
+        .select(col("doc_id"), col("n_copies"), col("sources"))),
+
     // Gopher §A1.1 rule battery; the synthetic corpus has no bullets or
     // ellipses (those rules pass trivially here — planted unit tests
     // exercise them), so the gate discriminates on word count and the
@@ -4030,6 +4049,45 @@ object SparkEntry {
          |    list_filter(segs, l -> NOT list_contains(bl, ${oracleNormExpr("l")})) AS kept
          |  FROM ls CROSS JOIN blarr
          |)""".stripMargin,
+
+    // incremental boilerplate: store gated on the history slice, applied
+    // to the batch slice — same per-line mirror as q_text_boilerplate
+    "q_text_boilerplate_incr" ->
+      s"""WITH ls AS (
+         |  SELECT doc_id, string_split(text, ' the ') AS segs FROM documents
+         |  WHERE doc_id >= 250
+         |), freq AS (
+         |  SELECT nl, count(*) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(segs, l -> ${oracleNormExpr("l")}))) AS nl
+         |    FROM (SELECT doc_id, string_split(text, ' the ') AS segs
+         |          FROM documents WHERE doc_id < 250)
+         |  ) WHERE nl <> '' GROUP BY nl
+         |), blarr AS (
+         |  SELECT coalesce(list(nl), CAST([] AS VARCHAR[])) AS bl FROM freq WHERE df >= 2
+         |)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(kept, ' the '), '') AS text_clean,
+         |  CAST(len(segs) - len(kept) AS BIGINT) AS n_removed
+         |FROM (
+         |  SELECT doc_id, segs,
+         |    list_filter(segs, l -> NOT list_contains(bl, ${oracleNormExpr("l")})) AS kept
+         |  FROM ls CROSS JOIN blarr
+         |)""".stripMargin,
+
+    // provenance dedup: keep-first QUALIFY + per-digest count and the
+    // sorted distinct source list (canonicalized to a joined string on
+    // both sides)
+    "q_dedup_provenance" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source, md5($oracleNorm) AS dg,
+         |    row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) AS rn
+         |  FROM documents
+         |), s AS (
+         |  SELECT dg, CAST(count(*) AS BIGINT) AS n_copies,
+         |    string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+         |  FROM k GROUP BY dg
+         |)
+         |SELECT doc_id, n_copies, sources FROM k JOIN s USING (dg) WHERE rn = 1""".stripMargin,
 
     // Gopher §A1.1 battery recomputed term by term (sep = ' the ',
     // minWords = 20, minStopHits = 1 — the driver-query config)

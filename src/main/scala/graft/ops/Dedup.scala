@@ -127,6 +127,34 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[exactKeepFirst]] with the audit trail data governance wants: the
+    * kept representative carries where its copies came from — all
+    * original columns plus `n_copies` (group size) and `sources` (the
+    * sorted distinct `srcCol` labels over the duplicate group, joined
+    * with ","). "This page survived dedup, and it also appeared in
+    * these three crawls" is the provenance record license review and
+    * contamination forensics ask for; null source labels are skipped.
+    *
+    * Scale shape: ONE digest-keyed exchange feeds both the keep-first
+    * window and the provenance aggregation, and their equi-join reuses
+    * the same partitioning — no second corpus shuffle.
+    */
+  def exactKeepFirstWithProvenance(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String,
+  ): DataFrame = {
+    val keyed = df.withColumn("__dg", contentDigest(col(textCol)))
+    val w = Window.partitionBy(col("__dg")).orderBy(col(idCol))
+    val stats = keyed.groupBy(col("__dg"))
+      .agg(count(lit(1)).as("n_copies"),
+        array_join(sort_array(collect_set(col(srcCol))), ",").as("sources"))
+    keyed.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .join(stats, Seq("__dg"))
+      .drop("__dg", "__rn")
+  }
+
   /** THE normalized-content digest every exact-dedup operator keys on:
     * the 16-byte binary `unhex(md5(normalized(text)))`. One definition so
     * exact dedup, streaming dedup, incremental dedup, and the

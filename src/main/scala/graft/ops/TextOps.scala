@@ -757,19 +757,55 @@ object TextOps {
       idCol: String,
       sep: String,
       minDocs: Int,
+  ): DataFrame =
+    removeBoilerplateWith(docs,
+      boilerplateDigests(docs, textCol, sep, minDocs), textCol, idCol, sep)
+
+  /** The boilerplate digest STORE: one row per normalized segment
+    * occurring in ≥ `minDocs` documents — `(digest)` (16-byte binary,
+    * the [[graft.ops.Dedup]] content-digest convention). Persist it
+    * (parquet), refresh on corpus change, and hand it to
+    * [[removeBoilerplateWith]] — the daily-crawl shape: today's batch
+    * is scrubbed against the CORPUS's known boilerplate without
+    * recounting history (the [[graft.ops.Dedup.paragraphDigests]]
+    * lifecycle, frequency-gated).
+    */
+  def boilerplateDigests(
+      docs: DataFrame,
+      textCol: String,
+      sep: String,
+      minDocs: Int,
   ): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would mark every non-empty line boilerplate")
     val segs = split(col(textCol), java.util.regex.Pattern.quote(sep))
-    def digest(c: Column): Column = unhex(md5(normalized(c).cast("binary")))
-    val blDigests = docs
+    docs
       .select(explode(array_distinct(
         filter(transform(segs, l => normalized(l)), l => length(l) > 0))).as("__nl"))
-      .groupBy(digest(col("__nl")).as("__h"))
+      .groupBy(unhex(md5(col("__nl").cast("binary"))).as("digest"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .agg(collect_list(col("__h")).as("__bl")) // one row, possibly empty array
+      .select(col("digest"))
+  }
+
+  /** Scrub documents against a PRECOMPUTED boilerplate store — a
+    * stateless projection once the store ships as one broadcast array
+    * row, so it composes with streams unchanged (stream-static
+    * broadcast; parity-tested). `(idCol, text_clean, n_removed)`;
+    * a fully-boilerplate document keeps its row with empty text.
+    */
+  def removeBoilerplateWith(
+      docs: DataFrame,
+      storeDigests: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String,
+  ): DataFrame = {
+    val segs = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    def digest(c: Column): Column = unhex(md5(normalized(c).cast("binary")))
+    val bl = storeDigests
+      .agg(collect_list(col("digest")).as("__bl")) // one row, possibly empty array
     docs
-      .crossJoin(broadcast(blDigests))
+      .crossJoin(broadcast(bl))
       .withColumn("__kept", filter(segs, l => !array_contains(col("__bl"), digest(l))))
       .select(
         col(idCol),

@@ -2673,6 +2673,48 @@ class OpsSpec extends AnyFunSuite {
     assert(ranks((3L, 4L)) == (1, 1)) // hardest positive × hardest negative
   }
 
+  test("provenance dedup: representative carries sorted source set and copy count") {
+    val df = Seq(
+      (0L, "shared page", Some("crawl-a")),
+      (1L, "SHARED   page", Some("crawl-b")), // normalized dup, other source
+      (2L, "shared page", Some("crawl-a")),   // dup within the same source
+      (3L, "unique page", Some("crawl-c")),
+      (4L, "orphan page", None),              // null source: counted, not listed
+      (5L, "orphan page", Some("crawl-d")),
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.exactKeepFirstWithProvenance(df, "text", "doc_id", "source")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[String]("sources")))).toMap
+    assert(got.keySet == Set(0L, 3L, 4L))
+    assert(got(0L) == ((3L, "crawl-a,crawl-b")))
+    assert(got(3L) == ((1L, "crawl-c")))
+    assert(got(4L) == ((2L, "crawl-d"))) // null label skipped, copy counted
+  }
+
+  test("incremental boilerplate: history frequency decides, batch repeats survive") {
+    val history = Seq(
+      (0L, "real content\nshared footer"),
+      (1L, "other words\nshared footer"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "fresh text\nshared footer"),     // history-frequent: removed
+      (11L, "batch echo\nfresh line"),
+      (12L, "batch echo\nanother line"),      // 'batch echo' repeats IN BATCH
+    ).toDF("doc_id", "text")
+    val store = TextOps.boilerplateDigests(history, "text", "\n", minDocs = 2)
+    val got = TextOps.removeBoilerplateWith(batch, store, "text", "doc_id", "\n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(10L) == (("fresh text", 1L)))
+    // batch-internal repetition is NOT the store's call — both copies stay
+    assert(got(11L) == (("batch echo\nfresh line", 0L)))
+    assert(got(12L) == (("batch echo\nanother line", 0L)))
+    // the full-pass operator is exactly store-build + apply on one corpus
+    val full = TextOps.removeBoilerplate(history, "text", "doc_id", "\n", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full(0L) == "real content" && full(1L) == "other words")
+  }
+
   test("incremental connected components: star compression, closure, full parity") {
     val priorEdges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val histNodes = Seq(1L, 2L, 3L, 9L).toDF("id")
