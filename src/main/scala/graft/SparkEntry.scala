@@ -1104,14 +1104,13 @@ object SparkEntry {
     // the English slice — the solver must put ~all weight on 'en'
     // (iterative EG argmin has no SQL mirror → rows-only; recovery and
     // KL-improvement floors contracted in DriverSuiteSpec)
-    "q_dsir_mixture" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val langs = Seq("en", "de", "es", "fr", "zh")
-      ops.Dsir.optimizeMixture(
-        langs.map(l => l -> docs.filter(col("lang") === l)),
-        docs.filter(col("lang") === "en"), "text")
-        .orderBy(col("source"))
-    }),
+    "q_dsir_mixture" -> ((s, dir) =>
+      // ONE grouped counting pass builds all five slice distributions
+      // and the target's (the slice form; the general multi-frame form
+      // scans once per source)
+      ops.Dsir.optimizeMixtureForSlice(t(s, dir, "documents"),
+        "lang", "text", targetSlice = "en")
+        .orderBy(col("source"))),
 
     // hashed-n-gram distribution divergence (KL both ways + JS, bits)
     // between the English and non-English slices — the mixture-drift /
@@ -4084,7 +4083,10 @@ object SparkEntry {
          |  FROM documents
          |), s AS (
          |  SELECT dg, CAST(count(*) AS BIGINT) AS n_copies,
-         |    string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+         |    -- an all-NULL-source group: Spark's array_join over the empty
+         |    -- set is '', DuckDB's string_agg is NULL — coalesce to match
+         |    coalesce(string_agg(DISTINCT source, ',' ORDER BY source), '')
+         |      AS sources
          |  FROM k GROUP BY dg
          |)
          |SELECT doc_id, n_copies, sources FROM k JOIN s USING (dg) WHERE rn = 1""".stripMargin,

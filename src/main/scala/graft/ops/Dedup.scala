@@ -146,12 +146,17 @@ object Dedup {
       srcCol: String,
   ): DataFrame = {
     val keyed = df.withColumn("__dg", contentDigest(col(textCol)))
-    val w = Window.partitionBy(col("__dg")).orderBy(col(idCol))
-    val stats = keyed.groupBy(col("__dg"))
-      .agg(count(lit(1)).as("n_copies"),
-        array_join(sort_array(collect_set(col(srcCol))), ",").as("sources"))
-    keyed.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .join(stats, Seq("__dg"))
+    // the provenance aggregates ride the SAME window partition as the
+    // keep-first rank (unbounded frame): one scan, one exchange, no
+    // second aggregation branch and no join back
+    val wOrd = Window.partitionBy(col("__dg")).orderBy(col(idCol))
+    val wAll = Window.partitionBy(col("__dg"))
+    keyed
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("n_copies", count(lit(1)).over(wAll))
+      .withColumn("sources",
+        array_join(sort_array(collect_set(col(srcCol)).over(wAll)), ","))
+      .filter(col("__rn") === 1)
       .drop("__dg", "__rn")
   }
 

@@ -425,21 +425,79 @@ object Dsir {
       learningRate: Double = 2.0,
   ): DataFrame = {
     require(sources.nonEmpty, "need at least one source")
-    require(iterations >= 1 && learningRate > 0.0, "bad solver params")
     val spark = target.sparkSession
-    graft.functions.GraftFunctions.register(spark)
     // smoothed bucket distribution of one corpus, collected driver-side
-    def dist(df: DataFrame): Array[Double] = {
-      val arr = Array.fill(buckets)(alpha)
-      df.select(explode(hashedNgramBuckets(col(textCol), buckets)).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .collect()
-        .foreach(r => arr(r.getLong(0).toInt) += r.getLong(1).toDouble)
-      val z = arr.sum
-      arr.map(_ / z)
-    }
-    val t = dist(target)
-    val ps = sources.map { case (_, df) => dist(df) }
+    def dist(df: DataFrame): Array[Double] =
+      smooth(buckets, alpha,
+        bucketCounts(df, textCol, buckets).collect()
+          .map(r => r.getLong(0).toInt -> r.getLong(1)))
+    solveMixture(spark, sources.map(_._1), sources.map(c => dist(c._2)),
+      dist(target), buckets, alpha, iterations, learningRate)
+  }
+
+  /** [[optimizeMixture]] when the sources are SLICES of one corpus
+    * (labeled by `sliceCol`) and the target is one of them — the common
+    * in-corpus rebalancing call: ONE grouped `(slice, bucket)` counting
+    * pass builds every source distribution AND the target's, so the
+    * whole solve costs a single corpus scan instead of one per slice.
+    * Null-slice rows are excluded (no mixture identity).
+    */
+  def optimizeMixtureForSlice(
+      docs: DataFrame,
+      sliceCol: String,
+      textCol: String,
+      targetSlice: String,
+      buckets: Int = 2048,
+      alpha: Double = 1.0,
+      iterations: Int = 2000,
+      learningRate: Double = 2.0,
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val counts = docs
+      .filter(col(sliceCol).isNotNull)
+      .select(col(sliceCol).cast("string").as("__slice"),
+        explode(hashedNgramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("__slice"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (slice, rows) =>
+        slice -> rows.map(r => r.getLong(1).toInt -> r.getLong(2))
+      }
+    require(counts.contains(targetSlice),
+      s"target slice '$targetSlice' has no rows (slices: ${counts.keySet})")
+    val names = counts.keys.toSeq.sorted
+    val ps = names.map(n => smooth(buckets, alpha, counts(n)))
+    val t = smooth(buckets, alpha, counts(targetSlice))
+    solveMixture(spark, names, ps, t, buckets, alpha, iterations, learningRate)
+  }
+
+  /** Add-`alpha` smoothed distribution from sparse (bucket, count) pairs. */
+  private def smooth(
+      buckets: Int, alpha: Double, counts: Seq[(Int, Long)]): Array[Double] = {
+    val arr = Array.fill(buckets)(alpha)
+    counts.foreach { case (b, n) => arr(b) += n.toDouble }
+    val z = arr.sum
+    arr.map(_ / z)
+  }
+
+  /** The shared EG solve over collected distributions — see
+    * [[optimizeMixture]] for the contract.
+    */
+  private def solveMixture(
+      spark: org.apache.spark.sql.SparkSession,
+      names: Seq[String],
+      ps: Seq[Array[Double]],
+      t: Array[Double],
+      buckets: Int,
+      alpha: Double,
+      iterations: Int,
+      learningRate: Double,
+  ): DataFrame = {
+    require(alpha > 0.0, "alpha must be > 0 (zero smoothing makes empty " +
+      "buckets divide by zero in the KL and the gradient)")
+    require(iterations >= 1 && learningRate > 0.0, "bad solver params")
     def mix(w: Array[Double]): Array[Double] = {
       val m = new Array[Double](buckets)
       var i = 0
@@ -455,20 +513,29 @@ object Dsir {
       while (b < buckets) { s += t(b) * math.log(t(b) / m(b)); b += 1 }
       s / math.log(2.0)
     }
-    var w = Array.fill(sources.size)(1.0 / sources.size)
+    var w = Array.fill(names.size)(1.0 / names.size)
     val klUniform = klBits(mix(w))
     var it = 0
     while (it < iterations) {
       val m = mix(w)
       // ∂KL/∂w_i = −Σ_b t_b · p_ib / m_b (up to the simplex projection
       // EG performs); multiplicative update stays on the simplex
-      val upd = new Array[Double](w.length)
+      val g = new Array[Double](w.length)
       var i = 0
       while (i < w.length) {
-        val p = ps(i); var g = 0.0; var b = 0
-        while (b < buckets) { g += t(b) * p(b) / m(b); b += 1 }
-        upd(i) = w(i) * math.exp(learningRate * g)
+        val p = ps(i); var gi = 0.0; var b = 0
+        while (b < buckets) { gi += t(b) * p(b) / m(b); b += 1 }
+        g(i) = gi
         i += 1
+      }
+      // the update is invariant to a constant shift in g (the simplex
+      // renormalization absorbs it) — shift by max(g) so exp never
+      // overflows to Infinity/NaN at aggressive learning rates
+      val gMax = g.max
+      val upd = new Array[Double](w.length)
+      i = 0
+      while (i < w.length) {
+        upd(i) = w(i) * math.exp(learningRate * (g(i) - gMax)); i += 1
       }
       val z = upd.sum
       i = 0
@@ -479,7 +546,7 @@ object Dsir {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     import spark.implicits._
-    sources.map(_._1).zip(w.toSeq)
+    names.zip(w.toSeq)
       .map { case (name, wi) => (name, r6(wi), r6(klUniform), r6(klOpt)) }
       .toDF("source", "weight", "kl_uniform_bits", "kl_opt_bits")
   }

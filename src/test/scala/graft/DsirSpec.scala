@@ -166,4 +166,22 @@ class DsirSpec extends AnyFunSuite {
     assert(solve() == got)
   }
 
+  test("slice-form mixture solve equals the multi-frame form") {
+    val docs = (sparkDocs.map(t => (t._1, t._2, "spark")) ++
+        cookingDocs.map(t => (t._1, t._2, "cooking")))
+      .toDF("doc_id", "text", "slice")
+    val bySlice = Dsir.optimizeMixtureForSlice(docs, "slice", "text", "spark",
+        alpha = 0.01)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val multi = Dsir.optimizeMixture(
+        Seq("spark" -> target, "cooking" -> cookingDocs.toDF("doc_id", "text")),
+        target, "text", alpha = 0.01)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bySlice == multi, s"$bySlice vs $multi")
+    // an unknown target slice fails loudly, not with an empty model
+    intercept[IllegalArgumentException] {
+      Dsir.optimizeMixtureForSlice(docs, "slice", "text", "nope")
+    }
+  }
+
 }

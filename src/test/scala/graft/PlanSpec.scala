@@ -502,6 +502,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("provenance dedup: ONE digest exchange feeds rank + provenance, no join") {
+    val p = plan(graft.ops.Dedup.exactKeepFirstWithProvenance(
+      docs, "text", "doc_id", "source"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("RRF: fused head is a bounded TakeOrdered over k-sized lists") {
     val bm = (q: String) => graft.ops.Retrieval.bm25TopK(docs, "text", "doc_id", q, 50)
     val p = plan(graft.ops.Retrieval.reciprocalRankFusion(

@@ -195,6 +195,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming boilerplate scrub against the static store matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq(
+      (0L, "keep me\nshared footer"), (1L, "other\nshared footer"),
+    ).toDF("doc_id", "text")
+    val store = graft.ops.TextOps.boilerplateDigests(history, "text", "\n", minDocs = 2)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.TextOps.removeBoilerplateWith(
+        input.toDF().toDF("doc_id", "text"), store, "text", "doc_id", "\n")
+      .writeStream.format("memory").queryName("bp_stream")
+      .outputMode("append").start()
+    try {
+      val data = Seq((10L, "fresh\nshared footer"), (11L, "all new"))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bp_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.ops.TextOps.removeBoilerplateWith(
+          data.toDF("doc_id", "text"), store, "text", "doc_id", "\n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set((10L, "fresh", 1L), (11L, "all new", 0L)))
+    } finally q.stop()
+  }
+
   test("streaming BM25 scores a document stream against the static stats store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
