@@ -422,4 +422,71 @@ class PropertySpec extends AnyFunSuite {
       assert(warped == base)
     }
   }
+  test("nfc_normalize is total and idempotent on random unicode strings") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // mix ASCII, combining marks, precomposed accents, surrogates (emoji),
+    // ligatures, fullwidth forms, and raw control chars
+    val codepoints = Gen.oneOf(
+      Gen.chooseNum(0x20, 0x7e),            // ASCII
+      Gen.chooseNum(0x300, 0x36f),          // combining diacriticals
+      Gen.chooseNum(0xc0, 0x17f),           // precomposed latin
+      Gen.oneOf(0xfb01, 0xff21, 0x212b, 0x1f600, 0x1f4a9), // fi, Ａ, Å, emoji
+      Gen.chooseNum(0x00, 0x1f),            // controls
+    )
+    val strGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, codepoints))
+      .map(cps => new String(cps.toArray.flatMap(Character.toChars), 0,
+        cps.map(Character.charCount).sum))
+    val strings = samples(strGen, 200)
+    val df = strings.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val out = df.select($"id", GraftFunctions.nfcNormalize($"t").as("n"),
+        GraftFunctions.nfcNormalize(GraftFunctions.nfcNormalize($"t")).as("nn"))
+      .collect()
+    assert(out.length == strings.length) // total: no row threw
+    out.foreach { r =>
+      val n = r.getString(1)
+      // idempotent, and agrees with java.text.Normalizer
+      assert(n == r.getString(2))
+      assert(java.text.Normalizer.isNormalized(n, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  test("BM25 equals a driver-side reference computation on random corpora") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val word = Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox")
+    val doc = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (round <- 0 until 6) {
+      val docs = samples(doc, 10).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val query = Seq("ant", "cat", "fox").take(1 + round % 3).mkString(" ")
+      val terms = graft.ops.Retrieval.queryTerms(query)
+      // reference: exact integer counts through the IDENTICAL double
+      // arithmetic order the operator's scaladoc pins
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val n = toks.size.toLong
+      val sumdl = toks.map(_._2.size.toLong).sum
+      val dfs = terms.map(q => toks.count(_._2.contains(q)).toLong)
+      val expected = toks.flatMap { case (id, tk) =>
+        val dl = tk.size.toLong
+        val tfs = terms.map(q => tk.count(_ == q).toLong)
+        if (tfs.forall(_ == 0L)) None
+        else {
+          val avgdl = sumdl.toDouble / n
+          val score = terms.indices.map { i =>
+            val tf = tfs(i).toDouble
+            val idf = math.log(1.0 + ((n - dfs(i)) + 0.5) / (dfs(i) + 0.5))
+            idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl))
+          }.reduce(_ + _)
+          Some(id -> ((tfs.count(_ > 0L).toLong,
+            BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        }
+      }.toMap
+      val got = graft.ops.Retrieval.bm25(df, "text", "doc_id", query)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == expected, s"round $round query '$query': $got vs $expected")
+    }
+  }
 }
