@@ -19,6 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - JPEG (ITU-T T.81 B.2): `FFD8`, then marker-segment walk (skipping
   *    fill bytes and standalone markers) until a frame header SOFn
   *    (C0-CF minus C4/C8/CC); height/width are u16be at body+1/+3.
+  *  - GIF  (87a/89a): 6-byte signature, then the logical screen
+  *    descriptor — width/height u16le at 6/8.
+  *  - BMP  (`BM`): DIB header size at 14 selects the layout —
+  *    BITMAPCOREHEADER (12; u16 dims) vs the INFO family (≥40; i32le
+  *    dims, top-down negative height reported as magnitude).
   *  - WAV  (RIFF): `RIFF....WAVE`, then chunk walk `[4cc][len u32le][body]`
   *    (word-aligned) until `fmt `; sample rate is u32le at body+4.
   *  - AVI  (RIFF): `RIFF....AVI `, then `LIST....hdrl`, then the `avih`
@@ -41,6 +46,9 @@ object MediaParseUtil {
   private def le32(b: Array[Byte], p: Int): Long =
     ((b(p + 3) & 0xffL) << 24) | ((b(p + 2) & 0xffL) << 16) |
       ((b(p + 1) & 0xffL) << 8) | (b(p) & 0xffL)
+
+  private def le16(b: Array[Byte], p: Int): Int =
+    ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
 
   private def fourcc(b: Array[Byte], p: Int, s: String): Boolean =
     b(p) == s.charAt(0).toByte && b(p + 1) == s.charAt(1).toByte &&
@@ -96,6 +104,26 @@ object MediaParseUtil {
           if (seglen < 2) return null
           p += 2 + seglen
         }
+      }
+      return null
+    }
+    // ---- GIF (87a/89a): logical screen descriptor right after the
+    // 6-byte signature — width/height u16le at 6/8 ----
+    if (n >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      return row("gif", le16(bytes, 6).toLong, le16(bytes, 8).toLong, -1, -1)
+    // ---- BMP: "BM" file header, then the DIB header whose declared size
+    // picks the layout — BITMAPCOREHEADER (12: u16 dims at 18/20) vs the
+    // INFO family (>=40: i32le dims at 18/22, height negative for
+    // top-down rows — report magnitude) ----
+    if (n >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val dib = le32(bytes, 14)
+      if (dib == 12L)
+        return row("bmp", le16(bytes, 18).toLong, le16(bytes, 20).toLong, -1, -1)
+      if (dib >= 40L) {
+        val w = le32(bytes, 18).toInt // i32: reinterpret the le32 bits
+        val h = le32(bytes, 22).toInt
+        if (w > 0) return row("bmp", w.toLong, math.abs(h.toLong), -1, -1)
       }
       return null
     }

@@ -1357,6 +1357,27 @@ class OpsSpec extends AnyFunSuite {
     val wv = MediaParseUtil.parse(wav)
     assert(wv != null && wv.getUTF8String(0).toString == "wav")
     assert(wv.getInt(3) == 44100)
+    // GIF 89a and 87a: logical screen descriptor right after the signature
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val gif = fcc("GIF89a") ++ le16(320) ++ le16(200) ++ Array[Byte](0, 0, 0)
+    val g = MediaParseUtil.parse(gif)
+    assert(g != null && g.getUTF8String(0).toString == "gif")
+    assert(g.getInt(1) == 320 && g.getInt(2) == 200)
+    assert(MediaParseUtil.parse(fcc("GIF87a") ++ le16(1) ++ le16(1) ++
+      Array[Byte](0)).getInt(1) == 1)
+    assert(MediaParseUtil.parse(fcc("GIF88a") ++ le16(9) ++ le16(9) ++
+      Array[Byte](0)) == null) // bad version byte
+    // BMP: INFO-family header (i32le dims, top-down negative height) and
+    // the ancient CORE header (u16 dims)
+    val bmpInfo = fcc("BM") ++ le32(200) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(1024) ++ le32(-768) ++ le16(1) ++ le16(24)
+    val bi = MediaParseUtil.parse(bmpInfo)
+    assert(bi != null && bi.getUTF8String(0).toString == "bmp")
+    assert(bi.getInt(1) == 1024 && bi.getInt(2) == 768) // magnitude of top-down
+    val bmpCore = fcc("BM") ++ le32(100) ++ le32(0) ++ le32(26) ++
+      le32(12) ++ le16(64) ++ le16(48) ++ le16(1) ++ le16(8)
+    val bc = MediaParseUtil.parse(bmpCore)
+    assert(bc != null && bc.getInt(1) == 64 && bc.getInt(2) == 48)
     // garbage and truncation parse to null, never throw
     assert(MediaParseUtil.parse(Array[Byte]()) == null)
     assert(MediaParseUtil.parse(fcc("not a media file")) == null)

@@ -28,6 +28,8 @@ class PropertySpec extends AnyFunSuite {
     val magics: Seq[Array[Byte]] = Seq(
       Array.empty[Byte],
       Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      "GIF89a".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"),
       Array[Byte](0xff.toByte, 0xd8.toByte),
       "RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII"),
       "RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII"),
