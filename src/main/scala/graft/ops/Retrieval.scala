@@ -97,6 +97,21 @@ object Retrieval {
     tf.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Persist a [[bm25Stats]] frame (one row) — the save/load lifecycle
+    * every other model store here has (`saveIvf`/`savePq`/`saveBpe`/
+    * `saveLinearWeights`).
+    */
+  def saveBm25Stats(stats: DataFrame, path: String): Unit =
+    stats.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a stats store saved by [[saveBm25Stats]]; [[bm25Stream]]
+    * verifies the stored term list against its query, so a stale or
+    * mismatched store fails loudly (round-trip-tested).
+    */
+  def loadBm25Stats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Stateless steady-state scorer over a PRECOMPUTED stats frame —
     * works identically on a batch frame or an unbounded STREAM (no
     * aggregation, no join, no state store, any output mode): the

@@ -2875,6 +2875,17 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join") && !p.contains("Aggregate") &&
       !p.contains("Exchange"), p)
+    // store round trip scores identically; a mismatched query term ORDER
+    // is refused loudly (the df columns are positional)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_store").toString + "/s"
+    Retrieval.saveBm25Stats(stats, dir)
+    val loaded = Retrieval.loadBm25Stats(spark, dir)
+    val viaStore = Retrieval.bm25Stream(df, loaded, "text", "doc_id", "apple banana")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStore == batch)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25Stream(df, loaded, "text", "doc_id", "banana apple")
+    }
   }
 
   test("zero vectors (NaN cosine) never surface in either miner") {
