@@ -115,15 +115,22 @@ object MediaParseUtil {
     // ---- BMP: "BM" file header, then the DIB header whose declared size
     // picks the layout — BITMAPCOREHEADER (12: u16 dims at 18/20) vs the
     // INFO family (>=40: i32le dims at 18/22, height negative for
-    // top-down rows — report magnitude) ----
-    if (n >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+    // top-down rows — report magnitude). A 2-byte magic alone would
+    // false-positive on arbitrary "BM…" blobs, so the mandatory
+    // structure corroborates: reserved bytes 6-9 are zero and the
+    // planes field is 1 in every valid BMP ----
+    if (n >= 26 && bytes(0) == 'B' && bytes(1) == 'M' && le32(bytes, 6) == 0L) {
       val dib = le32(bytes, 14)
-      if (dib == 12L)
-        return row("bmp", le16(bytes, 18).toLong, le16(bytes, 20).toLong, -1, -1)
-      if (dib >= 40L) {
+      if (dib == 12L && le16(bytes, 22) == 1) {
+        val w = le16(bytes, 18); val h = le16(bytes, 20)
+        if (w > 0 && h > 0) return row("bmp", w.toLong, h.toLong, -1, -1)
+      }
+      if (dib >= 40L && n >= 28 && le16(bytes, 26) == 1) {
         val w = le32(bytes, 18).toInt // i32: reinterpret the le32 bits
         val h = le32(bytes, 22).toInt
-        if (w > 0) return row("bmp", w.toLong, math.abs(h.toLong), -1, -1)
+        // Int.MinValue has no positive magnitude in i32 — malformed
+        if (w > 0 && h != 0 && h != Int.MinValue)
+          return row("bmp", w.toLong, math.abs(h.toLong), -1, -1)
       }
       return null
     }

@@ -132,26 +132,32 @@ object Retrieval {
   ): DataFrame = {
     val qTerms = queryTerms(query)
     require(qTerms.nonEmpty, s"query '$query' has no tokens")
-    val collected = stats.select(
-      (Seq(col("terms"), col("n").cast("long"), col("sumdl").cast("long")) ++
-        qTerms.indices.map(i => col(s"df_$i").cast("long"))): _*).collect()
-    require(collected.length == 1,
-      s"bm25 stats frame must be exactly one row, got ${collected.length}")
-    val row = collected(0)
-    val storedTerms = row.getSeq[String](0)
+    // verify the stored term list BEFORE selecting the positional df_i
+    // columns: a store with fewer terms would otherwise die on an
+    // unresolved-column error instead of this diagnostic
+    val termRows = stats.select(col("terms")).collect()
+    require(termRows.length == 1,
+      s"bm25 stats frame must be exactly one row, got ${termRows.length}")
+    val storedTerms = termRows(0).getSeq[String](0)
     require(storedTerms == qTerms,
       s"bm25 stats store was built for terms $storedTerms, scorer asked for " +
         s"$qTerms — term ORDER keys the df columns, rebuild or reorder")
-    val n = row.getLong(1)
+    val row = stats.select(
+      (Seq(col("n").cast("long"), col("sumdl").cast("long")) ++
+        qTerms.indices.map(i => col(s"df_$i").cast("long"))): _*).collect()(0)
+    val n = row.getLong(0)
     require(n > 0, "bm25 stats frame has an empty corpus (n = 0)")
-    val avgdl = row.getLong(2).toDouble / n
+    val avgdl = row.getLong(1).toDouble / n
     val k1p1 = k1 + 1.0
     val oneMb = 1.0 - b
     val withTfCols = withTf(docs, textCol, idCol, qTerms)
     def term(i: Int): Column = {
-      val df = row.getLong(3 + i)
-      // same ln over the same exact double as the in-plan form
-      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val df = row.getLong(2 + i)
+      // StrictMath.log, NOT math.log: Spark's in-plan `log` evaluates
+      // StrictMath (fdlibm), and java.lang.Math.log is an intrinsic
+      // that differs in the last ulp for ~5% of inputs — the bit-exact
+      // batch parity this scorer promises requires the same libm
+      val idf = StrictMath.log(1.0 + (n - df + 0.5) / (df + 0.5))
       val tf = col(s"__tf_$i").cast("double")
       lit(idf) * (tf * lit(k1p1)) /
         (tf + lit(k1) * (lit(oneMb) + lit(b) * col("__dl").cast("double") / lit(avgdl)))

@@ -1378,6 +1378,12 @@ class OpsSpec extends AnyFunSuite {
       le32(12) ++ le16(64) ++ le16(48) ++ le16(1) ++ le16(8)
     val bc = MediaParseUtil.parse(bmpCore)
     assert(bc != null && bc.getInt(1) == 64 && bc.getInt(2) == 48)
+    // a text blob starting "BM" must NOT sniff as bmp (reserved != 0)
+    assert(MediaParseUtil.parse(fcc("BMW group reported great quarterly")) == null)
+    // Int.MinValue height has no i32 magnitude -> malformed, null
+    val bmpBadH = fcc("BM") ++ le32(200) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(1024) ++ le32(Int.MinValue) ++ le16(1) ++ le16(24)
+    assert(MediaParseUtil.parse(bmpBadH) == null)
     // garbage and truncation parse to null, never throw
     assert(MediaParseUtil.parse(Array[Byte]()) == null)
     assert(MediaParseUtil.parse(fcc("not a media file")) == null)

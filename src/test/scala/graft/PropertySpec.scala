@@ -479,7 +479,9 @@ class PropertySpec extends AnyFunSuite {
           val avgdl = sumdl.toDouble / n
           val score = terms.indices.map { i =>
             val tf = tfs(i).toDouble
-            val idf = math.log(1.0 + ((n - dfs(i)) + 0.5) / (dfs(i) + 0.5))
+            // StrictMath: Spark's in-plan log is fdlibm, and Math.log's
+            // intrinsic differs in the last ulp for ~5% of inputs
+            val idf = StrictMath.log(1.0 + ((n - dfs(i)) + 0.5) / (dfs(i) + 0.5))
             idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl))
           }.reduce(_ + _)
           Some(id -> ((tfs.count(_ > 0L).toLong,
