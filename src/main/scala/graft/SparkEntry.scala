@@ -1652,6 +1652,13 @@ object SparkEntry {
       graft.streaming.EventStream.windowAnomaly(events(s, dir),
         zThreshold = 2.0)),
 
+    // trailing-baseline anomaly meter: each (type, hour) vs its own
+    // preceding 24 observed windows (warm-up head emits null z) — the
+    // regime-change-robust twin of q_events_anomaly
+    "q_events_anomaly_trail" -> ((s, dir) =>
+      graft.streaming.EventStream.windowAnomalyTrailing(events(s, dir),
+        lookback = 24, minPrior = 3, zThreshold = 2.0)),
+
     // batch twin of the streaming sessionization (gap = 30 min)
     "q_events_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(events(s, dir), gapMinutes = 30)),
@@ -3947,6 +3954,34 @@ object SparkEntry {
         |   OR coalesce(abs(CASE WHEN std_v > 0
         |      THEN (sum_value - mean_v) / std_v END) >= 2.0, false)) AS anomalous
         |FROM w JOIN b USING (event_type)""".stripMargin,
+
+    // trailing-baseline anomaly: the same stats frame + a preceding-rows
+    // window per type (count gate, population stddev), unrounded-z flags
+    "q_events_anomaly_trail" ->
+      """WITH w AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |    count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), b AS (
+        |  SELECT *, count(*) OVER wnd AS np,
+        |    avg(n_events) OVER wnd AS mean_n,
+        |    stddev_pop(n_events) OVER wnd AS std_n,
+        |    avg(sum_value) OVER wnd AS mean_v,
+        |    stddev_pop(sum_value) OVER wnd AS std_v
+        |  FROM w
+        |  WINDOW wnd AS (PARTITION BY event_type ORDER BY window_start
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, window_start, n_events, sum_value,
+        |  round(CASE WHEN np >= 3 AND std_n > 0
+        |    THEN (n_events - mean_n) / std_n END, 6) AS z_volume,
+        |  round(CASE WHEN np >= 3 AND std_v > 0
+        |    THEN (sum_value - mean_v) / std_v END, 6) AS z_value,
+        |  (coalesce(abs(CASE WHEN np >= 3 AND std_n > 0
+        |      THEN (n_events - mean_n) / std_n END) >= 2.0, false)
+        |   OR coalesce(abs(CASE WHEN np >= 3 AND std_v > 0
+        |      THEN (sum_value - mean_v) / std_v END) >= 2.0, false)) AS anomalous
+        |FROM b""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
     // as-of implementation (both inclusive at equal timestamps)

@@ -164,6 +164,43 @@ object EventStream {
       zThreshold)
   }
 
+  /** Trailing-baseline variant of [[windowAnomaly]] — regime-change
+    * robust: each (type, window) scores against the mean/std of its own
+    * PRECEDING `lookback` windows instead of the all-time per-type
+    * baseline, so a permanent level shift alarms once and then
+    * re-baselines rather than flagging forever. Windows with fewer
+    * than `minPrior` predecessors (the warm-up head of each type) emit
+    * null z and never flag. "Preceding" counts observed windows (rows),
+    * not wall-clock periods — a silent gap simply doesn't contribute.
+    *
+    * Scale shape: the trailing window function runs over the
+    * |types × windows| stats frame, never the corpus; one corpus
+    * aggregation + one small-frame window pass.
+    */
+  def windowAnomalyTrailing(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      lookback: Int = 24,
+      minPrior: Int = 3,
+      zThreshold: Double = 3.0,
+  ): DataFrame = {
+    require(lookback >= 1, "lookback must be >= 1")
+    require(minPrior >= 1 && minPrior <= lookback,
+      "minPrior must be in [1, lookback]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("window_start"))
+      .rowsBetween(-lookback, -1)
+    def gated(c: Column): Column = when(col("__np") >= minPrior, c)
+    anomalyFlags(
+      windowStats(events, windowDuration)
+        .withColumn("__np", count(lit(1)).over(w))
+        .withColumn("mean_n", gated(avg(col("n_events")).over(w)))
+        .withColumn("std_n", gated(stddev_pop(col("n_events")).over(w)))
+        .withColumn("mean_v", gated(avg(col("sum_value")).over(w)))
+        .withColumn("std_v", gated(stddev_pop(col("sum_value")).over(w))),
+      zThreshold)
+  }
+
   /** Streaming twin of [[windowAnomaly]] against a PRECOMPUTED
     * [[windowBaseline]] frame: the per-type baseline (driver-sized by
     * construction) collects at query-build time and ships as map

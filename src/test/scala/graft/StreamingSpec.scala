@@ -68,6 +68,34 @@ class StreamingSpec extends AnyFunSuite {
       .forall(r => r.isNullAt(r.fieldIndex("z_volume")) && !r.getAs[Boolean]("anomalous")))
   }
 
+  test("trailing anomaly meter: flags the level shift ONCE, then re-baselines") {
+    def ts(h: Long, i: Long) = new java.sql.Timestamp(h * 3600L * 1000L + i)
+    // quiet alternation 1,2,1,2,... then a permanent jump to 10/hour:
+    // the shift hour must flag against its trailing window, and the
+    // post-shift hours must NOT (the trailing baseline absorbs the new
+    // regime — the exact property the all-time form lacks)
+    val counts = Seq(1, 2, 1, 2, 1, 2, 10, 10, 10, 10, 10)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => (ts(h.toLong, i.toLong), "a", 0.0)) }
+    val got = graft.streaming.EventStream.windowAnomalyTrailing(
+        rows.toDF("ts", "event_type", "value"),
+        lookback = 4, minPrior = 3, zThreshold = 2.0)
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime / 3600000L).toInt ->
+        ((if (r.isNullAt(4)) null else r.getDouble(4).asInstanceOf[Any]),
+          r.getAs[Boolean]("anomalous"))).toMap
+    assert(got.size == 11)
+    // warm-up head: fewer than minPrior predecessors → null z, no flag
+    assert((0 to 2).forall(h => got(h)._1 == null && !got(h)._2))
+    // the shift hour: trailing {1,2,1,2} → z = (10 − 1.5)/0.5 = 17
+    assert(got(6)._1 == 17.0 && got(6)._2)
+    // every other hour stays quiet — including all post-shift hours
+    assert((3 to 5).forall(h => !got(h)._2))
+    assert((7 to 10).forall(h => !got(h)._2))
+    // fully re-baselined: the steady new regime has a flat window again
+    assert(got(10)._1 == null)
+  }
+
   test("streaming anomaly meter against the persisted baseline matches batch") {
     // the file stream source wants a directory; stage the events file into one
     val dir = java.nio.file.Files.createTempDirectory("events_anom")
