@@ -139,6 +139,33 @@ object SparkEntry {
     sqCache.computeIfAbsent(s"$dir#$normalize", _ =>
       ops.Similarity.trainSq(t(s, dir, "embeddings"), "embedding", normalize))
 
+  /** Incremental-clustering store, written once per sf dir — the
+    * production history refresh: prior component labels (the star
+    * compression [[ops.Dedup.connectedComponentsIncrement]] merges
+    * against) and the history's MinHash signature table, both parquet.
+    * Each day's batch then pays ONLY load + batch signatures + banded
+    * incremental pairs + star merge — cost ∝ |prior nodes| + |new
+    * pairs|, independent of the historical edge count. The
+    * `q_dedup_components_incr` row keeps proving incremental ≡ full by
+    * paying both sides in one query; `q_dedup_components_incr_steady`
+    * benches what production actually pays.
+    */
+  private val ccStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ccStoreFor(s: SparkSession, dir: String): String =
+    ccStoreCache.computeIfAbsent(dir, _ => {
+      val hist = t(s, dir, "documents").filter(col("doc_id") < 250)
+      val store = java.nio.file.Files.createTempDirectory("graft-cc-store-").toString
+      ops.Dedup.minHashSignatures(hist, "text", "doc_id", numHashes = 128)
+        .write.mode("overwrite").parquet(s"$store/signatures")
+      ops.Dedup.connectedComponents(
+          ops.Dedup.minHashNearDups(hist, "text", "doc_id",
+            numHashes = 128, bands = 32, threshold = 0.5),
+          hist.select(col("doc_id").as("id")))
+        .write.mode("overwrite").parquet(s"$store/labels")
+      store
+    })
+
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ops.Bpe.Merge]]()
   private def bpeFor(s: SparkSession, dir: String, n: Int): Seq[ops.Bpe.Merge] =
@@ -415,6 +442,26 @@ object SparkEntry {
           numHashes = 128, bands = 32, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponentsIncrement(prior, incrPairs,
+          batch.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("dup_group"))
+    }),
+
+    // steady-state incremental clustering: prior labels + history
+    // signatures load from the persisted store (written once per sf dir,
+    // the saveIvf lifecycle), so the row pays ONLY the production
+    // per-batch cost — batch signatures, banded incremental pairs, star
+    // merge. Same full-graph recursive-CTE oracle as the parity row:
+    // steady-state must land on the identical complete labeling.
+    "q_dedup_components_incr_steady" -> ((s, dir) => {
+      val store = ccStoreFor(s, dir)
+      val batch = t(s, dir, "documents").filter(col("doc_id") >= 250)
+      val incrPairs = Dedup.minHashNearDupsIncremental(
+          Dedup.minHashSignatures(batch, "text", "doc_id", numHashes = 128),
+          s.read.parquet(s"$store/signatures"),
+          numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponentsIncrement(
+          s.read.parquet(s"$store/labels"), incrPairs,
           batch.select(col("doc_id").as("id")))
         .select(col("id").as("doc_id"), col("comp").as("dup_group"))
     }),
@@ -2358,6 +2405,10 @@ object SparkEntry {
     // labeling — the parity IS the contract, so the oracle is the same
     // recursive CTE over the complete exact-Jaccard edge set
     "q_dedup_components_incr" -> oracleNearDupComponents,
+
+    // steady-state loads the same history from the persisted store; the
+    // complete labeling must still equal the full-graph recursive CTE
+    "q_dedup_components_incr_steady" -> oracleNearDupComponents,
 
     "q_dedup_near_keep_first" ->
       s"""SELECT doc_id FROM ($oracleNearDupComponents)

@@ -308,9 +308,18 @@ object Dsir {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val default = scalars.select(col("dsir_default")).collect()(0).getDouble(0)
     val table = Array.fill(buckets)(default)
-    ratios.select(col("bucket").cast("long"), col("log_ratio").cast("double"))
+    val rows = ratios
+      .select(col("bucket").cast("long"), col("log_ratio").cast("double"))
       .collect()
-      .foreach(r => table(r.getLong(0).toInt) = r.getDouble(1))
+    // Validate the persisted model against the caller's `buckets` the
+    // way bm25Stream validates its stats store: a store trained with a
+    // different B would otherwise throw AIOOBE (larger B) or silently
+    // score the out-of-range tail with the default ratio (smaller B).
+    val maxBucket = if (rows.isEmpty) -1L else rows.map(_.getLong(0)).max
+    require(maxBucket < buckets,
+      s"logWeightsStream: ratio store has bucket $maxBucket but buckets=$buckets — " +
+        "the persisted model was trained with a different bucket count")
+    rows.foreach(r => table(r.getLong(0).toInt) = r.getDouble(1))
     val tableLit = typedLit(table.toSeq)
     val bks = hashedNgramBuckets(col(textCol), buckets)
     val weightSum = aggregate(bks, lit(0.0), (acc, b) =>

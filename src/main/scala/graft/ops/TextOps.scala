@@ -414,7 +414,7 @@ object TextOps {
     */
   def blocklisted(text: Column, phrases: Seq[String]): Column =
     graft.functions.GraftFunctions.containsAny(
-      lower(text), phrases.map(_.toLowerCase).distinct)
+      lower(text), phrases.map(_.toLowerCase(java.util.Locale.ROOT)).distinct)
 
   /** Compression-ratio quality signal: raw-DEFLATE compressed length of
     * the UTF-8 bytes over the byte length ([[graft.functions.DeflateLen]]

@@ -244,6 +244,9 @@ object GraftSource {
     */
   def shardManifest(sharded: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // md5Long60 resolves via call_function; register like every other
+    // call site so a session without GraftExtensions still works.
+    graft.functions.GraftFunctions.register(sharded.sparkSession)
     sharded.groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_rows"),

@@ -300,9 +300,16 @@ object EventStream {
     * Scale shape: one hash shuffle on the user; events fold per user
     * via sorted `collect_list` + the `aggregate` HOF — state per user
     * is one (stage, ts, ts) struct, comparisons on exact
-    * `unix_micros` longs. Per-user event lists are session-sized (the
-    * [[sessionizeBatch]] assumption); no window function, no self-join
-    * per step.
+    * `unix_micros` longs. Only STEP-TYPE events are collected (a
+    * `when(...isin(steps))` inside the `collect_list` — nulls are
+    * skipped, so non-step events never ride the array while every
+    * user still appears, stage 0 on an empty list). This bounds the
+    * per-user array by that user's funnel-relevant events, not their
+    * full history — a bot firing millions of unrelated events costs
+    * one counter, not one giant array in a single task. A user hot in
+    * the step types themselves remains the caller's skew to know
+    * about (same posture as [[sessionizeBatch]]); no window function,
+    * no self-join per step.
     */
   def funnelStages(
       events: DataFrame,
@@ -316,8 +323,9 @@ object EventStream {
     val k = steps.length
     val stepsLit = typedLit(steps)
     val withinUs = withinMinutes.map(_ * 60L * 1000000L)
-    val evs = sort_array(collect_list(struct(
-      unix_micros(col(tsCol)).as("t"), col(typeCol).as("ty"))))
+    val evs = sort_array(collect_list(when(
+      col(typeCol).isin(steps.map(s => s: Any): _*),
+      struct(unix_micros(col(tsCol)).as("t"), col(typeCol).as("ty")))))
     // acc: (stage, t_anchor) — t_prev is the fold's last-advanced t; we
     // fold with (stage, tprev, tanchor)
     val init = struct(lit(0).as("stage"), lit(Long.MinValue).as("tprev"),
