@@ -1630,7 +1630,8 @@ object SparkEntry {
       media.select(col("media_id"), col("modality"),
         Multimodal.decodeMeta(col("payload")).as("m"))
         .select(col("media_id"), col("modality"), col("m.format").as("format"),
-          col("m.width"), col("m.height"), col("m.sample_rate"), col("m.n_frames"))
+          col("m.width"), col("m.height"), col("m.sample_rate"), col("m.n_frames"),
+          col("m.duration_ms"))
     }),
 
     // parse → resize composition over the REAL parsed metadata: the
@@ -2012,43 +2013,71 @@ object SparkEntry {
     val jpegHex = "'FFD8'||'FFE00010'||'4A464946'||'00010100000100010000'" + // SOI, APP0 len 16, JFIF\0...
       "||'FFC0000B08'||lpad(hex(h),4,'0')||lpad(hex(w),4,'0')" // SOF0 len 11, prec 8, H, W
     val wavHex = s"'52494646'||${oracleLe32Hex("36+len")}||'57415645'" + // RIFF, size, WAVE
-      s"||'666D7420'||'10000000'||'01000100'||${oracleLe32Hex("rate")}" // fmt , 16, PCM mono, rate
+      s"||'666D7420'||'10000000'||'01000100'||${oracleLe32Hex("rate")}" + // fmt , 16, PCM mono, rate
+      s"||${oracleLe32Hex("rate*2")}||'02001000'" + // byte rate, block align 2, 16-bit
+      s"||'64617461'||${oracleLe32Hex("len")}" // data, len
     val aviHex = s"'52494646'||${oracleLe32Hex("88+len")}||'41564920'" + // RIFF, size, AVI_
       s"||'4C495354'||'44000000'||'6864726C'||'61766968'||'38000000'" + // LIST, 68, hdrl, avih, 56
       s"||${oracleLe32Hex("33333")}||'000000000000000000000000'" + // µs/frame, 3 zero dwords
       s"||${oracleLe32Hex("fr")}||'00000000'||'01000000'||'00000000'" + // frames, initial, streams, bufsize
       s"||${oracleLe32Hex("w")}||${oracleLe32Hex("h")}" // dwWidth, dwHeight
+    // identity transform matrix of mvhd/tkhd (1.0, 1.0, 16.30-coded 1.0)
+    val mtx = "'000100000000000000000000'||'000000000001000000000000'||" +
+      "'000000000000000040000000'"
+    val mp4Hex = "'00000010'||'66747970'||'69736F6D'||'00000200'" + // ftyp isom
+      "||'000000D8'||'6D6F6F76'" + // moov (216)
+      "||'0000006C'||'6D766864'||'00000000'||'00000000'||'00000000'" + // mvhd (108) v0, ctime, mtime
+      s"||'000003E8'||lpad(hex(dur),8,'0')" + // timescale 1000, duration (ms)
+      s"||'00010000'||'01000000'||'00000000'||'00000000'||$mtx" + // rate, volume+rsvd, rsvd×2, matrix
+      "||'000000000000000000000000'||'000000000000000000000000'" + // pre_defined ×6
+      "||'00000002'" + // next_track_ID
+      "||'00000064'||'7472616B'" + // trak (100)
+      "||'0000005C'||'746B6864'||'00000007'||'00000000'||'00000000'" + // tkhd (92) v0+flags, ctime, mtime
+      s"||'00000001'||'00000000'||lpad(hex(dur),8,'0')" + // track_ID, rsvd, duration
+      s"||'00000000'||'00000000'||'0000000000000000'||$mtx" + // rsvd×2, layer/group/vol/rsvd, matrix
+      "||lpad(hex(w*65536),8,'0')||lpad(hex(h*65536),8,'0')" + // width, height as 16.16
+      s"||${"lpad(hex(len+8),8,'0')"}||'6D646174'" // mdat header
     s"""SELECT doc_id AS media_id, modality,
        |  CASE WHEN substr(hh,1,16) = '89504E470D0A1A0A' THEN 'png'
        |       WHEN substr(hh,1,4) = 'FFD8' THEN 'jpeg'
        |       WHEN substr(hh,1,8) = '52494646' AND substr(hh,17,8) = '57415645' THEN 'wav'
        |       WHEN substr(hh,1,8) = '52494646' AND substr(hh,17,8) = '41564920' THEN 'avi'
+       |       WHEN substr(hh,9,8) = '66747970' THEN 'mp4'
        |  END AS format,
        |  CAST(CASE WHEN substr(hh,1,16) = '89504E470D0A1A0A' THEN ${oracleBeParse(17, 4)}
        |            WHEN substr(hh,1,4) = 'FFD8' THEN ${oracleBeParse(28, 2)}
        |            WHEN substr(hh,17,8) = '41564920' THEN ${oracleLeParse(65)}
+       |            WHEN substr(hh,9,8) = '66747970' THEN ${oracleBeParse(225, 2)}
        |  END AS INTEGER) AS width,
        |  CAST(CASE WHEN substr(hh,1,16) = '89504E470D0A1A0A' THEN ${oracleBeParse(21, 4)}
        |            WHEN substr(hh,1,4) = 'FFD8' THEN ${oracleBeParse(26, 2)}
        |            WHEN substr(hh,17,8) = '41564920' THEN ${oracleLeParse(69)}
+       |            WHEN substr(hh,9,8) = '66747970' THEN ${oracleBeParse(229, 2)}
        |  END AS INTEGER) AS height,
        |  CAST(CASE WHEN substr(hh,17,8) = '57415645' THEN ${oracleLeParse(25)}
        |  END AS INTEGER) AS sample_rate,
        |  CAST(CASE WHEN substr(hh,17,8) = '41564920' THEN ${oracleLeParse(49)}
-       |  END AS INTEGER) AS n_frames
+       |  END AS INTEGER) AS n_frames,
+       |  CAST(CASE WHEN substr(hh,17,8) = '57415645' THEN (${oracleLeParse(41)} * 1000) // ${oracleLeParse(29)}
+       |            WHEN substr(hh,17,8) = '41564920' THEN (${oracleLeParse(33)} * ${oracleLeParse(49)}) // 1000
+       |            WHEN substr(hh,9,8) = '66747970' THEN (${oracleBeParse(49, 4)} * 1000) // ${oracleBeParse(45, 4)}
+       |  END AS INTEGER) AS duration_ms
        |FROM (
        |  SELECT doc_id, modality, hex(unhex(CASE c
        |    WHEN 'png' THEN $pngHex
        |    WHEN 'jpeg' THEN $jpegHex
        |    WHEN 'wav' THEN $wavHex
-       |    ELSE $aviHex END)) AS hh
+       |    WHEN 'avi' THEN $aviHex
+       |    ELSE $mp4Hex END)) AS hh
        |  FROM (
        |    SELECT doc_id, len,
        |      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
        |      CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 'png'
        |           WHEN doc_id % 3 = 0 THEN 'jpeg'
-       |           WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'avi' END AS c,
+       |           WHEN doc_id % 3 = 1 THEN 'wav'
+       |           WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS c,
        |      len % 1280 + 640 AS w, len % 720 + 360 AS h, len % 240 + 24 AS fr,
+       |      len % 590000 + 1000 AS dur,
        |      [8000,16000,22050,44100,48000][(len % 5) + 1] AS rate
        |    FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
        |  )

@@ -25,10 +25,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    BITMAPCOREHEADER (12; u16 dims) vs the INFO family (≥40; i32le
   *    dims, top-down negative height reported as magnitude).
   *  - WAV  (RIFF): `RIFF....WAVE`, then chunk walk `[4cc][len u32le][body]`
-  *    (word-aligned) until `fmt `; sample rate is u32le at body+4.
+  *    (word-aligned) until `fmt `; sample rate is u32le at body+4, byte
+  *    rate at body+8; the walk continues to the `data` chunk, whose
+  *    declared length over the byte rate gives `duration_ms`.
   *  - AVI  (RIFF): `RIFF....AVI `, then `LIST....hdrl`, then the `avih`
-  *    MainAVIHeader: dwTotalFrames at body+16, dwWidth/dwHeight at
-  *    body+32/+36, all u32le.
+  *    MainAVIHeader: dwMicroSecPerFrame at body+0, dwTotalFrames at
+  *    body+16, dwWidth/dwHeight at body+32/+36, all u32le;
+  *    `duration_ms` = µs/frame × frames / 1000.
+  *  - MP4  (ISO/IEC 14496-12 ISO-BMFF): detected by the `ftyp` box at
+  *    offset 4; generic box walk `[size u32be][type 4cc]` with the two
+  *    spec escapes (size==1 → 64-bit largesize follows the type;
+  *    size==0 → box runs to end of payload). Top level walks to `moov`;
+  *    inside it `mvhd` (version 0 or 1) yields timescale+duration →
+  *    `duration_ms`, and the first `trak`→`tkhd` (v0/v1) with a nonzero
+  *    width yields width/height (stored as 16.16 fixed point — the
+  *    integer part is reported).
   *
   * Unrecognized/truncated payloads return NULL (not an error): at corpus
   * scale a decode-meta pass is a filter/profiler and must not abort on the
@@ -54,13 +65,18 @@ object MediaParseUtil {
     b(p) == s.charAt(0).toByte && b(p + 1) == s.charAt(1).toByte &&
       b(p + 2) == s.charAt(2).toByte && b(p + 3) == s.charAt(3).toByte
 
-  private def row(format: String, w: Long, h: Long, rate: Long, frames: Long): InternalRow =
+  private def be64(b: Array[Byte], p: Int): Long =
+    (be32(b, p) << 32) | be32(b, p + 4)
+
+  private def row(format: String, w: Long, h: Long, rate: Long, frames: Long,
+      durMs: Long = -1): InternalRow =
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(format),
       if (w < 0) null else w.toInt,
       if (h < 0) null else h.toInt,
       if (rate < 0) null else rate.toInt,
       if (frames < 0) null else frames.toInt,
+      if (durMs < 0 || durMs > Int.MaxValue) null else durMs.toInt,
     ))
 
   private val PngSig =
@@ -138,14 +154,25 @@ object MediaParseUtil {
     if (n >= 12 && fourcc(bytes, 0, "RIFF")) {
       if (fourcc(bytes, 8, "WAVE")) {
         var p = 12L // Long cursor: see the PNG walk
-        while (p + 8 <= n) {
+        var rate = -1L; var byteRate = -1L; var dataLen = -1L
+        while (p + 8 <= n && (rate < 0 || dataLen < 0)) {
           val pi = p.toInt
           val csz = le32(bytes, pi + 4)
-          if (fourcc(bytes, pi, "fmt ") && csz >= 8 && p + 16 <= n)
-            return row("wav", -1, -1, le32(bytes, pi + 12), -1)
+          if (fourcc(bytes, pi, "fmt ") && csz >= 12 && p + 20 <= n) {
+            rate = le32(bytes, pi + 12)
+            byteRate = le32(bytes, pi + 16)
+          } else if (fourcc(bytes, pi, "data")) {
+            // the declared length is the payload's own claim — a
+            // truncated crawl row may carry fewer actual bytes; the
+            // header is still what a player would compute duration from
+            dataLen = csz
+          }
           p += 8L + csz + (csz & 1) // chunks are word-aligned
         }
-        return null
+        if (rate < 0) return null
+        val durMs =
+          if (dataLen >= 0 && byteRate > 0) dataLen * 1000L / byteRate else -1L
+        return row("wav", -1, -1, rate, -1, durMs)
       }
       if (fourcc(bytes, 8, "AVI ")) {
         var p = 12L // Long cursor: see the PNG walk
@@ -159,9 +186,14 @@ object MediaParseUtil {
             while (q + 8 <= end) {
               val qi = q.toInt
               val hsz = le32(bytes, qi + 4)
-              if (fourcc(bytes, qi, "avih") && hsz >= 40 && q + 48 <= n)
+              if (fourcc(bytes, qi, "avih") && hsz >= 40 && q + 48 <= n) {
+                val usPerFrame = le32(bytes, qi + 8)
+                val frames = le32(bytes, qi + 24)
+                val durMs =
+                  if (usPerFrame > 0) usPerFrame * frames / 1000L else -1L
                 return row("avi", le32(bytes, qi + 40), le32(bytes, qi + 44),
-                  -1, le32(bytes, qi + 24))
+                  -1, frames, durMs)
+              }
               q += 8L + hsz + (hsz & 1)
             }
             return null
@@ -171,12 +203,88 @@ object MediaParseUtil {
         return null
       }
     }
+    // ---- MP4 / ISO-BMFF: generic box walk (ISO/IEC 14496-12 §4.2) ----
+    // detected by the mandatory first-box `ftyp`; box = [size u32be]
+    // [type 4cc], size==1 → u64 largesize follows the type, size==0 →
+    // the box extends to the end of the payload.
+    if (n >= 12 && fourcc(bytes, 4, "ftyp") && be32(bytes, 0) >= 8) {
+      // resolve one box header at p: (payload start, box end) or null
+      def box(p: Long, end: Long): Array[Long] = {
+        if (p + 8 > end) return null
+        val pi = p.toInt
+        val s32 = be32(bytes, pi)
+        if (s32 == 1L) {
+          if (p + 16 > end) return null
+          val s64 = be64(bytes, pi + 8)
+          if (s64 < 16 || p + s64 > end) return null
+          Array(p + 16, p + s64)
+        } else if (s32 == 0L) {
+          Array(p + 8, end) // last box: runs to the end
+        } else {
+          if (s32 < 8 || p + s32 > end) return null
+          Array(p + 8, p + s32)
+        }
+      }
+      var w = -1L; var h = -1L; var durMs = -1L
+      var p = 0L
+      while (p + 8 <= n) {
+        val pi = p.toInt
+        val b = box(p, n.toLong)
+        if (b == null) return if (durMs >= 0 || w >= 0) row("mp4", w, h, -1, -1, durMs) else null
+        if (fourcc(bytes, pi + 4, "moov")) {
+          var q = b(0)
+          while (q + 8 <= b(1)) {
+            val qi = q.toInt
+            val c = box(q, b(1))
+            if (c == null) return row("mp4", w, h, -1, -1, durMs)
+            if (fourcc(bytes, qi + 4, "mvhd") && durMs < 0) {
+              val body = c(0).toInt
+              val v = bytes(body) & 0xff
+              if (v == 0 && c(0) + 20 <= c(1)) {
+                val ts = be32(bytes, body + 12); val d = be32(bytes, body + 16)
+                if (ts > 0) durMs = d * 1000L / ts
+              } else if (v == 1 && c(0) + 32 <= c(1)) {
+                val ts = be32(bytes, body + 20); val d = be64(bytes, body + 24)
+                if (ts > 0 && d >= 0) durMs = d * 1000L / ts
+              }
+            }
+            if (fourcc(bytes, qi + 4, "trak") && w < 0) {
+              // walk the trak's children for tkhd
+              var r = c(0)
+              while (r + 8 <= c(1) && w < 0) {
+                val ri = r.toInt
+                val t = box(r, c(1))
+                if (t == null) return row("mp4", w, h, -1, -1, durMs)
+                if (fourcc(bytes, ri + 4, "tkhd")) {
+                  val body = t(0).toInt
+                  val v = bytes(body) & 0xff
+                  // width/height are 16.16 fixed point at body+76 (v0)
+                  // or body+88 (v1); audio traks carry zeros — skip them
+                  val off = if (v == 1) 88 else 76
+                  if (t(0) + off + 8 <= t(1)) {
+                    val tw = be32(bytes, body + off) >> 16
+                    val th = be32(bytes, body + off + 4) >> 16
+                    if (tw > 0 && th > 0) { w = tw; h = th }
+                  }
+                }
+                r = t(1)
+              }
+            }
+            q = c(1)
+          }
+          return row("mp4", w, h, -1, -1, durMs)
+        }
+        p = b(1)
+      }
+      return null
+    }
     null
   }
 }
 
 /** `media_meta(payload)` — parse a binary media payload's container header
-  * into `struct<format, width, height, sample_rate, n_frames>` (NULL when
+  * into `struct<format, width, height, sample_rate, n_frames, duration_ms>`
+  * (NULL when
   * no container is recognized). Runs inside whole-stage codegen as a
   * static call per row: a decode-meta pass over 100 TB stays a pure
   * scan-side projection with no shuffle and no external codec.
@@ -215,5 +323,6 @@ object MediaMeta {
     StructField("height", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("n_frames", IntegerType),
+    StructField("duration_ms", IntegerType),
   ))
 }

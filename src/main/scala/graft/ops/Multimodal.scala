@@ -149,9 +149,55 @@ object Multimodal {
     )
   }
 
+  /** MP4 (ISO-BMFF) stream: `ftyp`, then a `moov` carrying a version-0
+    * `mvhd` (timescale 1000, so duration units are milliseconds) and one
+    * `trak`→`tkhd` with the dimensions as 16.16 fixed point, then the
+    * body as the `mdat` box. Every box is the plain `[size u32be][type]`
+    * form here; the 64-bit-largesize and size-0 escapes of the box
+    * grammar are exercised by unit fixtures (they are not
+    * Column-expressible without pain, and the walker is offset-generic
+    * either way).
+    */
+  def encodeMp4(body: Column, w: Column, h: Column, durMs: Column): Column = {
+    val unity = concat( // the spec's identity transform matrix
+      be32(lit(0x10000)), be32(lit(0)), be32(lit(0)),
+      be32(lit(0)), be32(lit(0x10000)), be32(lit(0)),
+      be32(lit(0)), be32(lit(0)), be32(lit(0x40000000)))
+    val mvhd = concat(
+      be32(lit(108)), ascii("mvhd"),
+      be32(lit(0)), // version 0 + flags
+      be32(lit(0)), be32(lit(0)), // creation, modification
+      be32(lit(1000)), be32(durMs), // timescale 1000 → duration in ms
+      be32(lit(0x10000)), // rate 1.0
+      be16(lit(0x100)), be16(lit(0)), // volume 1.0, reserved
+      be32(lit(0)), be32(lit(0)), // reserved
+      unity,
+      be32(lit(0)), be32(lit(0)), be32(lit(0)), // pre_defined
+      be32(lit(0)), be32(lit(0)), be32(lit(0)),
+      be32(lit(2)), // next_track_ID
+    )
+    val tkhd = concat(
+      be32(lit(92)), ascii("tkhd"),
+      be32(lit(7)), // version 0, flags: enabled|in_movie|in_preview
+      be32(lit(0)), be32(lit(0)), // creation, modification
+      be32(lit(1)), be32(lit(0)), // track_ID, reserved
+      be32(durMs),
+      be32(lit(0)), be32(lit(0)), // reserved
+      be16(lit(0)), be16(lit(0)), be16(lit(0)), be16(lit(0)), // layer, group, volume, reserved
+      unity,
+      be32(w.cast("long") * 65536), be32(h.cast("long") * 65536), // 16.16
+    )
+    concat(
+      be32(lit(16)), ascii("ftyp"), ascii("isom"), be32(lit(0x200)),
+      be32(lit(216)), ascii("moov"), mvhd,
+      be32(lit(100)), ascii("trak"), tkhd,
+      be32(length(body) + lit(8)), ascii("mdat"), body,
+    )
+  }
+
   /** Media table with REAL container payloads, derived entirely from the
-    * documents table: images alternate PNG/JPEG, audio is WAV, video is
-    * AVI; dimensions/rates/frame counts derive from the text's byte
+    * documents table: images alternate PNG/JPEG, audio is WAV, video
+    * alternates AVI/MP4; dimensions/rates/frame counts derive from the text's byte
     * length (SQL-expressible, so the DuckDB oracle can rebuild the same
     * bytes and parse them back). This is what [[decodeMeta]] parses in
     * the driver rows — the decode is exercised on genuine container
@@ -163,6 +209,7 @@ object Multimodal {
     val w = pmod(len, lit(1280)) + 640
     val h = pmod(len, lit(720)) + 360
     val frames = pmod(len, lit(240)) + 24
+    val durMs = pmod(len, lit(590000)) + 1000
     val rate = element_at(
       array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
       (pmod(len, lit(5)) + 1).cast("int"))
@@ -174,7 +221,8 @@ object Multimodal {
         when(pmod(col("doc_id"), lit(2)) === 0, encodePng(body, w, h))
           .otherwise(encodeJpeg(body, w, h)))
         .when(pmod(col("doc_id"), lit(3)) === 1, encodeWav(body, rate))
-        .otherwise(encodeAvi(body, w, h, frames)).as("payload"),
+        .when(pmod(col("doc_id"), lit(2)) === 0, encodeAvi(body, w, h, frames))
+        .otherwise(encodeMp4(body, w, h, durMs)).as("payload"),
     )
   }
 

@@ -1307,21 +1307,33 @@ class OpsSpec extends AnyFunSuite {
       val len = docs.filter($"doc_id" === id).collect().head.getString(1).getBytes("UTF-8").length
       val expFormat =
         if (id % 3 == 0) (if (id % 2 == 0) "png" else "jpeg")
-        else if (id % 3 == 1) "wav" else "avi"
+        else if (id % 3 == 1) "wav"
+        else if (id % 2 == 0) "avi" else "mp4"
       assert(m.getAs[String]("format") == expFormat, s"id $id")
       expFormat match {
         case "png" | "jpeg" =>
           assert(m.getAs[Int]("width") == len % 1280 + 640, s"id $id")
           assert(m.getAs[Int]("height") == len % 720 + 360, s"id $id")
           assert(m.isNullAt(m.fieldIndex("sample_rate")) && m.isNullAt(m.fieldIndex("n_frames")))
+          assert(m.isNullAt(m.fieldIndex("duration_ms")))
         case "wav" =>
           val rates = Seq(8000, 16000, 22050, 44100, 48000)
-          assert(m.getAs[Int]("sample_rate") == rates(len % 5), s"id $id")
+          val rate = rates(len % 5)
+          assert(m.getAs[Int]("sample_rate") == rate, s"id $id")
           assert(m.isNullAt(m.fieldIndex("width")))
+          // duration = data length / byte rate (mono 16-bit → rate×2 B/s)
+          assert(m.getAs[Int]("duration_ms") == len.toLong * 1000 / (rate * 2L), s"id $id")
         case "avi" =>
           assert(m.getAs[Int]("width") == len % 1280 + 640, s"id $id")
           assert(m.getAs[Int]("height") == len % 720 + 360, s"id $id")
           assert(m.getAs[Int]("n_frames") == len % 240 + 24, s"id $id")
+          assert(m.getAs[Int]("duration_ms") ==
+            33333L * (len % 240 + 24) / 1000, s"id $id")
+        case "mp4" =>
+          assert(m.getAs[Int]("width") == len % 1280 + 640, s"id $id")
+          assert(m.getAs[Int]("height") == len % 720 + 360, s"id $id")
+          assert(m.getAs[Int]("duration_ms") == len % 590000 + 1000, s"id $id")
+          assert(m.isNullAt(m.fieldIndex("sample_rate")) && m.isNullAt(m.fieldIndex("n_frames")))
       }
     }
   }
@@ -1409,6 +1421,63 @@ class OpsSpec extends AnyFunSuite {
       fcc("LIST") ++ le32(40) ++ fcc("hdrl") ++
       fcc("JUNK") ++ le32(0xfffffff0) ++ Array[Byte](0, 0, 0, 0)
     assert(MediaParseUtil.parse(hugeAviInner) == null)
+    // WAV: duration from the data-chunk length over the byte rate; the
+    // data chunk may be header-only (truncated body) — the declared
+    // length is what a player computes duration from
+    val wavDur = fcc("RIFF") ++ le32(100) ++ fcc("WAVE") ++
+      fcc("fmt ") ++ le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(44100) ++
+      le32(88200) ++ Array[Byte](2, 0, 16, 0) ++
+      fcc("data") ++ le32(88200) // header-only: length is the claim
+    val wd = MediaParseUtil.parse(wavDur)
+    assert(wd.getInt(3) == 44100 && wd.getInt(5) == 1000) // 88200 B / 88200 B/s
+    // AVI duration: µs/frame × frames / 1000 (33333 µs × 60 → 1999 ms)
+    val aviDur = fcc("RIFF") ++ le32(200) ++ fcc("AVI ") ++
+      fcc("LIST") ++ le32(68) ++ fcc("hdrl") ++
+      fcc("avih") ++ le32(56) ++ le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(60) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(320) ++ le32(240) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val ad = MediaParseUtil.parse(aviDur)
+    assert(ad.getInt(4) == 60 && ad.getInt(5) == 1999)
+  }
+
+  test("mp4 box walker: v0/v1 full boxes, 64-bit largesize, size-0 tail, malformed") {
+    import graft.functions.MediaParseUtil
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def bx(t: String, body: Array[Byte]) = be32(body.length + 8L) ++ fcc(t) ++ body
+    def bx64(t: String, body: Array[Byte]) =
+      be32(1) ++ fcc(t) ++ be64(body.length + 16L) ++ body
+    val ftyp = bx("ftyp", fcc("isom") ++ be32(0x200))
+    val m36 = Array.fill[Byte](36)(0)
+    // v1 mvhd at a NON-1000 timescale: 1200 units / 600 u/s → 2000 ms
+    val mvhd1 = bx("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(600) ++ be64(1200))
+    def tkhd1(w: Int, h: Int) = bx("tkhd", Array[Byte](1, 0, 0, 7) ++
+      be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++ be64(1200) ++
+      be64(0) ++ be64(0) ++ m36 ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    // an audio trak (zero dims) FIRST — the walker must skip past it
+    val moovBody = mvhd1 ++ bx("trak", tkhd1(0, 0)) ++ bx("trak", tkhd1(640, 360))
+    // moov as a 64-bit-largesize box, mdat as a size-0 run-to-end box
+    val mp4 = ftyp ++ bx64("moov", moovBody) ++
+      be32(0) ++ fcc("mdat") ++ fcc("payload bytes")
+    val m = MediaParseUtil.parse(mp4)
+    assert(m != null && m.getUTF8String(0).toString == "mp4")
+    assert(m.getInt(1) == 640 && m.getInt(2) == 360)
+    assert(m.getInt(5) == 2000)
+    // v0 mvhd, still non-1000 timescale: 900 / 600 → 1500 ms
+    val mvhd0 = bx("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(900))
+    val m0 = MediaParseUtil.parse(ftyp ++ bx("moov", mvhd0))
+    assert(m0 != null && m0.getInt(5) == 1500 && m0.isNullAt(1))
+    // malformed: huge declared sizes, short sizes, and truncation all
+    // yield null (or partial fields), never a hang or a crash
+    assert(MediaParseUtil.parse(ftyp ++ be32(0x7fffffffL) ++ fcc("moov")) == null)
+    assert(MediaParseUtil.parse(ftyp ++ be32(4) ++ fcc("moov")) == null) // size < 8
+    assert(MediaParseUtil.parse(ftyp) == null) // no moov at all
+    assert(MediaParseUtil.parse(ftyp ++ be32(1) ++ fcc("moov") ++ be64(8)) == null) // largesize < 16
+    assert(MediaParseUtil.parse(mp4.take(40)) == null) // truncated inside moov
+    // not MP4 at all: first box isn't ftyp
+    assert(MediaParseUtil.parse(bx("free", fcc("xxxx")) ++ ftyp) == null)
   }
 
   test("multimodal: stub features have requested dim and bounded range") {

@@ -33,6 +33,12 @@ class PropertySpec extends AnyFunSuite {
       Array[Byte](0xff.toByte, 0xd8.toByte),
       "RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII"),
       "RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII"),
+      // ISO-BMFF: a well-formed ftyp, then random tail boxes — random
+      // bytes make declared box sizes (incl. the 64-bit largesize path)
+      // uniformly huge/garbage, the walker's hang/crash class
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0),
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 2, 0, 0, 0, 0, 1) ++ "moov".getBytes("US-ASCII"),
     )
     val bytesGen = for {
       magic <- Gen.oneOf(magics)
