@@ -166,6 +166,31 @@ object SparkEntry {
       store
     })
 
+  /** WARC fixture, serialized once per sf dir: the documents table as
+    * real multi-file ISO 28500 WARC conversion records (4 files, so the
+    * read-back exercises the parallel multi-file scan). Deterministic
+    * and SQL-expressible, so the DuckDB oracle can rebuild the identical
+    * record strings and re-parse them.
+    */
+  private val warcStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcStoreFor(s: SparkSession, dir: String): String =
+    warcStoreCache.computeIfAbsent(dir, _ => {
+      val store = java.nio.file.Files.createTempDirectory("graft-warc-").toString
+      t(s, dir, "documents").select(
+          sources.GraftSource.warcRecord(
+            lit("conversion"),
+            concat(lit("https://example.org/doc/"), col("doc_id")),
+            concat(lit("2024-01-"),
+              lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+              lit("T00:00:00Z")),
+            lit("text/plain"),
+            col("text")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").option("lineSep", "\r\n").text(s"$store/wet")
+      store
+    })
+
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ops.Bpe.Merge]]()
   private def bpeFor(s: SparkSession, dir: String, n: Int): Seq[ops.Bpe.Merge] =
@@ -1172,6 +1197,20 @@ object SparkEntry {
     "q_curate" -> ((s, dir) =>
       ops.Curate.curate(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("quality"), col("dup_3gram_frac"))),
+
+    // WARC/WET source: the documents table is serialized once per sf dir
+    // into real multi-file ISO 28500 WARC (the warcStoreFor fixture),
+    // then read back through the record-boundary-splitting parallel
+    // reader — the oracle rebuilds the same record strings in DuckDB and
+    // RE-PARSES the fields out of them with string ops (regexp over the
+    // header block, Content-Length-sliced payload), not the generator
+    // formulas
+    "q_source_warc" -> ((s, dir) => {
+      val store = warcStoreFor(s, dir)
+      sources.GraftSource.readWarc(s, s"$store/wet")
+        .select(col("warc_type"), col("url"), col("warc_date"),
+          col("content_type"), col("content_length"), col("truncated"), col("text"))
+    }),
 
     // feature-hashing document embedding (model-free, md5-derived, L2
     // normalized); canonicalized to a joined %.6f string for the compare
@@ -3606,6 +3645,42 @@ object SparkEntry {
     // the composed curation pipeline: language + quality + repetition
     // gates, then keep-first dedup among the survivors (QUALIFY runs
     // after WHERE, matching the Spark filter-then-window order)
+    // WARC round trip: rebuild the identical ISO 28500 record strings
+    // (CRLF header block, byte-accurate Content-Length, payload) and
+    // RE-PARSE every output field out of them with string ops at the
+    // record's own offsets — regexp over the header block, the payload
+    // sliced by the parsed Content-Length. The corpus is pure ASCII
+    // (asserted nothing here relies on it being otherwise: char==byte
+    // for substr on this fixture; the reader's binary slicing has its
+    // own multibyte unit test).
+    "q_source_warc" ->
+      s"""WITH rec AS (
+         |  SELECT 'WARC/1.0' || chr(13)||chr(10)
+         |    || 'WARC-Type: conversion' || chr(13)||chr(10)
+         |    || 'WARC-Target-URI: https://example.org/doc/' || doc_id || chr(13)||chr(10)
+         |    || 'WARC-Date: 2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00Z' || chr(13)||chr(10)
+         |    || 'Content-Type: text/plain' || chr(13)||chr(10)
+         |    || 'Content-Length: ' || octet_length(encode(text)) || chr(13)||chr(10)
+         |    || chr(13)||chr(10) || text || chr(13)||chr(10) AS r
+         |  FROM documents
+         |), hd AS (
+         |  SELECT r, substr(r, 1, strpos(r, chr(13)||chr(10)||chr(13)||chr(10)) - 1) AS h
+         |  FROM rec
+         |), cl AS (
+         |  SELECT r, h,
+         |    CAST(nullif(regexp_extract(h, 'Content-Length: ([0-9]+)', 1), '') AS BIGINT) AS clen
+         |  FROM hd
+         |)
+         |SELECT
+         |  nullif(regexp_extract(h, 'WARC-Type: ([^\r\n]*)', 1), '') AS warc_type,
+         |  nullif(regexp_extract(h, 'WARC-Target-URI: ([^\r\n]*)', 1), '') AS url,
+         |  nullif(regexp_extract(h, 'WARC-Date: ([^\r\n]*)', 1), '') AS warc_date,
+         |  nullif(regexp_extract(h, 'Content-Type: ([^\r\n]*)', 1), '') AS content_type,
+         |  clen AS content_length,
+         |  (octet_length(encode(r)) - octet_length(encode(h)) - 4) < clen AS truncated,
+         |  substr(r, length(h) + 5, CAST(clen AS INTEGER)) AS text
+         |FROM cl""".stripMargin,
+
     "q_curate" ->
       s"""WITH m AS (
          |  SELECT doc_id, text,

@@ -171,4 +171,82 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bk_len")
     }
   }
+
+  test("warc: multi-file round trip, byte-accurate multibyte payloads") {
+    val tmp = java.nio.file.Files.createTempDirectory("warc-rt-").toString
+    // multibyte text: Content-Length is BYTES, so char-based slicing
+    // would cut these payloads short
+    val docs = Seq(
+      (0L, "plain ascii body"),
+      (1L, "héllo wörld — ünïcode päyload"),
+      (2L, "日本語のテキスト with mixed ascii"),
+      (3L, ""), // empty payload is a legal record
+      (4L, "ends with separator-ish text WARC/1.0 inline"),
+    ).toDF("doc_id", "text")
+    docs.select(GraftSource.warcRecord(
+        lit("conversion"),
+        concat(lit("https://example.org/d/"), $"doc_id"),
+        lit("2024-02-03T04:05:06Z"),
+        lit("text/plain"),
+        $"text").as("value"))
+      .repartition(2) // two files: the read must union them
+      .write.mode("overwrite").option("lineSep", "\r\n").text(tmp)
+    val got = GraftSource.readWarc(spark, tmp)
+      .select($"url", $"text", $"truncated", $"content_length").collect()
+    assert(got.length == 5)
+    val byUrl = got.map(r => r.getString(0) -> r).toMap
+    docs.collect().foreach { d =>
+      val r = byUrl(s"https://example.org/d/${d.getLong(0)}")
+      assert(r.getString(1) == d.getString(1), s"doc ${d.getLong(0)}")
+      assert(!r.getBoolean(2))
+      assert(r.getLong(3) == d.getString(1).getBytes("UTF-8").length.toLong)
+    }
+    // WET view: conversion records only, the ingest shape
+    val wet = GraftSource.readWet(spark, tmp)
+    assert(wet.columns.toList == List("url", "warc_date", "text"))
+    assert(wet.count() == 5)
+  }
+
+  test("warc: truncated and malformed records are flagged/null, never fatal") {
+    val tmp = java.nio.file.Files.createTempDirectory("warc-tr-").toString
+    val crlf = "\r\n"
+    def rec(headers: Seq[String], payload: String) =
+      "WARC/1.0" + crlf + headers.mkString(crlf) + crlf + crlf + payload + crlf + crlf
+    val good = rec(Seq("WARC-Type: conversion", "WARC-Target-URI: https://a/1",
+      "WARC-Date: 2024-01-01T00:00:00Z", "Content-Type: text/plain",
+      "Content-Length: 4"), "full")
+    // claims 100 bytes, carries 9 — the malformed tail of a crawl
+    val truncated = rec(Seq("WARC-Type: conversion", "WARC-Target-URI: https://a/2",
+      "Content-Length: 100"), "only this")
+    // no blank line, no Content-Length: header-only garbage
+    val malformed = "WARC/1.0" + crlf + "not a header block at all" + crlf + crlf
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "mixed.warc"),
+      (good + truncated + malformed).getBytes("UTF-8"))
+    val rows = GraftSource.readWarc(spark, tmp).collect()
+    assert(rows.length == 3)
+    val byU = rows.map(r => Option(r.getAs[String]("url")) -> r).toMap
+    val g = byU(Some("https://a/1"))
+    assert(g.getAs[String]("text") == "full" && !g.getAs[Boolean]("truncated"))
+    val tr = byU(Some("https://a/2"))
+    assert(tr.getAs[Boolean]("truncated"))
+    assert(tr.getAs[String]("text").startsWith("only this"))
+    val bad = byU(None)
+    assert(bad.isNullAt(bad.fieldIndex("content_length")))
+    assert(bad.isNullAt(bad.fieldIndex("text")))
+  }
+
+  test("warc source gates like the others: declared subset, unknown field errors") {
+    val tmp = java.nio.file.Files.createTempDirectory("warc-gate-").toString
+    Seq((1L, "body")).toDF("doc_id", "text")
+      .select(GraftSource.warcRecord(lit("conversion"),
+        concat(lit("u"), $"doc_id"), lit("d"), lit("text/plain"), $"text").as("value"))
+      .write.mode("overwrite").option("lineSep", "\r\n").text(tmp)
+    val gated = GraftSource.warc(spark, tmp, """{ "url": "string", "text": "string" }""")
+      .fold(e => fail(e), identity)
+    assert(gated.columns.toList == List("url", "text"))
+    assert(gated.count() == 1)
+    val bad = GraftSource.warc(spark, tmp, """{ "nope": "string" }""")
+    assert(bad.swap.exists(_.contains("unexisting field: nope")))
+  }
 }
