@@ -191,6 +191,27 @@ object SparkEntry {
       store
     })
 
+  /** Logistic model (weights + bias) trained once per sf dir — the
+    * [[ivfIndexFor]] lifecycle: `q_text_lr_weights` pays the visible
+    * 16-epoch training cost, the score/auc rows load the memoized model
+    * and measure scoring. Training is deterministic (zero init, fixed
+    * epochs, integer-exact gradient sums), so the cached model equals
+    * what any invocation would train.
+    */
+  private val lrModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Int], Double)]()
+  private def lrModelFor(s: SparkSession, dir: String): (Array[Int], Double) =
+    lrModelCache.computeIfAbsent(dir, _ => {
+      graft.functions.GraftFunctions.register(s)
+      val rows = ops.Embeddings.trainLogisticWeights(
+        t(s, dir, "documents"), "text", col("lang") === "en").collect()
+      val w = new Array[Int](64)
+      var bq = 0
+      rows.foreach(r =>
+        if (r.getInt(0) >= 0) w(r.getInt(0)) = r.getInt(1) else bq = r.getInt(1))
+      (w, bq / 1048576.0)
+    })
+
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ops.Bpe.Merge]]()
   private def bpeFor(s: SparkSession, dir: String, n: Int): Seq[ops.Bpe.Merge] =
@@ -963,6 +984,41 @@ object SparkEntry {
     "q_text_auc" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       ops.Stats.rocAuc(d, col("lang") === "en", trainedScore(s, d))
+    }),
+
+    // in-engine LOGISTIC training (fixed-epoch full-batch GD over the
+    // same hashed features): integer-exact gradient sums + the
+    // algebraic sigmoid make all 16 epochs bit-reproducible, so the
+    // oracle recomputes the whole fixpoint as 16 chained CTE blocks
+    "q_text_lr_weights" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      ops.Embeddings.trainLogisticWeights(
+          t(s, dir, "documents"), "text", col("lang") === "en")
+        .orderBy(col("bucket"))
+    }),
+
+    // the trained logistic model scored with the SAME native expression
+    // Rocchio uses ([[Embeddings.linearScore]]) — the model slots into
+    // the score/eval/calibration chain unchanged
+    "q_text_lr_score" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val (w, bias) = lrModelFor(s, dir)
+      t(s, dir, "documents").select(col("doc_id"),
+        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = bias), 6)
+          .as("lr_score"))
+        .withColumn("pred_en", col("lr_score") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ROC-AUC of the logistic model — DriverSuiteSpec contracts this
+    // strictly above q_text_auc's Rocchio AUC at both SFs (the reason
+    // the iterative trainer exists)
+    "q_text_lr_auc" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+      val (w, bias) = lrModelFor(s, dir)
+      ops.Stats.rocAuc(d, col("lang") === "en",
+        round(ops.Embeddings.linearScore(col("text"), w, scale = 1000.0, bias = bias), 6))
     }),
 
     // average precision of the trained classifier (PR-space summary —
@@ -1971,6 +2027,83 @@ object SparkEntry {
        |    CASE WHEN len(t.tokens) > 0
        |      THEN round(d.dot / (1000.0 * len(t.tokens)) + 0.0, 6) END AS score
        |  FROM toks t LEFT JOIN dots d USING (doc_id)
+       |)""".stripMargin
+
+  /** CTE chain mirroring [[ops.Embeddings.trainLogisticWeights]] (dim 64,
+    * scale 1000, lr 512, lrBias 4) for `epochs` epochs: cellsL holds each
+    * document's integer hash-feature counts, dlL the labeled non-empty
+    * docs, then one (m/r/g/w/b) block per epoch — margins from the
+    * integer dot (order-independent), the algebraic sigmoid (IEEE-exact
+    * ops only), residuals quantized to integers before the corpus sums,
+    * updates rounded with the same explicit floor(x+0.5). Ends with
+    * `lw$epochs(bucket, wv)` and `lb$epochs(bv)`. Every constant is
+    * binary-exact, so DuckDB replays all 16 epochs bit-identically.
+    */
+  private def oracleLrCtes(epochs: Int): String = {
+    val base =
+      s"""ltoks AS MATERIALIZED (
+         |  SELECT doc_id, lang, $oracleTokens AS tokens FROM documents
+         |), lth AS MATERIALIZED (
+         |  SELECT doc_id, ${oracleMd5Long("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tokens) AS tok FROM ltoks)
+         |), cellsL AS MATERIALIZED (
+         |  SELECT doc_id, CAST(h % 64 AS INTEGER) AS b,
+         |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS f
+         |  FROM lth GROUP BY 1, 2
+         |), dlL AS MATERIALIZED (
+         |  SELECT doc_id, (lang = 'en') AS pos, len(tokens) AS n
+         |  FROM ltoks WHERE len(tokens) > 0
+         |), nnL AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS DOUBLE) AS nd FROM dlL
+         |), lw0 AS MATERIALIZED (
+         |  SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS bucket, 0.0 AS wv
+         |), lb0 AS MATERIALIZED (
+         |  SELECT 0.0 AS bv
+         |)""".stripMargin
+    val res = "(0.5 + ((0.5 * mm) / (1.0 + abs(mm)))) - CASE WHEN pos THEN 1.0 ELSE 0.0 END"
+    val blocks = (1 to epochs).map { e =>
+      val pw = e - 1
+      s""", lm$e AS MATERIALIZED (
+         |  SELECT d.doc_id, d.pos, d.n,
+         |    (coalesce(s.dot, 0.0) / (1000.0 * d.n)) + ((SELECT bv FROM lb$pw) / 1048576.0) AS mm
+         |  FROM dlL d LEFT JOIN (
+         |    SELECT c.doc_id, sum(w.wv * c.f) AS dot
+         |    FROM cellsL c JOIN lw$pw w ON w.bucket = c.b GROUP BY 1) s USING (doc_id)
+         |), lr$e AS MATERIALIZED (
+         |  SELECT doc_id, n,
+         |    floor((($res) * 1048576.0) + 0.5) AS rq,
+         |    floor(((($res) / n) * 67108864.0) + 0.5) AS rn
+         |  FROM lm$e
+         |), lg$e AS MATERIALIZED (
+         |  SELECT c.b AS bucket, sum(r.rn * c.f) AS g
+         |  FROM cellsL c JOIN lr$e r USING (doc_id) GROUP BY 1
+         |), lw$e AS MATERIALIZED (
+         |  SELECT w.bucket,
+         |    w.wv - floor(((512000.0 * coalesce(g.g, 0.0)) / (67108864.0 * nnL.nd)) + 0.5) AS wv
+         |  FROM lw$pw w LEFT JOIN lg$e g USING (bucket) CROSS JOIN nnL
+         |), lb$e AS MATERIALIZED (
+         |  SELECT bv - floor(((4194304.0 * gb) / (1048576.0 * nnL.nd)) + 0.5) AS bv
+         |  FROM lb$pw CROSS JOIN (SELECT sum(rq) AS gb FROM lr$e) CROSS JOIN nnL
+         |)""".stripMargin
+    }.mkString
+    base + blocks
+  }
+
+  /** `scoredlr(doc_id, pos, score)` over the [[oracleLrCtes]] model —
+    * the q_text_lr_score / q_text_lr_auc shared tail: the same
+    * hash-feature dot and rounding as the Rocchio `scored` CTE, with
+    * the trained bias.
+    */
+  private def oracleLrScoredCte(epochs: Int): String =
+    s"""${oracleLrCtes(epochs)}, ldots AS MATERIALIZED (
+       |  SELECT c.doc_id, sum(c.f * w.wv) AS dot
+       |  FROM cellsL c JOIN lw$epochs w ON w.bucket = c.b GROUP BY 1
+       |), scoredlr AS MATERIALIZED (
+       |  SELECT t.doc_id, (t.lang = 'en') AS pos,
+       |    CASE WHEN len(t.tokens) > 0
+       |      THEN round((d.dot / (1000.0 * len(t.tokens)))
+       |             + ((SELECT bv FROM lb$epochs) / 1048576.0), 6) END AS score
+       |  FROM ltoks t LEFT JOIN ldots d USING (doc_id)
        |)""".stripMargin
 
   /** The q_text_blocklist phrase list — bigram phrases from the synthetic
@@ -3093,6 +3226,43 @@ object SparkEntry {
       s"""WITH $oracleTrainedScoredCte, g AS (
          |  SELECT score AS s, count(*) AS cnt, count(*) FILTER (pos) AS pos
          |  FROM scored WHERE score IS NOT NULL GROUP BY score
+         |), r AS (
+         |  SELECT *, coalesce(sum(cnt) OVER (
+         |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |  FROM g
+         |), a AS (
+         |  SELECT CAST(sum(pos) AS BIGINT) AS np,
+         |         CAST(sum(cnt - pos) AS BIGINT) AS nn,
+         |         sum(pos * (below + (cnt + 1.0) / 2.0)) AS rs
+         |  FROM r
+         |)
+         |SELECT np AS n_pos, nn AS n_neg,
+         |  round(CASE WHEN np > 0 AND nn > 0
+         |    THEN (rs - np * (np + 1.0) / 2.0) / (CAST(np AS DOUBLE) * nn) END, 6) AS auc
+         |FROM a""".stripMargin,
+
+    // the 16-epoch logistic fixpoint replayed in SQL: integer dot
+    // products, the algebraic sigmoid, quantized residual sums, and
+    // floor(x+0.5) updates are all order-independent/IEEE-exact, so
+    // every epoch lands bit-identically in both engines
+    "q_text_lr_weights" ->
+      s"""WITH ${oracleLrCtes(16)}
+         |SELECT bucket, CAST(wv AS INTEGER) AS weight FROM lw16
+         |UNION ALL
+         |SELECT -1 AS bucket, CAST(bv AS INTEGER) AS weight FROM lb16""".stripMargin,
+
+    // train (16 epochs) + score end to end, same linearScore shape as
+    // the Rocchio rows
+    "q_text_lr_score" ->
+      s"""WITH ${oracleLrScoredCte(16)}
+         |SELECT doc_id, score AS lr_score, score > 0 AS pred_en FROM scoredlr""".stripMargin,
+
+    // the logistic model's tie-corrected ROC-AUC (the q_text_auc rank
+    // statistic over the lr score)
+    "q_text_lr_auc" ->
+      s"""WITH ${oracleLrScoredCte(16)}, g AS (
+         |  SELECT score AS s, count(*) AS cnt, count(*) FILTER (pos) AS pos
+         |  FROM scoredlr WHERE score IS NOT NULL GROUP BY score
          |), r AS (
          |  SELECT *, coalesce(sum(cnt) OVER (
          |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below

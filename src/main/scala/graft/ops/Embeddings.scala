@@ -141,6 +141,115 @@ object Embeddings {
           .cast("int").as("weight"))
   }
 
+  /** Train the [[linearScore]] model by FIXED-EPOCH full-batch gradient
+    * descent on a logistic-style loss — the iterative rung above the
+    * closed-form [[trainLinearWeights]] (Rocchio), for corpora where
+    * class means are not linearly separated well (fastText-quality
+    * gates in practice are trained this way; Joulin et al. 2016).
+    *
+    * Per epoch: ONE aggregated-gradient corpus pass that collapses to
+    * the (dim+1)-row driver model — margins and residuals are computed
+    * per row, the per-bucket gradient folds through map-side partial
+    * aggregation, and only ~dim cells per partition cross the wire.
+    * The featurized corpus is cached once across epochs. Deterministic
+    * zero init; `epochs`, `lr`, `lrBias` are fixed hyperparameters, no
+    * early stopping (determinism over adaptivity).
+    *
+    * Bit-reproducibility engineering (what makes the result EXACT
+    * across partitionings and engines, the [[trainLinearWeights]]
+    * contract extended to an iterative optimizer):
+    *  - the model lives in INTEGER space end to end: weights are
+    *    integers at `scale` (the [[linearScore]] quantization), the
+    *    bias an integer at 2^20 — so every per-document dot product is
+    *    a sum of exact integer products, immune to summation order;
+    *  - the sigmoid is the ALGEBRAIC form σ(m) = 0.5 + 0.5·m/(1+|m|)
+    *    (Elliott 1993), built from IEEE-exact ops only (+ × / abs) —
+    *    `exp` is the one op two engines may round differently, so the
+    *    surrogate is what makes the whole fixpoint cross-engine exact;
+    *  - per-document residuals are quantized to integers (×2^20; the
+    *    length-normalized gradient term ×2^26) BEFORE the corpus sums,
+    *    so gradient accumulations are again order-independent integer
+    *    sums (all < 2^53 by construction: |r|≤1, |f_ij|≤n, corpus
+    *    counts bound the rest);
+    *  - weight updates round to integers with the explicit
+    *    `floor(x + 0.5)` — single-value float ops, reproducible
+    *    anywhere. Keep `lr`/`lrBias` exactly binary-representable
+    *    (integers or powers of two) so an external mirror can embed
+    *    them as literals.
+    *
+    * Output slots into [[linearScore]]/[[saveLinearWeights]] and the
+    * whole eval/calibration chain unchanged: rows (bucket ∈ [0,dim),
+    * weight) at `scale`, plus one (bucket = -1, weight) row holding
+    * the quantized bias (divide by 2^20 for [[linearScore]]'s `bias`).
+    */
+  def trainLogisticWeights(
+      docs: DataFrame,
+      textCol: String,
+      positive: Column,
+      dim: Int = 64,
+      scale: Double = 1000.0,
+      epochs: Int = 16,
+      lr: Double = 512.0,
+      lrBias: Double = 4.0,
+  ): DataFrame = {
+    require(dim >= 1 && epochs >= 1, "dim and epochs must be >= 1")
+    require(scale > 0 && lr > 0 && lrBias > 0, "scale and learning rates must be positive")
+    val spark = docs.sparkSession
+    val Qr = (1L << 20).toDouble // residual / bias quantizer
+    val Qg = (1L << 26).toDouble // length-normalized residual quantizer
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs
+      .filter(positive.isNotNull)
+      .select(
+        positive.as("__pos"),
+        graft.functions.GraftFunctions.hashEmbed(toks, dim).as("__f"),
+        size(toks).as("__n"))
+      .filter(col("__n") > 0)
+      .persist()
+    val nDocs = base.count().toDouble
+    require(nDocs > 0, "trainLogisticWeights: no labeled non-empty documents")
+    val v = new Array[Long](dim)
+    var bq = 0L
+    try {
+      for (_ <- 1 to epochs) {
+        val vLit = typedLit(v.map(_.toDouble).toSeq)
+        val dot = graft.functions.GraftFunctions.vecDot(col("__f"), vLit)
+        val m = dot / (lit(scale) * col("__n")) + lit(bq / Qr)
+        val p = lit(0.5) + (lit(0.5) * m) / (lit(1.0) + abs(m))
+        val r = p - when(col("__pos"), lit(1.0)).otherwise(lit(0.0))
+        // one aggregation per epoch: bucket -1 carries the bias
+        // gradient (quantized residual), buckets 0..dim-1 the weight
+        // gradients (length-normalized quantized residual × count)
+        val grad = base
+          .select(
+            floor(r * lit(Qr) + lit(0.5)).as("__rq"),
+            floor((r / col("__n")) * lit(Qg) + lit(0.5)).as("__rn"),
+            col("__f"))
+          .select(explode(concat(
+            array(struct(lit(-1).as("__b"), col("__rq").as("__x"))),
+            transform(sequence(lit(0), lit(dim - 1)), i =>
+              struct(i.as("__b"),
+                (col("__rn") * element_at(col("__f"), i + 1)).as("__x"))))).as("__c"))
+          .select(col("__c.__b").as("__b"), col("__c.__x").as("__x"))
+          .groupBy(col("__b"))
+          .agg(sum(col("__x")).as("__g"))
+          .collect()
+        grad.foreach { row =>
+          val b = row.getInt(0)
+          val g = row.getDouble(1)
+          if (b < 0) bq -= math.floor(((lrBias * Qr) * g) / (Qr * nDocs) + 0.5).toLong
+          else v(b) -= math.floor(((lr * scale) * g) / (Qg * nDocs) + 0.5).toLong
+        }
+      }
+    } finally base.unpersist()
+    (v.zipWithIndex.map { case (w, j) => (j, w) } :+ (-1, bq))
+      .foreach { case (_, w) =>
+        require(w >= Int.MinValue && w <= Int.MaxValue, "trained weight overflows Int") }
+    import spark.implicits._
+    (v.zipWithIndex.map { case (w, j) => (j, w.toInt) }.toSeq :+ ((-1, bq.toInt)))
+      .toDF("bucket", "weight")
+  }
+
   /** Persist a trained weight table ([[trainLinearWeights]] output, or
     * any (bucket, weight) frame) — the classifier's train-once lifecycle,
     * same convention as `saveBpe`/`savePq`/`saveIvf`/`saveSq`: train in
