@@ -567,4 +567,58 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
       || p.contains("ShuffledHashJoin"), p)
   }
+
+  test("every global (partition-less) window sits on an aggregate-reduced input") {
+    // The driver-small global windows (epoch allocation saturation frame,
+    // funnel report, AUC/AP distinct-score frames, RRF per-list ranks)
+    // are documented as cardinality-bounded; this guard makes the
+    // boundedness a PLAN property: every Window with an empty
+    // partitionSpec must have an Aggregate / Deduplicate / GlobalLimit on
+    // EVERY path from it down to every leaf relation — so a refactor
+    // that accidentally windows a corpus-sized frame fails here, not on
+    // a 100 TB run as one task holding the corpus.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def aggReduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: Deduplicate | _: GlobalLimit => true
+      case l if l.children.isEmpty => l.maxRows.exists(_ <= 10000) // bounded local relation
+      case other => other.children.forall(aggReduced)
+    }
+    def globalWindows(df: DataFrame): Seq[Window] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+    def assertGuard(name: String, df: DataFrame, minWindows: Int = 1): Unit = {
+      val ws = globalWindows(df)
+      assert(ws.size >= minWindows,
+        s"$name: expected >= $minWindows global windows, found ${ws.size} — " +
+          "site list stale, update this guard")
+      ws.foreach(w => assert(aggReduced(w.child),
+        s"$name: global window over a non-aggregate-reduced input:\n$w"))
+    }
+    val d01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ev = graft.streaming.EventStream.readEventsBatch(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    graft.functions.GraftFunctions.register(spark)
+    // the >= 4 known sites
+    assertGuard("rocAuc", graft.ops.Stats.rocAuc(d01, col("lang") === "en", length(col("text"))))
+    assertGuard("averagePrecision",
+      graft.ops.Stats.averagePrecision(d01, col("lang") === "en", length(col("text"))))
+    assertGuard("funnel report",
+      graft.streaming.EventStream.funnel(ev, Seq("signup", "view", "click")))
+    assertGuard("epoch allocation",
+      graft.ops.Sample.epochAllocation(d01, "lang", length(col("text")), lit(1.0),
+        budgetTokens = 10000.0, maxEpochs = 4.0))
+    assertGuard("rrf per-list ranks",
+      graft.ops.Retrieval.reciprocalRankFusion(
+        Seq((d01.select(col("doc_id"), length(col("text")).cast("double").as("s")).limit(20), "s"),
+          (d01.select(col("doc_id"), (length(col("text")) % 7).cast("double").as("s")).limit(20), "s")),
+        "doc_id", topK = 10))
+    // negative control: the guard itself must flag a corpus-sized global
+    // window (this is what a bad refactor would look like)
+    val bad = d01.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    val badWs = globalWindows(bad)
+    assert(badWs.nonEmpty && badWs.exists(w => !aggReduced(w.child)),
+      "guard failed to flag a corpus-sized global window")
+  }
 }
