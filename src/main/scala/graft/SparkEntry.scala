@@ -62,7 +62,24 @@ object SparkEntry {
     * modes, so `spark-submit --conf` overrides of OTHER settings compose
     * while the posture above stays pinned.
     */
-  def session(appName: String): SparkSession = {
+  def session(appName: String): SparkSession =
+    session(appName, sys.env.get("SPARK_GRAFT_WAREHOUSE"))
+
+  /** As [[session]], with an optional DURABLE catalog root: when
+    * `warehouse` is set (explicitly or via `SPARK_GRAFT_WAREHOUSE`), the
+    * session runs Hive catalog support with a derby metastore under
+    * `<warehouse>/metastore_db` and table data under
+    * `<warehouse>/warehouse` — so `GraftSource.writeBucketed`'s
+    * pay-the-layout-shuffle-once promise survives the session: a LATER
+    * JVM pointed at the same root sees the bucketed-table metadata and
+    * plans the zero-exchange join (SourcesSpec proves this with a real
+    * two-JVM round trip). Without it the default in-memory catalog
+    * applies and bucket metadata dies with the JVM (data files, being
+    * external, survive either way). Derby is single-process — on a real
+    * cluster point `javax.jdo.option.ConnectionURL` at a shared
+    * metastore service instead (CLUSTER.md).
+    */
+  def session(appName: String, warehouse: Option[String]): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
@@ -70,7 +87,13 @@ object SparkEntry {
     val b1 =
       if (sys.props.contains("spark.master")) b0
       else b0.master(s"local[$cpus]").config("spark.ui.enabled", "false")
-    pinnedConfs(shuffle).foldLeft(b1) { case (b, (k, v)) => b.config(k, v) }
+    val b2 = warehouse.fold(b1) { dir =>
+      b1.enableHiveSupport()
+        .config("spark.sql.warehouse.dir", s"$dir/warehouse")
+        .config("javax.jdo.option.ConnectionURL",
+          s"jdbc:derby:;databaseName=$dir/metastore_db;create=true")
+    }
+    pinnedConfs(shuffle).foldLeft(b2) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
   }
 

@@ -172,6 +172,46 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed layout survives the session: real two-JVM metastore round trip") {
+    // the writeBucketed promise is "pay the layout shuffle once" — that
+    // only holds across sessions if the bucket METADATA outlives the
+    // catalog. SparkEntry.session(warehouse=...) backs the catalog with
+    // a derby metastore on disk; proving durability requires the second
+    // session to be a genuinely fresh catalog, so this test runs the
+    // write and the read in TWO SEPARATE JVMs (derby is also
+    // single-process, which forking sidesteps).
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-").toString
+    val java17 = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def phase(args: String*): String = {
+      val cmd = Seq(java17) ++ addOpens ++
+        Seq("-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp,
+          "graft.tools.BucketedCatalog") ++ args
+      val out = new StringBuilder
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      Iterator.continually(rd.readLine()).takeWhile(_ != null)
+        .foreach(l => out.append(l).append('\n'))
+      assert(proc.waitFor() == 0, s"${args.head} phase failed:\n${out.takeRight(4000)}")
+      out.toString
+    }
+    val wOut = phase("write", wh, dir)
+    val rows = wOut.linesIterator.find(_.startsWith("WRITE_OK"))
+      .getOrElse(fail(s"no WRITE_OK marker:\n$wOut")).split(' ')(1)
+    val rOut = phase("read", wh, rows)
+    assert(rOut.linesIterator.exists(_.startsWith(s"READ_OK $rows")), rOut)
+  }
+
   test("warc: multi-file round trip, byte-accurate multibyte payloads") {
     val tmp = java.nio.file.Files.createTempDirectory("warc-rt-").toString
     // multibyte text: Content-Length is BYTES, so char-based slicing

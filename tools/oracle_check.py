@@ -9,8 +9,11 @@ and rows by value, and reports rows/schema/values match per query.
 import sys, json, glob, os
 import duckdb
 
-out_dir, sf_dir = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3:])
+args = [a for a in sys.argv[1:] if not a.startswith("--json=")]
+json_out = next((a[len("--json="):] for a in sys.argv[1:] if a.startswith("--json=")), None)
+out_dir, sf_dir = args[0], args[1]
+only = set(args[2:])
+report = {}
 
 with open(os.path.join(out_dir, "oracle_sql.json")) as f:
     oracles = json.load(f)
@@ -26,7 +29,10 @@ for q, sql in sorted(oracles.items()):
         continue
     spark_glob = glob.glob(os.path.join(out_dir, q, "*.parquet"))
     if not spark_glob:
-        print(f"{q}: NO SPARK OUTPUT"); fails += 1; continue
+        print(f"{q}: NO SPARK OUTPUT"); fails += 1
+        report[q] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                     "spark_rows": None, "oracle_rows": None, "err": "no_spark_output"}
+        continue
     sdf = con.execute(f"SELECT * FROM read_parquet({spark_glob!r})")
     scols = sdf.description and [d[0] for d in sdf.description]
     srows = sdf.fetchall()
@@ -35,7 +41,10 @@ for q, sql in sorted(oracles.items()):
         ocols = [d[0] for d in odf.description]
         orows = odf.fetchall()
     except Exception as e:
-        print(f"{q}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+        print(f"{q}: ORACLE SQL ERROR: {e}"); fails += 1
+        report[q] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                     "spark_rows": len(srows), "oracle_rows": None, "err": str(e)[:500]}
+        continue
     def norm(cols, rows):
         order = sorted(range(len(cols)), key=lambda i: cols[i])
         out = sorted(tuple(str(r[i]) for i in order) for r in rows)
@@ -45,6 +54,9 @@ for q, sql in sorted(oracles.items()):
     ok_schema = sc == oc
     ok_rows = len(sr) == len(orr)
     ok_vals = sr == orr
+    report[q] = {"rows_match": ok_rows, "schema_match": ok_schema,
+                 "hash_match": ok_vals, "spark_rows": len(sr),
+                 "oracle_rows": len(orr), "err": None}
     if ok_schema and ok_rows and ok_vals:
         print(f"{q}: PASS ({len(sr)} rows)")
     else:
@@ -56,5 +68,8 @@ for q, sql in sorted(oracles.items()):
             diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
             for a, b in diffs:
                 print(f"  spark:  {a}\n  oracle: {b}")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
 print("FAILURES:", fails)
 sys.exit(1 if fails else 0)
