@@ -2216,6 +2216,15 @@ object SparkEntry {
       s"||${oracleLe32Hex("33333")}||'000000000000000000000000'" + // µs/frame, 3 zero dwords
       s"||${oracleLe32Hex("fr")}||'00000000'||'01000000'||'00000000'" + // frames, initial, streams, bufsize
       s"||${oracleLe32Hex("w")}||${oracleLe32Hex("h")}" // dwWidth, dwHeight
+    // FLAC: magic, last-flag STREAMINFO (34), block sizes, unknown frame
+    // sizes, bit-packed rate (20)/mono/16-bit (8)/samples (36), zero md5
+    val flacHex = "'664C6143'||'80000022'||'10001000'||'000000000000'" +
+      "||lpad(hex(rate//16),4,'0')||lpad(hex((rate%16)*16),2,'0')||'F0'" +
+      "||lpad(hex(smp),8,'0')||repeat('0',32)"
+    // MP3: MPEG-1 Layer III frame header, bitrate idx 9 (128k), srIdx<<2
+    val mp3Frame = "'FFFB'||lpad(hex(144 + (len%3)*4),2,'0')||'00'"
+    // ID3v2.3 tag: header (10 B, syncsafe size 10) + 10 padding bytes
+    val mp3Id3 = s"'494433'||'0300'||'00'||'0000000A'||repeat('00',10)||$mp3Frame"
     // identity transform matrix of mvhd/tkhd (1.0, 1.0, 16.30-coded 1.0)
     val mtx = "'000100000000000000000000'||'000000000001000000000000'||" +
       "'000000000000000040000000'"
@@ -2232,12 +2241,23 @@ object SparkEntry {
       s"||'00000000'||'00000000'||'0000000000000000'||$mtx" + // rsvd×2, layer/group/vol/rsvd, matrix
       "||lpad(hex(w*65536),8,'0')||lpad(hex(h*65536),8,'0')" + // width, height as 16.16
       s"||${"lpad(hex(len+8),8,'0')"}||'6D646174'" // mdat header
+    // parsed-field fragments shared between the sample_rate and
+    // duration columns (FLAC packs rate into 20 bits at body+10; MP3's
+    // header byte sits at offset 2, or 22 past the ID3 tag)
+    val flacRate = s"(${oracleBeParse(19, 2)} * 16 + CAST('0x' || substr(hh,41,1) AS BIGINT))"
+    val flacSamples =
+      s"(CAST('0x' || substr(hh,44,1) AS BIGINT) * 4294967296 + ${oracleBeParse(23, 4)})"
+    val mp3Rates = "[44100,48000,32000]"
+    val mp3Bitrates = "[0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+    def mp3Hdr(byteOff: Int) = s"CAST('0x' || substr(hh,${2 * byteOff - 1},2) AS BIGINT)"
     s"""SELECT doc_id AS media_id, modality,
        |  CASE WHEN substr(hh,1,16) = '89504E470D0A1A0A' THEN 'png'
        |       WHEN substr(hh,1,4) = 'FFD8' THEN 'jpeg'
        |       WHEN substr(hh,1,8) = '52494646' AND substr(hh,17,8) = '57415645' THEN 'wav'
        |       WHEN substr(hh,1,8) = '52494646' AND substr(hh,17,8) = '41564920' THEN 'avi'
        |       WHEN substr(hh,9,8) = '66747970' THEN 'mp4'
+       |       WHEN substr(hh,1,8) = '664C6143' THEN 'flac'
+       |       WHEN substr(hh,1,4) = 'FFFB' OR substr(hh,1,6) = '494433' THEN 'mp3'
        |  END AS format,
        |  CAST(CASE WHEN substr(hh,1,16) = '89504E470D0A1A0A' THEN ${oracleBeParse(17, 4)}
        |            WHEN substr(hh,1,4) = 'FFD8' THEN ${oracleBeParse(28, 2)}
@@ -2250,29 +2270,42 @@ object SparkEntry {
        |            WHEN substr(hh,9,8) = '66747970' THEN ${oracleBeParse(229, 2)}
        |  END AS INTEGER) AS height,
        |  CAST(CASE WHEN substr(hh,17,8) = '57415645' THEN ${oracleLeParse(25)}
+       |            WHEN substr(hh,1,8) = '664C6143' THEN $flacRate
+       |            WHEN substr(hh,1,4) = 'FFFB' THEN $mp3Rates[(${mp3Hdr(3)} // 4) % 4 + 1]
+       |            WHEN substr(hh,1,6) = '494433' THEN $mp3Rates[(${mp3Hdr(23)} // 4) % 4 + 1]
        |  END AS INTEGER) AS sample_rate,
        |  CAST(CASE WHEN substr(hh,17,8) = '41564920' THEN ${oracleLeParse(49)}
        |  END AS INTEGER) AS n_frames,
        |  CAST(CASE WHEN substr(hh,17,8) = '57415645' THEN (${oracleLeParse(41)} * 1000) // ${oracleLeParse(29)}
        |            WHEN substr(hh,17,8) = '41564920' THEN (${oracleLeParse(33)} * ${oracleLeParse(49)}) // 1000
        |            WHEN substr(hh,9,8) = '66747970' THEN (${oracleBeParse(49, 4)} * 1000) // ${oracleBeParse(45, 4)}
+       |            WHEN substr(hh,1,8) = '664C6143' THEN ($flacSamples * 1000) // $flacRate
+       |            WHEN substr(hh,1,4) = 'FFFB' THEN ((len + 4) * 8 * 1000) // ($mp3Bitrates[(${mp3Hdr(3)} // 16) + 1] * 1000)
+       |            WHEN substr(hh,1,6) = '494433' THEN ((len + 4) * 8 * 1000) // ($mp3Bitrates[(${mp3Hdr(23)} // 16) + 1] * 1000)
        |  END AS INTEGER) AS duration_ms
        |FROM (
-       |  SELECT doc_id, modality, hex(unhex(CASE c
+       |  SELECT doc_id, modality, len, hex(unhex(CASE c
        |    WHEN 'png' THEN $pngHex
        |    WHEN 'jpeg' THEN $jpegHex
        |    WHEN 'wav' THEN $wavHex
        |    WHEN 'avi' THEN $aviHex
+       |    WHEN 'flac' THEN $flacHex
+       |    WHEN 'mp3' THEN $mp3Frame
+       |    WHEN 'mp3id3' THEN $mp3Id3
        |    ELSE $mp4Hex END)) AS hh
        |  FROM (
        |    SELECT doc_id, len,
        |      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
        |      CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 'png'
        |           WHEN doc_id % 3 = 0 THEN 'jpeg'
-       |           WHEN doc_id % 3 = 1 THEN 'wav'
+       |           WHEN doc_id % 3 = 1 AND doc_id % 4 < 2 THEN 'wav'
+       |           WHEN doc_id % 3 = 1 AND doc_id % 4 = 2 THEN 'flac'
+       |           WHEN doc_id % 3 = 1 AND doc_id % 8 = 3 THEN 'mp3'
+       |           WHEN doc_id % 3 = 1 THEN 'mp3id3'
        |           WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS c,
        |      len % 1280 + 640 AS w, len % 720 + 360 AS h, len % 240 + 24 AS fr,
        |      len % 590000 + 1000 AS dur,
+       |      len % 900000 + 44100 AS smp,
        |      [8000,16000,22050,44100,48000][(len % 5) + 1] AS rate
        |    FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
        |  )

@@ -32,6 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    MainAVIHeader: dwMicroSecPerFrame at body+0, dwTotalFrames at
   *    body+16, dwWidth/dwHeight at body+32/+36, all u32le;
   *    `duration_ms` = µs/frame × frames / 1000.
+  *  - FLAC (format spec §STREAMINFO): `fLaC` magic, then the metadata
+  *    block walk to STREAMINFO; sample rate (20 bits) and total
+  *    samples (36 bits) unpack from the bit-packed info block →
+  *    `duration_ms` exactly.
+  *  - MP3  (MPEG-1/2/2.5 audio): optional ID3v2 tag (syncsafe length)
+  *    skipped, then a corroborated frame-sync header — version, layer
+  *    III, bitrate and sample-rate indexes must all be valid; duration
+  *    is the standard CBR estimate (remaining bytes over the header
+  *    bitrate).
   *  - MP4  (ISO/IEC 14496-12 ISO-BMFF): detected by the `ftyp` box at
   *    offset 4; generic box walk `[size u32be][type 4cc]` with the two
   *    spec escapes (size==1 → 64-bit largesize follows the type;
@@ -201,6 +210,65 @@ object MediaParseUtil {
           p += 8L + csz + (csz & 1)
         }
         return null
+      }
+    }
+    // ---- FLAC: "fLaC" magic + STREAMINFO metadata block walk ----
+    // block header: [last(1)+type(7)][len u24be]; STREAMINFO (type 0)
+    // packs sample rate (20 bits), channels-1 (3), bps-1 (5), total
+    // samples (36) at body bytes 10..17; duration = samples / rate.
+    if (n >= 4 && fourcc(bytes, 0, "fLaC")) {
+      var p = 4L
+      while (p + 4 <= n) {
+        val pi = p.toInt
+        val btype = bytes(pi) & 0x7f
+        val blen = ((bytes(pi + 1) & 0xffL) << 16) |
+          ((bytes(pi + 2) & 0xffL) << 8) | (bytes(pi + 3) & 0xffL)
+        if (btype == 0) {
+          if (blen < 34 || p + 4 + 18 > n) return null
+          val b = pi + 4
+          val sr = ((bytes(b + 10) & 0xffL) << 12) | ((bytes(b + 11) & 0xffL) << 4) |
+            ((bytes(b + 12) & 0xff) >> 4)
+          val samples = ((bytes(b + 13) & 0x0fL) << 32) | be32(bytes, b + 14)
+          if (sr <= 0) return null
+          return row("flac", -1, -1, sr, -1, samples * 1000L / sr)
+        }
+        if ((bytes(pi) & 0x80) != 0) return null // last block, no STREAMINFO
+        p += 4L + blen
+      }
+      return null
+    }
+    // ---- MP3: optional ID3v2 tag, then an MPEG audio frame header ----
+    // corroborated sync: 11 set sync bits AND valid version/layer/
+    // bitrate/samplerate fields — a text blob starting 0xFF Ex rarely
+    // satisfies all four. Duration is the CBR estimate (remaining bytes
+    // over the header bitrate), the standard header-only approximation.
+    locally {
+      var off = 0L
+      if (n >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+        // syncsafe u28 tag size at 6..9 (7 bits per byte)
+        val sz = ((bytes(6) & 0x7fL) << 21) | ((bytes(7) & 0x7fL) << 14) |
+          ((bytes(8) & 0x7fL) << 7) | (bytes(9) & 0x7fL)
+        off = 10L + sz
+      }
+      if (off + 4 <= n && (off > 0 || (n >= 2 && (bytes(0) & 0xff) == 0xff))) {
+        val oi = off.toInt
+        if ((bytes(oi) & 0xff) == 0xff && (bytes(oi + 1) & 0xe0) == 0xe0) {
+          val ver = (bytes(oi + 1) >> 3) & 3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+          val layer = (bytes(oi + 1) >> 1) & 3 // 1 = Layer III
+          val brIdx = (bytes(oi + 2) & 0xff) >> 4
+          val srIdx = (bytes(oi + 2) >> 2) & 3
+          if (ver != 1 && layer == 1 && brIdx >= 1 && brIdx <= 14 && srIdx != 3) {
+            val kbps =
+              if (ver == 3) Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+              else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+            val sr =
+              if (ver == 3) Array(44100, 48000, 32000)(srIdx)
+              else if (ver == 2) Array(22050, 24000, 16000)(srIdx)
+              else Array(11025, 12000, 8000)(srIdx)
+            val durMs = (n - off) * 8L * 1000L / (kbps * 1000L)
+            return row("mp3", -1, -1, sr, -1, durMs)
+          }
+        }
       }
     }
     // ---- MP4 / ISO-BMFF: generic box walk (ISO/IEC 14496-12 §4.2) ----

@@ -195,8 +195,43 @@ object Multimodal {
     )
   }
 
+  /** FLAC stream: `fLaC` magic, a last-flag STREAMINFO metadata block
+    * (block size 4096, mono 16-bit) carrying the bit-packed sample rate
+    * and total-sample count, zeroed md5, body as the (raw) frame bytes.
+    */
+  def encodeFlac(body: Column, rate: Column, samples: Column): Column = concat(
+    ascii("fLaC"),
+    bytesLit(0x80, 0x00, 0x00, 0x22), // last block, STREAMINFO, len 34
+    bytesLit(0x10, 0x00, 0x10, 0x00), // min/max block size 4096
+    bytesLit(0, 0, 0, 0, 0, 0), // min/max frame size unknown
+    be16(floor(rate / 16).cast("long")), // sample rate bits 19..4
+    unhex(lpad(hex(pmod(rate, lit(16)) * 16), 2, "0")), // sr low nibble | ch-1=0 | bps hi bit
+    bytesLit(0xf0), // bps-1=15 low nibble | samples bits 35..32 (0)
+    be32(samples),
+    lit(Array.fill[Byte](16)(0)), // md5 of raw audio (unset)
+    body,
+  )
+
+  /** MP3 stream: an MPEG-1 Layer III frame header at 128 kbps with the
+    * given sample-rate index (0=44100, 1=48000, 2=32000), optionally
+    * preceded by a minimal ID3v2.3 tag (10-byte header + 10 padding
+    * bytes, syncsafe size) to exercise the tag skip; body rides after.
+    */
+  def encodeMp3(body: Column, srIdx: Column, withId3: Boolean): Column = {
+    val frame = concat(
+      bytesLit(0xff, 0xfb), // sync, MPEG1, Layer III, no CRC
+      unhex(lpad(hex(lit(144) + srIdx * 4), 2, "0")), // bitrate idx 9 (128k) | srIdx<<2
+      bytesLit(0x00),
+      body)
+    if (withId3)
+      concat(ascii("ID3"), bytesLit(3, 0, 0, 0, 0, 0, 0x0a),
+        lit(Array.fill[Byte](10)(0)), frame)
+    else frame
+  }
+
   /** Media table with REAL container payloads, derived entirely from the
-    * documents table: images alternate PNG/JPEG, audio is WAV, video
+    * documents table: images alternate PNG/JPEG, audio cycles
+    * WAV/FLAC/MP3 (bare + ID3-tagged), video
     * alternates AVI/MP4; dimensions/rates/frame counts derive from the text's byte
     * length (SQL-expressible, so the DuckDB oracle can rebuild the same
     * bytes and parse them back). This is what [[decodeMeta]] parses in
@@ -220,7 +255,13 @@ object Multimodal {
       when(pmod(col("doc_id"), lit(3)) === 0,
         when(pmod(col("doc_id"), lit(2)) === 0, encodePng(body, w, h))
           .otherwise(encodeJpeg(body, w, h)))
-        .when(pmod(col("doc_id"), lit(3)) === 1, encodeWav(body, rate))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          when(pmod(col("doc_id"), lit(4)) < 2, encodeWav(body, rate))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              encodeFlac(body, rate, pmod(len, lit(900000)) + 44100))
+            .when(pmod(col("doc_id"), lit(8)) === 3,
+              encodeMp3(body, pmod(len, lit(3)), withId3 = false))
+            .otherwise(encodeMp3(body, pmod(len, lit(3)), withId3 = true)))
         .when(pmod(col("doc_id"), lit(2)) === 0, encodeAvi(body, w, h, frames))
         .otherwise(encodeMp4(body, w, h, durMs)).as("payload"),
     )

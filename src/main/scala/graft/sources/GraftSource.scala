@@ -294,9 +294,25 @@ object GraftSource {
     * bytes): the record is sliced as binary and only then decoded, so
     * multibyte UTF-8 payloads round-trip exactly.
     */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    parseWarcRecords(spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path))
+
+  /** Streaming twin of [[readWarc]]: the crawl-directory INGEST shape —
+    * new `.warc`/`.warc.gz` files appearing under `path` stream in as
+    * parsed records (the file streaming source tracks seen files; the
+    * record parse is the same stateless projection as batch, so any
+    * output mode works and no state store is involved). Pair with
+    * [[readWet]]-style filters and the streaming dedup/quality twins
+    * for a continuously-ingesting pipeline.
+    */
+  def readWarcStream(spark: SparkSession, path: String): DataFrame =
+    parseWarcRecords(spark.readStream.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path))
+
+  /** The shared record-parsing projection over `value` rows split at the
+    * record boundary (batch and streaming twins).
+    */
+  private def parseWarcRecords(rec0: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val rec0 = spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path)
     // the file's first record keeps its version line — strip it so every
     // record is a bare header block + payload
     val rec = regexp_replace(col("value"), "^WARC/1\\.0\r\n", "")

@@ -1296,7 +1296,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("multimodal: real header parse recovers the encoded dimensions per container") {
     graft.functions.GraftFunctions.register(spark)
-    val docs = (0L to 5L).map(i => (i, s"payload body number $i padded ${"x" * i.toInt}"))
+    val docs = (0L to 19L).map(i => (i, s"payload body number $i padded ${"x" * i.toInt}"))
       .toDF("doc_id", "text")
     val media = Multimodal.encodedMediaTable(docs)
     val got = media.select($"media_id", $"modality",
@@ -1307,8 +1307,9 @@ class OpsSpec extends AnyFunSuite {
       val len = docs.filter($"doc_id" === id).collect().head.getString(1).getBytes("UTF-8").length
       val expFormat =
         if (id % 3 == 0) (if (id % 2 == 0) "png" else "jpeg")
-        else if (id % 3 == 1) "wav"
-        else if (id % 2 == 0) "avi" else "mp4"
+        else if (id % 3 == 1) {
+          if (id % 4 < 2) "wav" else if (id % 4 == 2) "flac" else "mp3"
+        } else if (id % 2 == 0) "avi" else "mp4"
       assert(m.getAs[String]("format") == expFormat, s"id $id")
       expFormat match {
         case "png" | "jpeg" =>
@@ -1323,6 +1324,17 @@ class OpsSpec extends AnyFunSuite {
           assert(m.isNullAt(m.fieldIndex("width")))
           // duration = data length / byte rate (mono 16-bit → rate×2 B/s)
           assert(m.getAs[Int]("duration_ms") == len.toLong * 1000 / (rate * 2L), s"id $id")
+        case "flac" =>
+          val rates = Seq(8000, 16000, 22050, 44100, 48000)
+          val rate = rates(len % 5)
+          val samples = len % 900000 + 44100
+          assert(m.getAs[Int]("sample_rate") == rate, s"id $id")
+          assert(m.getAs[Int]("duration_ms") == samples.toLong * 1000 / rate, s"id $id")
+          assert(m.isNullAt(m.fieldIndex("width")))
+        case "mp3" =>
+          assert(m.getAs[Int]("sample_rate") == Seq(44100, 48000, 32000)(len % 3), s"id $id")
+          assert(m.getAs[Int]("duration_ms") == (len + 4).toLong * 8 * 1000 / 128000, s"id $id")
+          assert(m.isNullAt(m.fieldIndex("width")))
         case "avi" =>
           assert(m.getAs[Int]("width") == len % 1280 + 640, s"id $id")
           assert(m.getAs[Int]("height") == len % 720 + 360, s"id $id")
@@ -1478,6 +1490,51 @@ class OpsSpec extends AnyFunSuite {
     assert(MediaParseUtil.parse(mp4.take(40)) == null) // truncated inside moov
     // not MP4 at all: first box isn't ftyp
     assert(MediaParseUtil.parse(bx("free", fcc("xxxx")) ++ ftyp) == null)
+  }
+
+  test("flac/mp3 walkers: block walk, ID3 skip, MPEG2 tables, corroborated sync") {
+    import graft.functions.MediaParseUtil
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    // FLAC with a NON-first STREAMINFO (a padding block precedes it —
+    // the walk must skip by declared length, not anchor at byte 4)
+    def streaminfo(sr: Int, samples: Long, last: Boolean) =
+      Array[Byte]((if (last) 0x80 else 0).toByte, 0, 0, 34) ++
+        Array[Byte](0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0) ++
+        Array[Byte]((sr >> 12).toByte, ((sr >> 4) & 0xff).toByte,
+          ((sr & 0xf) << 4).toByte, // | (ch-1)<<1 | bps-1 bit4 — zero for mono 16-bit
+          (0xf0 | ((samples >> 32) & 0xf)).toInt.toByte) ++
+        be32(samples & 0xffffffffL) ++ Array.fill[Byte](16)(0)
+    val padding = Array[Byte](0x01, 0, 0, 4, 9, 9, 9, 9) // type 1, len 4
+    val flac = fcc("fLaC") ++ padding ++ streaminfo(96000, 288000L, last = true)
+    val f = MediaParseUtil.parse(flac)
+    assert(f != null && f.getUTF8String(0).toString == "flac")
+    assert(f.getInt(3) == 96000 && f.getInt(5) == 3000) // 288000 / 96000 = 3 s
+    // 36-bit sample count: the >4 GiB-samples path
+    val big = fcc("fLaC") ++ streaminfo(48000, (1L << 32) + 480000L, last = true)
+    assert(MediaParseUtil.parse(big).getInt(5) == ((1L << 32) + 480000L) * 1000 / 48000)
+    // truncated / no STREAMINFO → null
+    assert(MediaParseUtil.parse(fcc("fLaC") ++ padding.take(6)) == null)
+    assert(MediaParseUtil.parse(fcc("fLaC") ++ Array[Byte](0x81.toByte, 0, 0, 4, 1, 2, 3, 4)) == null)
+    // MP3: bare MPEG-1 Layer III frame, 160 kbps idx 10, 48000 idx 1
+    val bare = Array[Byte](0xff.toByte, 0xfb.toByte, (0xa4).toByte, 0) ++
+      Array.fill[Byte](1996)(7)
+    val m1 = MediaParseUtil.parse(bare)
+    assert(m1 != null && m1.getUTF8String(0).toString == "mp3")
+    assert(m1.getInt(3) == 48000)
+    assert(m1.getInt(5) == 2000L * 8 * 1000 / 160000) // 100 ms
+    // ID3v2-tagged MPEG-2 frame (22050 Hz, idx 0; bitrate idx 9 → 80k)
+    val id3 = fcc("ID3") ++ Array[Byte](3, 0, 0, 0, 0, 0, 20) ++ Array.fill[Byte](20)(0)
+    val mpeg2 = Array[Byte](0xff.toByte, 0xf3.toByte, 0x90.toByte, 0) ++ Array.fill[Byte](996)(1)
+    val m2 = MediaParseUtil.parse(id3 ++ mpeg2)
+    assert(m2 != null && m2.getUTF8String(0).toString == "mp3")
+    assert(m2.getInt(3) == 22050)
+    assert(m2.getInt(5) == 1000L * 8 * 1000 / 80000) // 100 ms
+    // corroboration: text starting "ID3 ..." or 0xFF-garbage is NOT mp3
+    assert(MediaParseUtil.parse(fcc("ID3 tags are a metadata container")) == null)
+    assert(MediaParseUtil.parse(Array[Byte](0xff.toByte, 0xe6.toByte, 0xff.toByte, 0)) == null) // reserved layer
+    assert(MediaParseUtil.parse(Array[Byte](0xff.toByte, 0xfb.toByte, 0xf0.toByte, 0)) == null) // bitrate idx 15
+    assert(MediaParseUtil.parse(Array[Byte](0xff.toByte, 0xfb.toByte, 0x9c.toByte, 0)) == null) // sr idx 3
   }
 
   test("multimodal: stub features have requested dim and bounded range") {

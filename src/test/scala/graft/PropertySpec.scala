@@ -39,6 +39,10 @@ class PropertySpec extends AnyFunSuite {
       Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0),
       Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++
         Array[Byte](0, 0, 2, 0, 0, 0, 0, 1) ++ "moov".getBytes("US-ASCII"),
+      // FLAC block walk and MP3 ID3-skip + frame sync over random tails
+      "fLaC".getBytes("US-ASCII"),
+      "ID3".getBytes("US-ASCII"),
+      Array[Byte](0xff.toByte, 0xfb.toByte),
     )
     val bytesGen = for {
       magic <- Gen.oneOf(magics)

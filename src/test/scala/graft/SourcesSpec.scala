@@ -247,6 +247,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(wet.count() == 5)
   }
 
+  test("warc: gzipped files (.warc.gz, the Common Crawl shipping form) read transparently") {
+    // whole-file gzip members: the text source decompresses per file by
+    // extension, so a directory of .warc.gz reads with the same record
+    // splitting — each file is one decompression stream (gzip is not
+    // splittable; parallelism is per-file, the Common Crawl layout of
+    // many ~1 GiB members)
+    val tmp = java.nio.file.Files.createTempDirectory("warc-gz-").toString
+    val crlf = "\r\n"
+    def rec(id: Int, payload: String) =
+      "WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        s"WARC-Target-URI: https://gz/$id" + crlf +
+        "WARC-Date: 2024-03-01T00:00:00Z" + crlf + "Content-Type: text/plain" + crlf +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}" + crlf + crlf +
+        payload + crlf + crlf
+    for (f <- 0 until 2) {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$tmp/part-$f.warc.gz"))
+      out.write((rec(f * 10, s"gz payload $f a") + rec(f * 10 + 1, s"gz päyload $f b"))
+        .getBytes("UTF-8"))
+      out.close()
+    }
+    val got = GraftSource.readWet(spark, tmp).collect()
+    assert(got.length == 4)
+    assert(got.map(_.getAs[String]("url")).sorted.toList ==
+      List("https://gz/0", "https://gz/1", "https://gz/10", "https://gz/11"))
+    assert(got.forall(r => r.getAs[String]("text").startsWith("gz p")))
+  }
+
   test("warc: truncated and malformed records are flagged/null, never fatal") {
     val tmp = java.nio.file.Files.createTempDirectory("warc-tr-").toString
     val crlf = "\r\n"

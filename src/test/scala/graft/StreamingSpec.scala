@@ -760,4 +760,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.head.session_start.getTime == 0 && closed.head.session_end.getTime == 10000)
     } finally q.stop()
   }
+
+  test("streaming WARC ingest: new crawl files stream in as parsed records, ≡ batch") {
+    // the crawl-directory ingest shape: the file streaming source picks
+    // up warc files as they appear; the record parse is the same
+    // stateless projection as readWarc, so append mode with no state
+    val dir = java.nio.file.Files.createTempDirectory("warc-stream-").toString
+    val crlf = "\r\n"
+    def rec(id: Int, payload: String) =
+      "WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        s"WARC-Target-URI: https://s/$id" + crlf +
+        "WARC-Date: 2024-04-01T00:00:00Z" + crlf + "Content-Type: text/plain" + crlf +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}" + crlf + crlf +
+        payload + crlf + crlf
+    def writeFile(name: String, recs: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        recs.getBytes("UTF-8"))
+    writeFile("crawl-0.warc", rec(0, "first batch doc zero") + rec(1, "first batch doc one"))
+    val q = graft.sources.GraftSource.readWarcStream(spark, dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("warc_stream").start()
+    try {
+      q.processAllAvailable()
+      // a NEW file arriving mid-stream is the whole point of the shape
+      writeFile("crawl-1.warc", rec(2, "second batch doc two"))
+      q.processAllAvailable()
+      val streamed = spark.table("warc_stream")
+        .select($"url", $"text", $"content_length").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val batch = graft.sources.GraftSource.readWarc(spark, dir)
+        .select($"url", $"text", $"content_length").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(streamed == batch)
+      assert(streamed.keySet == Set("https://s/0", "https://s/1", "https://s/2"))
+      assert(streamed("https://s/2") == (("second batch doc two", 20L)))
+    } finally q.stop()
+  }
 }
