@@ -189,6 +189,28 @@ object SparkEntry {
       store
     })
 
+  /** Deterministic messy-URL synthesis for the canonicalization rows:
+    * mixed-case scheme/host, default ports, empty paths, tracking
+    * params in varying order, fragments — every rule of
+    * [[ops.TextOps.canonicalUrl]] exercised, SQL-mirrorable.
+    */
+  private def messyUrl: Column = {
+    val host = element_at(array(lit("Example.COM"), lit("WWW.News-Site.ORG"),
+      lit("Docs.Example.COM"), lit("example.com")),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+    val scheme = when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS")).otherwise(lit("http"))
+    val port = when(pmod(col("doc_id"), lit(3)) === 0,
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit(""))
+    val path = when(pmod(col("doc_id"), lit(5)) === 0, lit(""))
+      .otherwise(concat(lit("/Articles/"), col("doc_id")))
+    val query = element_at(array(lit("?utm_source=feed&b=2&a=1"),
+      lit("?z=9&a=1&utm_campaign=x"), lit("?gclid=abc"), lit(""), lit("?b=2&a=1")),
+      (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+    val frag = when(pmod(col("doc_id"), lit(2)) === 1, lit("#section-2")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
   /** WARC fixture, serialized once per sf dir: the documents table as
     * real multi-file ISO 28500 WARC conversion records (4 files, so the
     * read-back exercises the parallel multi-file scan). Deterministic
@@ -1277,6 +1299,24 @@ object SparkEntry {
       ops.Curate.curate(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("quality"), col("dup_3gram_frac"))),
 
+    // URL canonicalization: the crawl-level first dedup key. Messy URL
+    // variants (case, default ports, fragments, tracking params,
+    // param order) are synthesized deterministically per doc, so the
+    // oracle rebuilds the same inputs and applies the same rules
+    "q_text_url_canon" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("url", messyUrl)
+      d.select(col("doc_id"), col("url"),
+        TextOps.canonicalUrl(col("url")).as("url_canon"),
+        TextOps.urlDomain(col("url")).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-domain corpus rollup over the same synthesized URLs — the
+    // is-one-site-flooding-the-mix curation meter
+    "q_text_domain_stats" -> ((s, dir) =>
+      TextOps.domainStats(
+        t(s, dir, "documents").withColumn("url", messyUrl), col("url"), col("text"))),
+
     // WARC/WET source: the documents table is serialized once per sf dir
     // into real multi-file ISO 28500 WARC (the warcStoreFor fixture),
     // then read back through the record-boundary-splitting parallel
@@ -2002,6 +2042,19 @@ object SparkEntry {
     */
   private def oracleMd5Long(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** The messyUrl synthesis as one SQL expression (mirrors the driver's
+    * Column builder case for case).
+    */
+  private val oracleMessyUrl: String =
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' || " +
+      "CASE doc_id % 4 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'WWW.News-Site.ORG' " +
+      "WHEN 2 THEN 'Docs.Example.COM' ELSE 'example.com' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/Articles/' || doc_id END || " +
+      "CASE doc_id % 5 WHEN 0 THEN '?utm_source=feed&b=2&a=1' WHEN 1 THEN '?z=9&a=1&utm_campaign=x' " +
+      "WHEN 2 THEN '?gclid=abc' WHEN 3 THEN '' ELSE '?b=2&a=1' END || " +
+      "CASE WHEN doc_id % 2 = 1 THEN '#section-2' ELSE '' END)"
 
   /** Shared train→score CTE chain for the classifier-evaluator oracles
     * (mirrors q_text_trained_score): defines CTEs up to
@@ -3871,6 +3924,48 @@ object SparkEntry {
     // the composed curation pipeline: language + quality + repetition
     // gates, then keep-first dedup among the survivors (QUALIFY runs
     // after WHERE, matching the Spark filter-then-window order)
+    // URL canonicalization: the same synthesized messy URLs, the same
+    // order-fixed rules (fragment, lowercase scheme/host, default port,
+    // empty path, tracking-param drop + param sort) replayed in SQL
+    "q_text_url_canon" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, $oracleMessyUrl AS url FROM documents
+         |), st AS (
+         |  SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u FROM raw
+         |), parts AS (
+         |  SELECT doc_id, url, u,
+         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+         |    coalesce(array_to_string(list_sort(list_filter(
+         |      string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
+         |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$$)'))), '&'), '') AS qs
+         |  FROM st
+         |)
+         |SELECT doc_id, url,
+         |  CASE WHEN scheme = '' THEN NULL ELSE
+         |    scheme || '://' ||
+         |    (CASE scheme WHEN 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |                 WHEN 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |                 ELSE hostport END) ||
+         |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+         |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+         |  END AS url_canon,
+         |  nullif(regexp_replace(
+         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)),
+         |    '^www\\.', ''), '') AS domain
+         |FROM parts""".stripMargin,
+
+    "q_text_domain_stats" ->
+      s"""SELECT
+         |  nullif(regexp_replace(
+         |    lower(regexp_extract($oracleMessyUrl, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)),
+         |    '^www\\.', ''), '') AS domain,
+         |  count(*) AS n_docs,
+         |  CAST(sum($oracleWsTokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+         |FROM documents GROUP BY 1""".stripMargin,
+
     // WARC round trip: rebuild the identical ISO 28500 record strings
     // (CRLF header block, byte-accurate Content-Length, payload) and
     // RE-PARSE every output field out of them with string ops at the

@@ -340,6 +340,66 @@ object TextOps {
       .drop("__sh")
   }
 
+  /** URL canonicalization for crawl-level dedup — the first dedup key of
+    * any web pipeline (the same page is crawled as `HTTP://Site.com/a`,
+    * `http://site.com:80/a?utm_source=x`, `http://site.com/a#top`…).
+    * Rules, all order-fixed and engine-portable (simple regex + list
+    * sort, identical under Java regex and RE2):
+    *
+    *  1. fragment dropped;
+    *  2. scheme and host lowercased (path/query case is significant and
+    *     kept);
+    *  3. default port stripped (`:80` for http, `:443` for https);
+    *  4. empty path → `/`;
+    *  5. tracking params dropped (`utm_*`, `gclid`, `fbclid`,
+    *     `msclkid`), remaining query params SORTED (param order is
+    *     almost never semantic; sorting merges permutations);
+    *  6. non-URL input (no `scheme://`) → NULL.
+    *
+    * A pure codegen'd projection — canonicalize, then exact-dedup on
+    * the result like any other digest. Deliberately NOT dropping
+    * `www.` or trailing slashes: those can change the page; use
+    * [[urlDomain]] for the host-level rollup.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u = regexp_replace(url, "#.*$", "") // 1. fragment
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)"))
+    val qs = array_join(sort_array(params), "&")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
+  /** The registrable-host rollup key: lowercased host, leading `www.`
+    * stripped, port dropped; NULL for non-URLs. (A public-suffix-exact
+    * registrable domain needs the PSL — this is the standard
+    * dependency-free approximation; hosts with country-code
+    * second-level domains group at the full host.)
+    */
+  def urlDomain(url: Column): Column =
+    nullif(regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)),
+      "^www\\.", ""), lit(""))
+
+  /** Per-domain corpus profile: the crawl-curation rollup (how much
+    * text does each site contribute, is one domain flooding the mix) —
+    * one hash aggregation on the [[urlDomain]] key.
+    */
+  def domainStats(df: DataFrame, url: Column, text: Column): DataFrame =
+    df.groupBy(urlDomain(url).as("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(text).cast("long")).as("n_tokens"),
+        sum(octet_length(text).cast("long")).as("n_bytes"))
+
   /** PII scrubbing patterns — deliberately simple constructs (character
     * classes, bounded quantifiers) that Java regex (Spark) and RE2
     * (DuckDB) interpret identically, so the whole cascade is

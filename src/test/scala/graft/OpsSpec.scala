@@ -1492,6 +1492,32 @@ class OpsSpec extends AnyFunSuite {
     assert(MediaParseUtil.parse(bx("free", fcc("xxxx")) ++ ftyp) == null)
   }
 
+  test("url canonicalization merges crawl variants; domain rollup key") {
+    val urls = Seq(
+      "HTTP://Example.COM:80/a?b=2&a=1#frag",
+      "http://example.com/a?a=1&b=2",            // permutation of the above
+      "https://Example.com:443/a?utm_source=x",  // tracking-only query
+      "https://example.com/a",                   // its canonical twin
+      "HTTPS://WWW.Site.ORG",                    // empty path -> '/'
+      "http://example.com:8080/x",               // NON-default port kept
+      "not a url at all",
+      "ftp://files.example.com/pub",             // unknown scheme: kept, port rule skipped
+    ).zipWithIndex.map(_.swap).toDF("id", "url")
+    val got = urls.select($"id", TextOps.canonicalUrl($"url").as("c"),
+      TextOps.urlDomain($"url").as("d")).collect()
+      .map(r => r.getInt(0) -> ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(got(0)._1.get == "http://example.com/a?a=1&b=2")
+    assert(got(0)._1 == got(1)._1) // param permutation + port + case merge
+    assert(got(2)._1.get == "https://example.com/a")
+    assert(got(2)._1 == got(3)._1) // tracking params never split a group
+    assert(got(4)._1.get == "https://www.site.org/")
+    assert(got(5)._1.get == "http://example.com:8080/x")
+    assert(got(6) == ((None, None))) // non-URL -> null, never a bogus key
+    assert(got(7)._1.get == "ftp://files.example.com/pub")
+    assert(got(4)._2.get == "site.org") // domain drops www., canon does not
+    assert(got(5)._2.get == "example.com")
+  }
+
   test("flac/mp3 walkers: block walk, ID3 skip, MPEG2 tables, corroborated sync") {
     import graft.functions.MediaParseUtil
     def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
