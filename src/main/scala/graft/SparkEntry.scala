@@ -257,6 +257,15 @@ object SparkEntry {
       (w, bq / 1048576.0)
     })
 
+  /** PCA basis trained once per (sf dir, k) — deterministic (one-pass
+    * moments + cyclic Jacobi), so the cached model equals any retrain.
+    */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ops.Embeddings.PcaModel]()
+  private def pcaFor(s: SparkSession, dir: String, k: Int): ops.Embeddings.PcaModel =
+    pcaCache.computeIfAbsent(s"$dir#$k", _ =>
+      ops.Embeddings.trainPca(t(s, dir, "embeddings"), "embedding", "vec_id", k))
+
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ops.Bpe.Merge]]()
   private def bpeFor(s: SparkSession, dir: String, n: Int): Seq[ops.Bpe.Merge] =
@@ -1943,6 +1952,47 @@ object SparkEntry {
         .select(col("label"), col("n"),
           array_join(transform(col("centroid"),
             m => format_string("%.6f", round(m, 6))), ",").as("centroid"))),
+
+    // in-engine PCA, cross-engine-checkable invariant: with the COMPLETE
+    // basis (k = dim) the projection preserves centered norms, and the
+    // oracle recomputes ‖x − μ‖² independently in SQL (μ from per-dim
+    // averages) — an eigendecomposition cannot be replayed in SQL, but
+    // the orthonormal-completeness of the learned basis can be checked
+    "q_emb_pca_norm" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val m = pcaFor(s, dir, k = 64)
+      t(s, dir, "embeddings").select(col("vec_id"),
+        round(ops.Embeddings.normSq(
+          ops.Embeddings.pcaProject(m, col("embedding"))), 4).as("centered_norm_sq"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // explained-variance curve (the dimensionality diagnostic before
+    // choosing PQ/SQ budgets); eigen output → rows-only, contracts in
+    // DriverSuiteSpec (descending, shares sum to 1, trace match)
+    "q_emb_pca_var" -> ((s, dir) => {
+      val m = pcaFor(s, dir, k = 64)
+      val shares = m.eigenvalues.map(_ / m.totalVariance)
+      val cum = shares.scanLeft(0.0)(_ + _).tail
+      import s.implicits._
+      m.eigenvalues.indices.map(i =>
+        (i, math.rint(m.eigenvalues(i) * 1e6) / 1e6,
+          math.rint(shares(i) * 1e6) / 1e6, math.rint(cum(i) * 1e6) / 1e6))
+        .toDF("component", "eigenvalue", "share", "cum_share")
+    }),
+
+    // whitened top-8 projection — the cosine-isotropy pre-step for
+    // semantic dedup; per-component unit variance contracted in
+    // DriverSuiteSpec at both SFs
+    "q_emb_pca_whiten" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val m = pcaFor(s, dir, k = 8)
+      t(s, dir, "embeddings").select(col("vec_id"),
+        array_join(transform(
+          ops.Embeddings.pcaProject(m, col("embedding"), whiten = true),
+          x => format_string("%.4f", round(x, 4))), ",").as("whitened"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   // Shared SQL fragments for the text oracles (must mirror TextOps exactly).
@@ -3924,6 +3974,21 @@ object SparkEntry {
     // the composed curation pipeline: language + quality + repetition
     // gates, then keep-first dedup among the survivors (QUALIFY runs
     // after WHERE, matching the Spark filter-then-window order)
+    // PCA norm preservation: ‖x − μ‖² recomputed independently (zipped
+    // unnest → per-dim means → per-row centered norm); equality with
+    // the Spark side certifies the learned basis is orthonormal-complete
+    "q_emb_pca_norm" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |         unnest(range(1, len(embedding) + 1)) AS d
+         |  FROM embeddings
+         |), mu AS (
+         |  SELECT d, avg(x) AS m FROM ex GROUP BY d
+         |)
+         |SELECT vec_id, round(sum((x - m) * (x - m)), 4) AS centered_norm_sq
+         |FROM ex JOIN mu USING (d)
+         |GROUP BY vec_id""".stripMargin,
+
     // URL canonicalization: the same synthesized messy URLs, the same
     // order-fixed rules (fragment, lowercase scheme/host, default port,
     // empty path, tracking-param drop + param sort) replayed in SQL

@@ -283,6 +283,189 @@ object Embeddings {
     w
   }
 
+  /** Trained PCA basis over an embedding column: `mean` (dim), the top
+    * `k` `components` (orthonormal rows, descending eigenvalue),
+    * `eigenvalues` (descending, the per-component explained variance),
+    * and `totalVariance` (the covariance trace). Driver-sized — the
+    * centroid/codebook lifecycle.
+    */
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double],
+      totalVariance: Double) {
+    def dim: Int = mean.length
+    def k: Int = components.length
+  }
+
+  /** Train PCA IN-ENGINE: ONE corpus aggregation computes the per-dim
+    * sums and the upper triangle of Σ·xxᵀ (a single flattened
+    * (dim + dim(dim+1)/2 + 1)-cell posexplode with map-side partial
+    * aggregation — every partition collapses to ≤ 2145 cells for
+    * dim 64 before the one shuffle), then the driver finishes: covariance
+    * from the moments, a cyclic Jacobi eigensolver on the dim×dim
+    * symmetric matrix (O(dim³) ≪ a second corpus pass), eigenpairs
+    * sorted by descending eigenvalue with a deterministic sign fix
+    * (first component of largest magnitude made positive), top `k`
+    * kept. Training is exactly reproducible: the moment sums are the
+    * only cross-row reductions and the corpus is finite — iteration
+    * count and rotations depend only on the covariance values.
+    *
+    * Why in-engine PCA is in a data-pipeline library at all: embedding
+    * whitening ([[pcaProject]] `whiten = true`) is the standard
+    * pre-step before cosine-based semantic dedup and retrieval
+    * (anisotropic embedding spaces overweight dominant directions),
+    * and explained-variance curves are the standard dimensionality
+    * diagnostic before choosing ANN compression (PQ/SQ) budgets.
+    *
+    * Null/short vectors are skipped (the shared "no embedding"
+    * convention). `sampleOneIn` subsamples deterministically by id
+    * hash for 100 TB corpora (same seeded-filter pattern as
+    * [[Similarity.trainIvf]]).
+    */
+  def trainPca(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      sampleOneIn: Int = 1,
+  ): PcaModel = {
+    require(k >= 1, "k must be >= 1")
+    require(sampleOneIn >= 1, "sampleOneIn must be >= 1")
+    val vecs0 = df
+      .filter(col(vecCol).isNotNull)
+      .filter(pmod(xxhash64(lit("pca-sample"), col(idCol)), lit(sampleOneIn.toLong)) === 0)
+      .select(col(vecCol).cast("array<double>").as("v"))
+    val dim = vecs0.select(size(col("v"))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException("trainPca: no non-null vectors")
+    }
+    require(k <= dim, s"k=$k exceeds dim=$dim")
+    val vecs = vecs0.filter(size(col("v")) === dim)
+    val nTri = dim * (dim + 1) / 2
+    // one flattened stats vector per row: [x_0..x_{d-1}, upper-tri products, 1]
+    val stats = concat(
+      col("v"),
+      flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(i, lit(dim - 1)), j =>
+          element_at(col("v"), i + 1) * element_at(col("v"), j + 1)))),
+      array(lit(1.0)))
+    val cells = vecs
+      .select(posexplode(stats).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(sum(col("__x")).as("__s"))
+      .collect()
+    val acc = new Array[Double](dim + nTri + 1)
+    cells.foreach(r => acc(r.getInt(0)) = r.getDouble(1))
+    val n = acc(dim + nTri)
+    require(n > 1, "trainPca: need at least 2 vectors")
+    val mean = Array.tabulate(dim)(i => acc(i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = acc(t) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      t += 1
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.indices.sortBy(i => -values(i))
+    val comps = order.take(k).map { i =>
+      val v = vectors.map(_(i))
+      // deterministic sign: the largest-|.| coordinate is positive
+      val m = v.indices.maxBy(j => (math.abs(v(j)), -j))
+      if (v(m) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(mean, comps, order.take(k).map(values).toArray,
+      (0 until dim).map(i => cov(i)(i)).sum)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: returns
+    * (eigenvalues, column-eigenvector matrix). Deterministic sweep
+    * order; converges quadratically — 64×64 finishes in a handful of
+    * sweeps, microseconds next to any corpus pass.
+    */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-18 && sweep < 64) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val tt = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val tSafe = if (theta == 0.0) 1.0 else tt
+          val c = 1.0 / math.sqrt(tSafe * tSafe + 1.0)
+          val s = tSafe * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project onto a trained PCA basis as a pure codegen'd projection:
+    * component c of the output is `(x − μ)·v_c = x·v_c − μ·v_c` (the
+    * `μ·v_c` scalar precomputed on the driver), one [[vec_dot]] per
+    * component. `whiten = true` divides by √λ_c (variance-one
+    * components — the cosine-isotropy pre-step for semantic dedup);
+    * components with λ ≤ 1e-12 whiten to 0 rather than exploding.
+    * Null vectors project to null.
+    */
+  def pcaProject(model: PcaModel, vec: Column, whiten: Boolean = false): Column = {
+    val comps = model.components
+    val outs = comps.indices.map { c =>
+      val mu = comps(c).zip(model.mean).map { case (a, b) => a * b }.sum
+      val raw = graft.functions.GraftFunctions.vecDot(
+        vec.cast("array<double>"), typedLit(comps(c).toSeq)) - lit(mu)
+      if (!whiten) raw
+      else if (model.eigenvalues(c) <= 1e-12) lit(0.0)
+      else raw / lit(math.sqrt(model.eigenvalues(c)))
+    }
+    when(vec.isNotNull, array(outs: _*))
+  }
+
+  /** Persist a PCA model (rows: component index, eigenvalue, vector;
+    * index −1 carries the mean with the covariance trace) — the
+    * `saveIvf` train-once lifecycle.
+    */
+  def savePca(model: PcaModel, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val rows = model.components.indices.map(i =>
+      (i, model.eigenvalues(i), model.components(i).toSeq)) :+
+      ((-1, model.totalVariance, model.mean.toSeq))
+    rows.toDF("idx", "value", "vector").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a PCA model saved by [[savePca]]. */
+  def loadPca(spark: org.apache.spark.sql.SparkSession, path: String): PcaModel = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    val (meanRows, compRows) = rows.partition(_._1 == -1)
+    require(meanRows.length == 1, "loadPca: expected exactly one mean row")
+    val comps = compRows.sortBy(_._1)
+    require(comps.map(_._1).sameElements(comps.indices), "loadPca: component gap")
+    PcaModel(meanRows.head._3, comps.map(_._3), comps.map(_._2), meanRows.head._2)
+  }
+
   /** Per-group centroid (dimension-wise mean) + member count of an
     * embedding column: the corpus-summary / cluster-quality primitive.
     *

@@ -218,6 +218,30 @@ class DriverSuiteSpec extends AnyFunSuite {
       s"""{\n  "rows": [\n$rows\n  ]\n}\n""")
   }
 
+  test("pca driver rows: variance curve well-formed, whitened components unit-variance") {
+    // the contracts behind the rows-only q_emb_pca_var / q_emb_pca_whiten
+    // (eigen output has no SQL mirror; q_emb_pca_norm is the full oracle)
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val v = SparkEntry.queries("q_emb_pca_var")(spark, dir)
+        .orderBy(col("component")).collect()
+      assert(v.length == 64)
+      val eig = v.map(_.getAs[Double]("eigenvalue"))
+      assert(eig.zip(eig.tail).forall { case (a, b) => a >= b - 1e-9 }, s"$dir: not descending")
+      assert(eig.forall(_ >= -1e-9))
+      val cumLast = v.last.getAs[Double]("cum_share")
+      assert(math.abs(cumLast - 1.0) < 1e-4, s"$dir: complete basis must explain all variance, got $cumLast")
+      val w = SparkEntry.queries("q_emb_pca_whiten")(spark, dir).collect()
+        .map(_.getAs[String]("whitened").split(',').map(_.toDouble))
+      for (c <- 0 until 8) {
+        val xs = w.map(_(c))
+        val mu = xs.sum / xs.length
+        val va = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+        assert(math.abs(va - 1.0) < 0.01, s"$dir: whitened var c$c = $va")
+        assert(math.abs(mu) < 0.01, s"$dir: whitened mean c$c = $mu")
+      }
+    }
+  }
+
   test("logistic trainer beats the Rocchio baseline AUC at both SFs") {
     // the contract behind q_text_lr_auc: the iterative trainer exists to
     // clear the closed-form baseline, and both AUCs are deterministic

@@ -1492,6 +1492,73 @@ class OpsSpec extends AnyFunSuite {
     assert(MediaParseUtil.parse(bx("free", fcc("xxxx")) ++ ftyp) == null)
   }
 
+  test("pca: planted structure recovered, orthonormal basis, whitening, persistence") {
+    import graft.ops.Embeddings
+    graft.functions.GraftFunctions.register(spark)
+    // planted 2-factor structure in 6-D: x = a*u + b*w + tiny noise,
+    // with deterministic pseudo-random a,b per row
+    val u = Array(0.5, 0.5, 0.5, 0.5, 0.0, 0.0)
+    val w = Array(0.5, -0.5, 0.5, -0.5, 0.0, 0.0)
+    def rnd(i: Int, salt: Int): Double = {
+      // avalanched per-salt streams — a linear scheme would correlate a
+      // and b and tilt the planted top direction
+      val h = java.lang.Long.rotateLeft(i * 2654435761L + salt * 0x9e3779b9L,
+        salt * 7 + 13) * 0x9e3779b97f4a7c15L
+      ((h % 1000L + 1000L) % 1000L) / 500.0 - 1.0
+    }
+    val data = (0 until 400).map { i =>
+      val a = 3.0 * rnd(i, 1); val b = 1.5 * rnd(i, 2)
+      (i.toLong, (0 until 6).map(d => a * u(d) + b * w(d) + 0.001 * rnd(i, 3 + d)).toArray)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val m = Embeddings.trainPca(df, "embedding", "vec_id", k = 6)
+    // top-2 explain essentially all variance; eigenvalues descending
+    assert(m.eigenvalues.zip(m.eigenvalues.tail).forall { case (a, b) => a >= b - 1e-12 })
+    assert(m.eigenvalues.take(2).sum / m.totalVariance > 0.999)
+    assert(math.abs(m.eigenvalues.sum - m.totalVariance) < 1e-9 * m.totalVariance)
+    // orthonormal rows
+    for (i <- m.components.indices; j <- m.components.indices) {
+      val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"c$i . c$j = $dot")
+    }
+    // the top component is the planted dominant direction (up to sign fix)
+    val c0 = m.components(0)
+    val uN = u.map(_ / math.sqrt(u.map(x => x * x).sum))
+    assert(math.abs(math.abs(c0.zip(uN).map { case (a, b) => a * b }.sum) - 1.0) < 1e-3)
+    // whitened projection: per-component variance 1 on the live components
+    val proj = df.select(Embeddings.pcaProject(m, $"embedding", whiten = true).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    for (c <- 0 until 2) {
+      val xs = proj.map(_(c))
+      val mu = xs.sum / xs.length
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(va - 1.0) < 1e-6, s"whitened var c$c = $va")
+    }
+    // determinism + persistence round trip
+    val m2 = Embeddings.trainPca(df, "embedding", "vec_id", k = 6)
+    assert(m.components.flatten.toSeq == m2.components.flatten.toSeq
+      && m.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("pca-").toString
+    Embeddings.savePca(m, spark, s"$dir/m")
+    val l = Embeddings.loadPca(spark, s"$dir/m")
+    assert(l.components.flatten.toSeq == m.components.flatten.toSeq
+      && l.eigenvalues.toSeq == m.eigenvalues.toSeq
+      && l.mean.toSeq == m.mean.toSeq && l.totalVariance == m.totalVariance)
+    // k = dim: projection preserves centered norms (complete basis)
+    val withNorm = df.select(
+      Embeddings.normSq(Embeddings.pcaProject(m, $"embedding")).as("pn"),
+      Embeddings.normSq($"embedding").as("n"), $"embedding")
+      .collect()
+    withNorm.foreach { r =>
+      val x = r.getSeq[Double](2)
+      val cn = x.zip(m.mean).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(r.getDouble(0) - cn) < 1e-9 * (1 + cn))
+    }
+    // null vectors project to null
+    val nulls = Seq((0L, null: Array[Double])).toDF("vec_id", "embedding")
+    assert(nulls.select(Embeddings.pcaProject(m, $"embedding")).collect().head.isNullAt(0))
+  }
+
   test("url canonicalization merges crawl variants; domain rollup key") {
     val urls = Seq(
       "HTTP://Example.COM:80/a?b=2&a=1#frag",
