@@ -683,6 +683,24 @@ object SparkEntry {
           nClusters = 8, threshold = 0.45, nProbe = 2))
     }),
 
+    // PCA-whitened SemDeDup: the composition the PCA operator exists
+    // for — whiten (variance-one components, isotropic cosine), then
+    // the same banded semantic dedup in the whitened space. The
+    // whitened corpus is a Spark-computed frame (eigen basis → no SQL
+    // mirror), so the row's honesty meter is the standard pair-recall
+    // contract against exact cosine truth computed IN the same
+    // whitened space (probeOneIn-sampled, the corpus-scale meter form)
+    "q_dedup_semantic_white" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val m = pcaFor(s, dir, k = 8)
+      val white = t(s, dir, "embeddings").select(col("vec_id"),
+        ops.Embeddings.pcaProject(m, col("embedding"), whiten = true).as("w"))
+      Dedup.pairRecall(
+        Dedup.exactCosinePairs(white, "w", "vec_id", threshold = 0.6, probeOneIn = 4),
+        Dedup.semanticDedup(white, "w", "vec_id",
+          nClusters = 8, threshold = 0.6, nProbe = 2))
+    }),
+
     // steady-state SemDeDup: the quantizer is pre-trained (memoized per
     // sf dir, the ivfIndexFor cache), so this measures the dedup pass
     // itself — cell assignment + within-cell pairs + exact verification —

@@ -41,7 +41,7 @@ class DriverSuiteSpec extends AnyFunSuite {
     // documented approximate set, not an accidental omission — pin the
     // count so a new query silently missing its oracle trips review
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.size == 30, s"rows-only query count changed (${rowsOnly.size}): " +
+    assert(rowsOnly.size == 33, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
@@ -194,6 +194,7 @@ class DriverSuiteSpec extends AnyFunSuite {
       "q_dedup_semantic_recall" -> "kmeans 8 cells nProbe=2, exact pairs probeOneIn=4",
       "q_sim_hard_neg_lsh_recall" -> "banded hard negatives, probeSample oneIn=25",
       "q_sim_hard_pos_lsh_recall" -> "banded hard positives, probeSample oneIn=25",
+      "q_dedup_semantic_white" -> "pca-whitened k=8, kmeans 8 cells nProbe=2, exact pairs probeOneIn=4",
     )
     val measured =
       for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
