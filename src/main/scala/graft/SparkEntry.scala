@@ -189,6 +189,20 @@ object SparkEntry {
       store
     })
 
+  /** Deterministic page shell around each document's text: title,
+    * style/script elements (with a bare `<` inside the script — why the
+    * element rule runs before tag stripping), comment, nav boilerplate,
+    * and the common entities. SQL-mirrorable for the extraction oracle.
+    */
+  private def syntheticHtml: Column = concat(
+    lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+    lit("</title><style>body{color:#000}</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+      "<body><!-- nav boilerplate --><div class=\"nav\">Home &amp; About</div><h1>Doc "),
+    col("doc_id"),
+    lit("</h1><p>"), col("text"),
+    lit("</p><p>Footer &copy; 2024&nbsp;Example &lt;inc&gt;</p></body></html>"))
+
   /** Deterministic messy-URL synthesis for the canonicalization rows:
     * mixed-case scheme/host, default ports, empty paths, tracking
     * params in varying order, fragments — every rule of
@@ -1325,6 +1339,15 @@ object SparkEntry {
     "q_curate" -> ((s, dir) =>
       ops.Curate.curate(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("quality"), col("dup_3gram_frac"))),
+
+    // HTML → text extraction: documents wrapped in a deterministic page
+    // shell (title/nav/script/style/comments/entities) and stripped back
+    // to text by the fixed regexp cascade; the oracle rebuilds the same
+    // HTML and replays the same cascade
+    "q_text_html_extract" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.htmlToText(syntheticHtml).as("extracted"))
+        .orderBy(col("doc_id"))),
 
     // URL canonicalization: the crawl-level first dedup key. Messy URL
     // variants (case, default ports, fragments, tracking params,
@@ -4006,6 +4029,40 @@ object SparkEntry {
          |SELECT vec_id, round(sum((x - m) * (x - m)), 4) AS centered_norm_sq
          |FROM ex JOIN mu USING (d)
          |GROUP BY vec_id""".stripMargin,
+
+    // HTML extraction: the same page shell rebuilt in SQL, the same
+    // order-fixed cascade (script/style elements, comments, block
+    // closers → newlines, tag strip, entities with amp last,
+    // whitespace normalization) replayed step for step
+    "q_text_html_extract" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
+         |    '</title><style>body{color:#000}</style>' ||
+         |    '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
+         |    '<body><!-- nav boilerplate --><div class="nav">Home &amp; About</div><h1>Doc ' || doc_id ||
+         |    '</h1><p>' || text ||
+         |    '</p><p>Footer &copy; 2024&nbsp;Example &lt;inc&gt;</p></body></html>' AS html
+         |  FROM documents
+         |), s1 AS (
+         |  SELECT doc_id, regexp_replace(html,
+         |    '(?is)<script[^>]*>.*?</script>|(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM h
+         |), s2 AS (
+         |  SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s1
+         |), s3 AS (
+         |  SELECT doc_id, regexp_replace(t,
+         |    '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)[^>]*>', chr(10), 'g') AS t FROM s2
+         |), s4 AS (
+         |  SELECT doc_id, regexp_replace(t, '<(/?[A-Za-z][^>]*|![^>]*)>', '', 'g') AS t FROM s3
+         |), s5 AS (
+         |  SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&') AS t FROM s4
+         |)
+         |SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(t,
+         |  '[ \\t\\r]+', ' ', 'g'), ' *\\n *', chr(10), 'g'),
+         |  '\\n{3,}', chr(10) || chr(10), 'g')) AS extracted
+         |FROM s5""".stripMargin,
 
     // URL canonicalization: the same synthesized messy URLs, the same
     // order-fixed rules (fragment, lowercase scheme/host, default port,

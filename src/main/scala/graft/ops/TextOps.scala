@@ -340,6 +340,50 @@ object TextOps {
       .drop("__sh")
   }
 
+  /** HTML → text extraction — the step between the WARC response record
+    * and every text-quality operator (crawled pages are HTML; Gopher/C4
+    * metrics over raw markup measure the markup). A fixed, order-fixed
+    * regexp cascade (each construct valid and identical under Java
+    * regex and RE2, so the whole pass is oracle-checkable):
+    *
+    *  1. `<script>`/`<style>` elements removed WITH their content;
+    *  2. comments removed;
+    *  3. block-level closers (`<br>`, `</p>`, `</div>`, `</h1-6>`,
+    *     `</li>`, `</tr>`, `</title>`) become newlines (layout → line
+    *     structure, which the line-oriented cleaners key on);
+    *  4. every remaining tag stripped;
+    *  5. the six ubiquitous entities decoded (`&lt; &gt; &quot; &#39;
+    *     &nbsp; &amp;` — amp LAST, so `&amp;lt;` correctly yields the
+    *     literal text `&lt;`); rarer entities pass through verbatim;
+    *  6. whitespace normalized (runs of spaces/tabs/CRs → one space,
+    *     space around newlines dropped, ≥3 newlines → blank line,
+    *     ends trimmed).
+    *
+    * Deliberately a lexical extractor, not a DOM parser: no recovery
+    * for `<` used as a bare less-than (left verbatim when unclosed) and
+    * no per-element visibility rules — the 99% crawl shape at a
+    * per-row codegen'd cost, with failure modes that are local and
+    * visible. A pure scan projection; compose as
+    * `readWarc → htmlToText → quality battery`.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>|(?is)<style[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)[^>]*>", "\n")
+    // only plausible tags: "<" must open "</tag", "<tag", or "<!…" —
+    // a bare less-than ("price < 100") never anchors a strip, even with
+    // a real tag later on the line
+    val noTags = regexp_replace(blocks, "<(/?[A-Za-z][^>]*|![^>]*)>", "")
+    val entities = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&nbsp;", " "), "&amp;", "&")
+    trim(regexp_replace(regexp_replace(regexp_replace(entities,
+      "[ \\t\\r]+", " "), " *\\n *", "\n"), "\\n{3,}", "\n\n"))
+  }
+
   /** URL canonicalization for crawl-level dedup — the first dedup key of
     * any web pipeline (the same page is crawled as `HTTP://Site.com/a`,
     * `http://site.com:80/a?utm_source=x`, `http://site.com/a#top`…).

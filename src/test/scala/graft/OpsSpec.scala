@@ -1492,6 +1492,28 @@ class OpsSpec extends AnyFunSuite {
     assert(MediaParseUtil.parse(bx("free", fcc("xxxx")) ++ ftyp) == null)
   }
 
+  test("html extraction: element removal, entity order, malformed input stays local") {
+    def x(h: String): String =
+      Seq(h).toDF("h").select(TextOps.htmlToText($"h")).collect().head.getString(0)
+    // script content (incl. a bare '<') vanishes wholesale; style too
+    assert(x("<p>a</p><script>if (1 < 2) alert('x')</script><style>p{}</style>b") == "a\nb")
+    // multi-line lazy matching, case-insensitive tags
+    assert(x("<SCRIPT a=b>\nline1\nline2\n</ScRiPt>keep") == "keep")
+    // entity order: &amp;lt; must yield literal "&lt;", not "<"
+    assert(x("a &amp;lt; b &lt; c &nbsp;d &#39;e&#39;") == "a &lt; b < c d 'e'")
+    // unknown entities pass through verbatim
+    assert(x("&copy; &hellip;") == "&copy; &hellip;")
+    // block closers become line structure; inline tags just vanish
+    assert(x("<h1>T</h1><ul><li>one</li><li>two</li></ul><em>fin</em>") == "T\none\ntwo\nfin")
+    // whitespace: runs collapse, space around newlines dropped, >2 newlines capped
+    assert(x("a  \t b\n\n\n\n<p></p>c") == "a b\n\nc")
+    // unclosed '<' is not a tag: stays verbatim (lexical extractor contract)
+    assert(x("price < 100 and <b>bold</b>") == "price < 100 and bold")
+    // comments, doctype, empty input
+    assert(x("<!DOCTYPE html><!-- hidden -->visible") == "visible")
+    assert(x("") == "")
+  }
+
   test("pca: planted structure recovered, orthonormal basis, whitening, persistence") {
     import graft.ops.Embeddings
     graft.functions.GraftFunctions.register(spark)
