@@ -250,6 +250,35 @@ object SparkEntry {
       store
     })
 
+  /** Z-ordered events layout, written once per sf dir: the events table
+    * (with `ts` lifted to epoch-micros `ts_us`) Morton-clustered on
+    * `(user_id, ts_us)` with its pruning manifest
+    * ([[sources.Layout.writeZOrderedWithManifest]]) — the
+    * pay-the-layout-once store the `q_layout_prune` row reads through
+    * the manifest. Deterministic content (layout file boundaries are
+    * not, which is why the oracle checks the READ result, not files).
+    */
+  private val zStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zStoreFor(s: SparkSession, dir: String): String =
+    zStoreCache.computeIfAbsent(dir, _ => {
+      val store = java.nio.file.Files.createTempDirectory("graft-zstore-").toString
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      sources.Layout.writeZOrderedWithManifest(ev, s"$store/events_z",
+        Seq("user_id", "ts_us"), bits = 8, numFiles = 32)
+      store
+    })
+
+  /** The DuckDB mirror of [[sources.Layout.zValue]]'s bit interleave for
+    * two dims: disjoint powers of two, so `+` is exactly the bitwise OR
+    * the Spark side computes with shifts.
+    */
+  private def zInterleaveSql(iu: String, it: String, bits: Int): String =
+    (0 until bits).flatMap(b => Seq(
+      s"((($iu >> $b) & 1) * ${1L << (2 * b)})",
+      s"((($it >> $b) & 1) * ${1L << (2 * b + 1)})")).mkString(" + ")
+
   /** Logistic model (weights + bias) trained once per sf dir — the
     * [[ivfIndexFor]] lifecycle: `q_text_lr_weights` pays the visible
     * 16-epoch training cost, the score/auc rows load the memoized model
@@ -1379,6 +1408,27 @@ object SparkEntry {
       sources.GraftSource.readWarc(s, s"$store/wet")
         .select(col("warc_type"), col("url"), col("warc_date"),
           col("content_type"), col("content_length"), col("truncated"), col("text"))
+    }),
+
+    // Z-value (Morton) layout key over (user_id, epoch-micros ts): pure
+    // shift/and/or codegen arithmetic — the oracle recomputes the same
+    // bucket indices and interleave with integer SQL
+    "q_layout_zvalue" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        sources.Layout.zValue(
+          Seq(col("user_id"), unix_micros(col("ts"))),
+          Seq(0.0, 1704067200000000.0),
+          Seq(2048.0, 1706745600000000.0), bits = 8).as("zval"))),
+
+    // manifest-pruned read over the z-ordered events store: files whose
+    // (user_id, ts_us) ranges miss the predicate are never opened; the
+    // oracle is the plain full-scan filter — pruning must be invisible
+    // to the result
+    "q_layout_prune" -> ((s, dir) => {
+      val store = zStoreFor(s, dir)
+      sources.Layout.readPruned(s, s"$store/events_z",
+        Seq(("user_id", 2.0, 9.0),
+          ("ts_us", 1704931200000000.0, 1705795200000000.0)))
     }),
 
     // feature-hashing document embedding (model-free, md5-derived, L2
@@ -4141,6 +4191,24 @@ object SparkEntry {
          |  (octet_length(encode(r)) - octet_length(encode(h)) - 4) < clen AS truncated,
          |  substr(r, length(h) + 5, CAST(clen AS INTEGER)) AS text
          |FROM cl""".stripMargin,
+
+    "q_layout_zvalue" ->
+      s"""WITH b AS (
+         |  SELECT event_id,
+         |    CAST(least(greatest(floor((CAST(user_id AS DOUBLE) - 0.0) / 8.0), 0), 255) AS BIGINT) AS iu,
+         |    CAST(least(greatest(floor((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) - 1704067200000000.0) / 10462500000.0), 0), 255) AS BIGINT) AS it
+         |  FROM events
+         |)
+         |SELECT event_id, ${zInterleaveSql("iu", "it", 8)} AS zval
+         |FROM b""".stripMargin,
+
+    "q_layout_prune" ->
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  event_type, value
+        |FROM events
+        |WHERE CAST(user_id AS DOUBLE) BETWEEN 2.0 AND 9.0
+        |  AND CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+        |      BETWEEN 1704931200000000.0 AND 1705795200000000.0""".stripMargin,
 
     "q_curate" ->
       s"""WITH m AS (

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.GraftSource
+import graft.sources.{GraftSource, Layout}
 
 /** Schema-gated source readers + partitioned sink, against real testdata. */
 class SourcesSpec extends AnyFunSuite {
@@ -316,5 +316,88 @@ class SourcesSpec extends AnyFunSuite {
     assert(gated.count() == 1)
     val bad = GraftSource.warc(spark, tmp, """{ "nope": "string" }""")
     assert(bad.swap.exists(_.contains("unexisting field: nope")))
+  }
+
+  // ---- Z-order layout + manifest pruning ----
+
+  /** Reference Morton interleave over pre-computed bucket indices. */
+  private def refMorton(idx: Seq[Long], bits: Int): Long =
+    (0 until bits).flatMap(b => idx.zipWithIndex.map { case (ix, dim) =>
+      ((ix >> b) & 1L) << (b * idx.size + dim)
+    }).sum
+
+  test("zValue matches the reference Morton interleave on a planted grid") {
+    val rows = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val df = rows.toDF("x", "y")
+    // lo=0, hi=16, bits=4 -> bucket width exactly 1: bucket index == value
+    val got = df.select($"x", $"y",
+        Layout.zValue(Seq($"x", $"y"), Seq(0.0, 0.0), Seq(16.0, 16.0), 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (x <- 0 until 16; y <- 0 until 16)
+      assert(got((x.toLong, y.toLong)) == refMorton(Seq(x.toLong, y.toLong), 4),
+        s"z($x,$y)")
+    // clamping: out-of-domain values land in edge buckets, never corrupt bits
+    val edge = Seq((-5L, 99L)).toDF("x", "y")
+      .select(Layout.zValue(Seq($"x", $"y"), Seq(0.0, 0.0), Seq(16.0, 16.0), 4))
+      .head().getLong(0)
+    assert(edge == refMorton(Seq(0L, 15L), 4))
+  }
+
+  test("z-order bounds per-file ranges on BOTH dimensions; 1-D sort does not") {
+    // a shuffled 64x64 grid: every (x, y) once, insertion order scrambled
+    val rows = new scala.util.Random(7)
+      .shuffle((for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)).toVector)
+    val df = rows.toDF("x", "y")
+    def avgRange(manifest: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val per = manifest.select((col(s"max_$c") - col(s"min_$c")).cast("double")).collect()
+      per.map(_.getDouble(0)).sum / per.length / 63.0
+    }
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder-").toString + "/t"
+    val zman = Layout.writeZOrderedWithManifest(df, zdir, Seq("x", "y"), bits = 6, numFiles = 16)
+    // 16 files over a 2-D curve: each file covers ~1/4 of EACH dimension
+    assert(avgRange(zman, "x") < 0.5, s"z-layout x range ${avgRange(zman, "x")}")
+    assert(avgRange(zman, "y") < 0.5, s"z-layout y range ${avgRange(zman, "y")}")
+    // contrast: sort by x alone -> x tight, y saturates the domain
+    val xdir = java.nio.file.Files.createTempDirectory("graft-xsort-").toString + "/t"
+    df.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xdir)
+    val xman = Layout.zManifest(spark.read.parquet(xdir), Seq("x", "y"))
+    assert(avgRange(xman, "x") < 0.5)
+    assert(avgRange(xman, "y") > 0.9, s"x-sort y range ${avgRange(xman, "y")}")
+  }
+
+  test("manifest-pruned read equals full filter and opens a fraction of the files") {
+    val rows = new scala.util.Random(11)
+      .shuffle((for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)).toVector)
+    val dir0 = java.nio.file.Files.createTempDirectory("graft-zprune-").toString + "/t"
+    Layout.writeZOrderedWithManifest(rows.toDF("x", "y"), dir0, Seq("x", "y"),
+      bits = 6, numFiles = 16)
+    val ranges = Seq(("x", 8.0, 15.0), ("y", 16.0, 23.0))
+    val pruned = Layout.readPruned(spark, dir0, ranges)
+    val full = spark.read.parquet(dir0)
+      .filter($"x".between(8, 15) && $"y".between(16, 23))
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(pruned.collect().length == 64)
+    val opened = Layout.prunedFiles(spark, dir0, ranges)
+    val total = spark.read.parquet(dir0).inputFiles.length
+    assert(opened.size < total,
+      s"an 1/64-of-domain query opened ${opened.size} of $total files")
+    // empty-overlap predicate: zero files opened, empty result, schema kept
+    val none = Layout.readPruned(spark, dir0, Seq(("x", 500.0, 600.0)))
+    assert(none.columns.toList == List("x", "y") && none.count() == 0)
+  }
+
+  test("null layout values survive the z-layout round trip; residual filter decides") {
+    val rows = (0 until 200).map(i => (i.toLong, if (i % 50 == 0) None else Some(i.toLong)))
+    val df = rows.toDF("id", "v")
+    val dir0 = java.nio.file.Files.createTempDirectory("graft-znull-").toString + "/t"
+    Layout.writeZOrderedWithManifest(df, dir0, Seq("v"), bits = 4, numFiles = 4)
+    val back = spark.read.parquet(dir0)
+    assert(back.count() == 200)
+    assert(back.filter($"v".isNull).count() == 4)
+    val got = Layout.readPruned(spark, dir0, Seq(("v", 10.0, 30.0)))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (10L to 30L).filterNot(_ % 50 == 0).toSet)
   }
 }

@@ -474,6 +474,24 @@ object Drive {
     docs.select(col("doc_id"), clip30.as("clipped"), drop30.as("dropped"))
       .orderBy(col("dropped").desc).show(3)
 
+    println("== Z-order layout: write, manifest, pruned read ==")
+    val zdir = java.nio.file.Files.createTempDirectory("drive-zorder-").toString + "/ev"
+    val evz = graft.SparkEntry.events(spark, sfDir).select(col("event_id"),
+      col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val zman = graft.sources.Layout.writeZOrderedWithManifest(
+      evz, zdir, Seq("user_id", "ts_us"), bits = 8, numFiles = 16)
+    println("manifest (per-file ranges on BOTH dims):")
+    zman.orderBy(col("min_user_id")).show(6, truncate = 24)
+    val zranges = Seq(("user_id", 2.0, 6.0), ("ts_us", 1.7049312e15, 1.7057952e15))
+    val zpruned = graft.sources.Layout.readPruned(spark, zdir, zranges)
+    println(s"pruned read opens ${graft.sources.Layout.prunedFiles(spark, zdir, zranges).size} " +
+      s"of ${spark.read.parquet(zdir).inputFiles.length} files; " +
+      s"rows=${zpruned.count()} (full-filter rows=${spark.read.parquet(zdir)
+        .filter(col("user_id").between(2, 6) &&
+          col("ts_us").between(1.7049312e15.toLong, 1.7057952e15.toLong)).count()})")
+    println("pruned-read physical plan (scan + residual filter, no shuffle):")
+    zpruned.explain("formatted")
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",
