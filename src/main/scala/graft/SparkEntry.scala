@@ -260,6 +260,8 @@ object SparkEntry {
     */
   private val zStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val zCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zStoreFor(s: SparkSession, dir: String): String =
     zStoreCache.computeIfAbsent(dir, _ => {
       val store = java.nio.file.Files.createTempDirectory("graft-zstore-").toString
@@ -1429,6 +1431,20 @@ object SparkEntry {
       sources.Layout.readPruned(s, s"$store/events_z",
         Seq(("user_id", 2.0, 9.0),
           ("ts_us", 1704931200000000.0, 1705795200000000.0)))
+    }),
+
+    // small-files compaction of the z-ordered store (re-cluster +
+    // manifest refresh, written beside — never in place); the oracle is
+    // the full table: a compaction that loses/duplicates/corrupts any
+    // row hash-mismatches
+    "q_layout_compact" -> ((s, dir) => {
+      val store = zStoreFor(s, dir)
+      zCompactCache.computeIfAbsent(dir, _ => {
+        sources.Layout.compactZOrdered(s, s"$store/events_z", s"$store/events_zc",
+          Seq("user_id", "ts_us"), bits = 8, targetFileBytes = 64L << 10)
+        "done"
+      })
+      s.read.parquet(s"$store/events_zc")
     }),
 
     // feature-hashing document embedding (model-free, md5-derived, L2
@@ -4209,6 +4225,11 @@ object SparkEntry {
         |WHERE CAST(user_id AS DOUBLE) BETWEEN 2.0 AND 9.0
         |  AND CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
         |      BETWEEN 1704931200000000.0 AND 1705795200000000.0""".stripMargin,
+
+    "q_layout_compact" ->
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  event_type, value
+        |FROM events""".stripMargin,
 
     "q_curate" ->
       s"""WITH m AS (

@@ -175,6 +175,74 @@ object Layout {
     }
   }
 
+  /** What a compaction rewrite consumed and produced. */
+  final case class CompactStats(filesIn: Long, bytesIn: Long, filesOut: Long)
+
+  /** Compact a parquet directory into ~`targetFileBytes` files sorted on
+    * `sortCols` — the small-files repair. Streaming sinks and incremental
+    * batch appends leave a long tail of tiny files, and at 100 TB the
+    * scan cost of a tiny file is dominated by per-file overhead (footer
+    * round trip, task schedule, open/close) rather than bytes — a corpus
+    * fragmented into 10× too many files scans ~10× slower regardless of
+    * data volume. The rewrite is ONE range-partitioning shuffle into
+    * `ceil(bytes/target)` files (a total order across files on
+    * `sortCols`, sorted within each file too — row-group stats stay
+    * selective), written to a NEW path: compaction is never in place, the
+    * caller flips the directory/catalog pointer once the rewrite lands,
+    * so readers never observe a half-compacted directory.
+    */
+  def compactSorted(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      sortCols: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+  ): CompactStats = {
+    require(sortCols.nonEmpty, "compactSorted needs at least one sort column")
+    val (filesIn, bytesIn) = dirStats(spark, inPath)
+    val numFiles = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(outPath)
+    CompactStats(filesIn, bytesIn, spark.read.parquet(outPath).inputFiles.length.toLong)
+  }
+
+  /** [[compactSorted]] for a Z-ordered directory: re-clusters on the
+    * z-value (bounds re-derived from the data, so the layout heals even
+    * if the domain drifted since the original write) and refreshes the
+    * pruning manifest at `<outPath>__zmanifest`. Returns the stats; the
+    * refreshed manifest lands beside the data as usual.
+    */
+  def compactZOrdered(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      zCols: Seq[String],
+      bits: Int = 8,
+      targetFileBytes: Long = 128L << 20,
+  ): CompactStats = {
+    val (filesIn, bytesIn) = dirStats(spark, inPath)
+    val numFiles = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
+    val manifest = writeZOrderedWithManifest(
+      spark.read.parquet(inPath), outPath, zCols, bits, numFiles)
+    CompactStats(filesIn, bytesIn, manifest.count())
+  }
+
+  /** `(file count, total bytes)` of a parquet directory — a driver-side
+    * loop over the |files|-sized listing, the same driver-sized bound as
+    * the manifests.
+    */
+  private def dirStats(spark: SparkSession, path: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = spark.read.parquet(path).inputFiles
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    (files.length.toLong, bytes)
+  }
+
   /** The residual range predicate, shaped so parquet row-group pruning
     * still applies INSIDE the surviving files: comparing
     * `cast(col as double)` to the bounds would be correct but blocks

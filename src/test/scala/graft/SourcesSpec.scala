@@ -400,4 +400,54 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == (10L to 30L).filterNot(_ % 50 == 0).toSet)
   }
+
+  test("compaction heals a small-files scatter, restores the sort, keeps content") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    li.repartition(64).write.mode("overwrite").parquet(s"$base/scattered")
+    assert(spark.read.parquet(s"$base/scattered").inputFiles.length == 64)
+    val bytes = new java.io.File(s"$base/scattered").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val stats = Layout.compactSorted(spark, s"$base/scattered", s"$base/compact",
+      Seq("l_orderkey"), targetFileBytes = bytes / 3)
+    assert(stats.filesIn == 64 && stats.filesOut <= 8,
+      s"expected <=8 files, got ${stats.filesOut}")
+    val back = spark.read.parquet(s"$base/compact")
+    assert(back.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+      .sameElements(li.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted))
+    // every compacted file individually sorted (row-group stats selective)
+    back.select(input_file_name().as("f"), $"l_orderkey").collect()
+      .groupBy(_.getString(0)).foreach { case (f, rows) =>
+        val keys = rows.map(_.getLong(1))
+        assert(keys.sameElements(keys.sorted), s"$f is not sorted")
+      }
+  }
+
+  test("z-compaction re-clusters and refreshes the pruning manifest") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zcompact-").toString
+    val rows = new scala.util.Random(3)
+      .shuffle((for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)).toVector)
+    // a scattered (unclustered) directory standing in for incremental appends
+    rows.toDF("x", "y").repartition(48).write.mode("overwrite").parquet(s"$base/in")
+    val bytes = new java.io.File(s"$base/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val stats = Layout.compactZOrdered(spark, s"$base/in", s"$base/out",
+      Seq("x", "y"), bits = 6, targetFileBytes = bytes / 12)
+    assert(stats.filesIn == 48 && stats.filesOut < 24)
+    // manifest refreshed beside the compacted data, one row per file
+    val man = spark.read.parquet(s"$base/out__zmanifest")
+    assert(man.count() == stats.filesOut)
+    // the layout is restored: both dims tight per file again
+    def avgRange(c: String): Double = {
+      val per = man.select((col(s"max_$c") - col(s"min_$c")).cast("double")).collect()
+      per.map(_.getDouble(0)).sum / per.length / 63.0
+    }
+    assert(avgRange("x") < 0.6 && avgRange("y") < 0.6,
+      s"ranges x=${avgRange("x")} y=${avgRange("y")}")
+    // content intact and the pruned reader works on the compacted store
+    assert(spark.read.parquet(s"$base/out").count() == 4096)
+    val pr = Layout.readPruned(spark, s"$base/out", Seq(("x", 0.0, 7.0), ("y", 0.0, 7.0)))
+    assert(pr.count() == 64)
+  }
 }

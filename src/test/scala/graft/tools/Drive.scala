@@ -491,6 +491,11 @@ object Drive {
           col("ts_us").between(1.7049312e15.toLong, 1.7057952e15.toLong)).count()})")
     println("pruned-read physical plan (scan + residual filter, no shuffle):")
     zpruned.explain("formatted")
+    val cstats = graft.sources.Layout.compactZOrdered(spark, zdir, zdir + "_c",
+      Seq("user_id", "ts_us"), bits = 8, targetFileBytes = 64L << 10)
+    println(s"z-compaction: ${cstats.filesIn} files / ${cstats.bytesIn} bytes -> " +
+      s"${cstats.filesOut} files; rows=${spark.read.parquet(zdir + "_c").count()} " +
+      s"(source rows=${evz.count()})")
 
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
