@@ -796,4 +796,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed("https://s/2") == (("second batch doc two", 20L)))
     } finally q.stop()
   }
+
+  test("end-to-end crawl ingest: WARC stream → extract → quality → dedup → parquet → compact") {
+    // the whole continuously-ingesting pipeline as one streaming query:
+    // crawl files appear → records parse → HTML becomes text → the
+    // quality gate drops junk → streaming exact dedup keeps first
+    // occurrences → rows land in a DURABLE parquet sink; afterwards the
+    // sink's micro-batch file scatter is compacted. Every stage is the
+    // same operator the batch pipeline uses.
+    val base = java.nio.file.Files.createTempDirectory("crawl-e2e-").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val crlf = "\r\n"
+    def page(title: String, body: String) =
+      s"<html><head><title>$title</title><script>var x = 1 < 2;</script></head>" +
+        s"<body><p>$body</p></body></html>"
+    def rec(url: String, sec: Int, html: String) =
+      "WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        s"WARC-Target-URI: $url" + crlf +
+        f"WARC-Date: 2024-04-01T00:00:$sec%02dZ" + crlf + "Content-Type: text/html" + crlf +
+        s"Content-Length: ${html.getBytes("UTF-8").length}" + crlf + crlf +
+        html + crlf + crlf
+    def writeFile(name: String, recs: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name), recs.getBytes("UTF-8"))
+    val bodyA = "alpha beta gamma delta epsilon zeta eta theta"
+    writeFile("crawl-0.warc",
+      rec("https://c/A", 0, page("Doc A", bodyA)) +
+        rec("https://c/B", 1, page("Doc B", "tiny"))) // fails the token gate
+    val parsed = graft.sources.GraftSource.readWarcStream(spark, in)
+      .filter($"warc_type" === "conversion")
+      .select($"url",
+        to_timestamp($"warc_date", "yyyy-MM-dd'T'HH:mm:ssX").as("ts"),
+        graft.ops.TextOps.htmlToText($"text").as("text"))
+      .filter(graft.ops.TextOps.tokenCount($"text") >= 6)
+    val deduped = graft.ops.Dedup.exactDedupStream(parsed, "text", "ts", "1 hour")
+      .select($"url", $"ts", $"text")
+    val q = deduped.writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // next crawl file: A′ is the same content modulo case/whitespace
+      // (a mirror) → streaming dedup drops it; C is new → kept
+      writeFile("crawl-1.warc",
+        rec("https://c/A-mirror", 2, page("Doc A", bodyA.toUpperCase + "  ")) +
+          rec("https://c/C", 3, page("Doc C", "one two three four five six seven")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$base/out")
+    val got = out.collect().map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(got.keySet == Set("https://c/A", "https://c/C"), s"got ${got.keySet}")
+    // extraction really ran: tags/script gone, title + body text present
+    assert(got("https://c/A").contains("alpha beta gamma"))
+    assert(got("https://c/A").contains("Doc A"))
+    assert(!got("https://c/A").contains("<") && !got("https://c/A").contains("var x"))
+    // the sink's micro-batch scatter compacts into the serving layout
+    val stats = graft.sources.Layout.compactSorted(spark, s"$base/out",
+      s"$base/serve", Seq("url"))
+    assert(stats.filesOut <= stats.filesIn)
+    assert(spark.read.parquet(s"$base/serve").count() == 2)
+  }
 }
