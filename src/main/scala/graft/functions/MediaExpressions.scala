@@ -198,8 +198,14 @@ object MediaParseUtil {
               if (fourcc(bytes, qi, "avih") && hsz >= 40 && q + 48 <= n) {
                 val usPerFrame = le32(bytes, qi + 8)
                 val frames = le32(bytes, qi + 24)
+                // two u32 fields: the product can reach 2^64 and wrap to a
+                // plausible positive, bypassing row()'s range guard — an
+                // adversarial payload must yield NULL, not a wrong duration
                 val durMs =
-                  if (usPerFrame > 0) usPerFrame * frames / 1000L else -1L
+                  if (usPerFrame > 0 && frames >= 0 &&
+                    (frames == 0 || usPerFrame <= Long.MaxValue / frames))
+                    usPerFrame * frames / 1000L
+                  else -1L
                 return row("avi", le32(bytes, qi + 40), le32(bytes, qi + 44),
                   -1, frames, durMs)
               }
@@ -313,7 +319,11 @@ object MediaParseUtil {
                 if (ts > 0) durMs = d * 1000L / ts
               } else if (v == 1 && c(0) + 32 <= c(1)) {
                 val ts = be32(bytes, body + 20); val d = be64(bytes, body + 24)
-                if (ts > 0 && d >= 0) durMs = d * 1000L / ts
+                // d is a u64 read: d*1000 can wrap past Long.MaxValue to a
+                // plausible positive — bound it before multiplying (any real
+                // duration is far below Long.MaxValue/1000 ticks)
+                if (ts > 0 && d >= 0 && d <= Long.MaxValue / 1000L)
+                  durMs = d * 1000L / ts
               }
             }
             if (fourcc(bytes, qi + 4, "trak") && w < 0) {

@@ -329,6 +329,7 @@ object Embeddings {
       idCol: String,
       k: Int,
       sampleOneIn: Int = 1,
+      dim: Int = -1,
   ): PcaModel = {
     require(k >= 1, "k must be >= 1")
     require(sampleOneIn >= 1, "sampleOneIn must be >= 1")
@@ -336,18 +337,28 @@ object Embeddings {
       .filter(col(vecCol).isNotNull)
       .filter(pmod(xxhash64(lit("pca-sample"), col(idCol)), lit(sampleOneIn.toLong)) === 0)
       .select(col(vecCol).cast("array<double>").as("v"))
-    val dim = vecs0.select(size(col("v"))).limit(1).collect() match {
-      case Array(r) => r.getInt(0)
-      case _ => throw new IllegalArgumentException("trainPca: no non-null vectors")
+    // dim is either caller-declared or inferred as the ONE size shared by
+    // every sampled vector (a min/max aggregate — deterministic, unlike a
+    // partition-order-dependent first row). A mixed-dimension corpus with
+    // no declared dim fails loudly instead of silently dropping whichever
+    // sizes a nondeterministic probe didn't see.
+    val dimR = if (dim > 0) dim else {
+      val mm = vecs0.agg(min(size(col("v"))), max(size(col("v")))).head()
+      if (mm.isNullAt(0))
+        throw new IllegalArgumentException("trainPca: no non-null vectors")
+      val (lo, hi) = (mm.getInt(0), mm.getInt(1))
+      require(lo == hi,
+        s"trainPca: mixed vector sizes [$lo, $hi] — pass dim= explicitly to select one")
+      hi
     }
-    require(k <= dim, s"k=$k exceeds dim=$dim")
-    val vecs = vecs0.filter(size(col("v")) === dim)
-    val nTri = dim * (dim + 1) / 2
+    require(k <= dimR, s"k=$k exceeds dim=$dimR")
+    val vecs = vecs0.filter(size(col("v")) === dimR)
+    val nTri = dimR * (dimR + 1) / 2
     // one flattened stats vector per row: [x_0..x_{d-1}, upper-tri products, 1]
     val stats = concat(
       col("v"),
-      flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-        transform(sequence(i, lit(dim - 1)), j =>
+      flatten(transform(sequence(lit(0), lit(dimR - 1)), i =>
+        transform(sequence(i, lit(dimR - 1)), j =>
           element_at(col("v"), i + 1) * element_at(col("v"), j + 1)))),
       array(lit(1.0)))
     val cells = vecs
@@ -355,14 +366,14 @@ object Embeddings {
       .groupBy(col("__i"))
       .agg(sum(col("__x")).as("__s"))
       .collect()
-    val acc = new Array[Double](dim + nTri + 1)
+    val acc = new Array[Double](dimR + nTri + 1)
     cells.foreach(r => acc(r.getInt(0)) = r.getDouble(1))
-    val n = acc(dim + nTri)
+    val n = acc(dimR + nTri)
     require(n > 1, "trainPca: need at least 2 vectors")
-    val mean = Array.tabulate(dim)(i => acc(i) / n)
-    val cov = Array.ofDim[Double](dim, dim)
-    var t = dim
-    for (i <- 0 until dim; j <- i until dim) {
+    val mean = Array.tabulate(dimR)(i => acc(i) / n)
+    val cov = Array.ofDim[Double](dimR, dimR)
+    var t = dimR
+    for (i <- 0 until dimR; j <- i until dimR) {
       val c = acc(t) / n - mean(i) * mean(j)
       cov(i)(j) = c; cov(j)(i) = c
       t += 1
@@ -376,7 +387,7 @@ object Embeddings {
       if (v(m) < 0) v.map(-_) else v
     }.toArray
     PcaModel(mean, comps, order.take(k).map(values).toArray,
-      (0 until dim).map(i => cov(i)(i)).sum)
+      (0 until dimR).map(i => cov(i)(i)).sum)
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix: returns

@@ -272,13 +272,17 @@ object GraftSource {
     StructField("text", StringType),
   ))
 
-  /** Read WARC/WET files (ISO 28500: `WARC/1.0` version line, `Name:
+  /** Read WARC/WET files (ISO 28500: `WARC/x.y` version line, `Name:
     * value` header lines, a blank CRLF line, then exactly
     * `Content-Length` payload bytes, then two CRLFs) into one row per
-    * record.
+    * record. Both WARC/1.0 and WARC/1.1 (ISO 28500:2017) records parse —
+    * the split boundary is the version-agnostic `\r\n\r\nWARC/` and the
+    * projection strips whatever `x.y` version number follows, so a 1.1
+    * file (or a mixed directory) yields every record rather than
+    * collapsing into one row.
     *
     * Scale shape: the text source splits each file at the
-    * `\r\n\r\nWARC/1.0\r\n` record boundary (a custom `lineSep`), so a
+    * `\r\n\r\nWARC/` record boundary (a custom `lineSep`), so a
     * directory of WARC files reads as one parallel scan — per-record
     * parsing is then a pure codegen'd projection (regexp over the
     * ASCII header block + a byte-accurate binary substring of the
@@ -295,7 +299,7 @@ object GraftSource {
     * multibyte UTF-8 payloads round-trip exactly.
     */
   def readWarc(spark: SparkSession, path: String): DataFrame =
-    parseWarcRecords(spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path))
+    parseWarcRecords(spark.read.option("lineSep", "\r\n\r\nWARC/").text(path))
 
   /** Streaming twin of [[readWarc]]: the crawl-directory INGEST shape —
     * new `.warc`/`.warc.gz` files appearing under `path` stream in as
@@ -306,16 +310,18 @@ object GraftSource {
     * for a continuously-ingesting pipeline.
     */
   def readWarcStream(spark: SparkSession, path: String): DataFrame =
-    parseWarcRecords(spark.readStream.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path))
+    parseWarcRecords(spark.readStream.option("lineSep", "\r\n\r\nWARC/").text(path))
 
   /** The shared record-parsing projection over `value` rows split at the
     * record boundary (batch and streaming twins).
     */
-  private def parseWarcRecords(rec0: DataFrame): DataFrame = {
+  private[sources] def parseWarcRecords(rec0: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // the file's first record keeps its version line — strip it so every
+    // a file's first record keeps its full `WARC/x.y` version line, while
+    // records after a split at the version-agnostic `\r\n\r\nWARC/`
+    // boundary start with the bare `x.y` remnant — strip either so every
     // record is a bare header block + payload
-    val rec = regexp_replace(col("value"), "^WARC/1\\.0\r\n", "")
+    val rec = regexp_replace(col("value"), "^(WARC/)?[0-9]+\\.[0-9]+\r\n", "")
     val headers = substring_index(rec, "\r\n\r\n", 1)
     def h(name: String) =
       nullif(regexp_extract(headers, name + ": ([^\r\n]*)", 1), lit(""))

@@ -46,11 +46,12 @@ object Layout {
     * indices bit-interleaved into one long, dimension 0 in the least
     * significant position of each bit group. `bits` per dimension;
     * `bits * cols.size` must fit a positive long. NULL in any dimension
-    * makes the z-value NULL — such rows sort together at the end of the
-    * layout (Spark sorts nulls last by default), which is exactly where
-    * a range-pruning reader wants them: in files whose manifest rows
-    * carry null-range columns and which are only read when the residual
-    * filter could match.
+    * makes the z-value NULL — the layout write pins such rows to the
+    * END of the layout with explicit `asc_nulls_last` ordering (Spark's
+    * DEFAULT ascending order is NULLS FIRST, so the placement must be
+    * explicit), which is exactly where a range-pruning reader wants
+    * them: in files whose manifest rows carry null-range columns and
+    * which are only read when the residual filter could match.
     *
     * Pure shift/and/or column arithmetic over the bucket indices — the
     * whole z-value codegens into the projection, and (deliberately) has
@@ -96,8 +97,8 @@ object Layout {
     val his = zCols.indices.map(i => if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1))
     val z = zValue(zCols.map(col), los, his, bits)
     df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
+      .repartitionByRange(numFiles, col("__z").asc_nulls_last)
+      .sortWithinPartitions(col("__z").asc_nulls_last)
       .drop("__z")
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -207,7 +207,21 @@ class DriverSuiteSpec extends AnyFunSuite {
     // round-6 verdict ask #8 (emitted since round 8): persist the
     // measured margins per round so drift is diffable like bench times.
     // Round number = the next BENCH_r artifact the driver will write.
-    val round = new java.io.File(".").listFiles()
+    // The repo root is resolved explicitly (env override, else the dir
+    // holding build.sbt walking up from cwd, else cwd) so a test run
+    // launched from elsewhere neither mis-numbers nor misplaces the
+    // artifact; listFiles() on an unreadable dir returns null — treat
+    // that as round 1 rather than NPE.
+    val root = {
+      val env = sys.env.get("GRAFT_REPO_ROOT").map(new java.io.File(_))
+      def up(d: java.io.File): Option[java.io.File] =
+        if (d == null) None
+        else if (new java.io.File(d, "build.sbt").isFile) Some(d)
+        else up(d.getParentFile)
+      env.orElse(up(new java.io.File(".").getAbsoluteFile))
+        .getOrElse(new java.io.File("."))
+    }
+    val round = Option(root.listFiles()).getOrElse(Array.empty)
       .map(_.getName).collect { case s if s.matches("BENCH_r\\d+\\.json") =>
         s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
       .foldLeft(0)(math.max) + 1
@@ -215,7 +229,7 @@ class DriverSuiteSpec extends AnyFunSuite {
       s"""    {"query": "$q", "sf": "$sf", "recall": $r, "floor": 0.6, "config": "${configs(q)}"}"""
     }.mkString(",\n")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(f"RECALL_r$round%02d.json"),
+      new java.io.File(root, f"RECALL_r$round%02d.json").toPath,
       s"""{\n  "rows": [\n$rows\n  ]\n}\n""")
   }
 

@@ -3144,4 +3144,61 @@ class OpsSpec extends AnyFunSuite {
     assert(!poss.map(_.getAs[Long]("neighbor_id")).contains(7L))
     assert((negs ++ poss).forall(r => !r.getAs[Double]("cosine").isNaN))
   }
+
+  test("media duration math cannot overflow Long into a plausible value") {
+    import graft.functions.MediaParseUtil
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def fcc(t: String) = t.getBytes("US-ASCII")
+    def bx(t: String, body: Array[Byte]) = be32(body.length + 8L) ++ fcc(t) ++ body
+    // AVI: usPerFrame and frames are both u32; 0xFFFFFFFF * 0xFFFFFFFF
+    // wraps a Long to +1 — without the pre-multiply guard that is a
+    // "1 ms" duration instead of the corrupt-input NULL
+    val aviOf = fcc("RIFF") ++ le32(200) ++ fcc("AVI ") ++
+      fcc("LIST") ++ le32(68) ++ fcc("hdrl") ++
+      fcc("avih") ++ le32(56) ++ le32(0xffffffffL) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0xffffffffL) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(320) ++ le32(240) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val a = MediaParseUtil.parse(aviOf)
+    assert(a != null && a.isNullAt(5), "overflowed AVI duration must be NULL")
+    // frames == 0 stays a legal zero-duration file (guard must not
+    // divide by zero or reject it)
+    val aviZero = fcc("RIFF") ++ le32(200) ++ fcc("AVI ") ++
+      fcc("LIST") ++ le32(68) ++ fcc("hdrl") ++
+      fcc("avih") ++ le32(56) ++ le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(320) ++ le32(240) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val z = MediaParseUtil.parse(aviZero)
+    assert(z != null && z.getInt(5) == 0)
+    // MP4 v1 mvhd: duration is a u64 read; d*1000 wraps past
+    // Long.MaxValue to a plausible positive without the bound
+    val ftyp = bx("ftyp", fcc("isom") ++ be32(0x200))
+    val mvhdHuge = bx("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(600) ++ be64(0x7fffffffffffffffL))
+    val m = MediaParseUtil.parse(ftyp ++ bx("moov", mvhdHuge))
+    assert(m == null || m.isNullAt(5), "overflowed MP4 v1 duration must be NULL")
+  }
+
+  test("trainPca: mixed vector dimensions fail loudly unless dim is declared") {
+    val mixed = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, 0.0f)),
+      (3L, Array(1.0f, 2.0f)), // stray 2-dim vector
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Embeddings.trainPca(mixed, "embedding", "vec_id", k = 2)
+    }
+    assert(e.getMessage.contains("mixed vector sizes"))
+    // declaring dim selects the matching subset deterministically
+    val m = Embeddings.trainPca(mixed, "embedding", "vec_id", k = 2, dim = 3)
+    assert(m.mean.length == 3)
+    // uniform-dimension inference is unchanged (and deterministic: an
+    // aggregate, not a first-row probe)
+    val uni = mixed.filter($"vec_id" < 3)
+    val m2 = Embeddings.trainPca(uni, "embedding", "vec_id", k = 2)
+    assert(m2.mean.length == 3)
+  }
 }

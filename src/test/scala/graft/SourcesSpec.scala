@@ -450,4 +450,81 @@ class SourcesSpec extends AnyFunSuite {
     val pr = Layout.readPruned(spark, s"$base/out", Seq(("x", 0.0, 7.0), ("y", 0.0, 7.0)))
     assert(pr.count() == 64)
   }
+
+  test("warc: WARC/1.1 files (ISO 28500:2017) and mixed-version dirs parse every record") {
+    // the record split is version-agnostic — a 1.1 file must NOT
+    // collapse into one row with the tail records silently lost
+    val tmp = java.nio.file.Files.createTempDirectory("warc-v11-").toString
+    val crlf = "\r\n"
+    def rec(ver: String, id: Int, payload: String) =
+      s"WARC/$ver" + crlf + "WARC-Type: conversion" + crlf +
+        s"WARC-Target-URI: https://v/$id" + crlf +
+        "WARC-Date: 2024-03-01T00:00:00Z" + crlf + "Content-Type: text/plain" + crlf +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}" + crlf + crlf +
+        payload + crlf + crlf
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "a.warc"),
+      rec("1.1", 0, "one one") + rec("1.1", 1, "tw\u00f6 \u00fc") + rec("1.1", 2, "three"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "b.warc"),
+      rec("1.0", 10, "ten") + rec("1.1", 11, "eleven mixed in one file"))
+    val got = GraftSource.readWarc(spark, tmp)
+      .select($"url", $"text", $"truncated").collect()
+    assert(got.length == 5, s"expected 5 records, got ${got.length}")
+    val byUrl = got.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byUrl("https://v/1") == "tw\u00f6 \u00fc")
+    assert(byUrl("https://v/11") == "eleven mixed in one file")
+    assert(got.forall(!_.getBoolean(2)))
+  }
+
+  test("warc.gz splittable: member-boundary byte-range splits match the whole-stream read") {
+    // per-record gzip members (the Common Crawl layout): one big file
+    // must read with MANY tasks, rows identical to the non-split path
+    val tmp = java.nio.file.Files.createTempDirectory("warc-split-").toString
+    val crlf = "\r\n"
+    // payloads that do not compress away: deterministic hex noise, so the
+    // compressed file comfortably spans several 64 KiB splits
+    def noise(id: Int): String = {
+      val sb = new StringBuilder
+      var h = id * 2654435761L + 12345
+      while (sb.length < 1200) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        sb.append(java.lang.Long.toHexString(h))
+      }
+      sb.toString
+    }
+    def rec(id: Int) = {
+      val payload = noise(id)
+      "WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        s"WARC-Target-URI: https://split/$id" + crlf +
+        "WARC-Date: 2024-04-01T00:00:00Z" + crlf + "Content-Type: text/plain" + crlf +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}" + crlf + crlf +
+        payload + crlf + crlf
+    }
+    val f = new java.io.FileOutputStream(s"$tmp/big.warc.gz")
+    for (id <- 0 until 600) { // ~each member its own gzip stream
+      val gz = new java.util.zip.GZIPOutputStream(f) { def finishOnly(): Unit = finish() }
+      gz.write(rec(id).getBytes("UTF-8"))
+      gz.finishOnly() // end the member WITHOUT closing the file stream
+    }
+    f.close()
+    val len = new java.io.File(s"$tmp/big.warc.gz").length
+    assert(len > 4L * 65536, s"fixture too small to split: $len bytes")
+    val split = graft.sources.WarcGz.readWarcGz(spark, tmp, splitBytes = 65536)
+    val whole = GraftSource.readWarc(spark, tmp)
+    // row parity, column by column (order-free: splits reorder records)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"url", $"text", $"content_length", $"truncated", $"warc_type", $"warc_date")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val (ks, kw) = (key(split), key(whole))
+    assert(ks.length == 600 && kw.length == 600, s"${ks.length} vs ${kw.length}")
+    assert(ks == kw, "split read must be row-identical to the whole-stream read")
+    // and it genuinely read with >1 task over the ONE file
+    assert(len / 65536 >= 2)
+    // mid-file split start: decodeRange from an arbitrary interior offset
+    // finds the next member boundary and stays consistent with its
+    // neighbor (no duplicate, no loss) — already covered by parity above;
+    // spot-check that an interior range alone yields a proper subset
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val mid = graft.sources.WarcGz.decodeRange(conf, s"$tmp/big.warc.gz", len / 3, 2 * len / 3).toList
+    assert(mid.nonEmpty && mid.size < 600)
+  }
 }
