@@ -250,6 +250,65 @@ object SparkEntry {
       store
     })
 
+  /** [[messyUrl]] with the path ALWAYS present (`/Articles/{doc_id}`):
+    * the e2e crawl fixture needs the document id recoverable from every
+    * record's URL, while keeping the case/port/params/fragment mess that
+    * exercises canonicalization.
+    */
+  private def e2eUrl: Column = {
+    val host = element_at(array(lit("Example.COM"), lit("WWW.News-Site.ORG"),
+      lit("Docs.Example.COM"), lit("example.com")),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+    val scheme = when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS")).otherwise(lit("http"))
+    val port = when(pmod(col("doc_id"), lit(3)) === 0,
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit(""))
+    val query = element_at(array(lit("?utm_source=feed&b=2&a=1"),
+      lit("?z=9&a=1&utm_campaign=x"), lit("?gclid=abc"), lit(""), lit("?b=2&a=1")),
+      (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+    val frag = when(pmod(col("doc_id"), lit(2)) === 1, lit("#section-2")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, lit("/Articles/"), col("doc_id"), query, frag)
+  }
+
+  /** The SQL mirror of [[e2eUrl]] (== oracleMessyUrl minus the
+    * empty-path case).
+    */
+  private val oracleE2eUrl: String =
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' || " +
+      "CASE doc_id % 4 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'WWW.News-Site.ORG' " +
+      "WHEN 2 THEN 'Docs.Example.COM' ELSE 'example.com' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END || " +
+      "'/Articles/' || doc_id || " +
+      "CASE doc_id % 5 WHEN 0 THEN '?utm_source=feed&b=2&a=1' WHEN 1 THEN '?z=9&a=1&utm_campaign=x' " +
+      "WHEN 2 THEN '?gclid=abc' WHEN 3 THEN '' ELSE '?b=2&a=1' END || " +
+      "CASE WHEN doc_id % 2 = 1 THEN '#section-2' ELSE '' END)"
+
+  /** Crawl-shaped WARC fixture for the e2e flagship, serialized once per
+    * sf dir: each document wrapped in the [[syntheticHtml]] page (title,
+    * nav, h1, body paragraph, footer — the q_text_html_extract fixture)
+    * and written as a `response`-type WARC record at its [[e2eUrl]], in
+    * 4 files so the read-back is the parallel multi-file scan.
+    * Deterministic and SQL-expressible end to end, so the e2e oracle
+    * rebuilds the identical record strings and replays the ENTIRE
+    * ingest chain from them.
+    */
+  private val warcHtmlStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcHtmlStoreFor(s: SparkSession, dir: String): String =
+    warcHtmlStoreCache.computeIfAbsent(dir, _ => {
+      val store = java.nio.file.Files.createTempDirectory("graft-warc-html-").toString
+      t(s, dir, "documents").select(
+          sources.GraftSource.warcRecord(
+            lit("response"),
+            e2eUrl,
+            lit("2024-05-01T00:00:00Z"),
+            lit("text/html"),
+            syntheticHtml).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").option("lineSep", "\r\n").text(s"$store/html")
+      store
+    })
+
   /** Z-ordered events layout, written once per sf dir: the events table
     * (with `ts` lifted to epoch-micros `ts_us`) Morton-clustered on
     * `(user_id, ts_us)` with its pruning manifest
@@ -1489,6 +1548,56 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
     }),
 
+    // THE flagship: crawl archive → training sequences, every stage of a
+    // production ingest composed end to end and mirrored in ONE DuckDB
+    // query. WARC read (response records over the synthesized HTML
+    // pages) → HTML→text extraction → boilerplate-line removal → URL
+    // canonicalization (+ per-row domain) → canonical-URL dedup →
+    // Gopher gate → curation gates + exact keep-first dedup → near-dup
+    // keep-first (Jaccard ≥ 0.8) → exact 5-gram + fuzzy (≥ 0.5)
+    // benchmark decontamination → leakage-safe near-dup-cluster split →
+    // 64-token chunks greedily packed into 256-token train sequences.
+    // Every stage is an already-oracled standalone operator; this row
+    // proves the COMPOSITION (the query a new user copies first).
+    "q_pipeline_e2e" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val store = warcHtmlStoreFor(s, dir)
+      val recs = sources.GraftSource.readWarc(s, s"$store/html")
+        .filter(col("warc_type") === "response" &&
+          col("content_type") === "text/html" && !col("truncated"))
+      val ext = recs.select(
+        regexp_extract(col("url"), "Articles/([0-9]+)", 1).cast("long").as("doc_id"),
+        TextOps.canonicalUrl(col("url")).as("url_canon"),
+        TextOps.urlDomain(col("url")).as("domain"),
+        TextOps.stripLines(TextOps.htmlToText(col("text")),
+          "^Doc [0-9]+$|^Home & About$|^Footer .*$").as("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url_canon")).orderBy(col("doc_id"))
+      val base = ext.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "url_canon")
+      val bench = base.filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+      val gated = base.filter(TextOps.gopherPass(col("text"), sep = " the ",
+        minWords = 20, minStopHits = 1))
+      val curated = ops.Curate.curate(gated, "text", "doc_id")
+      val nearDeduped = Dedup.nearDupKeepFirst(curated, "text", "doc_id",
+        numHashes = 128, bands = 32, shingleSize = 5, threshold = 0.8)
+      val exact = TextOps.decontaminate(nearDeduped, bench, "text", "doc_id",
+        n = 5, minOverlap = 1)
+      val cleaned = Dedup.fuzzyDecontaminate(exact, bench, "text", "doc_id",
+        numHashes = 128, bands = 32, shingleSize = 5, threshold = 0.5)
+      val split = Dedup.leakageSafeSplit(cleaned, "text", "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "r9e",
+        numHashes = 128, bands = 32, shingleSize = 5, threshold = 0.5)
+      val train = cleaned.join(
+        split.filter(col("split") === "train").select("doc_id"), Seq("doc_id"))
+      TextOps.packChunks(
+          TextOps.chunkTokens(train, "text", "doc_id", chunkSize = 64, overlap = 16),
+          "doc_id", budget = 256, groups = 8, salt = "r9e")
+        .join(base.select(col("doc_id"), col("domain")), Seq("doc_id"))
+        .select(col("doc_id"), col("domain"), col("chunk_idx"),
+          col("n_tokens"), col("pack_group"), col("seq_idx"))
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native word_shingles
       val metrics = TextOps.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }
@@ -2611,6 +2720,215 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** The ENTIRE crawl→training-sequences flagship (q_pipeline_e2e) as
+    * one DuckDB query: rebuild the identical WARC record strings
+    * (HTML-wrapped documents at their messy e2e URLs), re-parse them,
+    * replay HTML extraction + boilerplate-line removal + URL
+    * canonicalization, then the full hygiene chain — gates, keep-first
+    * dedups (exact QUALIFY + near-dup recursive-CTE components at 0.8),
+    * exact + fuzzy decontamination, near-dup-cluster leakage-safe
+    * split — and finally the chunk/pack arithmetic over the train
+    * split. Stage mirrors are the same proven fragments as the
+    * standalone oracles, retargeted from `documents` to the replayed
+    * CTEs so the data genuinely flows through the front of the chain.
+    */
+  private def oraclePipelineE2e: String = {
+    val p8 = oracleShingleJaccard(k = 5, threshold = 0.8, select = "id_a, id_b")
+      .replace("FROM documents", "FROM kept")
+    val fp = oracleShingleJaccard(k = 5, threshold = 0.5, select = "id_a, id_b")
+      .replace("FROM documents", "FROM base")
+    val ch = oracleChunks.replace("FROM documents", "FROM train")
+    s"""WITH RECURSIVE
+       |rec AS (
+       |  SELECT 'WARC/1.0' || chr(13)||chr(10)
+       |    || 'WARC-Type: response' || chr(13)||chr(10)
+       |    || 'WARC-Target-URI: ' || u || chr(13)||chr(10)
+       |    || 'WARC-Date: 2024-05-01T00:00:00Z' || chr(13)||chr(10)
+       |    || 'Content-Type: text/html' || chr(13)||chr(10)
+       |    || 'Content-Length: ' || octet_length(encode(html)) || chr(13)||chr(10)
+       |    || chr(13)||chr(10) || html || chr(13)||chr(10) AS r
+       |  FROM (
+       |    SELECT doc_id, $oracleE2eUrl AS u,
+       |      '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
+       |      '</title><style>body{color:#000}</style>' ||
+       |      '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
+       |      '<body><!-- nav boilerplate --><div class="nav">Home &amp; About</div><h1>Doc ' || doc_id ||
+       |      '</h1><p>' || text ||
+       |      '</p><p>Footer &copy; 2024&nbsp;Example &lt;inc&gt;</p></body></html>' AS html
+       |    FROM documents
+       |  )
+       |), hd AS (
+       |  SELECT r, substr(r, 1, strpos(r, chr(13)||chr(10)||chr(13)||chr(10)) - 1) AS h FROM rec
+       |), cl AS (
+       |  SELECT r, h,
+       |    CAST(nullif(regexp_extract(h, 'Content-Length: ([0-9]+)', 1), '') AS BIGINT) AS clen
+       |  FROM hd
+       |), prs AS (
+       |  SELECT
+       |    nullif(regexp_extract(h, 'WARC-Type: ([^\r\n]*)', 1), '') AS warc_type,
+       |    nullif(regexp_extract(h, 'WARC-Target-URI: ([^\r\n]*)', 1), '') AS url,
+       |    nullif(regexp_extract(h, 'Content-Type: ([^\r\n]*)', 1), '') AS content_type,
+       |    (octet_length(encode(r)) - octet_length(encode(h)) - 4) < clen AS truncated,
+       |    substr(r, length(h) + 5, CAST(clen AS INTEGER)) AS html
+       |  FROM cl
+       |), flt AS (
+       |  SELECT url, html FROM prs
+       |  WHERE warc_type = 'response' AND content_type = 'text/html' AND NOT truncated
+       |), x1 AS (
+       |  SELECT url, regexp_replace(html,
+       |    '(?is)<script[^>]*>.*?</script>|(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM flt
+       |), x2 AS (
+       |  SELECT url, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM x1
+       |), x3 AS (
+       |  SELECT url, regexp_replace(t,
+       |    '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)[^>]*>', chr(10), 'g') AS t FROM x2
+       |), x4 AS (
+       |  SELECT url, regexp_replace(t, '<(/?[A-Za-z][^>]*|![^>]*)>', '', 'g') AS t FROM x3
+       |), x5 AS (
+       |  SELECT url, replace(replace(replace(replace(replace(replace(t,
+       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |    '&nbsp;', ' '), '&amp;', '&') AS t FROM x4
+       |), ext AS (
+       |  SELECT url, trim(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '[ \\t\\r]+', ' ', 'g'), ' *\\n *', chr(10), 'g'),
+       |    '\\n{3,}', chr(10) || chr(10), 'g')) AS t FROM x5
+       |), body AS (
+       |  SELECT url, array_to_string(list_filter(string_split(t, chr(10)),
+       |    x -> NOT regexp_matches(x, '^Doc [0-9]+$$|^Home & About$$|^Footer .*$$')),
+       |    chr(10)) AS text
+       |  FROM ext
+       |), st AS (
+       |  SELECT url, text, regexp_replace(url, '#.*$$', '') AS u FROM body
+       |), parts AS (
+       |  SELECT url, text, u,
+       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+       |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+       |    coalesce(array_to_string(list_sort(list_filter(
+       |      string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$$)'))), '&'), '') AS qs
+       |  FROM st
+       |), canon AS (
+       |  SELECT
+       |    CAST(regexp_extract(url, 'Articles/([0-9]+)', 1) AS BIGINT) AS doc_id,
+       |    text,
+       |    scheme || '://' ||
+       |      (CASE scheme WHEN 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |                   WHEN 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |                   ELSE hostport END) ||
+       |      (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+       |      (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS url_canon,
+       |    nullif(regexp_replace(
+       |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)),
+       |      '^www\\.', ''), '') AS domain
+       |  FROM parts
+       |), base AS (
+       |  SELECT doc_id, text, domain FROM canon
+       |  QUALIFY row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) = 1
+       |), m AS (
+       |  SELECT doc_id, text,
+       |    CAST($oracleWsTokens AS INTEGER) AS n_words,
+       |    round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+       |    round(CAST($oracleStopEn AS DOUBLE) / greatest($oracleWsTokens, 1), 6) AS stopword_ratio,
+       |    ${oracleShingles(3).replace("tokens", oracleTokens)} AS sh3,
+       |    $oracleStopEn AS s_en,
+       |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|de|un|une)\\b')) AS s_fr,
+       |    len(regexp_extract_all(lower(text), '\\b(el|los|las|y|en|un|una)\\b')) AS s_es,
+       |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|von|ein|ist)\\b')) AS s_de
+       |  FROM base
+       |), sig AS (
+       |  SELECT doc_id, text,
+       |    CASE
+       |      WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+       |      WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+       |      WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+       |      WHEN s_de > 0 THEN 'de'
+       |      ELSE 'und'
+       |    END AS lang_pred,
+       |    round(least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.5
+       |        + least(stopword_ratio * 5.0, 1.0) * 0.4
+       |        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 6) AS quality,
+       |    ${oracleDupFrac("sh3")} AS dup_3gram_frac
+       |  FROM m
+       |), kept AS (
+       |  SELECT doc_id, text FROM sig
+       |  WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_3gram_frac <= 0.05
+       |    AND ${oracleGopherOk(minWords = 20, minStopHits = 1)}
+       |  QUALIFY row_number() OVER (PARTITION BY md5($oracleNorm) ORDER BY doc_id) = 1
+       |), p8 AS (
+       |$p8
+       |), e8 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM p8
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM p8
+       |), cc8(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM kept
+       |  UNION
+       |  SELECT e8.dst, cc8.comp FROM cc8 JOIN e8 ON cc8.id = e8.src
+       |), keep8 AS (
+       |  SELECT k.doc_id, k.text FROM kept k
+       |  JOIN (SELECT id, min(comp) AS g FROM cc8 GROUP BY id) c ON c.id = k.doc_id
+       |  WHERE c.id = c.g
+       |), bench AS (
+       |  SELECT doc_id, text FROM base WHERE doc_id % 50 = 0
+       |), ksh AS (
+       |  SELECT doc_id, unnest(list_distinct(${oracleShingles(5)})) AS s0
+       |  FROM (SELECT doc_id, $oracleTokens AS tokens FROM keep8)
+       |), bsh AS (
+       |  SELECT DISTINCT s0 FROM (
+       |    SELECT unnest(list_distinct(${oracleShingles(5)})) AS s0
+       |    FROM (SELECT $oracleTokens AS tokens FROM bench)
+       |  )
+       |), cont AS (
+       |  SELECT DISTINCT doc_id FROM ksh JOIN bsh USING (s0)
+       |), fp AS (
+       |$fp
+       |), fuzzy AS (
+       |  SELECT id_a AS doc_id FROM fp WHERE id_b % 50 = 0
+       |  UNION
+       |  SELECT id_b AS doc_id FROM fp WHERE id_a % 50 = 0
+       |), clean AS (
+       |  SELECT doc_id, text FROM keep8
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+       |    AND doc_id NOT IN (SELECT doc_id FROM fuzzy)
+       |), p5 AS (
+       |  SELECT id_a, id_b FROM fp
+       |  WHERE id_a IN (SELECT doc_id FROM clean) AND id_b IN (SELECT doc_id FROM clean)
+       |), e5 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM p5
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM p5
+       |), cc5(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM clean
+       |  UNION
+       |  SELECT e5.dst, cc5.comp FROM cc5 JOIN e5 ON cc5.id = e5.src
+       |), grp AS (
+       |  SELECT id AS doc_id, min(comp) AS dup_group FROM cc5 GROUP BY id
+       |), spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 900000 THEN 'train'
+       |         WHEN b < 950000 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    ${oracleMd5Long("CAST(dup_group AS VARCHAR) || '#r9e'")} % 1000000 AS b
+       |  FROM grp)
+       |), train AS (
+       |  SELECT c.doc_id, c.text FROM clean c
+       |  JOIN spl ON spl.doc_id = c.doc_id AND spl.split = 'train'
+       |), ch AS (
+       |$ch
+       |), packed AS (
+       |  SELECT doc_id, chunk_idx, n_tokens,
+       |    CAST(g AS INTEGER) AS pack_group,
+       |    CAST(floor((sum(n_tokens) OVER (
+       |          PARTITION BY g ORDER BY doc_id, chunk_idx
+       |          ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0) AS INTEGER) AS seq_idx
+       |  FROM (SELECT doc_id, chunk_idx, n_tokens,
+       |          ${oracleMd5Long("CAST(doc_id AS VARCHAR) || '#r9e'")} % 8 AS g
+       |        FROM ch)
+       |)
+       |SELECT p.doc_id, b.domain, p.chunk_idx, p.n_tokens, p.pack_group, p.seq_idx
+       |FROM packed p JOIN base b ON b.doc_id = p.doc_id""".stripMargin
+  }
+
   /** Full SimHash near-dup recomputation in DuckDB: per-token md5-derived
     * 60-bit hash (the same derivation as oracleMd5Long — mirrors
     * SimHashUtil.tokenHash60), ±count votes per bit lane, sign-vector
@@ -3705,6 +4023,7 @@ object SparkEntry {
     // which is NOT-IN-safe (extra contaminated ids outside `kept` never
     // reach the final filter)
     "q_pipeline_prepare_fuzzy" -> oraclePipelinePrepare(fuzzy = true),
+    "q_pipeline_e2e" -> oraclePipelineE2e,
 
     // bloom decontamination: the bloom is a pure work-pruner, so the
     // oracle is the exact semantics — documents with zero 5-gram overlap

@@ -384,6 +384,20 @@ object TextOps {
       "[ \\t\\r]+", " "), " *\\n *", "\n"), "\\n{3,}", "\n\n"))
   }
 
+  /** Boilerplate-LINE removal over extracted text: drop every line
+    * matching `pattern` (anchor it — `^…$` — for whole-line rules) and
+    * re-join the rest with `\n`. The line-level cleaning stage of crawl
+    * ingest (the deterministic core of jusText/trafilatura-style
+    * boilerplate stripping: nav bars, repeated titles, footers arrive as
+    * their own lines from [[htmlToText]]'s block-tag breaks). A pure
+    * codegen'd HOF projection — zero shuffles at any scale — with an
+    * exact SQL mirror (`list_filter` over `string_split`; Java's
+    * `rlike` and DuckDB's `regexp_matches` are both substring-match, so
+    * anchored patterns behave identically).
+    */
+  def stripLines(text: Column, pattern: String): Column =
+    array_join(filter(split(text, "\n"), l => !l.rlike(pattern)), "\n")
+
   /** URL canonicalization for crawl-level dedup — the first dedup key of
     * any web pipeline (the same page is crawled as `HTTP://Site.com/a`,
     * `http://site.com:80/a?utm_source=x`, `http://site.com/a#top`…).
