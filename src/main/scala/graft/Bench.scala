@@ -186,6 +186,19 @@ object Bench {
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // canary-normalized per-query times: raw seconds divided by the
+    // window's load_factor, so round-over-round comparisons can separate
+    // plan changes from window contention MECHANICALLY instead of
+    // eyeballing the canaries. The divisor is the same all-cores
+    // load_factor the artifact reports (floored at 1: a window that
+    // measures FASTER than the idle calibration is calibration noise,
+    // and "correcting" times upward would manufacture regressions).
+    // Failed queries stay -1 unnormalized. Residual cross-round error
+    // after normalization is the calibration constant's own drift.
+    val normDivisor = math.max(loadFactor, 1.0)
+    val qsNorm = results
+      .map { case (k, v) => s"\"" + k + "\":" + (if (v < 0) v else v / normDivisor) }
+      .mkString("{", ",", "}")
     val esc = escalated.map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed queries report -1 per entry but must not SUBTRACT from the
     // headline total (a broken query would read as a round-over-round
@@ -201,6 +214,8 @@ object Bench {
         // raw interpolation, not f"%.3f": Formatter is locale-sensitive
         // and a comma-decimal default locale would emit invalid JSON
         s""""load_factor":$loadFactor,"load_factor_rel":$loadFactorRel,"contended":$contended,""" +
+        s""""norm_divisor":$normDivisor,"total_norm":${total / normDivisor},""" +
+        s""""queries_norm":$qsNorm,""" +
         s""""escalated":$esc,"failed":$failedJson,"compile":$compileJson}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
