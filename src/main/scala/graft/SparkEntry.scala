@@ -100,6 +100,51 @@ object SparkEntry {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Probe-sampling rates for the recall METERS, scale-aware above the
+    * two driver correctness SFs. At sf0.01/sf0.1 (200 / 2,000 vectors)
+    * these return the historical constants — 4 for the dedup pair-recall
+    * meters, 25 for the ANN recall@k meters — so the RECALL artifacts
+    * stay bit-comparable round over round. Above that the rate grows
+    * linearly with the corpus, which PLATEAUS the probe COUNT (~500
+    * dedup probes, ~80 ANN probes): the exact-truth side of a meter
+    * costs |probes| × |corpus|, so a fixed rate would make the meter
+    * quadratic in corpus size (measured: ~100 s rows at the generated
+    * sf1's 20k vectors) while a plateaued count keeps it corpus-linear
+    * with unchanged statistical power — the "pick oneIn so the sample
+    * stays audit-sized" guidance, now automatic.
+    */
+  private val vecCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def nVecs(s: SparkSession, dir: String): Long =
+    vecCountCache.computeIfAbsent(dir, _ => t(s, dir, "embeddings").count()).longValue()
+  private def dedupProbeOneIn(s: SparkSession, dir: String): Int =
+    math.max(4L, nVecs(s, dir) / 500L).toInt
+  private def simProbeOneIn(s: SparkSession, dir: String): Int =
+    math.max(25L, nVecs(s, dir) / 80L).toInt
+
+  /** 1-bit-BQ exact-rerank budget, corpus-proportional above the
+    * correctness SFs (64 there, unchanged). At a FIXED 64-bit code
+    * length, the number of corpus points tied within any Hamming radius
+    * of a probe grows linearly with the corpus, so a fixed rerank window
+    * admits a shrinking fraction of the true top-k — measured at the
+    * generated sf1 (20k vectors): recall@5 fell to 0.595, first sub-floor
+    * value of the ladder. Holding rerank/corpus ≈ 3.2% restores the
+    * sf0.1-grade margin at sf1 (0.96 measured) for a still-trivial exact
+    * re-rank cost (|probes| × rerank dot products). The production knob
+    * this mirrors: BQ rerank budgets are sized per corpus, not constants.
+    */
+  private def bqRerank(s: SparkSession, dir: String): Int =
+    math.max(64L, nVecs(s, dir) / 31L).toInt
+
+  /** Same corpus-proportional budget for the PQ row's exact re-rank
+    * (8 at the correctness SFs — measured 0.90/0.77 there — but 0.546 at
+    * the generated sf1's 20k vectors: ADC-quantized distances tie more
+    * competitors into the top-8 window as the corpus grows). rerank/n ≈
+    * 0.4% holds the margin with a negligible exact re-rank cost.
+    */
+  private def pqRerank(s: SparkSession, dir: String): Int =
+    math.max(8L, nVecs(s, dir) / 250L).toInt
+
   /** Dialect query against a table's own (closed-world) schema. */
   private def q(df: DataFrame, sql: String): DataFrame = Compiler.queryOrThrow(df, sql)
 
@@ -728,7 +773,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Dedup.pairRecall(
         Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45,
-          probeOneIn = 4),
+          probeOneIn = dedupProbeOneIn(s, dir)),
         Dedup.embeddingNearDups(emb, "embedding", "vec_id",
           threshold = 0.45, planes = 5, tables = 12))
     }),
@@ -782,7 +827,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Dedup.pairRecall(
         Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45,
-          probeOneIn = 4),
+          probeOneIn = dedupProbeOneIn(s, dir)),
         Dedup.semanticDedup(emb, "embedding", "vec_id",
           nClusters = 8, threshold = 0.45, nProbe = 2))
     }),
@@ -800,7 +845,7 @@ object SparkEntry {
       val white = t(s, dir, "embeddings").select(col("vec_id"),
         ops.Embeddings.pcaProject(m, col("embedding"), whiten = true).as("w"))
       Dedup.pairRecall(
-        Dedup.exactCosinePairs(white, "w", "vec_id", threshold = 0.6, probeOneIn = 4),
+        Dedup.exactCosinePairs(white, "w", "vec_id", threshold = 0.6, probeOneIn = dedupProbeOneIn(s, dir)),
         Dedup.semanticDedup(white, "w", "vec_id",
           nClusters = 8, threshold = 0.6, nProbe = 2))
     }),
@@ -913,7 +958,7 @@ object SparkEntry {
 
     "q_sim_hard_neg_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       Similarity.recallAtK(
         Similarity.hardNegatives(emb, probes, "embedding", "vec_id",
           k = 5, maxCos = 0.25, minCos = 0.05),
@@ -923,7 +968,7 @@ object SparkEntry {
 
     "q_sim_hard_pos_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       Similarity.recallAtK(
         Similarity.hardPositives(emb, probes, "embedding", "vec_id",
           k = 5, minCos = 0.25),
@@ -964,7 +1009,7 @@ object SparkEntry {
 
     "q_sim_sq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       ops.Similarity.recallAtK(
         ops.Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
         ops.Similarity.sqTopK(sqFor(s, dir, normalize = true), emb, probes,
@@ -1000,19 +1045,20 @@ object SparkEntry {
 
     "q_sim_bq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       ops.Similarity.recallAtK(
         ops.Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
-        ops.Similarity.bqTopK(emb, probes, "embedding", "vec_id", 5, rerank = 64))
+        ops.Similarity.bqTopK(emb, probes, "embedding", "vec_id", 5,
+          rerank = bqRerank(s, dir)))
     }),
 
     "q_sim_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
         Similarity.pqTopK(pqFor(s, dir, m = 16, ksub = 16), emb, probes,
-          "embedding", "vec_id", 5, rerank = 8))
+          "embedding", "vec_id", 5, rerank = pqRerank(s, dir)))
     }),
 
     // IVF+PQ combined (FAISS IVFADC layout): cell pruning bounds the
@@ -1032,7 +1078,7 @@ object SparkEntry {
 
     "q_sim_ivfpq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
         Similarity.ivfPqTopK(ivfIndexFor(s, dir, nlist = 16),
@@ -1043,16 +1089,17 @@ object SparkEntry {
     // driver-visible approximation quality: recall@5 of each ANN path
     // against the exact brute-force result — one row the driver can watch
     // across rounds. The probe set is a deterministic salted hash-sample
-    // (probeSample, ~1/25 of the corpus: ~20 probes at sf0.01, ~80 at
-    // sf0.1) fed to BOTH sides, so the truth cost is |sample| × |corpus|
-    // by construction — the pattern that keeps the recall meter runnable
-    // at 100 TB (pick oneIn so the sample stays audit-sized). CONTRACT:
+    // (probeSample at simProbeOneIn — 1-in-25 at the correctness SFs,
+    // plateauing at ~80 probes above them) fed to BOTH sides, so the
+    // truth cost is |sample| × |corpus| by construction — the pattern
+    // that keeps the recall meter runnable at 100 TB (the sample stays
+    // audit-sized automatically). CONTRACT:
     // recall >= 0.6 at the driver configs, at both correctness SFs,
     // asserted by DriverSuiteSpec ("ANN recall floor") so these rows
     // cannot silently drift.
     "q_sim_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 5),
         Similarity.lshTopK(emb, probes, "embedding", "vec_id", k = 5,
@@ -1061,7 +1108,7 @@ object SparkEntry {
 
     "q_sim_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probes = Similarity.probeSample(emb, "vec_id", oneIn = 25)
+      val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 5),
         Similarity.ivfSearch(ivfIndexFor(s, dir, nlist = 16), emb, probes,

@@ -52,6 +52,11 @@ object BucketedCatalog {
     require(!jp.contains("Exchange"), jp)
     require(jp.contains("Bucketed: true"), jp)
     require(jp.contains("SelectedBucketsCount: 4 out of 4"), jp)
+    // the asserted plan is also the artifact: print it so a cluster-mode
+    // run leaves a committed witness of the zero-exchange bucketed join
+    println("PLAN_BEGIN")
+    println(jp)
+    println("PLAN_END")
     joined.count()
   }
 }

@@ -172,11 +172,11 @@ class DriverSuiteSpec extends AnyFunSuite {
     // the contract behind q_sim_lsh_recall / q_sim_ivf_recall /
     // q_sim_pq_recall: the driver rows report a number, this test makes
     // the number a promise. Since round 7 every meter uses the SAMPLED
-    // truth pattern (probeSample oneIn=25 for the recallAtK rows,
+    // truth pattern (probeSample ~80 probes (oneIn=25 at sf<=0.1) for the recallAtK rows,
     // exactCosinePairs probeOneIn=4 for the pair meters) — the 100 TB
     // configuration, exercised at the correctness SFs. Measured headroom
     // at the pinned configs (lsh 5 planes × 24 tables, ivf nlist=16
-    // nprobe=6, pq m=16 ksub=16 rerank=8, ivfpq nprobe=8 rerank=16,
+    // nprobe=6, pq m=16 ksub=16 rerank ~0.4% of corpus (8 at sf<=0.1), ivfpq nprobe=8 rerank=16,
     // bq rerank=64, embedding near-dup 5 planes × 12 tables), sf0.01 /
     // sf0.1: lsh 0.86/0.89, ivf 0.85/0.77, pq 0.90/0.77, ivfpq
     // 0.91/0.80, sq 1.0/1.0, bq 0.98/0.88, embedding-dedup 1.0/0.74,
@@ -184,20 +184,25 @@ class DriverSuiteSpec extends AnyFunSuite {
     // a drop below 0.6 means the hash families or the corpus shifted, not
     // noise (the pipeline is deterministic end to end).
     val configs = Map(
-      "q_sim_lsh_recall" -> "srp 5 planes x 24 tables, probeSample oneIn=25",
-      "q_sim_ivf_recall" -> "ivf nlist=16 nprobe=6, probeSample oneIn=25",
-      "q_sim_pq_recall" -> "pq m=16 ksub=16 rerank=8, probeSample oneIn=25",
-      "q_sim_ivfpq_recall" -> "ivf+pq nprobe=8 rerank=16, probeSample oneIn=25",
-      "q_sim_sq_recall" -> "sq8 rerank=8, probeSample oneIn=25",
-      "q_sim_bq_recall" -> "1-bit bq rerank=64, probeSample oneIn=25",
-      "q_dedup_embedding_recall" -> "srp 5 planes x 12 tables, exact pairs probeOneIn=4",
-      "q_dedup_semantic_recall" -> "kmeans 8 cells nProbe=2, exact pairs probeOneIn=4",
-      "q_sim_hard_neg_lsh_recall" -> "banded hard negatives, probeSample oneIn=25",
-      "q_sim_hard_pos_lsh_recall" -> "banded hard positives, probeSample oneIn=25",
-      "q_dedup_semantic_white" -> "pca-whitened k=8, kmeans 8 cells nProbe=2, exact pairs probeOneIn=4",
+      "q_sim_lsh_recall" -> "srp 5 planes x 24 tables, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
+      "q_sim_ivf_recall" -> "ivf nlist=16 nprobe=6, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
+      "q_sim_pq_recall" -> "pq m=16 ksub=16 rerank ~0.4% of corpus (8 at sf<=0.1), probeSample ~80 probes (oneIn=25 at sf<=0.1)",
+      "q_sim_ivfpq_recall" -> "ivf+pq nprobe=8 rerank=16, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
+      "q_sim_sq_recall" -> "sq8 rerank=8, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
+      "q_sim_bq_recall" -> "1-bit bq rerank ~3.2% of corpus (64 at sf<=0.1), probeSample ~80 probes (oneIn=25 at sf<=0.1)",
+      "q_dedup_embedding_recall" -> "srp 5 planes x 12 tables, exact pairs ~500 probes (probeOneIn=4 at sf<=0.1)",
+      "q_dedup_semantic_recall" -> "kmeans 8 cells nProbe=2, exact pairs ~500 probes (probeOneIn=4 at sf<=0.1)",
+      "q_sim_hard_neg_lsh_recall" -> "banded hard negatives, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
+      "q_sim_hard_pos_lsh_recall" -> "banded hard positives, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
+      "q_dedup_semantic_white" -> "pca-whitened k=8, kmeans 8 cells nProbe=2, exact pairs ~500 probes (probeOneIn=4 at sf<=0.1)",
     )
+    // the sf1 rung is generated (graft.tools.Datagen, round 9) rather
+    // than driver-provided — include it in the recall ladder when built,
+    // so the per-round artifact carries floors one decade further up
+    val sf1 = Seq("/root/repo/tools/sf1").filter(d =>
+      new java.io.File(s"$d/embeddings.parquet").isFile)
     val measured =
-      for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
+      for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1") ++ sf1;
            q <- configs.keys.toSeq.sorted) yield {
         val row = SparkEntry.queries(q)(spark, dir).collect().head
         val recall = row.getAs[Double]("recall")
