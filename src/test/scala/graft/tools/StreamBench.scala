@@ -42,10 +42,20 @@ object StreamBench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
+    // the events parquet carries ts as TIMESTAMP_NTZ (LocalDateTime) after
+    // the nanosAsLong normalization — convert to java.sql.Timestamp for the
+    // MemoryStream tuple encoder regardless of which temporal class we get
+    def toSqlTs(a: Any): java.sql.Timestamp = a match {
+      case t: java.sql.Timestamp    => t
+      case i: java.time.Instant     => java.sql.Timestamp.from(i)
+      case l: java.time.LocalDateTime =>
+        java.sql.Timestamp.valueOf(l)
+      case other => sys.error(s"unexpected ts class ${other.getClass}")
+    }
     val events = spark.read.parquet(s"$sfDir/events.parquet")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+      .map(r => (r.getLong(0), toSqlTs(r.get(1)), r.getLong(2), r.getString(3),
         r.getDouble(4)))
 
     def docBatch(b: Int): Seq[(Long, String, java.sql.Timestamp)] = {
