@@ -53,6 +53,17 @@ object SparkEntry {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
     "spark.sql.session.timeZone" -> "UTC",
+    // Scan-split sizing: Spark's split size is
+    // min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism)),
+    // so the DEFAULT 4 MiB open cost floors every sub-130 MiB table at a
+    // handful of tasks — a single-file 23 MiB documents table scans as ONE
+    // task and everything computed in the scan stage (tokenize, sketch,
+    // SRP projections) serializes on one core. A 128 KiB open cost lets
+    // small-to-mid tables split down to totalBytes/cores while changing
+    // NOTHING at warehouse scale, where totalBytes/cores >> maxPartitionBytes
+    // and the 128 MiB cap rules. (Splits land on row-group boundaries —
+    // the data layout must provide them; Datagen writes 512 KiB groups.)
+    "spark.sql.files.openCostInBytes" -> (128 * 1024).toString,
   )
 
   /** Build the session all entrypoints share. The master is whatever
@@ -117,6 +128,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def nVecs(s: SparkSession, dir: String): Long =
     vecCountCache.computeIfAbsent(dir, _ => t(s, dir, "embeddings").count()).longValue()
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def nDocs(s: SparkSession, dir: String): Long =
+    docCountCache.computeIfAbsent(dir, _ => t(s, dir, "documents").count()).longValue()
   private def dedupProbeOneIn(s: SparkSession, dir: String): Int =
     math.max(4L, nVecs(s, dir) / 500L).toInt
   private def simProbeOneIn(s: SparkSession, dir: String): Int =
@@ -144,6 +159,80 @@ object SparkEntry {
     */
   private def pqRerank(s: SparkSession, dir: String): Int =
     math.max(8L, nVecs(s, dir) / 250L).toInt
+
+  /** The IVF+PQ row's exact-rerank budget — same corpus-proportional
+    * rationale as [[pqRerank]] (ADC ties grow with the corpus at a fixed
+    * code length), floored at the row's historical 16 so the correctness-SF
+    * artifacts are unchanged. Measured at the generated sf1: rerank 16 →
+    * recall 0.57 (first sub-floor value after the layout regen shifted
+    * the trained codebooks); n/250 = 80 restores the margin for 80 extra
+    * exact dot products per probe.
+    */
+  private def ivfpqRerank(s: SparkSession, dir: String): Int =
+    math.max(16L, nVecs(s, dir) / 250L).toInt
+
+  /** SemDeDup (cells, nProbe) for the semantic-dedup rows, scale-aware
+    * above the correctness SFs ((8, 2) at sf0.01/sf0.1's 500/2,000
+    * vectors — unchanged artifacts there). Within-cell work is quadratic
+    * in CELL size (measured: 113 s at the generated sf1's 20k vectors
+    * with the cell count left at 8), so cells must grow with the corpus —
+    * but at this row's MID threshold (0.45; pairs are not tight clusters)
+    * recall needs ~10% of the cell space probed, so nProbe/cells is
+    * pinned and candidate volume n²·nProbe²/(2·cells) is minimized by the
+    * LOWEST nProbe that holds the floor: the measured sf1 frontier
+    * ((8,2) 0.81 / (16,2) 0.61 / (32,3) 0.74 / (80,2) 0.37 recall) puts
+    * the sweet spot at (32, 3) — 2× the speed of (8, 2) with margin over
+    * the 0.6 contract. That caps useful cells at ~32 HERE: mid-threshold
+    * cluster banding is intrinsically ~n²/cells (the SRP-banded
+    * embeddingNearDups row is the mid-threshold scale path, n^(1+ρ)).
+    * The published SemDeDup posture — cells ∝ n, 50k cells for
+    * LAION-440M — applies at HIGH thresholds, where near-dup pairs are
+    * tight and co-cluster: [[graft.ops.Dedup.semanticDedup]] takes both
+    * dials, this helper just pins the driver rows' adversarial config.
+    */
+  private def semanticCellsFor(s: SparkSession, dir: String): Int =
+    math.min(32L, math.max(8L, nVecs(s, dir) / 625L)).toInt
+  private def semanticProbesFor(s: SparkSession, dir: String): Int =
+    if (semanticCellsFor(s, dir) > 8) 3 else 2
+
+  /** SRP banding config (planes, tables) for the embedding near-dup rows,
+    * corpus-aware above the correctness SFs ((5, 12) at <= 2,000 vectors —
+    * unchanged artifacts there). Fixed-width SRP keys make bucket sizes,
+    * and hence the bucket self-join, grow linearly with the corpus (n²/2^planes
+    * candidates — measured 90 s at the generated sf1); adding one plane per
+    * corpus doubling holds expected bucket size constant, and the table
+    * count is then solved from the banding recall model so the meter
+    * contract keeps its margin: per-plane collision for a pair at the
+    * row's cosine threshold 0.45 is p = 1 − acos(0.45)/π ≈ 0.649, a table
+    * matches with p^planes, and tables = ⌈ln(0.25)/ln(1 − p^planes)⌉
+    * targets ≥ 75% theoretical recall (floor 0.6). This is the LSH n^(1+ρ)
+    * curve instead of n²: candidate volume per corpus doubling grows
+    * ~1.55× (tables) instead of 4× (bucket pairs).
+    */
+  private def srpConfigFor(s: SparkSession, dir: String): (Int, Int) = {
+    val n = nVecs(s, dir)
+    if (n <= 2000L) (5, 12)
+    else {
+      val planes = 5 + (math.log(n / 2000.0) / math.log(2.0)).floor.toInt
+      val pTable = math.pow(1.0 - math.acos(0.45) / math.Pi, planes)
+      val tables = math.ceil(math.log(0.25) / math.log(1.0 - pTable)).toInt
+      (planes, tables)
+    }
+  }
+
+  /** Blocked-self-join slice count for the radius-8 simhash rows
+    * (1 at the correctness SFs — plans unchanged there). Radius 8 on the
+    * 60-bit sketch of near-template text leaves corpus-fraction-sized
+    * buckets (SimStats at the generated sf1: hottest bucket 15.8k of 50k
+    * docs, 983M join emissions), and one bucket's quadratic verification
+    * otherwise runs in ONE task; m slices spread it over m² reducer keys
+    * at m× replication of the (id, sim) banded rows. m ≈ √(docs/5000)
+    * keeps per-key work near the sf0.1 level as the corpus grows.
+    */
+  private def simhashSlicesFor(s: SparkSession, dir: String): Int = {
+    val n = nDocs(s, dir)
+    if (n <= 5000L) 1 else math.ceil(math.sqrt(n / 5000.0)).toInt
+  }
 
   /** Dialect query against a table's own (closed-world) schema. */
   private def q(df: DataFrame, sql: String): DataFrame = Compiler.queryOrThrow(df, sql)
@@ -660,7 +749,17 @@ object SparkEntry {
     }),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+      Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
+        slices = simhashSlicesFor(s, dir))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // the PRODUCTION radius: Manku et al. (WWW'07) deduplicate 8B pages
+    // at hamming <= 3 on 64-bit sketches; radius 3 keys are 15-bit so the
+    // banded self-join stays selective even on biased sketch bits — the
+    // configuration whose cost actually scales like the published system
+    // (the radius-8 rows above stress the adversarial wide-radius shape)
+    "q_dedup_simhash_r3" -> ((s, dir) =>
+      Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // pairs → clusters: connected components over the verified near-dup
@@ -734,7 +833,7 @@ object SparkEntry {
     // the same answer as the default)
     "q_dedup_simhash_k2" -> ((s, dir) =>
       Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
-        keyBlocks = 2)
+        keyBlocks = 2, slices = simhashSlicesFor(s, dir))
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
@@ -755,10 +854,12 @@ object SparkEntry {
     // the synthetic embeddings have no true near-dups (max pairwise cosine
     // ≈ 0.51), so the harness entry runs at a moderate threshold where
     // pairs exist; multi-table SRP keeps recall at that regime
-    "q_dedup_embedding" -> ((s, dir) =>
+    "q_dedup_embedding" -> ((s, dir) => {
+      val (planes, tables) = srpConfigFor(s, dir)
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.45, planes = 5, tables = 12)
-        .orderBy(col("id_a"), col("id_b"))),
+        threshold = 0.45, planes = planes, tables = tables)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // driver-visible honesty meter for the one approximate near-DUP path:
     // pair recall of the SRP-banded pass against the exact cosine truth
@@ -771,11 +872,12 @@ object SparkEntry {
     // correctness SFs, asserted by DriverSuiteSpec ("ANN recall floor")
     "q_dedup_embedding_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val (planes, tables) = srpConfigFor(s, dir)
       Dedup.pairRecall(
         Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45,
           probeOneIn = dedupProbeOneIn(s, dir)),
         Dedup.embeddingNearDups(emb, "embedding", "vec_id",
-          threshold = 0.45, planes = 5, tables = 12))
+          threshold = 0.45, planes = planes, tables = tables))
     }),
 
     // SemDeDup: k-means cells + exact within-cell cosine — the
@@ -783,7 +885,7 @@ object SparkEntry {
     // mirror (k-means); honesty meter below.
     "q_dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
-        nClusters = 8, threshold = 0.45, nProbe = 2)
+        nClusters = semanticCellsFor(s, dir), threshold = 0.45, nProbe = semanticProbesFor(s, dir))
         .orderBy(col("id_a"), col("id_b"))),
 
     // Dolma/RefinedWeb-style corpus-level paragraph dedup: segments
@@ -829,7 +931,7 @@ object SparkEntry {
         Dedup.exactCosinePairs(emb, "embedding", "vec_id", threshold = 0.45,
           probeOneIn = dedupProbeOneIn(s, dir)),
         Dedup.semanticDedup(emb, "embedding", "vec_id",
-          nClusters = 8, threshold = 0.45, nProbe = 2))
+          nClusters = semanticCellsFor(s, dir), threshold = 0.45, nProbe = semanticProbesFor(s, dir)))
     }),
 
     // PCA-whitened SemDeDup: the composition the PCA operator exists
@@ -847,7 +949,7 @@ object SparkEntry {
       Dedup.pairRecall(
         Dedup.exactCosinePairs(white, "w", "vec_id", threshold = 0.6, probeOneIn = dedupProbeOneIn(s, dir)),
         Dedup.semanticDedup(white, "w", "vec_id",
-          nClusters = 8, threshold = 0.6, nProbe = 2))
+          nClusters = semanticCellsFor(s, dir), threshold = 0.6, nProbe = semanticProbesFor(s, dir)))
     }),
 
     // steady-state SemDeDup: the quantizer is pre-trained (memoized per
@@ -857,9 +959,9 @@ object SparkEntry {
     // training is deterministic), which the oracle-less rows-only check
     // can't see but the bench cost split makes visible.
     "q_dedup_semantic_steady" -> ((s, dir) =>
-      Dedup.semanticDedupWithIndex(ivfIndexFor(s, dir, nlist = 8),
+      Dedup.semanticDedupWithIndex(ivfIndexFor(s, dir, nlist = semanticCellsFor(s, dir)),
         t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.45, nProbe = 2)
+        threshold = 0.45, nProbe = semanticProbesFor(s, dir))
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- training-data pipeline: similarity search ----
@@ -1083,7 +1185,7 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
         Similarity.ivfPqTopK(ivfIndexFor(s, dir, nlist = 16),
           pqFor(s, dir, m = 16, ksub = 16), emb, probes,
-          "embedding", "vec_id", 5, nprobe = 8, rerank = 16))
+          "embedding", "vec_id", 5, nprobe = 8, rerank = ivfpqRerank(s, dir)))
     }),
 
     // driver-visible approximation quality: recall@5 of each ANN path
@@ -3230,6 +3332,7 @@ object SparkEntry {
     // (banding-independence is part of the operator contract)
     "q_dedup_simhash" -> oracleSimHash(maxHamming = 8),
     "q_dedup_simhash_k2" -> oracleSimHash(maxHamming = 8),
+    "q_dedup_simhash_r3" -> oracleSimHash(maxHamming = 3),
 
     "q_dedup_components" -> oracleNearDupComponents,
 

@@ -1060,6 +1060,9 @@ object GraftFunctions {
       add("deflate_len", exprs => DeflateLen(exprs(0)))
       add("contains_any", exprs => ContainsAny(exprs(0), exprs(1)))
       add("nfc_normalize", exprs => NfcNormalize(exprs(0)))
+      add("first_clean_subset", exprs => FirstCleanSubset(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray().toSeq))
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -1592,6 +1595,66 @@ case class ContainsAny(textExpr: Expression, patternsExpr: Expression)
     copy(textExpr = newLeft, patternsExpr = newRight)
 
   override def prettyName: String = "contains_any"
+}
+
+/** Index of the FIRST block subset fully clean of `diff` bits: returns
+  * the least t with `(diff & masks(t)) == 0`, or -1 when none — the
+  * exactly-once emission rule of the banded simhash self-join
+  * ([[graft.ops.Dedup.simHashNearDupsFromSims]]): a candidate pair's
+  * matching tables are exactly the subsets whose blocks its XOR leaves
+  * untouched, so each join instance keeps itself only when its table is
+  * the pair's first match.
+  *
+  * This exists as a NATIVE expression for a codegen-size reason, not
+  * elegance: the same rule written as a Column tree (a per-table
+  * when-chain, or bitmask arithmetic over a shared sub-expression) gets
+  * inlined by the optimizer into the join CONDITION with the shared
+  * sub-expression duplicated per use — at 45 tables the generated
+  * predicate method exceeds the JVM's ~8k-bytecode JIT ceiling and the
+  * join evaluates it in the interpreter, ~100× slower on the
+  * billion-candidate emission. Here the loop is a handful of bytecodes
+  * around a referenced mask array.
+  */
+case class FirstCleanSubset(child: Expression, masks: Seq[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"first_clean_subset requires bigint, got ${other.simpleString}")
+  }
+
+  @transient private lazy val maskArr: Array[Long] = masks.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val diff = input.asInstanceOf[Long]
+    var t = 0
+    while (t < maskArr.length) {
+      if ((diff & maskArr(t)) == 0L) return t
+      t += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("subsetMasks", maskArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val t = ctx.freshName("t")
+      s"""
+         |${ev.value} = -1;
+         |for (int $t = 0; $t < $m.length; $t++) {
+         |  if (($c & $m[$t]) == 0L) { ${ev.value} = $t; break; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FirstCleanSubset =
+    copy(child = newChild)
+
+  override def prettyName: String = "first_clean_subset"
 }
 
 case class SimHash60(child: Expression)

@@ -851,6 +851,18 @@ object Dedup {
     *    ~12-13-bit keys vs 9 tables of ~7-bit keys), collapsing candidate
     *    fan-in at billion-document scale for ~5× more banded rows.
     * The shuffle key is (table index, packed key bits) only.
+    *
+    * `slices` is the skew dial: an aggressive radius relative to the
+    * sketch's effective entropy (e.g. radius 8 on near-template text)
+    * makes some buckets corpus-fraction-sized, and a bucket's C(size, 2)
+    * verification otherwise runs inside ONE reducer task — measured 983M
+    * join emissions with a 15.8k-row hottest bucket on the 50k-doc sf1
+    * rung, serialized onto a handful of cores. With `slices = m > 1`
+    * each side is block-replicated m× and the join key gains the
+    * (left-slice, right-slice) coordinates, so every bucket's pair work
+    * spreads over m² reducer keys; each candidate pair still meets
+    * EXACTLY once, at (slice(a), slice(b)). Replication multiplies only
+    * the tiny (id, sim) banded rows, never documents.
     */
   def simHashNearDups(
       df: DataFrame,
@@ -858,10 +870,12 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       keyBlocks: Int = 1,
+      slices: Int = 1,
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     simHashNearDupsFromSims(
-      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim")), maxHamming, keyBlocks)
+      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim")), maxHamming, keyBlocks,
+      slices)
   }
 
   /** Banding + verification over precomputed (id, sim) rows — the
@@ -872,7 +886,9 @@ object Dedup {
       withSim: DataFrame,
       maxHamming: Int,
       keyBlocks: Int = 1,
+      slices: Int = 1,
   ): DataFrame = {
+    require(slices >= 1, "slices must be >= 1")
     val bits = graft.functions.SimHashUtil.Bits
     require(maxHamming >= 0 && maxHamming < bits, s"maxHamming must be in [0, ${bits - 1}]")
     require(keyBlocks >= 1, "keyBlocks must be >= 1")
@@ -899,16 +915,62 @@ object Dedup {
     }
     val banded = withSim.select(col("id"), col("sim"), explode(array(chunks: _*)).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk"), col("cc.key"))
-    val left = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val right = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
-    left.join(right, Seq("chunk", "key"))
+    // blocked self-join (the skew dial, see simHashNearDups): each row
+    // owns one slice coordinate by id hash and replicates across the
+    // other side's m coordinates, so a pair (a, b) meets exactly once —
+    // at key (chunk, key, slice(a), slice(b)) — and a hot bucket's
+    // quadratic verification spreads over m² reducer keys
+    val allSlices = array((0 until slices).map(lit): _*)
+    def slice(c: Column): Column = pmod(xxhash64(c), lit(slices)).cast("int")
+    val (left, right, joinKeys) =
+      if (slices == 1)
+        (banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sim").as("sim_a")),
+          banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sim").as("sim_b")),
+          Seq("chunk", "key"))
+      else
+        (banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"),
+            slice(col("id")).as("__sa"), explode(allSlices).as("__sb")),
+          banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"),
+            explode(allSlices).as("__sa"), slice(col("id")).as("__sb")),
+          Seq("chunk", "key", "__sa", "__sb"))
+    // Exactly-once emission WITHOUT a dedup shuffle: a pair's matching
+    // tables are fully determined by which blocks of sim_a XOR sim_b are
+    // zero, so each join instance can decide locally whether ITS table is
+    // the pair's FIRST matching table and drop itself otherwise. On a
+    // dense near-dup corpus a true pair collides in up to `subsets.size`
+    // tables (hamming 0 ⇒ ALL of them), so the old
+    // dropDuplicates(id_a, id_b) exchanged ~tables× the true pair volume;
+    // this filter is a codegen'd bitwise chain in the join stage and the
+    // only remaining shuffle is the join's own. Pigeonhole guarantees a
+    // qualifying pair has >= keyBlocks untouched blocks, hence >= 1
+    // matching table — emission is exactly once, the result set is
+    // IDENTICAL to the dropDuplicates form.
+    // The first matching table: the least t whose subset of blocks the
+    // pair's XOR leaves untouched — one AND-against-a-mask per table,
+    // evaluated by the native FirstCleanSubset expression. (A Column-tree
+    // formulation gets inlined into the join condition with shared
+    // sub-expressions duplicated per use; at 45 tables the generated
+    // predicate blows the JIT's bytecode ceiling and the emission loop
+    // runs interpreted — measured ~100× slower at sf1.)
+    graft.functions.GraftFunctions.register(withSim.sparkSession)
+    val subsetMasks = subsets.map(blks =>
+      blks.map(blk => ((1L << widths(blk)) - 1) << offsets(blk)).reduce(_ | _))
+    def firstMatch(diff: Column): Column =
+      call_function("first_clean_subset", diff, lit(subsetMasks.toArray))
+    // the merge hint forbids a broadcast plan: the banded side is small
+    // in BYTES (ids + sims), so the planner would otherwise broadcast it
+    // and stream the OTHER side — whose partitioning is the upstream
+    // scan's (a single-row-group parquet file = ONE task), serializing
+    // the entire candidate emission on one core. A shuffle join exchanges
+    // both sides on the join key and runs the emission at full
+    // shuffle-partition parallelism; emission volume is the cost either
+    // way, parallelism is what the hint buys.
+    left.hint("merge").join(right.hint("merge"), joinKeys)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      // filter before the dedup shuffle: false candidates (the vast
-      // majority at narrow chunk widths) never reach the exchange
+      .withColumn("__diff", col("sim_a").bitwiseXOR(col("sim_b")))
+      .filter(col("chunk") === firstMatch(col("__diff")))
+      .select(col("id_a"), col("id_b"), bit_count(col("__diff")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Connected components over an undirected pair graph — the step that
@@ -1202,19 +1264,29 @@ object Dedup {
       "embeddingNearDups", logMetric = materialize != Materialize.Lazy)
     val left = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
-    val candidates = left.join(right, Seq("table", "bucket"))
+    // Candidate instances stay duplicated (a pair colliding in t tables
+    // appears t times) until AFTER the cosine verification: deduplicating
+    // candidates first would exchange the full candidate volume, while a
+    // true pair's expected table multiplicity is small (tables ×
+    // p_coll^planes ≈ 1.3–1.5 at any recall-holding config), so verifying
+    // duplicates costs a few extra dot products and the only pair-keyed
+    // exchange left is OUTPUT-sized. The vector re-joins broadcast the
+    // (id, vec) side, so duplicated candidates never inflate a shuffle —
+    // AQE still picks the join strategy from actual volumes.
+    // merge hint: same broadcast-forbidding rationale as
+    // [[simHashNearDupsFromSims]] — the banded side is byte-small, and a
+    // broadcast plan would stream the bucket self-join's emission through
+    // the upstream scan's task count (1 for a single-file corpus)
+    val candidates = left.hint("merge").join(right.hint("merge"), Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // join candidates back to vectors: AQE picks broadcast vs shuffle from
-    // actual candidate volume (forcing broadcast of the candidate side is
-    // wrong exactly when LSH degenerates and candidates are large)
     val result = candidates
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cosine", Similarity.cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
     // materialize per policy, then release the cached banding (see
     // minHashNearDups)
     materializeAndRelease(result, materialize, Seq(banded1))
@@ -1281,17 +1353,22 @@ object Dedup {
     val celled1 = if (materialize != Materialize.Lazy) celled0.persist() else celled0
     val celled = dropOverfullBuckets(celled1, Seq("cell"), maxCellSize,
       "semanticDedup", logMetric = materialize != Materialize.Lazy)
-    val candidates = celled.select(col("cell"), col("id").as("id_a"))
-      .join(celled.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+    // pair-keyed dedup AFTER verification, not before: with nProbe
+    // overlapping cells a pair appears at most nProbe times, so verifying
+    // the duplicates costs <= nProbe dot products while deduplicating
+    // first would exchange the whole candidate volume (see the same move
+    // in [[embeddingNearDups]]) — the surviving exchange is output-sized
+    val candidates = celled.select(col("cell"), col("id").as("id_a")).hint("merge")
+      .join(celled.select(col("cell"), col("id").as("id_b")).hint("merge"), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
     val result = candidates
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cosine", Similarity.cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
     materializeAndRelease(result, materialize, Seq(celled1))
   }
 

@@ -297,6 +297,15 @@ object Similarity {
     * (`sampleOneIn = 1` → full scan; at 100 TB pick it so ~100k-1M rows
     * survive — a seeded xxhash64 filter, one scan, no sort, same sample
     * on any cluster layout).
+    *
+    * Determinism scope: the SAMPLE is layout-independent, and the seeded
+    * k-means is bit-reproducible for a FIXED physical layout of the
+    * training frame — but Lloyd's distributed FP reductions are
+    * aggregation-order-sensitive, so rewriting the corpus file (different
+    * row groups/partitioning) can drift centroids in the last ulps and
+    * flip boundary cell assignments. Persist the index ([[saveIvf]])
+    * when exact repeatability across layouts matters — the production
+    * lifecycle anyway.
     */
   def trainIvf(
       corpus: DataFrame,

@@ -187,14 +187,14 @@ class DriverSuiteSpec extends AnyFunSuite {
       "q_sim_lsh_recall" -> "srp 5 planes x 24 tables, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
       "q_sim_ivf_recall" -> "ivf nlist=16 nprobe=6, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
       "q_sim_pq_recall" -> "pq m=16 ksub=16 rerank ~0.4% of corpus (8 at sf<=0.1), probeSample ~80 probes (oneIn=25 at sf<=0.1)",
-      "q_sim_ivfpq_recall" -> "ivf+pq nprobe=8 rerank=16, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
+      "q_sim_ivfpq_recall" -> "ivf+pq nprobe=8 rerank corpus-aware (16 at sf<=0.1, n/250 above), probeSample ~80 probes (oneIn=25 at sf<=0.1)",
       "q_sim_sq_recall" -> "sq8 rerank=8, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
       "q_sim_bq_recall" -> "1-bit bq rerank ~3.2% of corpus (64 at sf<=0.1), probeSample ~80 probes (oneIn=25 at sf<=0.1)",
-      "q_dedup_embedding_recall" -> "srp 5 planes x 12 tables, exact pairs ~500 probes (probeOneIn=4 at sf<=0.1)",
-      "q_dedup_semantic_recall" -> "kmeans 8 cells nProbe=2, exact pairs ~500 probes (probeOneIn=4 at sf<=0.1)",
+      "q_dedup_embedding_recall" -> "srp scale-aware (5 planes x 12 tables at sf<=0.1; +1 plane per corpus doubling, tables from the recall model above), exact pairs ~500 probes (probeOneIn=4 at sf<=0.1)",
+      "q_dedup_semantic_recall" -> "kmeans cells/probes scale-aware ((8,2) at sf<=0.1, capped (32,3) above), exact pairs ~500 probes (probeOneIn=4 at sf<=0.1)",
       "q_sim_hard_neg_lsh_recall" -> "banded hard negatives, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
       "q_sim_hard_pos_lsh_recall" -> "banded hard positives, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
-      "q_dedup_semantic_white" -> "pca-whitened k=8, kmeans 8 cells nProbe=2, exact pairs ~500 probes (probeOneIn=4 at sf<=0.1)",
+      "q_dedup_semantic_white" -> "pca-whitened k=8, kmeans cells/probes scale-aware ((8,2) at sf<=0.1, capped (32,3) above), exact pairs ~500 probes (probeOneIn=4 at sf<=0.1)",
     )
     // the sf1 rung is generated (graft.tools.Datagen, round 9) rather
     // than driver-provided — include it in the recall ladder when built,

@@ -118,6 +118,30 @@ class OpsSpec extends AnyFunSuite {
     assert(m1.contains((0L, 1L)) && m1.contains((0L, 3L)))
   }
 
+  test("simhash blocked self-join (slices) has identical verified output") {
+    // the skew dial replicates banded rows across slice coordinates; every
+    // pair must still meet exactly once — output identical to slices=1,
+    // for both keying schemes, on a corpus with planted pairs at several
+    // radii (a randomized 40-doc set keeps bucket shapes non-trivial)
+    val rnd = new scala.util.Random(7)
+    val sims = (0L until 40L).map { i =>
+      val base = if (i % 4 == 0) 0L else rnd.nextLong()
+      val flips = (0 until rnd.nextInt(10)).map(_ => 1L << rnd.nextInt(60))
+        .foldLeft(0L)(_ | _)
+      (i, base ^ flips)
+    }.toDF("id", "sim")
+    for (kb <- Seq(1, 2)) {
+      def run(m: Int) = Dedup.simHashNearDupsFromSims(sims, maxHamming = 8,
+          keyBlocks = kb, slices = m)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Int]("hamming"))).toSet
+      val s1 = run(1)
+      assert(s1 == run(3), s"keyBlocks=$kb: slices=3 diverged")
+      assert(s1 == run(4), s"keyBlocks=$kb: slices=4 diverged")
+      assert(s1.nonEmpty)
+    }
+  }
+
   test("simhash banding is exact-match at maxHamming 0") {
     val sims = Seq((0L, 42L), (1L, 42L), (2L, 43L)).toDF("id", "sim")
     val pairs = Dedup.simHashNearDupsFromSims(sims, maxHamming = 0)

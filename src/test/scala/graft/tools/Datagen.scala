@@ -200,7 +200,11 @@ object Datagen {
     val tmp = s"$out/.tmp_$name"
     df.repartition(1)
       .write.mode("overwrite")
-      .option("parquet.block.size", 16 * 1024 * 1024)
+      // 512 KiB row groups: splits can only land on row-group boundaries,
+      // so the small tables (documents ~15 MiB, embeddings ~5 MiB at sf1)
+      // need fine groups to scan at full parallelism under the session's
+      // openCostInBytes split sizing (SparkEntry.pinnedConfs)
+      .option("parquet.block.size", 512 * 1024)
       .parquet(tmp)
     val conf = new org.apache.hadoop.conf.Configuration()
     val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
