@@ -337,6 +337,38 @@ class PlanSpec extends AnyFunSuite {
       s"vectors shuffled through an exchange:\n$p")
   }
 
+  test("banded self-joins are SHUFFLE joins — never broadcast (emission parallelism)") {
+    // The banded side of simhash/SRP/SemDeDup self-joins is byte-small
+    // (ids + sketches), so the planner would happily broadcast it and
+    // stream the join through the OTHER side's task count — which is the
+    // upstream scan's (ONE task for a single-row-group file), serializing
+    // the entire candidate emission on one core (measured 302 s for a
+    // 5.8 s join at sf1). The merge hints pin a shuffle join: emission
+    // parallelism = shuffle partitions, at any input layout.
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pSim = plan(Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 8))
+    val pSimSliced = plan(Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 8,
+      keyBlocks = 2, slices = 3))
+    val pSrp = plan(Dedup.embeddingNearDups(emb, "embedding", "vec_id",
+      threshold = 0.45, planes = 5, tables = 4,
+      materialize = graft.ops.Dedup.Materialize.Lazy))
+    for (p <- Seq(pSim, pSimSliced, pSrp)) {
+      assert(p.contains("SortMergeJoin"), p) // the banded self-join
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // the simhash pair join has no other join in the plan, so no
+    // broadcast may appear at all; the SRP plan DOES broadcast — the
+    // candidate→vector re-joins build on the byte-small (id, vec) side,
+    // which is exactly right and orthogonal to self-join parallelism
+    assert(!pSim.contains("BroadcastHashJoin"), pSim)
+    assert(!pSimSliced.contains("BroadcastHashJoin"), pSimSliced)
+    // the exactly-once emission rule runs as the native expression, not a
+    // when-chain the optimizer could inline past the JIT bytecode ceiling
+    assert(pSim.contains("first_clean_subset"), pSim)
+    assert(pSimSliced.contains("first_clean_subset"), pSimSliced)
+  }
+
   test("IVF-PQ: the ADC scan joins on the CELL — never a corpus-wide cross") {
     graft.functions.GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
