@@ -64,6 +64,19 @@ object SparkEntry {
     // and the 128 MiB cap rules. (Splits land on row-group boundaries —
     // the data layout must provide them; Datagen writes 512 KiB groups.)
     "spark.sql.files.openCostInBytes" -> (128 * 1024).toString,
+    // Broadcast sizing: the candidate→vector re-joins behind every banded
+    // pair operator stream CANDIDATE-sized frames (up to billions of rows)
+    // against the byte-small (id, vec) corpus side. Spark's default 10 MiB
+    // threshold stops broadcasting that side at ~40k 64-dim vectors, and
+    // the planner then SORTS the candidate side for a merge join —
+    // measured at the generated sf10 rung (200k vectors, 51 MiB side):
+    // 1.6B candidate rows spilled the disk to death. 256 MiB broadcasts
+    // the small side across the realistic single-box range and is
+    // comfortably inside the 16 GiB-per-executor posture (CLUSTER.md);
+    // corpora whose (id, vec) projection exceeds 256 MiB are the regime
+    // where candidate-sized exchanges are genuinely unavoidable and
+    // executor sizing must own the trade.
+    "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024 * 1024).toString,
   )
 
   /** Build the session all entrypoints share. The master is whatever

@@ -83,6 +83,17 @@ object Dedup {
       val m = overfull.agg(count(lit(1)).as("b"), sum(col("__n")).as("r")).collect().head
       if (m.getLong(0) == 0) banded
       else {
+        // dropping SOME buckets is the guard working; dropping ALL of
+        // them means the (buckets, cap) configuration cannot represent
+        // this corpus at all — e.g. a recall-capped SemDeDup cell count
+        // at a corpus where every cell exceeds maxCellSize. An empty
+        // pair set would be silent data loss; fail with the dials.
+        val total = banded.count()
+        require(m.getLong(1) < total,
+          s"$what: EVERY bucket exceeds the $cap-row cap " +
+            s"(${m.getLong(0)} bucket(s), $total banded rows) — the self-join would be " +
+            "vacuous. Raise the bucket/cell count or the size cap, or use a " +
+            "hash-banded pass (SRP/MinHash) whose bucket count scales freely.")
         log.warn(s"$what: dropping ${m.getLong(0)} over-full bucket(s) " +
           s"(${m.getLong(1)} banded rows > cap $cap each) before the self-join")
         banded.join(overfull.select(keys.map(col): _*), keys, "left_anti")
