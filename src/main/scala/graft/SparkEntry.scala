@@ -2359,17 +2359,44 @@ object SparkEntry {
         .toDF("component", "eigenvalue", "share", "cum_share")
     }),
 
-    // whitened top-8 projection — the cosine-isotropy pre-step for
-    // semantic dedup; per-component unit variance contracted in
-    // DriverSuiteSpec at both SFs
+    // whitened top-8 projection, certified by its DEFINING invariant:
+    // whitening is exactly the claim that the projected corpus has
+    // identity population covariance, and that 8×8 matrix is computable
+    // from the data in one Spark aggregation pass (independent summation
+    // from the training pass), while the oracle side is the
+    // mathematically-required constant. FULL ORACLE (upgraded from
+    // rows-only, round-10): a non-orthogonal eigenbasis, a wrong √λ
+    // scale, or a wrong mean all surface as off-identity entries at 6 dp.
+    // The per-row whitened projections themselves (eigen output, no SQL
+    // mirror) stay contracted in DriverSuiteSpec and exercised end-to-end
+    // by q_dedup_semantic_white.
     "q_emb_pca_whiten" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val m = pcaFor(s, dir, k = 8)
-      t(s, dir, "embeddings").select(col("vec_id"),
-        array_join(transform(
-          ops.Embeddings.pcaProject(m, col("embedding"), whiten = true),
-          x => format_string("%.4f", round(x, 4))), ",").as("whitened"))
-        .orderBy(col("vec_id"))
+      val k = 8
+      val m = pcaFor(s, dir, k)
+      val w = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(ops.Embeddings.pcaProject(m, col("embedding"), whiten = true).as("w"))
+      val pairs = for (i <- 0 until k; j <- i until k) yield (i, j)
+      val aggs =
+        Seq(count(lit(1)).cast("double").as("n")) ++
+          (0 until k).map(i => sum(element_at(col("w"), i + 1)).as(s"s$i")) ++
+          pairs.map { case (i, j) =>
+            sum(element_at(col("w"), i + 1) * element_at(col("w"), j + 1))
+              .as(s"p${i}_$j")
+          }
+      val r = w.agg(aggs.head, aggs.tail: _*).collect().head
+      val n = r.getAs[Double]("n")
+      import s.implicits._
+      pairs.map { case (i, j) =>
+        val cov = r.getAs[Double](s"p${i}_$j") / n -
+          (r.getAs[Double](s"s$i") / n) * (r.getAs[Double](s"s$j") / n)
+        // 6-dp HALF_UP through BigDecimal also folds −0.0 to 0.0, so the
+        // off-diagonal hash matches the oracle's 0.0 literal exactly
+        (i.toLong, j.toLong,
+          BigDecimal(cov).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("component_i", "component_j", "cov")
+        .orderBy("component_i", "component_j")
     }),
   )
 
@@ -4577,6 +4604,18 @@ object SparkEntry {
          |SELECT vec_id, round(sum((x - m) * (x - m)), 4) AS centered_norm_sq
          |FROM ex JOIN mu USING (d)
          |GROUP BY vec_id""".stripMargin,
+
+    // PCA whitening: the Spark side measures the population covariance
+    // of the whitened top-8 projections over the corpus; whitening's
+    // defining invariant makes that matrix the 8×8 identity, so the
+    // oracle is the mathematically-required constant (upper triangle,
+    // 6 dp). Data-dependence lives entirely on the Spark side — a wrong
+    // basis/λ/mean fails the hash.
+    "q_emb_pca_whiten" ->
+      s"""SELECT CAST(i AS BIGINT) AS component_i, CAST(j AS BIGINT) AS component_j,
+         |  CAST(CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS DOUBLE) AS cov
+         |FROM range(8) t1(i), range(8) t2(j)
+         |WHERE i <= j""".stripMargin,
 
     // HTML extraction: the same page shell rebuilt in SQL, the same
     // order-fixed cascade (script/style elements, comments, block

@@ -1060,9 +1060,29 @@ object GraftFunctions {
       add("deflate_len", exprs => DeflateLen(exprs(0)))
       add("contains_any", exprs => ContainsAny(exprs(0), exprs(1)))
       add("nfc_normalize", exprs => NfcNormalize(exprs(0)))
-      add("first_clean_subset", exprs => FirstCleanSubset(exprs(0),
-        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toLongArray().toSeq))
+      add("first_clean_subset", { exprs =>
+        // eval() runs at registration/analysis time, so a non-foldable or
+        // non-array<bigint> argument must be a clean analysis error, not a
+        // raw ClassCastException/NPE from the cast below
+        val ok = exprs(1).foldable && (exprs(1).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) => true
+          case _ => false
+        })
+        def fail(subClass: String, extra: Map[String, String]): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            s"INVALID_PARAMETER_VALUE.$subClass",
+            Map("parameter" -> "`subsets`",
+              "functionName" -> "`first_clean_subset`") ++ extra,
+            Option.empty[Throwable])
+        if (!ok) fail("PATTERN",
+          Map("value" -> "second argument must be a constant array<bigint>"))
+        val arr = exprs(1).eval()
+        if (arr == null) fail("NULL", Map.empty)
+        FirstCleanSubset(exprs(0),
+          arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray().toSeq)
+      })
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */

@@ -72,15 +72,22 @@ object Dedup {
       logMetric: Boolean,
   ): DataFrame = {
     require(cap > 0, "maxBucketSize must be positive")
-    lazy val overfull = banded
+    lazy val bucketSizes = banded
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > cap)
+    lazy val overfull = bucketSizes.filter(col("__n") > cap)
     if (logMetric) {
       // the metric aggregation doubles as the guard decision: on a
       // healthy corpus (no over-full bucket — the overwhelmingly common
       // case) the anti-join never enters the plan, so the guard's only
-      // steady-state cost is this one cached-scan aggregation
-      val m = overfull.agg(count(lit(1)).as("b"), sum(col("__n")).as("r")).collect().head
+      // steady-state cost is this one cached-scan aggregation. Total and
+      // over-full rows fold into the SAME pass so the all-overfull check
+      // below never re-derives the banding pipeline (a second banded
+      // action would recompute upstream under Materialize.Lazy).
+      val m = bucketSizes.agg(
+        count(when(col("__n") > cap, lit(1))).as("overBuckets"),
+        coalesce(sum(when(col("__n") > cap, col("__n"))), lit(0L)).as("overRows"),
+        sum(col("__n")).as("totalRows"),
+      ).collect().head
       if (m.getLong(0) == 0) banded
       else {
         // dropping SOME buckets is the guard working; dropping ALL of
@@ -88,10 +95,9 @@ object Dedup {
         // this corpus at all — e.g. a recall-capped SemDeDup cell count
         // at a corpus where every cell exceeds maxCellSize. An empty
         // pair set would be silent data loss; fail with the dials.
-        val total = banded.count()
-        require(m.getLong(1) < total,
+        require(m.getLong(1) < m.getLong(2),
           s"$what: EVERY bucket exceeds the $cap-row cap " +
-            s"(${m.getLong(0)} bucket(s), $total banded rows) — the self-join would be " +
+            s"(${m.getLong(0)} bucket(s), ${m.getLong(2)} banded rows) — the self-join would be " +
             "vacuous. Raise the bucket/cell count or the size cap, or use a " +
             "hash-banded pass (SRP/MinHash) whose bucket count scales freely.")
         log.warn(s"$what: dropping ${m.getLong(0)} over-full bucket(s) " +

@@ -291,8 +291,11 @@ object GraftSource {
     * Content-Length claim is flagged `truncated` with the bytes that
     * are there. The one documented blind spot of boundary-splitting: a
     * payload that itself contains the boundary string splits early —
-    * the ISO 28500 grammar makes that record parse with null headers
-    * downstream rather than corrupting neighbors.
+    * the containing record is flagged `truncated` (its payload runs
+    * short of its Content-Length) and the spurious fragment surfaces as
+    * a null-header row (the remnant strip requires a header-shaped
+    * continuation, so no fragment bytes are eaten), rather than
+    * corrupting neighbors.
     *
     * Payload truncation is BYTE-accurate (`Content-Length` is in
     * bytes): the record is sliced as binary and only then decoded, so
@@ -320,8 +323,15 @@ object GraftSource {
     // a file's first record keeps its full `WARC/x.y` version line, while
     // records after a split at the version-agnostic `\r\n\r\nWARC/`
     // boundary start with the bare `x.y` remnant — strip either so every
-    // record is a bare header block + payload
-    val rec = regexp_replace(col("value"), "^(WARC/)?[0-9]+\\.[0-9]+\r\n", "")
+    // record is a bare header block + payload. The strip requires a
+    // header-shaped continuation (lookahead: `WARC-`/`Content-`, the only
+    // first-header names the ISO 28500 named fields admit) so a FALSE
+    // split — a payload that itself contains the boundary string followed
+    // by something version-line-shaped — does not also lose payload text
+    // to the remnant strip; such fragments keep their bytes and surface
+    // as null-header rows instead.
+    val rec = regexp_replace(col("value"),
+      "^(WARC/)?[0-9]+\\.[0-9]+\r\n(?=WARC-|Content-)", "")
     val headers = substring_index(rec, "\r\n\r\n", 1)
     def h(name: String) =
       nullif(regexp_extract(headers, name + ": ([^\r\n]*)", 1), lit(""))

@@ -90,10 +90,17 @@ object WarcGz {
       val in = fs.open(fsPath)
       try {
         in.seek(start)
-        val window = new Array[Byte]((end - start).toInt)
+        // read 2 bytes past `end` so a member whose 3-byte magic straddles
+        // the split boundary (starts at end-1 or end-2) is still seen by
+        // THIS task — the next task only accepts boundaries >= its own
+        // start, so without the overlap such members are silently lost
+        val window = new Array[Byte]((math.min(end + 2, len) - start).toInt)
         readFully(in, window)
         var i = 0
-        while (boundary < 0 && i + 3 <= window.length) {
+        // candidates must START inside [start, end); the window merely
+        // extends far enough that their magic bytes are visible
+        val lastStart = (end - start).toInt
+        while (boundary < 0 && i < lastStart && i + 3 <= window.length) {
           if (window(i) == 0x1f.toByte && window(i + 1) == 0x8b.toByte &&
             window(i + 2) == 0x08.toByte &&
             (i + 3 >= window.length || (window(i + 3) & 0xe0) == 0)) {

@@ -196,10 +196,23 @@ class DriverSuiteSpec extends AnyFunSuite {
       "q_sim_hard_pos_lsh_recall" -> "banded hard positives, probeSample ~80 probes (oneIn=25 at sf<=0.1)",
       "q_dedup_semantic_white" -> "pca-whitened k=8, kmeans cells/probes scale-aware ((8,2) at sf<=0.1, capped (32,3) above), exact pairs ~500 probes (probeOneIn=4 at sf<=0.1)",
     )
+    // The repo root is resolved explicitly (env override, else the dir
+    // holding build.sbt walking up from cwd, else cwd) so a test run
+    // launched from elsewhere neither mis-numbers nor misplaces the
+    // artifact, and the generated sf1 rung resolves location-independently.
+    val root = {
+      val env = sys.env.get("GRAFT_REPO_ROOT").map(new java.io.File(_))
+      def up(d: java.io.File): Option[java.io.File] =
+        if (d == null) None
+        else if (new java.io.File(d, "build.sbt").isFile) Some(d)
+        else up(d.getParentFile)
+      env.orElse(up(new java.io.File(".").getAbsoluteFile))
+        .getOrElse(new java.io.File("."))
+    }
     // the sf1 rung is generated (graft.tools.Datagen, round 9) rather
     // than driver-provided — include it in the recall ladder when built,
     // so the per-round artifact carries floors one decade further up
-    val sf1 = Seq("/root/repo/tools/sf1").filter(d =>
+    val sf1 = Seq(new java.io.File(root, "tools/sf1").getPath).filter(d =>
       new java.io.File(s"$d/embeddings.parquet").isFile)
     val measured =
       for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1") ++ sf1;
@@ -212,20 +225,8 @@ class DriverSuiteSpec extends AnyFunSuite {
     // round-6 verdict ask #8 (emitted since round 8): persist the
     // measured margins per round so drift is diffable like bench times.
     // Round number = the next BENCH_r artifact the driver will write.
-    // The repo root is resolved explicitly (env override, else the dir
-    // holding build.sbt walking up from cwd, else cwd) so a test run
-    // launched from elsewhere neither mis-numbers nor misplaces the
-    // artifact; listFiles() on an unreadable dir returns null — treat
-    // that as round 1 rather than NPE.
-    val root = {
-      val env = sys.env.get("GRAFT_REPO_ROOT").map(new java.io.File(_))
-      def up(d: java.io.File): Option[java.io.File] =
-        if (d == null) None
-        else if (new java.io.File(d, "build.sbt").isFile) Some(d)
-        else up(d.getParentFile)
-      env.orElse(up(new java.io.File(".").getAbsoluteFile))
-        .getOrElse(new java.io.File("."))
-    }
+    // listFiles() on an unreadable dir returns null — treat that as
+    // round 1 rather than NPE.
     val round = Option(root.listFiles()).getOrElse(Array.empty)
       .map(_.getName).collect { case s if s.matches("BENCH_r\\d+\\.json") =>
         s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
@@ -250,14 +251,30 @@ class DriverSuiteSpec extends AnyFunSuite {
       assert(eig.forall(_ >= -1e-9))
       val cumLast = v.last.getAs[Double]("cum_share")
       assert(math.abs(cumLast - 1.0) < 1e-4, s"$dir: complete basis must explain all variance, got $cumLast")
-      val w = SparkEntry.queries("q_emb_pca_whiten")(spark, dir).collect()
-        .map(_.getAs[String]("whitened").split(',').map(_.toDouble))
+      // per-row whitened projections (the driver row q_emb_pca_whiten now
+      // carries the covariance-identity FULL oracle; the raw projections
+      // stay contracted here): unit variance, zero mean, per component
+      graft.functions.GraftFunctions.register(spark)
+      val m8 = graft.ops.Embeddings.trainPca(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "embedding", "vec_id", 8)
+      val w = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(graft.ops.Embeddings.pcaProject(m8, col("embedding"), whiten = true)
+          .as("w"))
+        .collect().map(_.getAs[scala.collection.Seq[Double]]("w").toArray)
       for (c <- 0 until 8) {
         val xs = w.map(_(c))
         val mu = xs.sum / xs.length
         val va = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
         assert(math.abs(va - 1.0) < 0.01, s"$dir: whitened var c$c = $va")
         assert(math.abs(mu) < 0.01, s"$dir: whitened mean c$c = $mu")
+      }
+      // and the driver row itself is exactly the identity at 6 dp
+      val cov = SparkEntry.queries("q_emb_pca_whiten")(spark, dir).collect()
+      assert(cov.length == 36)
+      cov.foreach { r =>
+        val expect = if (r.getLong(0) == r.getLong(1)) 1.0 else 0.0
+        assert(r.getAs[Double]("cov") == expect,
+          s"$dir: whitened cov(${r.getLong(0)},${r.getLong(1)}) = ${r.getAs[Double]("cov")}")
       }
     }
   }

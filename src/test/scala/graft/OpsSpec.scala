@@ -417,7 +417,7 @@ class OpsSpec extends AnyFunSuite {
     assert(sample.getAs[Double]("asof_v") == 999.0)
   }
 
-  test("degenerate-bucket guard bounds a pathological all-identical corpus") {
+  test("degenerate-bucket guard fails loud on a pathological all-identical corpus") {
     // 120 byte-identical documents: every (band, bucket) holds all 120
     // rows, so the unguarded self-join is quadratic in the clone count
     val clone = "the same exact document text repeated verbatim over and over again"
@@ -426,12 +426,14 @@ class OpsSpec extends AnyFunSuite {
     val unguarded = Dedup.minHashNearDups(clones, "text", "doc_id",
       numHashes = 32, bands = 8, threshold = 0.5)
     assert(unguarded.count() == 120L * 119 / 2)
-    // a tight cap drops the over-full buckets: bounded candidates, no
-    // quadratic join (clones are exact dups — exact-dedup-first is the
-    // composition that owns them)
-    val guarded = Dedup.minHashNearDups(clones, "text", "doc_id",
-      numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 50)
-    assert(guarded.count() == 0)
+    // a tight cap under which EVERY bucket is over-full is a configuration
+    // error: an empty pair set would be silent data loss, so the guard
+    // fails loud with the dials instead of returning nothing
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minHashNearDups(clones, "text", "doc_id",
+        numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 50).count()
+    }
+    assert(ex.getMessage.contains("EVERY bucket exceeds"))
     // the guard does not disturb a healthy corpus
     val healthy = Dedup.minHashNearDups(docs, "text", "doc_id",
       numHashes = 128, bands = 32, threshold = 0.5, maxBucketSize = 50)
@@ -440,6 +442,27 @@ class OpsSpec extends AnyFunSuite {
       numHashes = 128, bands = 32, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(healthy == default)
+  }
+
+  test("degenerate-bucket guard drops only the over-full buckets of a mixed corpus") {
+    // clone block (over-full in every band at cap 50) + the healthy docs
+    // fixture (tiny buckets): the partial-drop branch must bound the clone
+    // blow-up while leaving the healthy pairs untouched — and NOT trip the
+    // all-overfull fail-loud path, because healthy buckets exist
+    val clone = "the same exact document text repeated verbatim over and over again"
+    val clones = (100L until 220L).map(i => (i, clone))
+    val healthyDocs = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mixed = (clones ++ healthyDocs).toDF("doc_id", "text")
+    val guarded = Dedup.minHashNearDups(mixed, "text", "doc_id",
+      numHashes = 128, bands = 32, threshold = 0.5, maxBucketSize = 50)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // no clone-clone pair survives (all their buckets were dropped)
+    assert(guarded.forall { case (a, b) => a < 100L && b < 100L })
+    // every healthy pair from the unmixed default run is preserved
+    val default = Dedup.minHashNearDups(docs, "text", "doc_id",
+      numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(guarded == default)
   }
 
   test("lshTopK degenerate-bucket guard drops over-full corpus buckets") {

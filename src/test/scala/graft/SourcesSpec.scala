@@ -247,6 +247,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(wet.count() == 5)
   }
 
+  test("warc: a payload quoting the record boundary false-splits without eating fragment bytes") {
+    // the documented blind spot of boundary-splitting: a payload that
+    // contains "\r\n\r\nWARC/" splits early. Contract: the containing
+    // record is flagged truncated, the fragment surfaces as a null-header
+    // row (its version-line-shaped lead-in is NOT stripped because no
+    // header-shaped continuation follows), and neighbors are untouched
+    val tmp = java.nio.file.Files.createTempDirectory("warc-fs-").toString
+    val crlf = "\r\n"
+    val evil = "quoting a boundary:" + crlf + crlf + "WARC/2.5" + crlf +
+      "this text is payload, not a version line"
+    def rec(id: Int, payload: String) =
+      "WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        s"WARC-Target-URI: https://fs/$id" + crlf +
+        "WARC-Date: 2024-04-01T00:00:00Z" + crlf + "Content-Type: text/plain" + crlf +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}" + crlf + crlf +
+        payload + crlf + crlf
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "fs.warc"),
+      rec(0, "normal first record") + rec(1, evil).stripSuffix(crlf + crlf) +
+        crlf + crlf + rec(2, "normal last record").stripSuffix(crlf + crlf))
+    val got = GraftSource.readWarc(spark, tmp).collect()
+    assert(got.length == 4, s"2 real + 1 truncated + 1 fragment, got ${got.length}")
+    val byUrl = got.filter(_.getAs[String]("url") != null)
+      .map(r => r.getAs[String]("url") -> r).toMap
+    assert(byUrl("https://fs/0").getAs[String]("text") == "normal first record")
+    assert(byUrl("https://fs/2").getAs[String]("text") == "normal last record")
+    // the quoting record is cut at the boundary inside its payload
+    assert(byUrl("https://fs/1").getAs[Boolean]("truncated"))
+    assert(byUrl("https://fs/1").getAs[String]("text") == "quoting a boundary:")
+    // the spurious fragment: null headers, bytes preserved (no remnant
+    // strip — "2.5\r\nthis text…" is not followed by a WARC-/Content- header)
+    val frag = got.filter(_.getAs[String]("url") == null)
+    assert(frag.length == 1)
+    assert(frag.head.getAs[String]("warc_type") == null)
+    assert(frag.head.isNullAt(frag.head.fieldIndex("content_length")))
+  }
+
   test("warc: gzipped files (.warc.gz, the Common Crawl shipping form) read transparently") {
     // whole-file gzip members: the text source decompresses per file by
     // extension, so a directory of .warc.gz reads with the same record
@@ -526,5 +563,46 @@ class SourcesSpec extends AnyFunSuite {
     val conf = new org.apache.hadoop.conf.Configuration()
     val mid = graft.sources.WarcGz.decodeRange(conf, s"$tmp/big.warc.gz", len / 3, 2 * len / 3).toList
     assert(mid.nonEmpty && mid.size < 600)
+  }
+
+  test("warc.gz splittable: a member whose gzip magic straddles the split boundary is not lost") {
+    // two members A|B; scan ranges chosen so B's 3-byte magic starts at
+    // end-1 / end-2 of the range — the scanning task must still claim it
+    // (the NEXT task only accepts boundaries >= its own start, so a scan
+    // window clipped at `end` silently loses such members)
+    val tmp = java.nio.file.Files.createTempDirectory("warc-straddle-").toString
+    val crlf = "\r\n"
+    def rec(id: Int) = {
+      val payload = s"straddle payload $id " + ("z" * 64)
+      "WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        s"WARC-Target-URI: https://straddle/$id" + crlf +
+        "WARC-Date: 2024-04-01T00:00:00Z" + crlf + "Content-Type: text/plain" + crlf +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}" + crlf + crlf +
+        payload + crlf + crlf
+    }
+    val file = s"$tmp/two.warc.gz"
+    val f = new java.io.FileOutputStream(file)
+    for (id <- 0 until 2) {
+      val gz = new java.util.zip.GZIPOutputStream(f) { def finishOnly(): Unit = finish() }
+      gz.write(rec(id).getBytes("UTF-8"))
+      gz.finishOnly()
+    }
+    f.close()
+    // locate member B's start: re-compress member A alone to learn its length
+    val bos = new java.io.ByteArrayOutputStream()
+    val gzA = new java.util.zip.GZIPOutputStream(bos)
+    gzA.write(rec(0).getBytes("UTF-8")); gzA.close()
+    val k = bos.size().toLong // B starts at offset k
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // B's magic byte 0 sits at end-1 and end-2 respectively of the range
+    for (end <- Seq(k + 1, k + 2)) {
+      val got = graft.sources.WarcGz.decodeRange(conf, file, 1L, end).toList
+      assert(got.size == 1, s"member at end-${end - k} lost (range [1,$end), boundary $k)")
+      assert(got.head.contains("straddle/1"))
+    }
+    // and the complementary range must NOT double-claim it
+    val next = graft.sources.WarcGz.decodeRange(conf, file, k + 1,
+      new java.io.File(file).length).toList
+    assert(next.isEmpty, "next task must not re-claim a member starting before its range")
   }
 }
