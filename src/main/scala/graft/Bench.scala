@@ -93,6 +93,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // optional subset: comma-separated query-name PREFIXES (e.g.
+    // "q_dedup,q_sim,q_lm,q_bpe") — the partial-family runs at the
+    // generated sf10 rung use this; absent → the full surface, which is
+    // what the driver runs
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     // pinned posture shared with Verify and cluster runs (CLUSTER.md)
     val spark = SparkEntry.session("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
@@ -121,7 +129,7 @@ object Bench {
     // the winnowing projection until a join forced evaluation)
     def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val warmup = SparkEntry.queries.map { case (name, fn) =>
+    val warmup = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -135,7 +143,7 @@ object Bench {
     val canaryBefore = canarySeconds()
     val canaryMtBefore = canarySecondsMulti(canaryThreads)
     val escalated = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
       // failed reps are excluded from the min (a fast failure must not
       // masquerade as a fast run); all-failed reports -1
       def rep(): Option[Double] = {

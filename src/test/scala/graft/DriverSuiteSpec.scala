@@ -41,7 +41,9 @@ class DriverSuiteSpec extends AnyFunSuite {
     // documented approximate set, not an accidental omission — pin the
     // count so a new query silently missing its oracle trips review
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.size == 33, s"rows-only query count changed (${rowsOnly.size}): " +
+    // 33 → 31 in round 10: q_emb_pca_whiten (covariance-identity) and
+    // q_dsir_mixture (recursive-CTE EG replay) gained full oracles
+    assert(rowsOnly.size == 31, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
@@ -350,10 +352,12 @@ class DriverSuiteSpec extends AnyFunSuite {
   }
 
   test("mixture optimizer: target-source recovery and KL improvement floors") {
-    // the contract behind q_dsir_mixture (iterative EG argmin — no SQL
-    // mirror): blending the language slices toward the 'en' slice must
-    // put nearly all weight on 'en', strictly improve on the uniform
-    // blend, and stay on the simplex
+    // semantic floors on top of q_dsir_mixture's full oracle (the DuckDB
+    // recursive-CTE replay certifies the arithmetic; these certify the
+    // SOLVE is good): blending the language slices toward the 'en' slice
+    // must put nearly all weight on 'en' (≥ 0.9 at the 500-iteration
+    // driver budget), strictly improve on the uniform blend, and stay on
+    // the simplex
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val rows = SparkEntry.queries("q_dsir_mixture")(spark, dir)
         .collect()

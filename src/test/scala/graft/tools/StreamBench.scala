@@ -149,12 +149,19 @@ object StreamBench {
   ): String = {
     val (q, feed) = build()
     val wall = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-batch state-row series: the long-run eviction witness (a
+    // watermark-bounded operator must PLATEAU once event time outruns the
+    // horizon; linear growth here is a state leak) — recentProgress only
+    // keeps the last ~100 updates, so the curve is sampled in the loop
+    val stateCurve = scala.collection.mutable.ArrayBuffer.empty[Long]
     try {
       for (b <- 0 until batches) {
         val t0 = System.nanoTime()
         feed(b)
         q.processAllAvailable()
         wall += (System.nanoTime() - t0) / 1e6
+        stateCurve += Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
       }
       // progress telemetry: trigger latency per processed micro-batch and
       // the last state snapshot
@@ -175,7 +182,8 @@ object StreamBench {
         s""""wall_max_ms": ${f(if (steady.isEmpty) -1 else steady.max)}, """ +
         s""""trigger_p50_ms": ${f(pct(trig, 0.5))}, "trigger_p95_ms": ${f(pct(trig, 0.95))}, """ +
         s""""state_rows": $stateRows, "state_bytes": $stateBytes, """ +
-        s""""batches_processed": ${trig.size}}"""
+        s""""batches_processed": ${trig.size}, """ +
+        s""""state_curve": [${stateCurve.mkString(", ")}]}"""
     } finally q.stop()
   }
 
