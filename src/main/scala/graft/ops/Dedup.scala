@@ -1374,9 +1374,20 @@ object Dedup {
     // overlapping cells a pair appears at most nProbe times, so verifying
     // the duplicates costs <= nProbe dot products while deduplicating
     // first would exchange the whole candidate volume (see the same move
-    // in [[embeddingNearDups]]) — the surviving exchange is output-sized
-    val candidates = celled.select(col("cell"), col("id").as("id_a")).hint("merge")
-      .join(celled.select(col("cell"), col("id").as("id_b")).hint("merge"), Seq("cell"))
+    // in [[embeddingNearDups]]) — the surviving exchange is output-sized.
+    // The join's exchange is PINNED to an explicit partition count: AQE's
+    // partition coalescing sizes by INPUT bytes, but a cell self-join's
+    // output is quadratic in cell size — at the sf1 rung the celled frame
+    // is ~1 MB and coalescing folded the whole 58M-pair emission into ONE
+    // task (measured 34.7 s vs 3.0 s once pinned at 32 partitions; a
+    // numbered user repartition is exempt from coalescing). The merge
+    // hints still forbid the broadcast plan (scan-rooted single-task
+    // emission, the round-9 fix).
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val candidates = celled.select(col("cell"), col("id").as("id_a"))
+      .repartition(np, col("cell")).hint("merge")
+      .join(celled.select(col("cell"), col("id").as("id_b"))
+        .repartition(np, col("cell")).hint("merge"), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val result = candidates
@@ -1442,9 +1453,15 @@ object Dedup {
     val celled0 = all.select(col("id"), col("cell"), col("side"))
     val celled = dropOverfullBuckets(celled0, Seq("cell"), maxCellSize,
       "semanticDedupIncrement", logMetric = false)
+    // same pinned-exchange discipline as [[semanticDedupWithIndex]]: the
+    // cell self-join's emission is quadratic in cell size while its input
+    // is KB-scale, so AQE coalescing would fold it onto one task
+    val np = batchCells.sparkSession.sessionState.conf.numShufflePartitions
     val candidates = celled
       .select(col("cell"), col("id").as("id_a"), col("side").as("side_a"))
-      .join(celled.select(col("cell"), col("id").as("id_b"), col("side").as("side_b")),
+      .repartition(np, col("cell"))
+      .join(celled.select(col("cell"), col("id").as("id_b"), col("side").as("side_b"))
+        .repartition(np, col("cell")),
         Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("side_a") + col("side_b") >= 1) // at least one new-batch row

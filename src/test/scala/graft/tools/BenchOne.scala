@@ -1,25 +1,26 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Time a single SparkEntry query — for iterating on one operator's plan.
-  *   sbt "Test/runMain graft.tools.BenchOne q_dedup_minhash /root/testdata/sf0.1"
+  *   sbt "Test/runMain graft.tools.BenchOne q_dedup_minhash /root/testdata/sf0.1 [explain]"
+  * Uses the SAME pinned session (`SparkEntry.session`: AQE posture,
+  * openCostInBytes scan splits) and the same noop-sink evaluation as
+  * `graft.Bench`, so a number measured here predicts the bench — a plain
+  * default-config session hides the scan-split and AQE behavior the
+  * pinned posture exists to control.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.SparkEntry.session("graft-bench-one")
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
-    // warm (JIT/codegen), then measure
-    fn(spark, sfDir).count()
+    def evaluate(): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    evaluate() // warm (JIT/codegen), then measure
     val t0 = System.nanoTime()
-    val n = fn(spark, sfDir).count()
-    println(f"$name: rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    evaluate()
+    println(f"$name: time=${(System.nanoTime() - t0) / 1e9}%.2f s")
     if (args.length > 2 && args(2) == "explain") fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
