@@ -99,8 +99,13 @@ object Bench {
     // what the driver runs
     val only: Option[Seq[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    // and/or skip by prefix (e.g. the intrinsically-quadratic mid-threshold
+    // SemDeDup rows at the sf10 rung, whose measured cost/recall frontier
+    // is reported separately rather than re-paid per bench rep)
+    val skip: Seq[String] =
+      sys.env.get("SPARK_GRAFT_SKIP").toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     def selected(name: String): Boolean =
-      only.forall(_.exists(name.startsWith))
+      only.forall(_.exists(name.startsWith)) && !skip.exists(name.startsWith)
     // pinned posture shared with Verify and cluster runs (CLUSTER.md)
     val spark = SparkEntry.session("graft-bench")
     spark.sparkContext.setLogLevel("WARN")

@@ -207,6 +207,22 @@ object SparkEntry {
     math.min(32L, math.max(8L, nVecs(s, dir) / 625L)).toInt
   private def semanticProbesFor(s: SparkSession, dir: String): Int =
     if (semanticCellsFor(s, dir) > 8) 3 else 2
+  /** Cell-size cap for the SemDeDup driver rows, corpus-aware: the cell
+    * count is bounded by the recall budget (mid-threshold boundary misses
+    * grow with cells — SCALING_r9's measured frontier), so one decade past
+    * the tuning rung the EXPECTED per-cell row count (nProbe × n / cells)
+    * exceeds the operator's default 10k cap and the fail-loud guard would
+    * correctly reject the configuration. The rows therefore size the cap
+    * to 2× the expected fill (never below the default): the guard still
+    * bounds genuinely degenerate cells while the intrinsic ~nProbe·n²/cells
+    * verification cost stays the honestly-documented price of
+    * mid-threshold semantic dedup at scale.
+    */
+  private def semanticMaxCellFor(s: SparkSession, dir: String): Int = {
+    val cells = semanticCellsFor(s, dir)
+    val expected = semanticProbesFor(s, dir).toLong * nVecs(s, dir) / cells
+    math.max(10000L, expected * 2L).toInt
+  }
 
   /** SRP banding config (planes, tables) for the embedding near-dup rows,
     * corpus-aware above the correctness SFs ((5, 12) at <= 2,000 vectors —
@@ -932,7 +948,8 @@ object SparkEntry {
     // mirror (k-means); honesty meter below.
     "q_dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
-        nClusters = semanticCellsFor(s, dir), threshold = 0.45, nProbe = semanticProbesFor(s, dir))
+        nClusters = semanticCellsFor(s, dir), threshold = 0.45,
+        nProbe = semanticProbesFor(s, dir), maxCellSize = semanticMaxCellFor(s, dir))
         .orderBy(col("id_a"), col("id_b"))),
 
     // Dolma/RefinedWeb-style corpus-level paragraph dedup: segments
@@ -987,7 +1004,8 @@ object SparkEntry {
         Dedup.semanticDedupWithIndex(
           ivfIndexFor(s, dir, nlist = semanticCellsFor(s, dir)),
           emb, "embedding", "vec_id",
-          threshold = 0.45, nProbe = semanticProbesFor(s, dir)))
+          threshold = 0.45, nProbe = semanticProbesFor(s, dir),
+          maxCellSize = semanticMaxCellFor(s, dir)))
     }),
 
     // PCA-whitened SemDeDup: the composition the PCA operator exists
@@ -1010,7 +1028,8 @@ object SparkEntry {
         Dedup.semanticDedupWithIndex(
           whiteIvfFor(s, dir, nlist = semanticCellsFor(s, dir)),
           white, "w", "vec_id",
-          threshold = 0.6, nProbe = semanticProbesFor(s, dir)))
+          threshold = 0.6, nProbe = semanticProbesFor(s, dir),
+          maxCellSize = semanticMaxCellFor(s, dir)))
     }),
 
     // steady-state SemDeDup: the quantizer is pre-trained (memoized per
@@ -1022,7 +1041,8 @@ object SparkEntry {
     "q_dedup_semantic_steady" -> ((s, dir) =>
       Dedup.semanticDedupWithIndex(ivfIndexFor(s, dir, nlist = semanticCellsFor(s, dir)),
         t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.45, nProbe = semanticProbesFor(s, dir))
+        threshold = 0.45, nProbe = semanticProbesFor(s, dir),
+        maxCellSize = semanticMaxCellFor(s, dir))
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- training-data pipeline: similarity search ----

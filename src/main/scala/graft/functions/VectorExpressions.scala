@@ -829,6 +829,130 @@ case class SqDot(codeExpr: Expression, weightsExpr: Expression)
   * and the codes are exactly SQL-mirrorable. A null ELEMENT nulls the
   * result (no silent sign guess), hence nullable over non-null input.
   */
+/** All SRP (signed-random-projection) LSH buckets of a vector, every
+  * table in ONE fused native loop: element `t` of the result is table
+  * `t`'s packed sign bucket (bit `p` set iff the plane-`p` projection is
+  * >= 0). The ±1 hyperplanes derive from the same splitmix64 stream as
+  * `Similarity.planeWeights`, and ±1 weights make each projection an
+  * exact signed SUM in the same element order as `vec_dot` against the
+  * literal weight arrays — so the buckets are BIT-IDENTICAL to the
+  * Column-tree formulation this replaces (pinned by an OpsSpec parity
+  * test).
+  *
+  * Why custom: the Column-tree form inlines `tables × planes` vec_dot
+  * calls, EACH carrying a `dims`-element literal array — at the sf10
+  * configs (11 planes × ~160 tables) that is a multi-MB expression tree
+  * that blows past janino/JIT limits and evaluates interpreted (the same
+  * mechanism as the round-9 `first_clean_subset` fix). Here the sign
+  * matrix is one transient primitive array on the plan-reference object
+  * and the work is a compiled elements × planes × tables loop.
+  *
+  * Null/shape semantics mirror the old form observably: a null vector,
+  * a length != `dims`, a null element, or a NaN element null the WHOLE
+  * result (the old form nulled every per-table bucket, which the
+  * downstream isnotnull(bucket) filter dropped identically).
+  */
+case class SrpBands(child: Expression, planes: Int, tables: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes >= 1 && planes <= 63, "planes must be in [1, 63]")
+  require(tables >= 1, "tables must be >= 1")
+  require(dims >= 1, "dims must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_bands requires array<float> or array<double>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** +1/-1 sign for (table, plane, d) — the splitmix64 low bit, exactly
+    * `Similarity.planeWeights`' derivation. Laid out [table][plane][d]
+    * flat; built once per plan instance.
+    */
+  @transient private lazy val signs: Array[Boolean] = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    val out = new Array[Boolean](tables * planes * dims)
+    var t = 0
+    while (t < tables) {
+      var p = 0
+      while (p < planes) {
+        var d = 0
+        while (d < dims) {
+          out((t * planes + p) * dims + d) =
+            (splitmix(t.toLong << 48 | p.toLong << 32 | d) & 1L) == 1L
+          d += 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  /** The runtime kernel (also called from generated code). */
+  def compute(input: ArrayData): ArrayData = {
+    if (input == null || input.numElements() != dims) return null
+    val v = new Array[Double](dims)
+    var d = 0
+    while (d < dims) {
+      if (input.isNullAt(d)) return null
+      val x = if (isFloat) input.getFloat(d).toDouble else input.getDouble(d)
+      if (java.lang.Double.isNaN(x)) return null
+      v(d) = x
+      d += 1
+    }
+    val buckets = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val base = (t * planes + p) * dims
+        var sum = 0.0
+        var i = 0
+        while (i < dims) {
+          sum += (if (signs(base + i)) v(i) else -v(i))
+          i += 1
+        }
+        if (sum >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      buckets(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srp", this, classOf[SrpBands].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBands =
+    copy(child = newChild)
+
+  override def prettyName: String = "srp_bands"
+}
+
 case class SignPack(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -1055,6 +1179,10 @@ object GraftFunctions {
       add("bpe_apply", exprs => BpeApply(exprs(0), exprs(1)))
       add("sq_dot", exprs => SqDot(exprs(0), exprs(1)))
       add("sign_pack", exprs => SignPack(exprs(0)))
+      add("srp_bands", exprs => SrpBands(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()))
       add("hamming_dist", exprs => HammingDist(exprs(0), exprs(1)))
       add("media_meta", exprs => MediaMeta(exprs(0)))
       add("deflate_len", exprs => DeflateLen(exprs(0)))
@@ -1101,6 +1229,15 @@ object GraftFunctions {
 
   /** DEFLATE length column; requires `register(spark)` first. */
   def deflateLen(text: Column): Column = call_function("deflate_len", text)
+
+  /** All SRP LSH buckets (one long per table) of a vector in one fused
+    * native loop; requires `register(spark)` first.
+    */
+  def srpBands(vec: Column, planes: Int, tables: Int, dims: Int): Column =
+    call_function("srp_bands", vec,
+      org.apache.spark.sql.functions.lit(planes),
+      org.apache.spark.sql.functions.lit(tables),
+      org.apache.spark.sql.functions.lit(dims))
 
   /** Unicode NFC normalization column; requires `register(spark)` first. */
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)

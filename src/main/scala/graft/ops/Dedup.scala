@@ -1269,13 +1269,15 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val dims = Similarity.vecDims(base, "vec")
-    val tableStructs = (0 until tables).map { t =>
-      struct(lit(t).as("table"),
-        Similarity.srpBucket(col("vec"), planes, dims, table = t).as("bucket"))
-    }
+    // all tables' buckets in ONE fused native loop (srp_bands): the
+    // Column-tree form inlined tables × planes literal-array dot products
+    // — a multi-MB expression tree at the corpus-aware sf10 configs that
+    // fell out of codegen and evaluated interpreted. Bit-identical
+    // buckets (OpsSpec parity test); max(dims, 1) keeps the empty-corpus
+    // case a null-band no-op instead of a construction error.
     val banded0 = base
-      .select(col("id"), explode(array(tableStructs: _*)).as("tb"))
-      .select(col("id"), col("tb.table"), col("tb.bucket"))
+      .select(col("id"), posexplode(graft.functions.GraftFunctions.srpBands(
+        col("vec"), planes, tables, math.max(dims, 1))).as(Seq("table", "bucket")))
     val banded1 = if (materialize != Materialize.Lazy) banded0.persist() else banded0
     val banded = dropOverfullBuckets(banded1, Seq("table", "bucket"), maxBucketSize,
       "embeddingNearDups", logMetric = materialize != Materialize.Lazy)

@@ -214,13 +214,12 @@ object Similarity {
     // (shuffling a vector `tables` times per row would multiply exchange
     // volume by tables × vector width). Vectors re-join only for the much
     // smaller deduplicated candidate set.
-    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
-      val tb = (0 until tables).map { t =>
-        struct(lit(t).as("table"), srpBucket(col(vec), planes, dims, table = t).as("bucket"))
-      }
-      df.select(col(id), explode(array(tb: _*)).as("tb"))
-        .select(col(id), col("tb.table"), col("tb.bucket"))
-    }
+    // all tables' buckets in ONE fused native loop (srp_bands, bit-identical
+    // to the per-table Column-tree form it replaces — see the expression's
+    // scaladoc for the codegen-ceiling mechanism)
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), posexplode(graft.functions.GraftFunctions.srpBands(
+        col(vec), planes, tables, math.max(dims, 1))).as(Seq("table", "bucket")))
     // Degenerate-bucket guard: a corpus bucket over `maxBucketSize` is
     // dropped before the probe join (an over-full bucket is LSH noise — at
     // useful plane counts it means the hash family cannot discriminate
@@ -1024,15 +1023,13 @@ object Similarity {
       .filter(nonZeroVec(col("cvec")))
     val p = probeStream.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
       .filter(nonZeroVec(col("pvec")))
-    def bands(vec: String): Column = explode(array((0 until tables).map { t =>
-      struct(lit(t).as("table"), srpBucket(col(vec), planes, dims, table = t).as("bucket"))
-    }: _*))
+    def bands(vec: String): Column = posexplode(
+      graft.functions.GraftFunctions.srpBands(col(vec), planes, tables, math.max(dims, 1)))
     val bandedC = Dedup.dropOverfullBuckets(
-      c.select(col("neighbor_id"), bands("cvec").as("tb"))
-        .select(col("neighbor_id"), col("tb.table"), col("tb.bucket")),
+      c.select(col("neighbor_id"), bands("cvec").as(Seq("table", "bucket"))),
       Seq("table", "bucket"), maxBucketSize, "lshScoredStream", logMetric = false)
-    val bandedP = p.select(col("probe_id"), col("pvec"), bands("pvec").as("tb"))
-      .select(col("probe_id"), col("pvec"), col("tb.table"), col("tb.bucket"))
+    val bandedP = p.select(col("probe_id"), col("pvec"),
+      bands("pvec").as(Seq("table", "bucket")))
     bandedP
       .join(bandedC, Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))

@@ -465,6 +465,42 @@ class OpsSpec extends AnyFunSuite {
     assert(guarded == default)
   }
 
+  test("srp_bands native loop is bit-identical to the per-table srpBucket tree") {
+    // the fused expression replaces tables × planes inlined vec_dot
+    // literal trees (which fell out of codegen at the sf10 configs);
+    // correctness bar: EXACTLY the same buckets, including the null/shape
+    // edge semantics the bucket joins rely on
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L)
+      .map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val (planes, tables) = (7, 5)
+    val native = vecs.select($"vec_id",
+        posexplode(graft.functions.GraftFunctions.srpBands($"embedding", planes, tables, 16))
+          .as(Seq("table", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val tree = (0 until tables).flatMap { t =>
+      vecs.select($"vec_id", lit(t).as("table"),
+          graft.ops.Similarity.srpBucket($"embedding", planes, dims = 16, table = t).as("bucket"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    }.toSet
+    assert(native.size == 200 * tables)
+    assert(native == tree)
+    // shape/null edges: wrong length and NaN vanish entirely (the tree
+    // form nulled every per-table bucket, which the joins then dropped)
+    val edgy = Seq(
+      (0L, Array(1.0f, 2.0f)),                        // wrong length
+      (1L, Array.fill(16)(Float.NaN)),                // NaN poisons the dots
+      (2L, Array.fill(16)(0.5f)),                     // healthy
+    ).toDF("vec_id", "embedding")
+    val got = edgy.select($"vec_id",
+        posexplode(graft.functions.GraftFunctions.srpBands($"embedding", planes, tables, 16))
+          .as(Seq("table", "bucket")))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L))
+  }
+
   test("lshTopK degenerate-bucket guard drops over-full corpus buckets") {
     val clones = (0L until 100L).map(i => (i, Array(1.0f, 0.2f, 0.1f)))
       .toDF("vec_id", "embedding")
