@@ -102,10 +102,15 @@ object Bench {
     // and/or skip by prefix (e.g. the intrinsically-quadratic mid-threshold
     // SemDeDup rows at the sf10 rung, whose measured cost/recall frontier
     // is reported separately rather than re-paid per bench rep)
+    // a trailing '$' pins an entry to an exact name (e.g.
+    // "q_dedup_simhash$" skips the radius-8 row without touching
+    // q_dedup_simhash_r3 — prefix matching alone can't separate them)
     val skip: Seq[String] =
       sys.env.get("SPARK_GRAFT_SKIP").toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    def matches(pat: String, name: String): Boolean =
+      if (pat.endsWith("$")) name == pat.dropRight(1) else name.startsWith(pat)
     def selected(name: String): Boolean =
-      only.forall(_.exists(name.startsWith)) && !skip.exists(name.startsWith)
+      only.forall(_.exists(matches(_, name))) && !skip.exists(matches(_, name))
     // pinned posture shared with Verify and cluster runs (CLUSTER.md)
     val spark = SparkEntry.session("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
@@ -229,9 +234,20 @@ object Bench {
         s""""load_factor":$loadFactor,"load_factor_rel":$loadFactorRel,"contended":$contended,""" +
         s""""norm_divisor":$normDivisor,"total_norm":${total / normDivisor},""" +
         s""""queries_norm":$qsNorm,""" +
-        s""""escalated":$esc,"failed":$failedJson,"compile":$compileJson}"""
+        s""""escalated":$esc,"failed":$failedJson,""" +
+        // a filtered (ONLY/SKIP) run's total is NOT comparable to a
+        // full-surface run's — stamp the active filters so a partial
+        // artifact can never masquerade as a round artifact
+        s""""partial":${only.isDefined || skip.nonEmpty},""" +
+        s""""only":${only.getOrElse(Seq.empty).map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""skip":${skip.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""compile":$compileJson}"""
     println(line)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // a filtered run never overwrites the round artifact by default —
+    // explicit SPARK_GRAFT_BENCH_OUT still goes where the caller said
+    val defaultOut =
+      if (only.isDefined || skip.nonEmpty) "BENCH_PARTIAL.json" else "BENCH_LOCAL.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()

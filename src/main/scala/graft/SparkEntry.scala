@@ -221,7 +221,10 @@ object SparkEntry {
   private def semanticMaxCellFor(s: SparkSession, dir: String): Int = {
     val cells = semanticCellsFor(s, dir)
     val expected = semanticProbesFor(s, dir).toLong * nVecs(s, dir) / cells
-    math.max(10000L, expected * 2L).toInt
+    // clamp BEFORE the narrowing: at expected*2 >= 2^31 a bare .toInt
+    // wraps — a negative wrap trips the operator's require, but a
+    // positive wrap would silently pass a wrong (tiny) cap
+    math.min(math.max(10000L, expected * 2L), Int.MaxValue.toLong).toInt
   }
 
   /** SRP banding config (planes, tables) for the embedding near-dup rows,
@@ -822,7 +825,8 @@ object SparkEntry {
     // configuration whose cost actually scales like the published system
     // (the radius-8 rows above stress the adversarial wide-radius shape)
     "q_dedup_simhash_r3" -> ((s, dir) =>
-      Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+      Dedup.simHashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3,
+        keyBlocks = Dedup.simHashKeyBlocksFor(nDocs(s, dir), maxHamming = 3))
         .orderBy(col("id_a"), col("id_b"))),
 
     // pairs → clusters: connected components over the verified near-dup

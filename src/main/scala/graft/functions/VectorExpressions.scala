@@ -1179,10 +1179,34 @@ object GraftFunctions {
       add("bpe_apply", exprs => BpeApply(exprs(0), exprs(1)))
       add("sq_dot", exprs => SqDot(exprs(0), exprs(1)))
       add("sign_pack", exprs => SignPack(exprs(0)))
-      add("srp_bands", exprs => SrpBands(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue(),
-        exprs(3).eval().asInstanceOf[Number].intValue()))
+      add("srp_bands", { exprs =>
+        // same analysis-time guard as first_clean_subset below: eval()
+        // runs at registration, so a non-foldable or non-integral config
+        // argument must raise a clean AnalysisException, not a raw
+        // ClassCastException/NPE from the Number cast
+        def foldInt(i: Int, name: String): Int = {
+          val e = exprs(i)
+          val ok = e.foldable && (e.dataType match {
+            case org.apache.spark.sql.types.IntegerType
+               | org.apache.spark.sql.types.LongType
+               | org.apache.spark.sql.types.ShortType
+               | org.apache.spark.sql.types.ByteType => true
+            case _ => false
+          })
+          def fail(value: String): Nothing =
+            throw new org.apache.spark.sql.AnalysisException(
+              "INVALID_PARAMETER_VALUE.PATTERN",
+              Map("parameter" -> s"`$name`", "functionName" -> "`srp_bands`",
+                "value" -> value),
+              Option.empty[Throwable])
+          if (!ok) fail("must be a constant integer")
+          val v = e.eval()
+          if (v == null) fail("must not be null")
+          v.asInstanceOf[Number].intValue()
+        }
+        SrpBands(exprs(0), foldInt(1, "planes"), foldInt(2, "tables"),
+          foldInt(3, "dims"))
+      })
       add("hamming_dist", exprs => HammingDist(exprs(0), exprs(1)))
       add("media_meta", exprs => MediaMeta(exprs(0)))
       add("deflate_len", exprs => DeflateLen(exprs(0)))

@@ -881,6 +881,61 @@ object Dedup {
     * EXACTLY once, at (slice(a), slice(b)). Replication multiplies only
     * the tiny (id, sim) banded rows, never documents.
     */
+  /** Corpus-aware `keyBlocks` for [[simHashNearDups]] — the selectivity
+    * dial, solved from the candidate-volume model instead of guessed.
+    *
+    * Expected candidate volume is `C(maxH+kb, kb) × n² / 2^(effective key
+    * bits)`; stepping kb→kb+1 multiplies it by the table-count ratio and
+    * divides by 2^(Δ nominal key width × entropy factor). On near-template
+    * corpora the sketch bits are correlated, so a key's effective entropy
+    * runs ≈ half its nominal width (measured at the generated sf10:
+    * 6.7-bit blocks carry ~3.3 effective bits; SimStats — and the model
+    * under that discount predicts the measured volumes within ~1.4×
+    * across all six measured configs). The rule steps kb up while each
+    * step (a) at least halves the predicted candidates under that
+    * discount, (b) keeps the banded explode shuffle-cheap (≤ 64 tables),
+    * and (c) the predicted volume still exceeds an absolute work floor
+    * (1e8 emissions ≈ a second of codegen'd join time at local[32]) —
+    * without (c) the dial pays real explode overhead to shave candidates
+    * that were already cheap (measured: radius 3 at 50k docs runs 0.9 s
+    * at kb=1 but 2.4 s at kb=4).
+    *
+    * Consequences at radius 3 (all MEASURED, SimStats at the generated
+    * sf10): 500k docs → kb=3, cutting candidates 2.26e9 → 1.37e8 (16×)
+    * for a 20-tables-×-ids explode; 50k docs → kb=1 (already under the
+    * floor). At radius 8 the rule correctly never steps: the ratio is
+    * 5 × 2^(-0.5·5.3) ≈ 0.79 — wider keys buy almost nothing because the
+    * block entropy is already saturated (and radius 8 on a 60-bit sketch
+    * is output-quadratic on such corpora anyway — 0.68% of ALL pairs
+    * qualify; SCALING_r11.md).
+    *
+    * Recall is banding-independent (pigeonhole exactness, see
+    * [[simHashNearDups]]), so this dial can never change results — the
+    * `q_dedup_simhash_k2 ≡ q_dedup_simhash` oracle witnesses that.
+    */
+  def simHashKeyBlocksFor(n: Long, maxHamming: Int, tableBudget: Int = 64): Int = {
+    val bits = graft.functions.SimHashUtil.Bits
+    val entropyFactor = 0.5
+    val workFloor = 1e8
+    def width(k: Int): Double = bits.toDouble * k / (maxHamming + k)
+    def tables(k: Int): Long =
+      (1 to k).foldLeft(1L)((acc, i) => acc * (maxHamming + i) / i)
+    def predicted(k: Int): Double =
+      tables(k).toDouble * (n.toDouble * n / 2.0) /
+        math.pow(2.0, entropyFactor * width(k))
+    var kb = 1
+    var stepping = true
+    while (stepping) {
+      val next = kb + 1
+      val ratio = tables(next).toDouble / tables(kb) *
+        math.pow(2.0, -entropyFactor * (width(next) - width(kb)))
+      if (tables(next) <= tableBudget && ratio <= 0.5 && predicted(kb) > workFloor)
+        kb = next
+      else stepping = false
+    }
+    kb
+  }
+
   def simHashNearDups(
       df: DataFrame,
       textCol: String,

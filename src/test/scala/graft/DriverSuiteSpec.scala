@@ -221,7 +221,8 @@ class DriverSuiteSpec extends AnyFunSuite {
            q <- configs.keys.toSeq.sorted) yield {
         val row = SparkEntry.queries(q)(spark, dir).collect().head
         val recall = row.getAs[Double]("recall")
-        assert(recall >= 0.6, s"$q at $dir: recall $recall below the 0.6 floor")
+        val floor = graft.tools.RecallContract.floor(q)
+        assert(recall >= floor, s"$q at $dir: recall $recall below the $floor floor")
         (q, dir.split('/').last, recall)
       }
     // round-6 verdict ask #8 (emitted since round 8): persist the
@@ -234,7 +235,8 @@ class DriverSuiteSpec extends AnyFunSuite {
         s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
       .foldLeft(0)(math.max) + 1
     val rows = measured.map { case (q, sf, r) =>
-      s"""    {"query": "$q", "sf": "$sf", "recall": $r, "floor": 0.6, "config": "${configs(q)}"}"""
+      s"""    {"query": "$q", "sf": "$sf", "recall": ${graft.tools.RecallContract.jsonNum(r)},""" +
+        s""" "floor": ${graft.tools.RecallContract.floor(q)}, "config": "${configs(q)}"}"""
     }.mkString(",\n")
     java.nio.file.Files.writeString(
       new java.io.File(root, f"RECALL_r$round%02d.json").toPath,

@@ -118,6 +118,29 @@ class OpsSpec extends AnyFunSuite {
     assert(m1.contains((0L, 1L)) && m1.contains((0L, 3L)))
   }
 
+  test("simhash keyBlocks dial: model-solved, radius-aware, result-preserving") {
+    // the candidate-volume rule (Dedup.simHashKeyBlocksFor): corpora whose
+    // predicted candidate volume is already under the work floor stay at
+    // 1 (paying explode overhead there is a measured regression); radius 3
+    // at the sf10 rung steps to 3 (measured 16x candidate cut); radius 8
+    // refuses to step at any n (entropy-saturated blocks — the predicted
+    // cut per step is < 2x)
+    assert(Dedup.simHashKeyBlocksFor(5000L, maxHamming = 3) == 1)
+    assert(Dedup.simHashKeyBlocksFor(50000L, maxHamming = 3) == 1)
+    assert(Dedup.simHashKeyBlocksFor(500000L, maxHamming = 3) == 3)
+    assert(Dedup.simHashKeyBlocksFor(5000000L, maxHamming = 3) == 4)
+    assert(Dedup.simHashKeyBlocksFor(500000L, maxHamming = 8) == 1)
+    assert(Dedup.simHashKeyBlocksFor(500000000L, maxHamming = 8) == 1)
+    // and whatever it picks, the verified pair set cannot change
+    val diff = Seq(5, 25, 45).map(1L << _).reduce(_ | _)
+    val sims = Seq((0L, 0L), (1L, diff), (2L, -1L), (3L, 0L), (4L, 1L << 20)).toDF("id", "sim")
+    def run(m: Int) = Dedup.simHashNearDupsFromSims(sims, maxHamming = 3, keyBlocks = m)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val dialed = run(Dedup.simHashKeyBlocksFor(500000L, maxHamming = 3))
+    assert(dialed == run(1))
+    assert(dialed.contains((0L, 1L)) && dialed.contains((0L, 3L)))
+  }
+
   test("simhash blocked self-join (slices) has identical verified output") {
     // the skew dial replicates banded rows across slice coordinates; every
     // pair must still meet exactly once — output identical to slices=1,

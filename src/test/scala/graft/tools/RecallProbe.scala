@@ -37,7 +37,8 @@ object RecallProbe {
     }
     jsonOut.foreach { path =>
       val body = measured.map { case (q, sf, rc) =>
-        s"""    {"query": "$q", "sf": "$sf", "recall": $rc, "floor": 0.6}"""
+        s"""    {"query": "$q", "sf": "$sf", "recall": ${RecallContract.jsonNum(rc)},""" +
+          s""" "floor": ${RecallContract.floor(q)}}"""
       }.mkString(",\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
         s"""{\n  "rows": [\n$body\n  ]\n}\n""")

@@ -23,7 +23,7 @@ object SimStats {
     top.take(3).foreach(r => println(s"SIMSTATS top group n=${r.getLong(1)}"))
     // banded join fan-out per config: sum over (table, key) buckets of
     // C(size, 2) = rows the self-join must emit
-    for (kb <- Seq(1, 2); maxH <- Seq(8)) {
+    for ((kb, maxH) <- Seq((1, 8), (2, 8), (1, 3), (2, 3), (3, 3), (4, 3))) {
       val b = maxH + kb
       val bits = 64
       val widths = Array.tabulate(b)(i => bits / b + (if (i < bits % b) 1 else 0))
@@ -44,7 +44,7 @@ object SimStats {
         .groupBy(col("cc.chunk"), col("cc.key")).agg(count(lit(1)).as("n"))
         .agg(sum(col("n") * (col("n") - 1) / 2).as("pairs"), max(col("n")).as("maxb"))
         .collect()(0)
-      println(s"SIMSTATS keyBlocks=$kb tables=${subsets.size} joinRows=${fanout.get(0)} maxBucket=${fanout.get(1)}")
+      println(s"SIMSTATS maxH=$maxH keyBlocks=$kb tables=${subsets.size} joinRows=${fanout.get(0)} maxBucket=${fanout.get(1)}")
     }
     // entropy-balanced permutation: measure per-bit P(1), spread bits
     // over blocks serpentine by entropy, re-measure the fan-out
@@ -58,7 +58,7 @@ object SimStats {
       (i, e)
     }
     println("SIMSTATS bit entropies: " + ent.map(e => f"${e._2}%.2f").mkString(","))
-    for (kb <- Seq(1, 2); maxH <- Seq(8)) {
+    for ((kb, maxH) <- Seq((1, 8), (2, 8), (1, 3), (2, 3), (3, 3), (4, 3))) {
       val b = maxH + kb
       // serpentine assignment by entropy rank: block j gets ranks j, 2b-1-j, 2b+j, ...
       val ranked = ent.sortBy(-_._2).map(_._1)
@@ -84,7 +84,7 @@ object SimStats {
         .groupBy(col("cc.chunk"), col("cc.key")).agg(count(lit(1)).as("n"))
         .agg(sum(col("n") * (col("n") - 1) / 2).as("pairs"), max(col("n")).as("maxb"))
         .collect()(0)
-      println(s"SIMSTATS BALANCED keyBlocks=$kb tables=${subsets.size} joinRows=${fanout.get(0)} maxBucket=${fanout.get(1)}")
+      println(s"SIMSTATS BALANCED maxH=$maxH keyBlocks=$kb tables=${subsets.size} joinRows=${fanout.get(0)} maxBucket=${fanout.get(1)}")
     }
     spark.stop()
   }
