@@ -978,17 +978,38 @@ object SparkEntry {
 
     // D4-style diversification (Tirumala et al. 2023): drop the 25% most
     // prototypical vectors of each k-means cell, keep the diverse rest.
-    // Deterministic (trainIvf's seeded sample + literal centroids) but
-    // k-means is not SQL-expressible → rows-only; the per-cell quota and
-    // the kept-vs-dropped prototypicality ordering are contracted by
-    // DriverSuiteSpec ("D4 diversification")
+    // FULL ORACLE (upgraded from rows-only, round 11, the reshape
+    // pattern): k-means cell ids are not SQL-expressible, but the
+    // operator's CONTRACT given the cell assignment is — so the row runs
+    // the real diversification pass and emits its verification against
+    // the independent per-cell recomputation: the eligible-vector count
+    // (anchors the row to the data; SQL-expressible as nonzero vectors),
+    // whether every cell kept exactly n − min(ceil(0.25·n), n−1) rows,
+    // and whether every dropped row is at least as prototypical as every
+    // kept row in its cell. The same invariants stay spec-tested on
+    // planted cells (DriverSuiteSpec "D4 diversification").
     "q_dedup_d4" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // shared pre-trained quantizer (ivfIndexFor): training is
       // deterministic, so the cached index equals an in-row retrain —
       // the row benches the diversification pass, not k-means
-      Dedup.diversify(emb, "embedding", "vec_id",
-        ivfIndexFor(s, dir, nlist = 8), dropFraction = 0.25)
+      val idx = ivfIndexFor(s, dir, nlist = 8)
+      val pr = Dedup.prototypicality(emb, "embedding", "vec_id", idx)
+      val kept = Dedup.diversify(emb, "embedding", "vec_id", idx, dropFraction = 0.25)
+        .select(col("vec_id"), lit(1L).as("__kept"))
+      val cells = pr.join(kept, Seq("vec_id"), "left")
+        .select(col("cell"), col("proto"), coalesce(col("__kept"), lit(0L)).as("k"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("n_kept"),
+          max(when(col("k") === 1L, col("proto"))).as("max_kept"),
+          min(when(col("k") === 0L, col("proto"))).as("min_dropped"))
+      cells.agg(
+        sum(col("n")).as("n_vecs"),
+        bool_and(col("n_kept") ===
+          col("n") - least(ceil(col("n") * lit(0.25)).cast("long"), col("n") - 1L))
+          .as("all_quota_ok"),
+        bool_and(col("min_dropped").isNull || col("min_dropped") >= col("max_kept"))
+          .as("all_ordering_ok"))
     }),
 
     // pair recall of within-cell pairs vs the exact truth restricted to
@@ -1624,15 +1645,33 @@ object SparkEntry {
 
     // the SAME bucketing in its 100 TB configuration: approx_percentile
     // cutoffs (bounded memory in the final reducer) instead of the exact
-    // percentile buffer. Approximate by contract → rows-only; the
-    // agreement contract vs q_lm_bucket (identical up to cutoff-boundary
-    // docs) is asserted by DriverSuiteSpec ("approx perplexity buckets")
+    // percentile buffer. FULL ORACLE (upgraded from rows-only, round 11):
+    // the row now runs BOTH cutoff paths over one shared scoring pass and
+    // emits the agreement meter vs the exact twin — per-bucket doc counts
+    // from the EXACT path (verbatim, so the oracle still pins the whole
+    // scoring + bucketing pipeline) plus the ≤1%-moved-docs contract as a
+    // bound-check boolean, which IS SQL-expressible. The approx path's
+    // full per-doc output stays exercised (the join consumes it); its
+    // (doc_id, bucket) rows are what q_lm_bucket emits on the exact side.
     "q_lm_bucket_approx" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      ops.Lm.perplexityBuckets(
-        ops.Lm.unigramBits(docs, docs, "text", "doc_id"), "bits_per_token",
-        exact = false)
+      val bits = ops.Lm.unigramBits(docs, docs, "text", "doc_id")
+      val exact = ops.Lm.perplexityBuckets(bits, "bits_per_token")
         .select(col("doc_id"), col("bucket"))
+      val approx = ops.Lm.perplexityBuckets(bits, "bits_per_token", exact = false)
+        .select(col("doc_id"), col("bucket").as("bucket_approx"))
+      exact.join(approx, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bucket") =!= col("bucket_approx"), 1L).otherwise(0L))
+            .as("__moved"))
+        .withColumn("__total", sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("moved_within_1pct",
+          (sum(col("__moved")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+            .cast("double") / col("__total")) <= 0.01)
+        .select(col("bucket"), col("n_docs"), col("moved_within_1pct"))
+        .orderBy(col("bucket"))
     }),
 
     // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
@@ -1963,15 +2002,23 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"), col("event_type"))),
 
     // HLL cardinality meter: exact vs approx_count_distinct + realized
-    // error per source. No oracle — DuckDB's HLL is a different sketch;
-    // the error floor is contracted in DriverSuiteSpec at both SFs.
-    // Keyed on the content DIGEST, not raw text: the exact side's
-    // distinct shuffle then moves 32-byte hex strings instead of whole
-    // documents (same count; the meter's own scale advice)
+    // error per source. FULL ORACLE (upgraded from rows-only, round 11,
+    // the q_emb_pca_whiten reshape pattern): DuckDB's HLL is a different
+    // sketch, so the row emits the exact side VERBATIM (regressions in
+    // the exact twin can't hide) plus the sketch's error as a
+    // bound-check — `within_bound` must be TRUE (3×rsd; the sketch's
+    // realized error is 0.2–2.6% at these SFs, contracted tighter in
+    // DriverSuiteSpec), which IS SQL-expressible. Keyed on the content
+    // DIGEST, not raw text: the exact side's distinct shuffle then moves
+    // 32-byte hex strings instead of whole documents (same count; the
+    // meter's own scale advice)
     "q_stats_approx_distinct" -> ((s, dir) =>
       ops.Stats.approxDistinct(
         t(s, dir, "documents").withColumn("digest", md5(col("text"))),
-        "digest", Seq("source"), rsd = 0.05).orderBy(col("source"))),
+        "digest", Seq("source"), rsd = 0.05)
+        .select(col("source"), col("n_rows"), col("n_distinct"),
+          (col("rel_err") <= 3 * 0.05).as("within_bound"))
+        .orderBy(col("source"))),
 
     // rebalance the corpus to a target language mix (zh dropped): one
     // driver-sized count, then a narrow hash filter
@@ -2497,6 +2544,37 @@ object SparkEntry {
   // Shared SQL fragments for the text oracles (must mirror TextOps exactly).
   private val oracleTokens =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** The exact perplexity-bucket assignment as one DuckDB query — the
+    * q_lm_bucket oracle body, shared with q_lm_bucket_approx's agreement
+    * oracle (which aggregates the same assignment per bucket).
+    */
+  private lazy val oracleLmBucketSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($oracleTokens) AS token FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), cnt AS (
+       |  SELECT token, count(*) AS n FROM toks GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_total,
+       |    CAST(count(DISTINCT token) AS DOUBLE) AS vocab
+       |  FROM toks
+       |), scored AS (
+       |  SELECT doc_id,
+       |    round(sum(tf * -log2((n + 1.0) / (n_total + vocab))) / sum(tf), 6)
+       |      AS bits
+       |  FROM tf JOIN cnt USING (token), tot
+       |  GROUP BY doc_id
+       |), cuts AS (
+       |  SELECT quantile_cont(bits, 1.0/3) AS c1, quantile_cont(bits, 2.0/3) AS c2
+       |  FROM scored
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN bits <= c1 THEN 'head'
+       |       WHEN bits <= c2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored, cuts""".stripMargin
 
   /** Okapi BM25 top-`k` over `documents` as one DuckDB query — the
     * Retrieval.scored mirror (exact integer tf/df/N/dl, one avgdl
@@ -4796,32 +4874,15 @@ object SparkEntry {
          |  FROM sc
          |) WHERE rank <= 5""".stripMargin,
 
-    "q_lm_bucket" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest($oracleTokens) AS token FROM documents
-         |), tf AS (
-         |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
-         |), cnt AS (
-         |  SELECT token, count(*) AS n FROM toks GROUP BY 1
-         |), tot AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n_total,
-         |    CAST(count(DISTINCT token) AS DOUBLE) AS vocab
-         |  FROM toks
-         |), scored AS (
-         |  SELECT doc_id,
-         |    round(sum(tf * -log2((n + 1.0) / (n_total + vocab))) / sum(tf), 6)
-         |      AS bits
-         |  FROM tf JOIN cnt USING (token), tot
-         |  GROUP BY doc_id
-         |), cuts AS (
-         |  SELECT quantile_cont(bits, 1.0/3) AS c1, quantile_cont(bits, 2.0/3) AS c2
-         |  FROM scored
-         |)
-         |SELECT doc_id,
-         |  CASE WHEN bits <= c1 THEN 'head'
-         |       WHEN bits <= c2 THEN 'middle'
-         |       ELSE 'tail' END AS bucket
-         |FROM scored, cuts""".stripMargin,
+    "q_lm_bucket" -> oracleLmBucketSql,
+
+    // the agreement reshape (round 11): exact per-bucket counts are the
+    // oracle-pinned side; the ≤1%-moved contract vs the approx cutoffs
+    // is the bound-check boolean (TRUE by contract)
+    "q_lm_bucket_approx" ->
+      s"""SELECT bucket, count(*) AS n_docs, TRUE AS moved_within_1pct
+         |FROM ($oracleLmBucketSql)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_text_repetition" -> {
       s"""SELECT doc_id,
@@ -4863,6 +4924,20 @@ object SparkEntry {
          |  CAST(CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS DOUBLE) AS cov
          |FROM range(8) t1(i), range(8) t2(j)
          |WHERE i <= j""".stripMargin,
+
+    // the invariant reshape (round 11): the k-means cell ids are not
+    // SQL-expressible, but the diversification CONTRACT given any cell
+    // assignment is — the row emits its own per-cell verification
+    // (quota exact, dropped-at-least-as-prototypical-as-kept) plus the
+    // eligible-vector count that anchors it to the data
+    "q_dedup_d4" ->
+      """SELECT count(*) AS n_vecs, TRUE AS all_quota_ok, TRUE AS all_ordering_ok
+        |FROM (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        |  FROM embeddings
+        |) WHERE nsq > 0""".stripMargin,
 
     // HTML extraction: the same page shell rebuilt in SQL, the same
     // order-fixed cascade (script/style elements, comments, block
@@ -5221,6 +5296,17 @@ object SparkEntry {
         |  round(quantile_cont(n, 0.99), 6) AS p99_per_key,
         |  round(max(n) / avg(n), 6) AS skew_ratio
         |FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1)""".stripMargin,
+
+    // the bound-check reshape (round 11): the exact side is the oracle's
+    // business (count + count distinct per source, verbatim); the HLL
+    // sketch's 3×rsd accuracy claim is the TRUE boolean (DuckDB's HLL is
+    // a different sketch, so the raw approx value can't be oracled —
+    // the realized error stays contracted tighter in DriverSuiteSpec)
+    "q_stats_approx_distinct" ->
+      """SELECT source, count(*) AS n_rows,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  TRUE AS within_bound
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // the salted two-stage must agree with the plain grouped aggregation
     // — that IS the oracle: DuckDB computes the unsalted groupBy

@@ -378,8 +378,8 @@ class DriverSuiteSpec extends AnyFunSuite {
   }
 
   test("D4 diversification: per-cell drop quota and prototypicality ordering") {
-    // the contract behind q_dedup_d4 (rows-only — k-means isn't
-    // SQL-expressible): for every cell, exactly
+    // the contract behind q_dedup_d4 (planted-side twin of the row's own
+    // oracled verification, round 11): for every cell, exactly
     // min(ceil(0.25 × cellN), cellN − 1) rows are dropped (a cell
     // always keeps at least one row), and every dropped row is at least
     // as prototypical as every kept row (ties at the boundary allowed)
@@ -388,7 +388,8 @@ class DriverSuiteSpec extends AnyFunSuite {
       val index = graft.ops.Similarity.trainIvf(emb, "embedding", "vec_id", nlist = 8)
       val all = graft.ops.Dedup.prototypicality(emb, "embedding", "vec_id", index)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-      val kept = SparkEntry.queries("q_dedup_d4")(spark, dir)
+      val kept = graft.ops.Dedup.diversify(emb, "embedding", "vec_id", index,
+          dropFraction = 0.25)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       val keptIds = kept.map(_._1).toSet
       for ((cell, rows) <- all.groupBy(_._2)) {
@@ -403,6 +404,12 @@ class DriverSuiteSpec extends AnyFunSuite {
       }
       // kept output agrees with the independent prototypicality pass
       assert(kept.toSet.subsetOf(all.toSet))
+      // and the driver row's own verification (the oracled reshape)
+      // reaches the same verdict
+      val row = SparkEntry.queries("q_dedup_d4")(spark, dir).collect().head
+      assert(row.getAs[Long]("n_vecs") == all.length)
+      assert(row.getAs[Boolean]("all_quota_ok"))
+      assert(row.getAs[Boolean]("all_ordering_ok"))
     }
   }
 
@@ -413,15 +420,22 @@ class DriverSuiteSpec extends AnyFunSuite {
     // interpolated cutoff and the approx within-data cutoff — a handful
     // at tercile boundaries, never a reshuffling of the corpus.
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = SparkEntry.t(spark, dir, "documents")
+      val bits = graft.ops.Lm.unigramBits(docs, docs, "text", "doc_id")
       val exact = SparkEntry.queries("q_lm_bucket")(spark, dir)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-      val approx = SparkEntry.queries("q_lm_bucket_approx")(spark, dir)
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val approx = graft.ops.Lm.perplexityBuckets(bits, "bits_per_token", exact = false)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
       assert(exact.keySet == approx.keySet)
       val moved = exact.count { case (id, b) => approx(id) != b }
       val tolerance = math.max(2, exact.size / 100) // <= 1% of docs
       assert(moved <= tolerance,
         s"$dir: $moved of ${exact.size} docs changed bucket (tolerance $tolerance)")
+      // the driver row's agreement reshape (oracled, round 11) sees the
+      // same verdict: per-bucket exact counts + the <= 1% bound as TRUE
+      val rows = SparkEntry.queries("q_lm_bucket_approx")(spark, dir).collect()
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == exact.size)
+      assert(rows.forall(_.getAs[Boolean]("moved_within_1pct")))
     }
   }
 
@@ -432,12 +446,20 @@ class DriverSuiteSpec extends AnyFunSuite {
     // deterministic-given-the-data bound with wide margin (measured
     // <= 0.03 at both SFs). A breach means the sketch config changed.
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      val rows = SparkEntry.queries("q_stats_approx_distinct")(spark, dir).collect()
-      assert(rows.length >= 2, s"$dir: expected per-source rows")
-      for (r <- rows) {
+      val docs = SparkEntry.t(spark, dir, "documents")
+        .withColumn("digest", org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")))
+      val raw = graft.ops.Stats.approxDistinct(docs, "digest", Seq("source"),
+        rsd = 0.05).collect()
+      assert(raw.length >= 2, s"$dir: expected per-source rows")
+      for (r <- raw) {
         val err = r.getAs[Double]("rel_err")
         assert(err <= 0.15, s"$dir source ${r.get(0)}: rel_err $err above 3x rsd")
       }
+      // the driver row's bound-check reshape (oracled, round 11) agrees
+      val rows = SparkEntry.queries("q_stats_approx_distinct")(spark, dir).collect()
+      assert(rows.length == raw.length)
+      assert(rows.forall(_.getAs[Boolean]("within_bound")))
     }
   }
 }
