@@ -42,8 +42,10 @@ class DriverSuiteSpec extends AnyFunSuite {
     // count so a new query silently missing its oracle trips review
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // 33 → 31 in round 10: q_emb_pca_whiten (covariance-identity) and
-    // q_dsir_mixture (recursive-CTE EG replay) gained full oracles
-    assert(rowsOnly.size == 31, s"rows-only query count changed (${rowsOnly.size}): " +
+    // q_dsir_mixture (recursive-CTE EG replay) gained full oracles;
+    // 31 → 28 in round 11: q_dedup_d4 (cell-quota mirror), q_lm_bucket_approx
+    // (≤1%-moved invariant), q_stats_approx_distinct (exact-side oracle)
+    assert(rowsOnly.size == 28, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
