@@ -4135,7 +4135,7 @@ object SparkEntry {
          |  SELECT doc_id, sqrt(sum(v * v)) AS n FROM dense GROUP BY 1
          |), emb AS (
          |  SELECT d.doc_id,
-         |    string_agg(printf('%.6f', round(d.v / nm.n, 6)), ',' ORDER BY d.b) AS emb
+         |    string_agg(printf('%.6f', round(d.v / nm.n, 6) + 0), ',' ORDER BY d.b) AS emb
          |  FROM dense d JOIN nm USING (doc_id) WHERE nm.n > 0
          |  GROUP BY d.doc_id
          |)
@@ -5746,13 +5746,17 @@ object SparkEntry {
 
     // L2 normalization: per-row fold in double precision on both sides
     // (list_sum over a double-cast list ≡ the Spark aggregate() fold);
-    // values pre-rounded before fixed-format printing
+    // values pre-rounded before fixed-format printing. The `+ 0` after
+    // each round() of a possibly-negative value normalizes IEEE -0.0:
+    // DuckDB's round keeps the sign of a tiny negative (printf renders
+    // "-0.000000") while Spark's BigDecimal round never emits -0.0 —
+    // first observed as 4/20000 hash mismatches at the sf1 rung
     "q_emb_normalize" ->
       """SELECT vec_id,
         |  printf('%.6f', round(sqrt(nsq), 6)) AS norm,
         |  CASE WHEN nsq = 0 THEN NULL ELSE
         |    array_to_string(list_transform(embedding,
-        |      x -> printf('%.6f', round(CAST(x AS DOUBLE) / sqrt(nsq), 6))), ',')
+        |      x -> printf('%.6f', round(CAST(x AS DOUBLE) / sqrt(nsq), 6) + 0)), ',')
         |  END AS unit_vec
         |FROM (
         |  SELECT vec_id, embedding,
@@ -5813,7 +5817,7 @@ object SparkEntry {
         |  GROUP BY label, d
         |), cents AS (
         |  SELECT label,
-        |    array_to_string(list_transform(list(m ORDER BY d), v -> printf('%.6f', round(v, 6))), ',') AS centroid
+        |    array_to_string(list_transform(list(m ORDER BY d), v -> printf('%.6f', round(v, 6) + 0)), ',') AS centroid
         |  FROM cells GROUP BY label
         |)
         |SELECT n.label, n.n, c.centroid

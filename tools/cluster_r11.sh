@@ -75,11 +75,32 @@ def digest(files):
         h.update(r.encode()); h.update(b"\x00")
     return len(rows), h.hexdigest()
 res, bad = {}, 0
+# sketch-estimate rows are NOT bit-identity rows: a DataSketches HLL union
+# is merge-order-dependent by design, so a different topology legitimately
+# shifts the estimates — compare those within their own emitted err_bound
+APPROX_BOUND = {"q_dedup_source_overlap_approx":
+    ("src_a, src_b", "n_shared_approx", "err_bound")}
 for d in sorted(os.listdir(cl)):
+    if not os.path.isdir(os.path.join(cl, d)):
+        continue  # oracle_sql.json rides along in the verify dir
     a = glob.glob(os.path.join(cl, d, "*.parquet"))
     b = glob.glob(os.path.join(lo, d, "*.parquet"))
     if not a or not b:
         res[d] = "missing"; bad += 1; continue
+    if d in APPROX_BOUND:
+        keys, val, bound = APPROX_BOUND[d]
+        na, nb, viol, mx = con.execute(f"""
+            SELECT (SELECT count(*) FROM read_parquet({a!r})),
+                   (SELECT count(*) FROM read_parquet({b!r})),
+                   count(*) FILTER (abs(x.{val} - y.{val}) > x.{bound}),
+                   max(abs(x.{val} - y.{val}))
+            FROM read_parquet({a!r}) x JOIN read_parquet({b!r}) y
+              USING ({keys})""").fetchone()
+        ok = na == nb and viol == 0
+        res[d] = (f"approx_within_bound (max |delta|={mx})" if ok
+                  else f"APPROX VIOLATION rows {na} vs {nb}, {viol} over bound")
+        bad += 0 if ok else 1
+        continue
     ha, hb = digest(a), digest(b)
     ok = ha == hb
     res[d] = "identical" if ok else f"MISMATCH {ha[0]} rows/{ha[1][:12]} vs {hb[0]} rows/{hb[1][:12]}"
