@@ -241,6 +241,16 @@ object SparkEntry {
     * curve instead of n²: candidate volume per corpus doubling grows
     * ~1.55× (tables) instead of 4× (bucket pairs).
     */
+  /** Banded hard-miner config, solved by [[ops.Similarity.hardBandConfig]]
+    * at the rows' band edge (cosine 0.25). (4, 16) at the correctness SFs
+    * AND at the generated sf1 (the solver's floors — artifacts there
+    * unchanged); (6, 36) at the generated sf10, where the fixed (4, 16)
+    * config starved the bucket guard (12.5k expected fill vs the 10k cap)
+    * and recall collapsed to 0.17/0.15 — see the solver's scaladoc.
+    */
+  private def hardBandFor(s: SparkSession, dir: String): (Int, Int) =
+    ops.Similarity.hardBandConfig(nVecs(s, dir), edgeCos = 0.25)
+
   private def srpConfigFor(s: SparkSession, dir: String): (Int, Int) = {
     val n = nVecs(s, dir)
     if (n <= 2000L) (5, 12)
@@ -1140,15 +1150,17 @@ object SparkEntry {
     // 0.82/0.90 neg, 0.92/0.86 pos at sf0.01/sf0.1).
     "q_sim_hard_neg_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val (planes, tables) = hardBandFor(s, dir)
       Similarity.hardNegativesLsh(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
-        k = 5, maxCos = 0.25, minCos = 0.05, planes = 4, tables = 16)
+        k = 5, maxCos = 0.25, minCos = 0.05, planes = planes, tables = tables)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
     "q_sim_hard_pos_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val (planes, tables) = hardBandFor(s, dir)
       Similarity.hardPositivesLsh(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
-        k = 5, minCos = 0.25, planes = 4, tables = 16)
+        k = 5, minCos = 0.25, planes = planes, tables = tables)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -1167,21 +1179,23 @@ object SparkEntry {
     "q_sim_hard_neg_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
+      val (planes, tables) = hardBandFor(s, dir)
       Similarity.recallAtK(
         Similarity.hardNegatives(emb, probes, "embedding", "vec_id",
           k = 5, maxCos = 0.25, minCos = 0.05),
         Similarity.hardNegativesLsh(emb, probes, "embedding", "vec_id",
-          k = 5, maxCos = 0.25, minCos = 0.05, planes = 4, tables = 16))
+          k = 5, maxCos = 0.25, minCos = 0.05, planes = planes, tables = tables))
     }),
 
     "q_sim_hard_pos_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
+      val (planes, tables) = hardBandFor(s, dir)
       Similarity.recallAtK(
         Similarity.hardPositives(emb, probes, "embedding", "vec_id",
           k = 5, minCos = 0.25),
         Similarity.hardPositivesLsh(emb, probes, "embedding", "vec_id",
-          k = 5, minCos = 0.25, planes = 4, tables = 16))
+          k = 5, minCos = 0.25, planes = planes, tables = tables))
     }),
 
     // PQ-compressed ANN (asymmetric distance + exact re-rank): the

@@ -933,6 +933,52 @@ object Similarity {
         col("pos_cosine"), col("neg_cosine"), col("pos_rank"), col("neg_rank"))
   }
 
+  /** Corpus-aware SRP banding config (planes, tables) for the banded hard
+    * miners, solved from the band-EDGE cosine — the dial that keeps the
+    * miners' recall one decade past their tuning rung. Mechanism of the
+    * failure it prevents: at a FIXED plane count, expected bucket fill is
+    * n/2^planes, so a growing corpus eventually pushes EVERY bucket over
+    * the degenerate-bucket guard (`maxBucketSize`) and the candidate stage
+    * starves — measured at the generated sf10 (200k vectors, planes=4 →
+    * 12.5k/bucket vs the 10k cap): recall@5 collapsed 0.88/0.84 → 0.17/0.15
+    * (RECALL_sf10_r11.json, pre-dial). The solve:
+    *  - planes = max(floor, ⌈log2(n / targetBucket)⌉) holds expected fill
+    *    at ~targetBucket (half the guard cap, so the guard only fires on
+    *    GENUINE degeneracy, never on healthy growth);
+    *  - per-plane collision for a pair AT the band edge is
+    *    p₁ = 1 − acos(edgeCos)/π (the borderline pair is the hardest one
+    *    the meter checks — for hard negatives the true top-k sit just
+    *    under `maxCos`, for hard positives just over `minCos`);
+    *  - tables = max(floor, ⌈ln(0.25)/ln(1 − p₁^planes)⌉) targets ≥ 75%
+    *    theoretical recall at the edge (contract floor 0.6).
+    * Cost shape this buys: banded rows grow n·tables ≈ n^(1+ρ) with
+    * ρ = ln(1/p₁)/ln 2 (≈ 0.78 at edgeCos 0.25) — a LOW edge cosine is
+    * intrinsically the expensive LSH regime (hard negatives are nearly
+    * orthogonal to their anchors, where hyperplane hashes discriminate
+    * worst). A 100 TB deployment mining at such an edge should either
+    * raise the edge, mine within IVF cells ([[ivfSearch]] candidates),
+    * or accept the near-scan candidate volume; this dial makes the
+    * tradeoff explicit instead of silently starving the guard.
+    */
+  def hardBandConfig(
+      n: Long,
+      edgeCos: Double,
+      planesFloor: Int = 4,
+      tablesFloor: Int = 16,
+      targetBucket: Long = 5000L,
+  ): (Int, Int) = {
+    require(edgeCos > -1.0 && edgeCos < 1.0, "edgeCos must be in (-1, 1)")
+    require(n >= 1 && planesFloor >= 1 && tablesFloor >= 1 && targetBucket >= 1,
+      "n, floors, targetBucket must be positive")
+    val planes = math.max(planesFloor,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+    val p1 = 1.0 - math.acos(edgeCos) / math.Pi
+    val pTable = math.pow(p1, planes)
+    val tables = math.max(tablesFloor,
+      math.ceil(math.log(0.25) / math.log(1.0 - pTable)).toInt)
+    (planes, tables)
+  }
+
   /** Corpus-scale hard-negative mining: [[hardNegatives]] semantics with
     * [[lshTopK]]'s SRP-banded candidate generation instead of the
     * broadcast cross — the scale path the exact miner's scaladoc promises.

@@ -141,6 +141,29 @@ class OpsSpec extends AnyFunSuite {
     assert(dialed.contains((0L, 1L)) && dialed.contains((0L, 3L)))
   }
 
+  test("hard-miner band dial: model-solved planes/tables, guard-safe fill") {
+    // Similarity.hardBandConfig at the driver rows' band edge (0.25):
+    // floors hold through the generated sf1 (artifacts there unchanged),
+    // sf10 steps to (6, 36) — the rung where the fixed (4, 16) config
+    // pushed every bucket over the 10k guard cap and recall collapsed to
+    // 0.17/0.15 (RECALL_sf10_r11.json, pre-dial)
+    assert(Similarity.hardBandConfig(2000L, edgeCos = 0.25) == ((4, 16)))
+    assert(Similarity.hardBandConfig(20000L, edgeCos = 0.25) == ((4, 16)))
+    assert(Similarity.hardBandConfig(200000L, edgeCos = 0.25) == ((6, 36)))
+    // expected bucket fill n/2^planes stays within the solver's
+    // targetBucket (5000, half the 10k guard cap) at every rung — the
+    // guard can then only fire on genuine degeneracy
+    for (n <- Seq(20000L, 200000L, 2000000L, 20000000L)) {
+      val (planes, tables) = Similarity.hardBandConfig(n, edgeCos = 0.25)
+      assert(n.toDouble / math.pow(2.0, planes) <= 5000.0 + 1e-9,
+        s"n=$n planes=$planes overfills the guard")
+      // solved tables hit >= 75% theoretical recall at the edge
+      val p1 = 1.0 - math.acos(0.25) / math.Pi
+      val theory = 1.0 - math.pow(1.0 - math.pow(p1, planes), tables)
+      assert(theory >= 0.75 - 1e-9, s"n=$n ($planes,$tables) theory=$theory")
+    }
+  }
+
   test("simhash blocked self-join (slices) has identical verified output") {
     // the skew dial replicates banded rows across slice coordinates; every
     // pair must still meet exactly once — output identical to slices=1,
