@@ -287,4 +287,43 @@ class VectorExprSpec extends AnyFunSuite {
     assert(spark.sql("SELECT contains_any('big slow scan', array('big slow', 'zz'))")
       .collect().head.getBoolean(0))
   }
+
+  test("sorted_bin_contains agrees with array_contains on sort_array'd stores") {
+    // the O(log n) probe must match the O(n) scan bit-for-bit when the
+    // array is sorted by Spark's own BinaryType order — random 16-byte
+    // digests plus variable-length keys (shorter-prefix edge included),
+    // across a store size that exercises every binary-search branch
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    val store = (Seq.fill(257)(bytes(16)) ++ Seq(Array[Byte](1, 2), Array[Byte](1, 2, 3),
+      Array[Byte](-1, -128), Array.empty[Byte])).distinct
+    // probes: half members, half misses (some sharing prefixes with members)
+    val probes = rnd.shuffle(store).take(120) ++ Seq.fill(120)(bytes(16)) ++
+      Seq(Array[Byte](1), Array[Byte](1, 2, 3, 4), Array[Byte](-1))
+    val df = probes.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "key")
+      .withColumn("__bl", sort_array(typedLit(store)))
+    val got = df.select($"id",
+        GraftFunctions.sortedBinContains($"__bl", $"key").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = df.select($"id", array_contains($"__bl", $"key").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == want)
+    assert(got.values.exists(identity) && got.values.exists(!_),
+      "fixture should exercise both outcomes")
+    // empty store: everything is a miss, never an error
+    val empty = probes.take(3).zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "key")
+      .withColumn("__bl", typedLit(Array.empty[Array[Byte]]))
+    assert(empty.select(GraftFunctions.sortedBinContains($"__bl", $"key"))
+      .collect().forall(!_.getBoolean(0)))
+    // type guard: non-binary array is an analysis-time error
+    val e = intercept[Exception] {
+      Seq((Seq(1L), Array[Byte](1))).toDF("a", "k")
+        .select(org.apache.spark.sql.functions.call_function(
+          "sorted_bin_contains", $"a", $"k")).collect()
+    }
+    assert(e.getMessage.contains("DATATYPE_MISMATCH") ||
+      e.getMessage.contains("sorted_bin_contains requires"))
+  }
 }
