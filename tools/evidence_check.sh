@@ -39,11 +39,29 @@ for doc in BENCH_NOTES_r${R}.md SCALING_r${R}.md; do
     tgt="$c"; [ -e "$tgt" ] || tgt="$base"
     mt=$(stat -c %Y "$tgt")
     # artifacts produced BEFORE the round's last source commit cannot
-    # witness it — unless the doc explicitly marks them as prior-round
-    # frontier data with the literal tag "(frontier: r<N>)" on the line
+    # witness it — unless the doc explicitly declares provenance:
+    #  - "(frontier: r<N>)"  — prior-round frontier data, kept as-is
+    #  - "(baseline: ...)"   — a prior-round artifact cited only as a
+    #                          comparison denominator, never as a witness
+    #  - "(witness: <sha>)"  — produced on the named commit; the gate
+    #                          VERIFIES the artifact is newer than that
+    #                          commit, so the tag pins a checkable floor
+    #                          instead of waiving the check
     if [ "$mt" -lt "$last_src_commit" ]; then
-      if ! grep -E "\`$base\`.*frontier:" "$doc" >/dev/null 2>&1 && \
-         ! grep -E "frontier:.*\`$base\`" "$doc" >/dev/null 2>&1; then
+      tagline=$(grep -E "\`$base\`" "$doc" 2>/dev/null)
+      if echo "$tagline" | grep -qE "frontier:|baseline:"; then
+        :
+      elif echo "$tagline" | grep -qoE "witness: [0-9a-f]{7,40}"; then
+        wsha=$(echo "$tagline" | grep -oE "witness: [0-9a-f]{7,40}" | head -1 | awk '{print $2}')
+        wct=$(git log -1 --format=%ct "$wsha" 2>/dev/null || echo "")
+        if [ -z "$wct" ]; then
+          echo "EVIDENCE FAIL: $doc tags '$c' with unknown witness commit $wsha" >&2
+          fail=1
+        elif [ "$mt" -lt "$wct" ]; then
+          echo "EVIDENCE FAIL: $doc tags '$c' (witness: $wsha) but the artifact predates that commit" >&2
+          fail=1
+        fi
+      else
         echo "EVIDENCE FAIL: $doc cites '$c' older than the last source commit (stale witness)" >&2
         fail=1
       fi
