@@ -913,6 +913,29 @@ object SparkEntry {
         keyBlocks = 2, slices = simhashSlicesFor(s, dir))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the wide-sketch (120-bit, two md5 lanes) resolution escape from the
+    // radius-8 frontier (SCALING_r11.md §1c): SAME absolute radius, double
+    // resolution — every banding block doubles in width (13-bit keys at
+    // kb=1 where the 60-bit sketch had 7) and the match fraction halves
+    // (8/120 vs 8/60), collapsing the output-quadratic near-template pair
+    // density. Fully oracled: both lanes are one md5 per token, DuckDB
+    // recomputes them from hex chars 1-15 / 17-31 of the same digest.
+    // No slices dial needed: the wide keys keep buckets small at the
+    // rungs where the narrow radius-8 rows needed blocked self-joins.
+    "q_dedup_simhash_wide" -> ((s, dir) =>
+      Dedup.simHashNearDupsWide(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
+        keyBlocks = Dedup.simHashKeyBlocksFor(nDocs(s, dir), maxHamming = 8,
+          bits = graft.functions.SimHashUtil.WideBits))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // banding-independence witness at the wide width, mirroring
+    // q_dedup_simhash_k2: pigeonhole recall is exact for any keyBlocks,
+    // so this must equal q_dedup_simhash_wide row for row
+    "q_dedup_simhash_wide_k2" -> ((s, dir) =>
+      Dedup.simHashNearDupsWide(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
+        keyBlocks = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardNearDups(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
@@ -3474,6 +3497,44 @@ object SparkEntry {
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming""".stripMargin
 
+  /** Two-lane (120-bit) simhash recomputed from scratch: both lanes come
+    * from ONE md5 per token — lane 0 is hex chars 1-15 (the narrow
+    * sketch's exact derivation), lane 1 is hex chars 17-31 — then a
+    * 60-lane vote per lane and an all-pairs two-lane hamming check, the
+    * wide twin of [[oracleSimHash]]. Token-less docs pack all-ones in
+    * both lanes (the per-lane [[graft.functions.SimHashUtil.simhash]]
+    * convention).
+    */
+  private def oracleSimHashWide(maxHamming: Int): String =
+    s"""WITH th AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h0,
+       |    CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT) AS h1,
+       |    count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest($oracleTokens) AS tok FROM documents)
+       |  GROUP BY 1, 2, 3
+       |), votes AS (
+       |  SELECT doc_id, CAST(j AS INTEGER) AS j,
+       |    sum(CASE WHEN ((h0 >> CAST(j AS INTEGER)) & 1) = 1 THEN cnt ELSE -cnt END) AS v0,
+       |    sum(CASE WHEN ((h1 >> CAST(j AS INTEGER)) & 1) = 1 THEN cnt ELSE -cnt END) AS v1
+       |  FROM th, range(0, 60) r(j)
+       |  GROUP BY 1, 2
+       |), packed AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v0 >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS s0,
+       |    CAST(sum(CASE WHEN v1 >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS s1
+       |  FROM votes GROUP BY doc_id
+       |), sims AS (
+       |  SELECT d.doc_id,
+       |    coalesce(p.s0, (CAST(1 AS BIGINT) << 60) - 1) AS s0,
+       |    coalesce(p.s1, (CAST(1 AS BIGINT) << 60) - 1) AS s1
+       |  FROM documents d LEFT JOIN packed p USING (doc_id)
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) AS INTEGER) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= $maxHamming""".stripMargin
+
   /** Connected components over the exact near-dup pair graph, as a
     * recursive CTE: cc accumulates every (node, reachable-origin) pair —
     * UNION dedups so the fixpoint is finite — and min(comp) per node is
@@ -3696,6 +3757,8 @@ object SparkEntry {
     "q_dedup_simhash" -> oracleSimHash(maxHamming = 8),
     "q_dedup_simhash_k2" -> oracleSimHash(maxHamming = 8),
     "q_dedup_simhash_r3" -> oracleSimHash(maxHamming = 3),
+    "q_dedup_simhash_wide" -> oracleSimHashWide(maxHamming = 8),
+    "q_dedup_simhash_wide_k2" -> oracleSimHashWide(maxHamming = 8),
 
     "q_dedup_components" -> oracleNearDupComponents,
 

@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash60", "simhash60(text) - 60-bit md5-derived SimHash of the token stream"),
       (exprs: Seq[Expression]) => SimHash60(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("simhash120"),
+      info("simhash120", "simhash120(text) - 120-bit two-lane md5-derived SimHash as array<bigint>[2]; element 0 = simhash60"),
+      (exprs: Seq[Expression]) => SimHash120(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("array_sum"),
       info("array_sum", "array_sum(arr) - sum of a numeric array, accumulated in double"),
       (exprs: Seq[Expression]) => ArraySum(exprs(0))))

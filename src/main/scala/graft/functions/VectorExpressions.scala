@@ -1240,6 +1240,7 @@ object GraftFunctions {
       add("word_shingles", exprs =>
         WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
       add("simhash60", exprs => SimHash60(exprs(0)))
+      add("simhash120", exprs => SimHash120(exprs(0)))
       add("array_sum", exprs => ArraySum(exprs(0)))
       add("vec_l2normalize", exprs => VecL2Normalize(exprs(0)))
       add("topk_by_score", exprs =>
@@ -1314,6 +1315,31 @@ object GraftFunctions {
           arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
             .toLongArray().toSeq)
       })
+      add("first_clean_subset2", { exprs =>
+        // same analysis-time discipline as first_clean_subset: the two
+        // mask arguments must be constant array<bigint> of equal length
+        def foldMasks(i: Int, name: String): Seq[Long] = {
+          val ok = exprs(i).foldable && (exprs(i).dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, _) => true
+            case _ => false
+          })
+          def fail(subClass: String, extra: Map[String, String]): Nothing =
+            throw new org.apache.spark.sql.AnalysisException(
+              s"INVALID_PARAMETER_VALUE.$subClass",
+              Map("parameter" -> s"`$name`",
+                "functionName" -> "`first_clean_subset2`") ++ extra,
+              Option.empty[Throwable])
+          if (!ok) fail("PATTERN",
+            Map("value" -> "mask argument must be a constant array<bigint>"))
+          val arr = exprs(i).eval()
+          if (arr == null) fail("NULL", Map.empty)
+          arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray().toSeq
+        }
+        FirstCleanSubset2(exprs(0), exprs(1),
+          foldMasks(2, "masks0"), foldMasks(3, "masks1"))
+      })
     }
 
   /** Dot product column; requires `register(spark)` on the session first. */
@@ -1329,6 +1355,11 @@ object GraftFunctions {
 
   /** SimHash column (60-bit, md5-derived); requires `register(spark)` first. */
   def simHash60(text: Column): Column = call_function("simhash60", text)
+
+  /** Wide SimHash column (120-bit as two 60-bit lanes, `array<bigint>`,
+    * element 0 == [[simHash60]]); requires `register(spark)` first.
+    */
+  def simHash120(text: Column): Column = call_function("simhash120", text)
 
   /** DEFLATE length column; requires `register(spark)` first. */
   def deflateLen(text: Column): Column = call_function("deflate_len", text)
@@ -1592,6 +1623,81 @@ object SimHashUtil {
     while (j < Bits) { if (counts(j) >= 0) out |= (1L << j); j += 1 }
     out
   }
+
+  /** Total bit width of the wide (two-lane) sketch. */
+  val WideBits = 2 * Bits
+
+  /** Both 60-bit lanes of one token's md5 digest: lane 0 is
+    * [[tokenHash60]] exactly (hex chars 1-15, bytes 0-7 >>> 4) and lane 1
+    * is the digest's SECOND word read the same way (hex chars 17-31,
+    * bytes 8-15 >>> 4) — one md5 per token feeds both lanes, and each
+    * lane stays positive in a signed 64-bit integer on both engines
+    * (`CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)` in DuckDB).
+    */
+  private def tokenHash120(token: String, out: Array[Long]): Unit = {
+    val d = md5.get().digest(
+      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h0 = 0L
+    var h1 = 0L
+    var i = 0
+    while (i < 8) {
+      h0 = (h0 << 8) | (d(i) & 0xffL)
+      h1 = (h1 << 8) | (d(i + 8) & 0xffL)
+      i += 1
+    }
+    out(0) = h0 >>> 4
+    out(1) = h1 >>> 4
+  }
+
+  /** 120-bit (two-lane) simhash in one pass: element 0 is [[simhash]]
+    * EXACTLY (same tokenizer, same lane-0 token hash, same >= 0 sign
+    * rule), element 1 votes with the same digest's second word — so the
+    * wide sketch costs one md5 per token, not two, and the narrow sketch
+    * is always its first lane (the parity test in OpsSpec pins that).
+    * Empty/token-less text packs all-ones in both lanes, the [[simhash]]
+    * convention per lane.
+    */
+  def simhash2(text: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val s = text.toString.toLowerCase
+    val counts = new Array[Int](WideBits)
+    val h = new Array[Long](2)
+    val sb = new java.lang.StringBuilder
+    def vote(): Unit = {
+      if (sb.length > 0) {
+        tokenHash120(sb.toString, h)
+        var j = 0
+        while (j < Bits) {
+          if (((h(0) >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          if (((h(1) >>> j) & 1L) == 1L) counts(Bits + j) += 1 else counts(Bits + j) -= 1
+          j += 1
+        }
+        sb.setLength(0)
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c) else vote()
+      i += 1
+    }
+    vote()
+    var s0 = 0L
+    var s1 = 0L
+    var j = 0
+    while (j < Bits) {
+      if (counts(j) >= 0) s0 |= (1L << j)
+      if (counts(Bits + j) >= 0) s1 |= (1L << j)
+      j += 1
+    }
+    Array(s0, s1)
+  }
+
+  /** [[simhash2]] boxed as Spark ArrayData — shared by SimHash120's
+    * interpreted eval and its generated code. */
+  def simhash2Data(
+      text: org.apache.spark.unsafe.types.UTF8String,
+  ): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(simhash2(text))
 }
 
 /** Native 60-bit SimHash of a document's token stream — single pass,
@@ -1946,4 +2052,102 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "simhash60"
+}
+
+/** Native 120-bit (two-lane) SimHash — `array<bigint>` of the two 60-bit
+  * lane sketches, element 0 always equal to [[SimHash60]] of the same
+  * text. One tokenize + one md5 per token feeds both lanes (see
+  * [[SimHashUtil.simhash2]]); DuckDB recomputes both lanes from the same
+  * digest (`substr(md5(tok), 1, 15)` / `substr(md5(tok), 17, 15)`), so
+  * wide near-dup rows stay hash-verified like the narrow ones. The wide
+  * sketch exists for the resolution argument in SCALING_r11.md §1c: at a
+  * FIXED absolute radius, doubling sketch width doubles banding-block
+  * width (restoring key selectivity on low-entropy corpora) and tightens
+  * the match fraction (halving the qualifying-pair density) — the
+  * prescribed escape from the radius-8-of-60-bits frontier.
+  */
+case class SimHash120(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash120 requires string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.simhash2Data(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.simhash2Data($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash120 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash120"
+}
+
+/** Two-lane twin of [[FirstCleanSubset]]: the least table index t whose
+  * subset masks BOTH lane diffs to zero — `(d0 & masks0(t)) == 0 &&
+  * (d1 & masks1(t)) == 0` — or -1. Exists for the same reason as the
+  * one-lane form (a Column-tree per-table AND chain duplicates shared
+  * subexpressions until the generated join predicate blows the JIT
+  * bytecode ceiling); the wide banding's subsets span two longs, so the
+  * mask pair rides as two parallel constant arrays.
+  */
+case class FirstCleanSubset2(d0: Expression, d1: Expression,
+    masks0: Seq[Long], masks1: Seq[Long])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(masks0.length == masks1.length,
+    "first_clean_subset2 mask arrays must have equal length")
+
+  override def left: Expression = d0
+  override def right: Expression = d1
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (d0.dataType, d1.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"first_clean_subset2 requires (bigint, bigint), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  @transient private lazy val m0: Array[Long] = masks0.toArray
+  @transient private lazy val m1: Array[Long] = masks1.toArray
+
+  override protected def nullSafeEval(in0: Any, in1: Any): Any = {
+    val a = in0.asInstanceOf[Long]
+    val b = in1.asInstanceOf[Long]
+    var t = 0
+    while (t < m0.length) {
+      if ((a & m0(t)) == 0L && (b & m1(t)) == 0L) return t
+      t += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a0 = ctx.addReferenceObj("subsetMasks0", m0, "long[]")
+    val a1 = ctx.addReferenceObj("subsetMasks1", m1, "long[]")
+    nullSafeCodeGen(ctx, ev, (c0, c1) => {
+      val t = ctx.freshName("t")
+      s"""
+         |${ev.value} = -1;
+         |for (int $t = 0; $t < $a0.length; $t++) {
+         |  if (($c0 & $a0[$t]) == 0L && ($c1 & $a1[$t]) == 0L) { ${ev.value} = $t; break; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstCleanSubset2 =
+    copy(d0 = newLeft, d1 = newRight)
+
+  override def prettyName: String = "first_clean_subset2"
 }

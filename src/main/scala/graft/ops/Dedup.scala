@@ -913,8 +913,8 @@ object Dedup {
     * [[simHashNearDups]]), so this dial can never change results — the
     * `q_dedup_simhash_k2 ≡ q_dedup_simhash` oracle witnesses that.
     */
-  def simHashKeyBlocksFor(n: Long, maxHamming: Int, tableBudget: Int = 64): Int = {
-    val bits = graft.functions.SimHashUtil.Bits
+  def simHashKeyBlocksFor(n: Long, maxHamming: Int, tableBudget: Int = 64,
+      bits: Int = graft.functions.SimHashUtil.Bits): Int = {
     val entropyFactor = 0.5
     val workFloor = 1e8
     def width(k: Int): Double = bits.toDouble * k / (maxHamming + k)
@@ -1042,6 +1042,152 @@ object Dedup {
       .withColumn("__diff", col("sim_a").bitwiseXOR(col("sim_b")))
       .filter(col("chunk") === firstMatch(col("__diff")))
       .select(col("id_a"), col("id_b"), bit_count(col("__diff")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Wide (120-bit, two-lane) SimHash sketch of the document's token
+    * multiset — `array<bigint>` of two 60-bit lanes, element 0 always
+    * equal to [[simHash]] of the same text (one md5 per token feeds both
+    * lanes). Requires GraftFunctions.register on the session
+    * (simHashNearDupsWide does it).
+    */
+  def simHashWide(text: Column): Column =
+    graft.functions.GraftFunctions.simHash120(text)
+
+  /** SimHash near-duplicates within a Hamming radius over the WIDE
+    * (120-bit) sketch — the resolution escape from the radius-8-of-60-bits
+    * frontier (SCALING_r11.md §1c). Same pigeonhole banding, same
+    * exactly-once emission, same dials as [[simHashNearDups]]; what
+    * changes is the sketch: at the SAME absolute radius, doubling the
+    * sketch width (a) doubles every banding block's width — 13-bit keys
+    * at radius 8 / keyBlocks 1 instead of 7-bit, restoring key
+    * selectivity exactly where the 60-bit sketch saturates on
+    * low-entropy near-template corpora — and (b) halves the match
+    * FRACTION the radius asks for (8/120 vs 8/60), so the
+    * output-quadratic density of random near-template pairs collapses
+    * (measured on the synthetic corpus: see SCALING_r11.md §1d). A
+    * 60-bit radius-8 user migrating here keeps the radius and gets a
+    * STRICTER (finer-resolution) near-dup semantic — the Manku-style
+    * posture where radius stays small and absolute as sketches widen.
+    *
+    * Solve `keyBlocks` with `simHashKeyBlocksFor(n, maxHamming,
+    * bits = SimHashUtil.WideBits)`. Recall at the requested radius is
+    * 1.0 for ANY keyBlocks (pigeonhole over the covered blocks;
+    * differing bits outside any block only reduce in-block differences),
+    * and the dial never changes results — the
+    * `q_dedup_simhash_wide_k2 ≡ q_dedup_simhash_wide` oracle pins that.
+    */
+  def simHashNearDupsWide(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 8,
+      keyBlocks: Int = 1,
+      slices: Int = 1,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    simHashNearDupsWideFromSims(
+      df.select(col(idCol).as("id"), simHashWide(col(textCol)).as("sims")),
+      maxHamming, keyBlocks, slices)
+  }
+
+  /** Banding + verification over precomputed (id, sims: array<bigint>[2])
+    * rows — [[simHashNearDupsFromSims]] generalized to two 60-bit lanes.
+    * Blocks split evenly across the lanes (never straddling a lane
+    * boundary, so every block is one shift+mask on one long); the
+    * exactly-once first-matching-table check runs the two-lane native
+    * [[graft.functions.FirstCleanSubset2]] over per-lane mask pairs.
+    */
+  private[graft] def simHashNearDupsWideFromSims(
+      withSims: DataFrame,
+      maxHamming: Int,
+      keyBlocks: Int = 1,
+      slices: Int = 1,
+  ): DataFrame = {
+    require(slices >= 1, "slices must be >= 1")
+    val laneBits = graft.functions.SimHashUtil.Bits
+    val bits = graft.functions.SimHashUtil.WideBits
+    require(maxHamming >= 0 && maxHamming < bits, s"maxHamming must be in [0, ${bits - 1}]")
+    require(keyBlocks >= 1, "keyBlocks must be >= 1")
+    val b = maxHamming + keyBlocks
+    require(b <= bits, s"maxHamming + keyBlocks must be <= $bits, got $b")
+    // blocks per lane: lane 0 takes the ceil half — with b <= 120 each
+    // lane holds <= 60 blocks, so every block is >= 1 bit wide
+    val perLane = Array(b - b / 2, b / 2)
+    // global block table: (lane, offset-within-lane, width); uncovered
+    // bits (a lane with zero blocks at tiny b) only make banding less
+    // selective, never unsound — verification counts all 120 bits
+    val blocks: IndexedSeq[(Int, Int, Int)] = (0 to 1).flatMap { lane =>
+      val nb = perLane(lane)
+      if (nb == 0) IndexedSeq.empty
+      else {
+        val widths = Array.tabulate(nb)(i => laneBits / nb + (if (i < laneBits % nb) 1 else 0))
+        val offsets = widths.scanLeft(0)(_ + _)
+        (0 until nb).map(i => (lane, offsets(i), widths(i)))
+      }
+    }
+    def laneCol(lane: Int): Column = col(if (lane == 0) "s0" else "s1")
+    def blockBits(blk: Int): Column = {
+      val (lane, off, w) = blocks(blk)
+      val mask = (1L << w) - 1
+      shiftright(laneCol(lane), off).bitwiseAND(lit(mask))
+    }
+    val subsets = blocks.indices.combinations(keyBlocks).toSeq
+    require(subsets.size <= 2048,
+      s"C($b, $keyBlocks) = ${subsets.size} tables — reduce keyBlocks or maxHamming")
+    subsets.foreach { blks =>
+      val w = blks.map(blk => blocks(blk)._3).sum
+      require(w <= 63, s"packed table key would be $w bits (> 63) — raise keyBlocks")
+    }
+    val chunks = subsets.zipWithIndex.map { case (blks, t) =>
+      val packed = blks.map { blk =>
+        val off = blks.takeWhile(_ != blk).map(i => blocks(i)._3).sum
+        if (off == 0) blockBits(blk) else shiftleft(blockBits(blk), off)
+      }.reduce((a, c) => a.bitwiseOR(c))
+      struct(lit(t).as("chunk"), packed.as("key"))
+    }
+    val withLanes = withSims.select(col("id"),
+      element_at(col("sims"), 1).as("s0"), element_at(col("sims"), 2).as("s1"))
+    val banded = withLanes
+      .select(col("id"), col("s0"), col("s1"), explode(array(chunks: _*)).as("cc"))
+      .select(col("id"), col("s0"), col("s1"), col("cc.chunk"), col("cc.key"))
+    val allSlices = array((0 until slices).map(lit): _*)
+    def slice(c: Column): Column = pmod(xxhash64(c), lit(slices)).cast("int")
+    val (left, right, joinKeys) =
+      if (slices == 1)
+        (banded.select(col("chunk"), col("key"), col("id").as("id_a"),
+          col("s0").as("s0_a"), col("s1").as("s1_a")),
+          banded.select(col("chunk"), col("key"), col("id").as("id_b"),
+            col("s0").as("s0_b"), col("s1").as("s1_b")),
+          Seq("chunk", "key"))
+      else
+        (banded.select(col("chunk"), col("key"), col("id").as("id_a"),
+          col("s0").as("s0_a"), col("s1").as("s1_a"),
+          slice(col("id")).as("__sa"), explode(allSlices).as("__sb")),
+          banded.select(col("chunk"), col("key"), col("id").as("id_b"),
+            col("s0").as("s0_b"), col("s1").as("s1_b"),
+            explode(allSlices).as("__sa"), slice(col("id")).as("__sb")),
+          Seq("chunk", "key", "__sa", "__sb"))
+    graft.functions.GraftFunctions.register(withSims.sparkSession)
+    // per-subset masks, one per lane (0 where the subset has no block in
+    // that lane) — the wide twin of the single-long subsetMasks
+    val subsetMasks = subsets.map { blks =>
+      def laneMask(lane: Int): Long = blks
+        .map(blocks).filter(_._1 == lane)
+        .map { case (_, off, w) => ((1L << w) - 1) << off }
+        .foldLeft(0L)(_ | _)
+      (laneMask(0), laneMask(1))
+    }
+    def firstMatch(diff0: Column, diff1: Column): Column =
+      call_function("first_clean_subset2", diff0, diff1,
+        lit(subsetMasks.map(_._1).toArray), lit(subsetMasks.map(_._2).toArray))
+    left.hint("merge").join(right.hint("merge"), joinKeys)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__d0", col("s0_a").bitwiseXOR(col("s0_b")))
+      .withColumn("__d1", col("s1_a").bitwiseXOR(col("s1_b")))
+      .filter(col("chunk") === firstMatch(col("__d0"), col("__d1")))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("__d0")) + bit_count(col("__d1"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -195,6 +195,91 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("wide simhash: lane 0 equals the narrow sketch; wide distances separate like narrow") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = docs.select($"doc_id", Dedup.simHash($"text").as("sim"),
+        Dedup.simHashWide($"text").as("sims"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("sim"), r.getSeq[Long](2))))
+      .toMap
+    // the wide sketch's first lane IS the narrow sketch — a narrow-radius
+    // user migrating to the wide operator changes resolution, not hash
+    rows.values.foreach { case (sim, sims) =>
+      assert(sims.length == 2 && sims.head == sim)
+      assert(sims(1) >= 0L && sims(1) < (1L << 60)) // lane 1 positive, 60-bit
+    }
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      java.lang.Long.bitCount(a(0) ^ b(0)) + java.lang.Long.bitCount(a(1) ^ b(1))
+    assert(ham(rows(0L)._2, rows(1L)._2) == 0) // exact dup
+    assert(ham(rows(0L)._2, rows(2L)._2) <= 16) // near dup stays near at 2x bits
+    assert(ham(rows(0L)._2, rows(4L)._2) > 16) // unrelated stays far
+  }
+
+  test("wide simhash near-dup pairs via banding (text surface)") {
+    val pairs = Dedup.simHashNearDupsWide(docs, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("wide simhash banding equals the all-pairs truth for every dial setting") {
+    // randomized two-lane sketches with planted clusters: the banded +
+    // exactly-once-emission pipeline must reproduce the brute-force
+    // two-lane hamming pair set for every (keyBlocks, slices) dial
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 40L).map { i =>
+      val b0 = if (i % 4 == 0) 0L else rnd.nextLong() >>> 4
+      val b1 = if (i % 4 == 0) 0L else rnd.nextLong() >>> 4
+      val f0 = (0 until rnd.nextInt(7)).map(_ => 1L << rnd.nextInt(60)).foldLeft(0L)(_ | _)
+      val f1 = (0 until rnd.nextInt(7)).map(_ => 1L << rnd.nextInt(60)).foldLeft(0L)(_ | _)
+      (i, Array(b0 ^ f0, b1 ^ f1))
+    }
+    val truth = (for {
+      (a, sa) <- data; (b, sb) <- data if a < b
+      h = java.lang.Long.bitCount(sa(0) ^ sb(0)) + java.lang.Long.bitCount(sa(1) ^ sb(1))
+      if h <= 8
+    } yield (a, b, h)).toSet
+    assert(truth.nonEmpty)
+    val sims = data.toDF("id", "sims")
+    for (kb <- Seq(1, 2, 3); m <- Seq(1, 3)) {
+      val got = Dedup.simHashNearDupsWideFromSims(sims, maxHamming = 8,
+          keyBlocks = kb, slices = m)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Int]("hamming"))).toSet
+      assert(got == truth, s"keyBlocks=$kb slices=$m diverged from all-pairs truth")
+    }
+  }
+
+  test("wide simhash pigeonhole boundary: 8 differing bits across lanes caught, 9 missed") {
+    // 5 flips in lane 0 + 3 in lane 1 = hamming 8 (kept at radius 8);
+    // adding one more lane-1 flip makes 9 (excluded) — the radius counts
+    // BOTH lanes even though any single block sees only one
+    val d0 = Seq(3, 17, 29, 41, 55).map(1L << _).reduce(_ | _)
+    val d1 = Seq(5, 23, 47).map(1L << _).reduce(_ | _)
+    val sims = Seq(
+      (0L, Array(0L, 0L)), (1L, Array(d0, d1)), (2L, Array(d0, d1 | (1L << 58)))
+    ).toDF("id", "sims")
+    val pairs = Dedup.simHashNearDupsWideFromSims(sims, maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("wide simhash keyBlocks dial: the 2x block width unlocks the step radius 8 refused") {
+    // at 60 bits, radius 8's blocks are ~7 bits and the model refuses to
+    // step at any n (entropy-saturated; the measured frontier). At 120
+    // bits the same radius gets ~13-bit blocks, and the model steps to 2
+    // as soon as the predicted volume clears the work floor
+    val wide = graft.functions.SimHashUtil.WideBits
+    assert(Dedup.simHashKeyBlocksFor(5000L, maxHamming = 8, bits = wide) == 1)
+    assert(Dedup.simHashKeyBlocksFor(50000L, maxHamming = 8, bits = wide) == 2)
+    assert(Dedup.simHashKeyBlocksFor(500000L, maxHamming = 8, bits = wide) == 2)
+    assert(Dedup.simHashKeyBlocksFor(5000000L, maxHamming = 8, bits = wide) == 2)
+    // narrow stays refused (the existing dial contract, now via the param)
+    assert(Dedup.simHashKeyBlocksFor(500000L, maxHamming = 8, bits = 60) == 1)
+  }
+
   test("vec_dot returns null on length mismatch (matches HOF contract)") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")

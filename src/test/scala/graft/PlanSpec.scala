@@ -350,10 +350,12 @@ class PlanSpec extends AnyFunSuite {
     val pSim = plan(Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 8))
     val pSimSliced = plan(Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 8,
       keyBlocks = 2, slices = 3))
+    val pSimWide = plan(Dedup.simHashNearDupsWide(docs, "text", "doc_id", maxHamming = 8,
+      keyBlocks = 2))
     val pSrp = plan(Dedup.embeddingNearDups(emb, "embedding", "vec_id",
       threshold = 0.45, planes = 5, tables = 4,
       materialize = graft.ops.Dedup.Materialize.Lazy))
-    for (p <- Seq(pSim, pSimSliced, pSrp)) {
+    for (p <- Seq(pSim, pSimSliced, pSimWide, pSrp)) {
       assert(p.contains("SortMergeJoin"), p) // the banded self-join
       assert(!p.contains("CartesianProduct"), p)
     }
@@ -363,10 +365,12 @@ class PlanSpec extends AnyFunSuite {
     // which is exactly right and orthogonal to self-join parallelism
     assert(!pSim.contains("BroadcastHashJoin"), pSim)
     assert(!pSimSliced.contains("BroadcastHashJoin"), pSimSliced)
+    assert(!pSimWide.contains("BroadcastHashJoin"), pSimWide)
     // the exactly-once emission rule runs as the native expression, not a
     // when-chain the optimizer could inline past the JIT bytecode ceiling
     assert(pSim.contains("first_clean_subset"), pSim)
     assert(pSimSliced.contains("first_clean_subset"), pSimSliced)
+    assert(pSimWide.contains("first_clean_subset2"), pSimWide)
   }
 
   test("IVF-PQ: the ADC scan joins on the CELL — never a corpus-wide cross") {

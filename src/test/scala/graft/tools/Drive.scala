@@ -94,6 +94,15 @@ object Drive {
     simPairs.orderBy(col("id_a"), col("id_b")).show(5)
     simPairs.explain("formatted")
 
+    println("== round-11: wide (120-bit two-lane) SimHash — the radius-8 resolution escape ==")
+    docs.select(col("doc_id"), graft.ops.Dedup.simHashWide(col("text")).as("sims")).show(3, truncate = 48)
+    val widePairs = graft.ops.Dedup.simHashNearDupsWide(docs, "text", "doc_id",
+      maxHamming = 8, keyBlocks = 2)
+    println(s"wide simhash near-dup pairs at radius 8/120 (vs ${simPairs.count()} at 8/60): " +
+      s"${widePairs.count()}")
+    widePairs.orderBy(col("id_a"), col("id_b")).show(5)
+    widePairs.explain("formatted")
+
     println("== round-4: dialect extensions <=/>= , SELECT *, arithmetic ==")
     graft.Compiler.queryOrThrow(li,
       "SELECT l_orderkey, l_quantity WHERE (l_quantity <= 2) OR (l_quantity >= 50)",
