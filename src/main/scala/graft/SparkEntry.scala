@@ -1245,10 +1245,20 @@ object SparkEntry {
     // SQ ANN (FAISS SQ8 rung: 8 bits/dimension, training-free): the scan
     // reads int codes only; per-probe affine fold + native sq_dot +
     // exact re-rank — rows-only (approximate), recall contracted below
+    // FULL oracle despite the "approximate" label: every stage is a
+    // deterministic function of the data — affine int8 codes (the
+    // q_emb_sq_codes arithmetic, over the normalized corpus), the
+    // integer-free approx score bias + Σ code_d·pw_d, the (approx desc,
+    // id asc) candidate cut at rerank×k, and the exact-cosine re-rank —
+    // so DuckDB replays the whole pipeline. "Approximate" refers to the
+    // top-k vs the EXACT top-k (recall metered by q_sim_sq_recall), not
+    // to any nondeterminism. Cosine reported at 4 dp like
+    // q_sim_bruteforce_topk (raw-cosine ranking, rounded display).
     "q_sim_sq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       ops.Similarity.sqTopK(sqFor(s, dir, normalize = true), emb,
         emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, rerank = 8)
+        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -1281,10 +1291,15 @@ object SparkEntry {
     // doubling the re-ranked tail bought the recall floor a >= 0.15
     // margin (was 0.72 vs 0.6 at sf0.1, one unlucky tie-break from
     // flapping) for negligible scan cost.
+    // FULL oracle, same argument as q_sim_sq_topk: sign codes and the
+    // hamming candidate score are integer-exact, the cut and re-rank are
+    // deterministic by (score, id) — DuckDB replays sign-disagreement
+    // counts without even packing words.
     "q_sim_bq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       ops.Similarity.bqTopK(emb, emb.filter(col("vec_id") < 10),
         "embedding", "vec_id", k = 5, rerank = 64)
+        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -3911,6 +3926,99 @@ object SparkEntry {
         |       (SELECT * FROM embeddings WHERE vec_id < 10
         |        AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0) p
         |  WHERE c.vec_id <> p.vec_id
+        |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // binary-quantization top-k replayed end to end: hamming = count of
+    // sign disagreements (≡ XOR+popcount of the packed words, without
+    // packing), candidate cut row_number() by (hamming asc, id asc) ≤
+    // rerank×k = 320 — exactly topk_by_score's (score desc, id asc) on
+    // approx = −hamming — then the exact-cosine re-rank and the
+    // bruteforce row's round(round(·,6),4) display discipline
+    "q_sim_bq_topk" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), cand AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY p.vec_id
+        |             ORDER BY len(list_filter(range(1, 65),
+        |               d -> (c.e[d] > 0) <> (p.e[d] > 0))) ASC, c.vec_id ASC) AS cut
+        |    FROM emb c, (SELECT * FROM emb WHERE vec_id < 10) p
+        |    WHERE c.vec_id <> p.vec_id
+        |  ) WHERE cut <= 320
+        |)
+        |SELECT probe_id, neighbor_id, round(round(cosine, 6), 4) AS cosine, rank FROM (
+        |  SELECT probe_id, neighbor_id, cosine,
+        |         row_number() OVER (
+        |           PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT cand.probe_id, cand.neighbor_id,
+        |           list_dot_product(p.e, c.e)
+        |             / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) AS cosine
+        |    FROM cand
+        |    JOIN emb c ON c.vec_id = cand.neighbor_id
+        |    JOIN emb p ON p.vec_id = cand.probe_id
+        |  )
+        |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // SQ8 top-k replayed end to end: L2-normalize (the q_emb_normalize
+    // arithmetic), per-dim min/max → the q_emb_sq_codes affine code
+    // arithmetic over the NORMALIZED corpus, approx = bias + Σ c_d·pw_d
+    // via list_dot_product (sequential double accumulation, matching the
+    // native sq_dot loop), candidate cut ≤ rerank×k = 40 by (approx
+    // desc, id asc), exact-cosine re-rank on the RAW vectors
+    "q_sim_sq_topk" ->
+      """WITH norm AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(nsq)) AS v
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        |    FROM embeddings
+        |  ) WHERE nsq > 0
+        |), pmat AS (
+        |  SELECT list(mn ORDER BY d) AS mn,
+        |         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0 END ORDER BY d) AS s,
+        |         list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0 END ORDER BY d) AS w
+        |  FROM (
+        |    SELECT CAST(d AS INTEGER) AS d, min(v[CAST(d AS INTEGER)]) AS mn,
+        |           max(v[CAST(d AS INTEGER)]) AS mx
+        |    FROM norm, range(1, 65) r(d) GROUP BY 1
+        |  )
+        |), codes AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, 65), d -> CAST(least(greatest(
+        |      CAST(floor((v[CAST(d AS INTEGER)] - pm.mn[CAST(d AS INTEGER)])
+        |        * pm.s[CAST(d AS INTEGER)] + 0.5) AS INTEGER), 0), 255) AS DOUBLE)) AS cl
+        |  FROM norm, pmat pm
+        |), probes AS (
+        |  SELECT vec_id, list_dot_product(v, pm.mn) AS bias,
+        |    list_transform(range(1, 65),
+        |      d -> v[CAST(d AS INTEGER)] * pm.w[CAST(d AS INTEGER)]) AS pwl
+        |  FROM norm, pmat pm WHERE vec_id < 10
+        |), cand AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY p.vec_id
+        |             ORDER BY p.bias + list_dot_product(c.cl, p.pwl) DESC, c.vec_id ASC) AS cut
+        |    FROM codes c, probes p WHERE c.vec_id <> p.vec_id
+        |  ) WHERE cut <= 40
+        |), emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |)
+        |SELECT probe_id, neighbor_id, round(round(cosine, 6), 4) AS cosine, rank FROM (
+        |  SELECT probe_id, neighbor_id, cosine,
+        |         row_number() OVER (
+        |           PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT cand.probe_id, cand.neighbor_id,
+        |           list_dot_product(p.e, c.e)
+        |             / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) AS cosine
+        |    FROM cand
+        |    JOIN emb c ON c.vec_id = cand.neighbor_id
+        |    JOIN emb p ON p.vec_id = cand.probe_id
+        |  )
         |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     // band filter on round(cosine, 6) — mirrors hardNegatives/hardPositives,
