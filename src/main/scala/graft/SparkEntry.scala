@@ -4021,6 +4021,125 @@ object SparkEntry {
         |  )
         |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
+    // the recall METERS for the two oracled quantized searches are
+    // themselves deterministic end to end — hash-sampled probes (the
+    // md5Long60 salted-hash replay, oneIn corpus-aware via a scalar
+    // subquery), exact truth by (cosine desc, id asc), the same quantized
+    // candidate pipeline as the topk rows, and recall = |∩|/|truth| —
+    // so the meter a 100 TB pipeline watches is itself hash-verified
+    "q_sim_bq_recall" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), nv AS (SELECT count(*) AS n FROM embeddings
+        |), probes AS (
+        |  SELECT vec_id, e FROM emb
+        |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#recall-probe'), 1, 15) AS BIGINT)
+        |        % (SELECT greatest(25, n // 80) FROM nv) = 0
+        |), truth AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |             list_dot_product(p.e, c.e)
+        |               / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+        |             c.vec_id) AS rank
+        |    FROM emb c, probes p WHERE c.vec_id <> p.vec_id
+        |  ) WHERE rank <= 5
+        |), cand AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY p.vec_id
+        |             ORDER BY len(list_filter(range(1, 65),
+        |               d -> (c.e[d] > 0) <> (p.e[d] > 0))) ASC, c.vec_id ASC) AS cut
+        |    FROM emb c, probes p WHERE c.vec_id <> p.vec_id
+        |  ) WHERE cut <= 5 * (SELECT greatest(64, n // 31) FROM nv)
+        |), approx AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT cand.probe_id, cand.neighbor_id,
+        |           row_number() OVER (PARTITION BY cand.probe_id ORDER BY
+        |             list_dot_product(p.e, c.e)
+        |               / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+        |             cand.neighbor_id) AS rank
+        |    FROM cand
+        |    JOIN emb c ON c.vec_id = cand.neighbor_id
+        |    JOIN emb p ON p.vec_id = cand.probe_id
+        |  ) WHERE rank <= 5
+        |), hit AS (SELECT * FROM truth INTERSECT SELECT * FROM approx)
+        |SELECT (SELECT count(*) FROM truth) AS n_true,
+        |       (SELECT count(*) FROM hit) AS n_found,
+        |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+        |             / (SELECT count(*) FROM truth), 6) AS recall""".stripMargin,
+
+    "q_sim_sq_recall" ->
+      """WITH norm AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(nsq)) AS v
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        |    FROM embeddings
+        |  ) WHERE nsq > 0
+        |), pmat AS (
+        |  SELECT list(mn ORDER BY d) AS mn,
+        |         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0 END ORDER BY d) AS s,
+        |         list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0 END ORDER BY d) AS w
+        |  FROM (
+        |    SELECT CAST(d AS INTEGER) AS d, min(v[CAST(d AS INTEGER)]) AS mn,
+        |           max(v[CAST(d AS INTEGER)]) AS mx
+        |    FROM norm, range(1, 65) r(d) GROUP BY 1
+        |  )
+        |), codes AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, 65), d -> CAST(least(greatest(
+        |      CAST(floor((v[CAST(d AS INTEGER)] - pm.mn[CAST(d AS INTEGER)])
+        |        * pm.s[CAST(d AS INTEGER)] + 0.5) AS INTEGER), 0), 255) AS DOUBLE)) AS cl
+        |  FROM norm, pmat pm
+        |), nv AS (SELECT count(*) AS n FROM embeddings
+        |), sel AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#recall-probe'), 1, 15) AS BIGINT)
+        |        % (SELECT greatest(25, n // 80) FROM nv) = 0
+        |), pq AS (
+        |  SELECT vec_id, list_dot_product(v, pm.mn) AS bias,
+        |    list_transform(range(1, 65),
+        |      d -> v[CAST(d AS INTEGER)] * pm.w[CAST(d AS INTEGER)]) AS pwl
+        |  FROM norm, pmat pm WHERE vec_id IN (SELECT vec_id FROM sel)
+        |), emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), truth AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |             list_dot_product(p.e, c.e)
+        |               / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+        |             c.vec_id) AS rank
+        |    FROM emb c, (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM sel)) p
+        |    WHERE c.vec_id <> p.vec_id
+        |  ) WHERE rank <= 5
+        |), cand AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY p.vec_id
+        |             ORDER BY p.bias + list_dot_product(c.cl, p.pwl) DESC, c.vec_id ASC) AS cut
+        |    FROM codes c, pq p WHERE c.vec_id <> p.vec_id
+        |  ) WHERE cut <= 40
+        |), approx AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT cand.probe_id, cand.neighbor_id,
+        |           row_number() OVER (PARTITION BY cand.probe_id ORDER BY
+        |             list_dot_product(p.e, c.e)
+        |               / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+        |             cand.neighbor_id) AS rank
+        |    FROM cand
+        |    JOIN emb c ON c.vec_id = cand.neighbor_id
+        |    JOIN emb p ON p.vec_id = cand.probe_id
+        |  ) WHERE rank <= 5
+        |), hit AS (SELECT * FROM truth INTERSECT SELECT * FROM approx)
+        |SELECT (SELECT count(*) FROM truth) AS n_true,
+        |       (SELECT count(*) FROM hit) AS n_found,
+        |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+        |             / (SELECT count(*) FROM truth), 6) AS recall""".stripMargin,
+
     // band filter on round(cosine, 6) — mirrors hardNegatives/hardPositives,
     // which band on the reported (rounded) value so the advertised exclusive
     // boundary holds on the output; zero vectors excluded like the Spark side

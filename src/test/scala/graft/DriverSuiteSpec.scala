@@ -45,11 +45,13 @@ class DriverSuiteSpec extends AnyFunSuite {
     // q_dsir_mixture (recursive-CTE EG replay) gained full oracles;
     // 31 → 28 in round 11: q_dedup_d4 (cell-quota mirror), q_lm_bucket_approx
     // (≤1%-moved invariant), q_stats_approx_distinct (exact-side oracle);
-    // 28 → 26 later in round 11: q_sim_bq_topk and q_sim_sq_topk are
-    // deterministic quantize → (score, id)-cut → exact-rerank pipelines,
-    // replayed end to end in DuckDB ("approximate" = vs the exact top-k,
-    // metered by their _recall twins, not nondeterminism)
-    assert(rowsOnly.size == 26, s"rows-only query count changed (${rowsOnly.size}): " +
+    // 28 → 24 later in round 11: q_sim_bq_topk / q_sim_sq_topk and their
+    // _recall meters are deterministic quantize → (score, id)-cut →
+    // exact-rerank pipelines (probes are the md5-salted hash sample, also
+    // replayable), so DuckDB replays them end to end ("approximate" = vs
+    // the exact top-k, never nondeterminism — and now even the METER
+    // measuring that gap is hash-verified)
+    assert(rowsOnly.size == 24, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
