@@ -1120,10 +1120,19 @@ object SparkEntry {
     // sf0.01 — above the 0.6 floor but within one config shift of
     // flapping; 24 tables buys the margin for 1.5× the banded rows.
     // The ≥ 0.6 floor is contracted in DriverSuiteSpec at both SFs.
+    // FULL oracle since round 11: the SRP hash family is splitmix64 of
+    // (table, plane, dim) — 64-bit wrapping arithmetic DuckDB replays in
+    // HUGEINT u-space (the oracle's seeds→signs CTE chain, verified
+    // bit-for-bit over all 7,680 lanes) — and everything downstream is
+    // deterministic: bucket bits, the >10k corpus-bucket guard, pair
+    // dedup, exact-cosine rank by (cosine desc, id asc). Approximate
+    // means vs the exact top-k (metered by q_sim_lsh_recall — itself
+    // oracled the same way), never nondeterminism.
     "q_sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
         k = 5, planes = 5, tables = 24)
+        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -3550,6 +3559,68 @@ object SparkEntry {
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= $maxHamming""".stripMargin
 
+  /** The SRP-LSH banding replayed from scratch in DuckDB: the sign for
+    * (table, plane, dim) is the low bit of splitmix64(t<<48 | p<<32 | d)
+    * — the exact [[graft.functions.SrpBands]] / `Similarity.planeWeights`
+    * derivation — computed in HUGEINT u-space (64-bit wrapping add/mul
+    * via 32-bit split multiplies; xor through a signed-BIGINT fold, which
+    * is bitwise-identical), then per-(vector, table) bucket bits from the
+    * sign of each plane's ±1 dot product, and the >`maxBucket` corpus
+    * bucket guard. Returns the WITH-prefix up to `emb` (nonzero vectors
+    * as double lists) and `buckets` (vec_id, t, bucket); callers append
+    * the candidate/rank tail.
+    */
+  private def oracleSrpBuckets(planes: Int, tables: Int): String = {
+    def fold(u: String): String =
+      s"CAST($u - CASE WHEN $u >= 9223372036854775808::HUGEINT " +
+        s"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+    def unfold(sb: String): String =
+      s"(CAST($sb AS HUGEINT) + CASE WHEN $sb < 0 " +
+        s"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    // (a * c) mod 2^64 with a < 2^64: split a into 32-bit halves so no
+    // intermediate exceeds HUGEINT's 2^127 ceiling
+    def umul(a: String, c: String): String =
+      s"((($a % 4294967296::HUGEINT) * $c " +
+        s"+ ((($a // 4294967296::HUGEINT) * $c) % 4294967296::HUGEINT) " +
+        s"* 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)"
+    s"""WITH seeds AS (
+       |  SELECT t.range AS t, p.range AS p, d.range AS d,
+       |    CAST(t.range AS HUGEINT) * 281474976710656::HUGEINT
+       |      + CAST(p.range AS HUGEINT) * 4294967296::HUGEINT
+       |      + CAST(d.range AS HUGEINT) AS x0
+       |  FROM range(0, $tables) t, range(0, $planes) p, range(0, 64) d
+       |), a1 AS (
+       |  SELECT t, p, d, (x0 + 11400714819323198485::HUGEINT)
+       |    % 18446744073709551616::HUGEINT AS x1 FROM seeds
+       |), a2 AS (
+       |  SELECT t, p, d, xor(${fold("x1")},
+       |    CAST((x1 // 1073741824::HUGEINT) AS BIGINT)) AS xb1 FROM a1
+       |), a3 AS (
+       |  SELECT t, p, d, ${umul(unfold("xb1"), "13787848793156543929::HUGEINT")} AS x2 FROM a2
+       |), a4 AS (
+       |  SELECT t, p, d, xor(${fold("x2")},
+       |    CAST((x2 // 134217728::HUGEINT) AS BIGINT)) AS xb2 FROM a3
+       |), a5 AS (
+       |  SELECT t, p, d, ${umul(unfold("xb2"), "10723151780598845931::HUGEINT")} AS x3 FROM a4
+       |), sgn AS (
+       |  SELECT t, p, d,
+       |    CASE WHEN (xor(${fold("x3")},
+       |      CAST((x3 // 2147483648::HUGEINT) AS BIGINT)) & 1) = 1
+       |    THEN 1.0 ELSE -1.0 END AS sv
+       |  FROM a5
+       |), smat AS (
+       |  SELECT t, p, list(sv ORDER BY d) AS sv FROM sgn GROUP BY t, p
+       |), emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+       |), buckets AS (
+       |  SELECT emb.vec_id, smat.t,
+       |    CAST(sum(CASE WHEN list_dot_product(emb.e, smat.sv) >= 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(smat.p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM emb, smat GROUP BY emb.vec_id, smat.t
+       |)""".stripMargin
+  }
+
   /** Connected components over the exact near-dup pair graph, as a
     * recursive CTE: cc accumulates every (node, reachable-origin) pair —
     * UNION dedups so the fixpoint is finite — and min(comp) per node is
@@ -4020,6 +4091,80 @@ object SparkEntry {
         |    JOIN emb p ON p.vec_id = cand.probe_id
         |  )
         |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // SRP-LSH top-k replayed from scratch: splitmix64 signs in HUGEINT
+    // u-space (oracleSrpBuckets), per-table bucket bits, the >10k corpus
+    // bucket guard (QUALIFY), pair dedup across tables, exact-cosine
+    // re-rank — the whole approximate-search pipeline, hash-verified
+    "q_sim_lsh_topk" ->
+      (oracleSrpBuckets(planes = 5, tables = 24) +
+        """, cband AS (
+          |  SELECT t, bucket, vec_id AS neighbor_id FROM buckets
+          |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000
+          |), pband AS (
+          |  SELECT t, bucket, vec_id AS probe_id FROM buckets WHERE vec_id < 10
+          |), cands AS (
+          |  SELECT DISTINCT probe_id, neighbor_id
+          |  FROM cband JOIN pband USING (t, bucket)
+          |  WHERE probe_id <> neighbor_id
+          |)
+          |SELECT probe_id, neighbor_id, round(round(cosine, 6), 4) AS cosine, rank FROM (
+          |  SELECT probe_id, neighbor_id, cosine,
+          |         row_number() OVER (
+          |           PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+          |  FROM (
+          |    SELECT cands.probe_id, cands.neighbor_id,
+          |           list_dot_product(p.e, c.e)
+          |             / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) AS cosine
+          |    FROM cands
+          |    JOIN emb c ON c.vec_id = cands.neighbor_id
+          |    JOIN emb p ON p.vec_id = cands.probe_id
+          |  )
+          |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin),
+
+    "q_sim_lsh_recall" ->
+      (oracleSrpBuckets(planes = 5, tables = 24) +
+        """, nv AS (SELECT count(*) AS n FROM embeddings
+          |), sel AS (
+          |  SELECT vec_id FROM embeddings
+          |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#recall-probe'), 1, 15) AS BIGINT)
+          |        % (SELECT greatest(25, n // 80) FROM nv) = 0
+          |), truth AS (
+          |  SELECT probe_id, neighbor_id FROM (
+          |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+          |             list_dot_product(p.e, c.e)
+          |               / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+          |             c.vec_id) AS rank
+          |    FROM emb c, (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM sel)) p
+          |    WHERE c.vec_id <> p.vec_id
+          |  ) WHERE rank <= 5
+          |), cband AS (
+          |  SELECT t, bucket, vec_id AS neighbor_id FROM buckets
+          |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000
+          |), pband AS (
+          |  SELECT t, bucket, vec_id AS probe_id FROM buckets
+          |  WHERE vec_id IN (SELECT vec_id FROM sel)
+          |), cands AS (
+          |  SELECT DISTINCT probe_id, neighbor_id
+          |  FROM cband JOIN pband USING (t, bucket)
+          |  WHERE probe_id <> neighbor_id
+          |), approx AS (
+          |  SELECT probe_id, neighbor_id FROM (
+          |    SELECT cands.probe_id, cands.neighbor_id,
+          |           row_number() OVER (PARTITION BY cands.probe_id ORDER BY
+          |             list_dot_product(p.e, c.e)
+          |               / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+          |             cands.neighbor_id) AS rank
+          |    FROM cands
+          |    JOIN emb c ON c.vec_id = cands.neighbor_id
+          |    JOIN emb p ON p.vec_id = cands.probe_id
+          |  ) WHERE rank <= 5
+          |), hit AS (SELECT * FROM truth INTERSECT SELECT * FROM approx)
+          |SELECT (SELECT count(*) FROM truth) AS n_true,
+          |       (SELECT count(*) FROM hit) AS n_found,
+          |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          |             / (SELECT count(*) FROM truth), 6) AS recall""".stripMargin),
 
     // the recall METERS for the two oracled quantized searches are
     // themselves deterministic end to end — hash-sampled probes (the

@@ -51,7 +51,11 @@ class DriverSuiteSpec extends AnyFunSuite {
     // replayable), so DuckDB replays them end to end ("approximate" = vs
     // the exact top-k, never nondeterminism — and now even the METER
     // measuring that gap is hash-verified)
-    assert(rowsOnly.size == 24, s"rows-only query count changed (${rowsOnly.size}): " +
+    // 24 → 22: q_sim_lsh_topk / q_sim_lsh_recall — the SRP sign family is
+    // splitmix64 of (table, plane, dim), replayed in DuckDB HUGEINT
+    // u-space bit-for-bit, so even the LSH search pipeline is
+    // deterministic end to end
+    assert(rowsOnly.size == 22, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
