@@ -3570,7 +3570,17 @@ object SparkEntry {
     * as double lists) and `buckets` (vec_id, t, bucket); callers append
     * the candidate/rank tail.
     */
-  private def oracleSrpBuckets(planes: Int, tables: Int): String = {
+  private def oracleSrpBuckets(planes: Int, tables: Int): String =
+    oracleSrpBucketsDyn(planes.toString, tables.toString)
+
+  /** [[oracleSrpBuckets]] with planes/tables as SQL expressions (scalar
+    * subqueries for corpus-aware configs — `pre` injects the cfg CTEs
+    * they reference) and an optional zero-vector filter (lshScored drops
+    * zero vectors before banding; embeddingNearDups bands everything —
+    * mirror whichever the operator does).
+    */
+  private def oracleSrpBucketsDyn(planes: String, tables: String,
+      pre: String = "", zeroFilter: Boolean = true): String = {
     def fold(u: String): String =
       s"CAST($u - CASE WHEN $u >= 9223372036854775808::HUGEINT " +
         s"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
@@ -3583,12 +3593,21 @@ object SparkEntry {
       s"((($a % 4294967296::HUGEINT) * $c " +
         s"+ ((($a // 4294967296::HUGEINT) * $c) % 4294967296::HUGEINT) " +
         s"* 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)"
-    s"""WITH seeds AS (
+    // DuckDB's range() takes only constant bounds — corpus-aware configs
+    // enumerate a fixed ceiling and filter against the cfg scalar before
+    // the splitmix chain runs (the filter is the first op, so only real
+    // (t, p, d) lanes pay the arithmetic)
+    val lit = (s: String) => s.forall(_.isDigit)
+    val (tBound, pBound) = (if (lit(tables)) tables else "2048", if (lit(planes)) planes else "32")
+    val seedFilter =
+      if (lit(tables) && lit(planes)) ""
+      else s"\n  WHERE t.range < ($tables) AND p.range < ($planes)"
+    s"""WITH ${pre}seeds AS (
        |  SELECT t.range AS t, p.range AS p, d.range AS d,
        |    CAST(t.range AS HUGEINT) * 281474976710656::HUGEINT
        |      + CAST(p.range AS HUGEINT) * 4294967296::HUGEINT
        |      + CAST(d.range AS HUGEINT) AS x0
-       |  FROM range(0, $tables) t, range(0, $planes) p, range(0, 64) d
+       |  FROM range(0, $tBound) t, range(0, $pBound) p, range(0, 64) d$seedFilter
        |), a1 AS (
        |  SELECT t, p, d, (x0 + 11400714819323198485::HUGEINT)
        |    % 18446744073709551616::HUGEINT AS x1 FROM seeds
@@ -3612,7 +3631,7 @@ object SparkEntry {
        |  SELECT t, p, list(sv ORDER BY d) AS sv FROM sgn GROUP BY t, p
        |), emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-       |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+       |  ${if (zeroFilter) "WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0" else ""}
        |), buckets AS (
        |  SELECT emb.vec_id, smat.t,
        |    CAST(sum(CASE WHEN list_dot_product(emb.e, smat.sv) >= 0
@@ -3845,6 +3864,92 @@ object SparkEntry {
     "q_dedup_simhash_r3" -> oracleSimHash(maxHamming = 3),
     "q_dedup_simhash_wide" -> oracleSimHashWide(maxHamming = 8),
     "q_dedup_simhash_wide_k2" -> oracleSimHashWide(maxHamming = 8),
+
+    // SRP-banded embedding near-dup replayed from scratch (the
+    // q_sim_lsh_topk machinery): splitmix64 signs, corpus-aware
+    // (planes, tables) mirrored as the cfg CTEs — srpConfigFor's exact
+    // arithmetic, ln/acos/pow/ceil shared IEEE functions — bucket
+    // self-join candidates, exact-cosine >= threshold on the RAW value,
+    // rounded display. embeddingNearDups bands every vector (no
+    // zero-vector drop), hence zeroFilter = false.
+    "q_dedup_embedding" ->
+      (oracleSrpBucketsDyn("(SELECT planes FROM cfg)", "(SELECT tables FROM cfg2)",
+        pre = """cfgn AS (SELECT count(*) AS n FROM embeddings
+          |), cfg AS (
+          |  SELECT CASE WHEN n <= 2000 THEN 5
+          |    ELSE 5 + CAST(floor(ln(CAST(n AS DOUBLE) / 2000.0) / ln(2.0)) AS INTEGER) END AS planes
+          |  FROM cfgn
+          |), cfg2 AS (
+          |  SELECT CASE WHEN (SELECT n FROM cfgn) <= 2000 THEN 12
+          |    ELSE CAST(ceil(ln(0.25)
+          |      / ln(1.0 - pow(1.0 - acos(0.45) / pi(), planes))) AS INTEGER) END AS tables
+          |  FROM cfg
+          |), """.stripMargin, zeroFilter = false) +
+        """, cband AS (
+          |  SELECT t, bucket, vec_id FROM buckets
+          |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000
+          |), cand AS (
+          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM cband a JOIN cband b
+          |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |)
+          |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+          |  SELECT cand.id_a, cand.id_b,
+          |         list_dot_product(x.e, y.e)
+          |           / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cosine
+          |  FROM cand
+          |  JOIN emb x ON x.vec_id = cand.id_a
+          |  JOIN emb y ON y.vec_id = cand.id_b
+          |) WHERE cosine >= 0.45""".stripMargin),
+
+    // and the meter over it: hash-sampled exact truth (least/greatest
+    // pair normalization, probe != other, RAW-cosine threshold) vs the
+    // replayed banded pass — n_true / n_found / recall, hash-verified
+    "q_dedup_embedding_recall" ->
+      (oracleSrpBucketsDyn("(SELECT planes FROM cfg)", "(SELECT tables FROM cfg2)",
+        pre = """cfgn AS (SELECT count(*) AS n FROM embeddings
+          |), cfg AS (
+          |  SELECT CASE WHEN n <= 2000 THEN 5
+          |    ELSE 5 + CAST(floor(ln(CAST(n AS DOUBLE) / 2000.0) / ln(2.0)) AS INTEGER) END AS planes
+          |  FROM cfgn
+          |), cfg2 AS (
+          |  SELECT CASE WHEN (SELECT n FROM cfgn) <= 2000 THEN 12
+          |    ELSE CAST(ceil(ln(0.25)
+          |      / ln(1.0 - pow(1.0 - acos(0.45) / pi(), planes))) AS INTEGER) END AS tables
+          |  FROM cfg
+          |), """.stripMargin, zeroFilter = false) +
+        """, truth AS (
+          |  SELECT DISTINCT least(p.vec_id, o.vec_id) AS id_a,
+          |                  greatest(p.vec_id, o.vec_id) AS id_b
+          |  FROM (SELECT * FROM emb
+          |        WHERE list_dot_product(e, e) > 0
+          |          AND CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#recall-probe'), 1, 15) AS BIGINT)
+          |              % (SELECT greatest(4, n // 500) FROM cfgn) = 0) p,
+          |       (SELECT * FROM emb WHERE list_dot_product(e, e) > 0) o
+          |  WHERE p.vec_id <> o.vec_id
+          |    AND list_dot_product(p.e, o.e)
+          |          / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(o.e, o.e))) >= 0.45
+          |), cband AS (
+          |  SELECT t, bucket, vec_id FROM buckets
+          |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000
+          |), cand AS (
+          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM cband a JOIN cband b
+          |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |), found AS (
+          |  SELECT id_a, id_b FROM (
+          |    SELECT cand.id_a, cand.id_b,
+          |           list_dot_product(x.e, y.e)
+          |             / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cosine
+          |    FROM cand
+          |    JOIN emb x ON x.vec_id = cand.id_a
+          |    JOIN emb y ON y.vec_id = cand.id_b
+          |  ) WHERE cosine >= 0.45
+          |), hit AS (SELECT * FROM truth INTERSECT SELECT * FROM found)
+          |SELECT (SELECT count(*) FROM truth) AS n_true,
+          |       (SELECT count(*) FROM hit) AS n_found,
+          |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          |             / (SELECT count(*) FROM truth), 6) AS recall""".stripMargin),
 
     "q_dedup_components" -> oracleNearDupComponents,
 

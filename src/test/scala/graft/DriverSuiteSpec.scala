@@ -55,7 +55,10 @@ class DriverSuiteSpec extends AnyFunSuite {
     // splitmix64 of (table, plane, dim), replayed in DuckDB HUGEINT
     // u-space bit-for-bit, so even the LSH search pipeline is
     // deterministic end to end
-    assert(rowsOnly.size == 22, s"rows-only query count changed (${rowsOnly.size}): " +
+    // 22 → 20: q_dedup_embedding / q_dedup_embedding_recall — same SRP
+    // replay with the corpus-aware (planes, tables) cfg mirrored in SQL
+    // (verified through the dynamic branch at the generated sf1)
+    assert(rowsOnly.size == 20, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
