@@ -1180,11 +1180,16 @@ object SparkEntry {
     // fewer planes keep collision probability up. Approximate → rows-only,
     // with recall rows vs the exact miners contracted ≥ 0.6 (measured
     // 0.82/0.90 neg, 0.92/0.86 pos at sf0.01/sf0.1).
+    // FULL oracles since round 11 (the q_sim_lsh_topk treatment): the
+    // banded miners are the SRP splitmix64 replay + the exact miners'
+    // rounded-cosine band + (cosine, id) rank — deterministic end to
+    // end, with hardBandConfig's solver arithmetic mirrored as cfg CTEs
     "q_sim_hard_neg_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val (planes, tables) = hardBandFor(s, dir)
       Similarity.hardNegativesLsh(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
         k = 5, maxCos = 0.25, minCos = 0.05, planes = planes, tables = tables)
+        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -1193,6 +1198,7 @@ object SparkEntry {
       val (planes, tables) = hardBandFor(s, dir)
       Similarity.hardPositivesLsh(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
         k = 5, minCos = 0.25, planes = planes, tables = tables)
+        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -3573,6 +3579,56 @@ object SparkEntry {
   private def oracleSrpBuckets(planes: Int, tables: Int): String =
     oracleSrpBucketsDyn(planes.toString, tables.toString)
 
+  /** Exact-cosine SQL between two `emb`-CTE aliases. */
+  private def oracleCos(p: String, c: String): String =
+    s"list_dot_product($p.e, $c.e) / (sqrt(list_dot_product($p.e, $p.e)) " +
+      s"* sqrt(list_dot_product($c.e, $c.e)))"
+
+  /** `Similarity.hardBandConfig`'s solver arithmetic as cfg CTEs (edge
+    * cosine 0.25, floors (4, 16), target fill 5000 — the driver rows'
+    * exact call).
+    */
+  private val oracleHardCfgPre: String =
+    """cfgn AS (SELECT count(*) AS n FROM embeddings
+      |), cfg AS (
+      |  SELECT greatest(4, CAST(ceil(ln(CAST(n AS DOUBLE) / 5000.0) / ln(2.0)) AS INTEGER)) AS planes
+      |  FROM cfgn
+      |), cfg2 AS (
+      |  SELECT greatest(16, CAST(ceil(ln(0.25)
+      |    / ln(1.0 - pow(1.0 - acos(0.25) / pi(), planes))) AS INTEGER)) AS tables
+      |  FROM cfg
+      |), """.stripMargin
+
+  /** The hash-sampled probe id set (probeSample at simProbeOneIn). */
+  private val oracleHardProbeSel: String =
+    """, sel AS (
+      |  SELECT vec_id FROM embeddings
+      |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#recall-probe'), 1, 15) AS BIGINT)
+      |        % (SELECT greatest(25, n // 80) FROM cfgn) = 0
+      |)""".stripMargin
+
+  /** lshScored's candidate + exact-scoring tail over the buckets CTE:
+    * guarded corpus bands join the probe bands (given by `probePred`),
+    * pairs dedup, vectors re-join for the exact cosine.
+    */
+  private def oracleHardCandidates(probePred: String): String =
+    s""", cband AS (
+       |  SELECT t, bucket, vec_id AS neighbor_id FROM buckets
+       |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000
+       |), pband AS (
+       |  SELECT t, bucket, vec_id AS probe_id FROM buckets WHERE $probePred
+       |), cands AS (
+       |  SELECT DISTINCT probe_id, neighbor_id
+       |  FROM cband JOIN pband USING (t, bucket)
+       |  WHERE probe_id <> neighbor_id
+       |), scored AS (
+       |  SELECT cands.probe_id, cands.neighbor_id,
+       |         ${oracleCos("p", "c")} AS cosine
+       |  FROM cands
+       |  JOIN emb c ON c.vec_id = cands.neighbor_id
+       |  JOIN emb p ON p.vec_id = cands.probe_id
+       |)""".stripMargin
+
   /** [[oracleSrpBuckets]] with planes/tables as SQL expressions (scalar
     * subqueries for corpus-aware configs — `pre` injects the cfg CTEs
     * they reference) and an optional zero-vector filter (lshScored drops
@@ -4264,6 +4320,94 @@ object SparkEntry {
           |    FROM cands
           |    JOIN emb c ON c.vec_id = cands.neighbor_id
           |    JOIN emb p ON p.vec_id = cands.probe_id
+          |  ) WHERE rank <= 5
+          |), hit AS (SELECT * FROM truth INTERSECT SELECT * FROM approx)
+          |SELECT (SELECT count(*) FROM truth) AS n_true,
+          |       (SELECT count(*) FROM hit) AS n_found,
+          |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          |             / (SELECT count(*) FROM truth), 6) AS recall""".stripMargin),
+
+    // banded hard miners: SRP replay with hardBandConfig's solver
+    // arithmetic as cfg CTEs (planes from the target bucket fill, tables
+    // from the band-edge collision model), then the exact miners'
+    // rounded-cosine band filter and (cosine, id) rank — negatives
+    // descending, positives ascending
+    "q_sim_hard_neg_lsh" ->
+      (oracleSrpBucketsDyn("(SELECT planes FROM cfg)", "(SELECT tables FROM cfg2)",
+        pre = oracleHardCfgPre) + oracleHardCandidates("vec_id < 10") +
+        """
+          |SELECT probe_id, neighbor_id, round(round(cosine, 6), 4) AS cosine, rank FROM (
+          |  SELECT probe_id, neighbor_id, cosine,
+          |         row_number() OVER (
+          |           PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+          |  FROM scored
+          |  WHERE round(cosine, 6) < 0.25 AND round(cosine, 6) >= 0.05
+          |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin),
+
+    "q_sim_hard_pos_lsh" ->
+      (oracleSrpBucketsDyn("(SELECT planes FROM cfg)", "(SELECT tables FROM cfg2)",
+        pre = oracleHardCfgPre) + oracleHardCandidates("vec_id < 10") +
+        """
+          |SELECT probe_id, neighbor_id, round(round(cosine, 6), 4) AS cosine, rank FROM (
+          |  SELECT probe_id, neighbor_id, cosine,
+          |         row_number() OVER (
+          |           PARTITION BY probe_id ORDER BY cosine ASC, neighbor_id) AS rank
+          |  FROM scored
+          |  WHERE round(cosine, 6) >= 0.25
+          |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin),
+
+    "q_sim_hard_neg_lsh_recall" ->
+      (oracleSrpBucketsDyn("(SELECT planes FROM cfg)", "(SELECT tables FROM cfg2)",
+        pre = oracleHardCfgPre) + oracleHardProbeSel +
+        oracleHardCandidates("vec_id IN (SELECT vec_id FROM sel)") +
+        """, truth AS (
+          |  SELECT probe_id, neighbor_id FROM (
+          |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY p.vec_id
+          |             ORDER BY """.stripMargin + oracleCos("p", "c") +
+        """ DESC, c.vec_id) AS rank
+          |    FROM emb c, (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM sel)) p
+          |    WHERE c.vec_id <> p.vec_id
+          |      AND round(""".stripMargin + oracleCos("p", "c") +
+        """, 6) < 0.25 AND round(""" + oracleCos("p", "c") +
+        """, 6) >= 0.05
+          |  ) WHERE rank <= 5
+          |), approx AS (
+          |  SELECT probe_id, neighbor_id FROM (
+          |    SELECT probe_id, neighbor_id, cosine,
+          |           row_number() OVER (
+          |             PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+          |    FROM scored
+          |    WHERE round(cosine, 6) < 0.25 AND round(cosine, 6) >= 0.05
+          |  ) WHERE rank <= 5
+          |), hit AS (SELECT * FROM truth INTERSECT SELECT * FROM approx)
+          |SELECT (SELECT count(*) FROM truth) AS n_true,
+          |       (SELECT count(*) FROM hit) AS n_found,
+          |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          |             / (SELECT count(*) FROM truth), 6) AS recall""".stripMargin),
+
+    "q_sim_hard_pos_lsh_recall" ->
+      (oracleSrpBucketsDyn("(SELECT planes FROM cfg)", "(SELECT tables FROM cfg2)",
+        pre = oracleHardCfgPre) + oracleHardProbeSel +
+        oracleHardCandidates("vec_id IN (SELECT vec_id FROM sel)") +
+        """, truth AS (
+          |  SELECT probe_id, neighbor_id FROM (
+          |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY p.vec_id
+          |             ORDER BY """.stripMargin + oracleCos("p", "c") +
+        """ ASC, c.vec_id) AS rank
+          |    FROM emb c, (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM sel)) p
+          |    WHERE c.vec_id <> p.vec_id
+          |      AND round(""".stripMargin + oracleCos("p", "c") +
+        """, 6) >= 0.25
+          |  ) WHERE rank <= 5
+          |), approx AS (
+          |  SELECT probe_id, neighbor_id FROM (
+          |    SELECT probe_id, neighbor_id, cosine,
+          |           row_number() OVER (
+          |             PARTITION BY probe_id ORDER BY cosine ASC, neighbor_id) AS rank
+          |    FROM scored
+          |    WHERE round(cosine, 6) >= 0.25
           |  ) WHERE rank <= 5
           |), hit AS (SELECT * FROM truth INTERSECT SELECT * FROM approx)
           |SELECT (SELECT count(*) FROM truth) AS n_true,

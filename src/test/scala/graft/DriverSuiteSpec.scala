@@ -58,7 +58,11 @@ class DriverSuiteSpec extends AnyFunSuite {
     // 22 → 20: q_dedup_embedding / q_dedup_embedding_recall — same SRP
     // replay with the corpus-aware (planes, tables) cfg mirrored in SQL
     // (verified through the dynamic branch at the generated sf1)
-    assert(rowsOnly.size == 20, s"rows-only query count changed (${rowsOnly.size}): " +
+    // 20 → 16: the four banded hard-miner rows — SRP replay + the exact
+    // miners' rounded-cosine band and (cosine, id) rank, with
+    // hardBandConfig's solver arithmetic as cfg CTEs (validated where the
+    // dial binds, at the generated sf10's (6, 36))
+    assert(rowsOnly.size == 16, s"rows-only query count changed (${rowsOnly.size}): " +
       s"either add the missing oracle or update this pin.\n$rowsOnly")
   }
 
