@@ -88,8 +88,53 @@ object Bench {
   private val CanaryIdleCalibSec = sys.env
     .getOrElse("SPARK_GRAFT_CANARY_CALIB", "1.6").toDouble
 
+  /** Bytes of parquet under the rung directory — the input-size side of
+    * the heap-sizing rule below.
+    */
+  private[graft] def rungBytes(sfDir: String): Long = {
+    val d = new java.io.File(sfDir)
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(size).sum
+      else if (f.getName.endsWith(".parquet")) f.length
+      else 0L
+    if (d.isDirectory) size(d) else 0L
+  }
+
+  /** Heap posture for a rung, derived — not tribal knowledge. The sf100
+    * rung (21 GB parquet) OOMs at the 8 GB default (256 MB/core on
+    * local[32]: 32 threads × ~0.5 GB transient columnar-builder buffers,
+    * SCALING_r11 §6), and the committed fix (48 GB ≈ 2.3× data) lives
+    * only in one run's env var — so derive the bound here and refuse
+    * loudly below it. Rule, anchored to the two measured points: rungs
+    * ≤ 8 GB of parquet (≤ sf30's 6 GB, all measured fine at the 8 GB
+    * default) carry no bound; above that the driver heap must be ≥ 2×
+    * the parquet bytes (sf100: 21 GB → 42 GB ≈ the 48 GB that worked).
+    * `SPARK_GRAFT_FORCE_HEAP=1` overrides for deliberate spill/starve
+    * experiments; either way the artifact stamps `driver_mem_bytes` /
+    * `data_bytes` so the posture travels with the numbers.
+    */
+  private[graft] def requiredHeapBytes(dataBytes: Long): Long =
+    if (dataBytes <= (8L << 30)) 0L else 2L * dataBytes
+
+  private[graft] def checkHeapPosture(sfDir: String): (Long, Long) = {
+    val dataBytes = rungBytes(sfDir)
+    val heapBytes = Runtime.getRuntime.maxMemory
+    val need = requiredHeapBytes(dataBytes)
+    if (heapBytes < need && sys.env.getOrElse("SPARK_GRAFT_FORCE_HEAP", "0") != "1") {
+      System.err.println(
+        f"[bench] REFUSING: rung $sfDir holds ${dataBytes / 1e9}%.1f GB of parquet; " +
+          f"the heap rule (≥ 2× data above 8 GB; SCALING_r11 §6) needs ${need / 1e9}%.0f GB " +
+          f"but -Xmx gives ${heapBytes / 1e9}%.1f GB. Set SPARK_DRIVER_MEM (e.g. " +
+          f"SPARK_DRIVER_MEM=${math.ceil(need / 1e9).toLong}g) or SPARK_GRAFT_FORCE_HEAP=1 " +
+          "for a deliberate starvation run.")
+      sys.exit(2)
+    }
+    (dataBytes, heapBytes)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (dataBytes, heapBytes) = checkHeapPosture(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
@@ -238,6 +283,9 @@ object Bench {
         // a filtered (ONLY/SKIP) run's total is NOT comparable to a
         // full-surface run's — stamp the active filters so a partial
         // artifact can never masquerade as a round artifact
+        // heap posture travels with the numbers (verdict r11 ask #4): a
+        // future reader can tell a starved window from a sized one
+        s""""driver_mem_bytes":$heapBytes,"data_bytes":$dataBytes,""" +
         s""""partial":${only.isDefined || skip.nonEmpty},""" +
         s""""only":${only.getOrElse(Seq.empty).map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""skip":${skip.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

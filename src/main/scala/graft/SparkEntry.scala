@@ -354,6 +354,42 @@ object SparkEntry {
     sqCache.computeIfAbsent(s"$dir#$normalize", _ =>
       ops.Similarity.trainSq(t(s, dir, "embeddings"), "embedding", normalize))
 
+  /** COMMITTED ANN index fixtures — the model-checkpoint lifecycle
+    * (`q_bpe_apply_fixed`'s pattern applied to the ANN searches): the IVF
+    * centroids and PQ codebooks were trained ONCE (`graft.tools
+    * .AnnFixtures`, on /root/testdata/sf0.1), written by the production
+    * `saveIvf`/`savePq` writers, and committed to the repo. Search under
+    * a committed index is deterministic end to end — cell assignment,
+    * ADC lookups, the rerank×k cut, the exact re-rank are all pure
+    * functions of (corpus, fixture) — so the DuckDB oracle reads the SAME
+    * parquet (`read_parquet` on [[annFixtureDir]]) and replays the whole
+    * pipeline, where per-session k-means training (aggregation-order-
+    * sensitive across physical layouts, `trainIvf`'s documented
+    * determinism scope) was rows-only forever. Training itself stays
+    * driver-visible through `q_sim_ivf_topk` (train+search fused).
+    * A quantizer is corpus-independent at search time — training on one
+    * rung and searching another is the production shape (train on a
+    * sample, search everything); the recall meters below measure what
+    * that costs, and DriverSuiteSpec holds them ≥ 0.6 at both SFs.
+    */
+  private[graft] val annFixtureDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURES", "/root/repo/fixtures") + "/ann"
+  private val fixedIvfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ops.Similarity.IvfIndex]()
+  private def fixedIvf(s: SparkSession): ops.Similarity.IvfIndex =
+    fixedIvfCache.computeIfAbsent(annFixtureDir, _ =>
+      ops.Similarity.loadIvf(s, s"$annFixtureDir/ivf16"))
+  private val fixedPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ops.Similarity.PqCodebooks]()
+  private def fixedPq(s: SparkSession): ops.Similarity.PqCodebooks =
+    fixedPqCache.computeIfAbsent(annFixtureDir, _ =>
+      ops.Similarity.loadPq(s, s"$annFixtureDir/pq16x16"))
+  private val fixedSemCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ops.Similarity.IvfIndex]()
+  private def fixedSemanticIvf(s: SparkSession): ops.Similarity.IvfIndex =
+    fixedSemCache.computeIfAbsent(annFixtureDir, _ =>
+      ops.Similarity.loadIvf(s, s"$annFixtureDir/sem8"))
+
   /** Incremental-clustering store, written once per sf dir — the
     * production history refresh: prior component labels (the star
     * compression [[ops.Dedup.connectedComponentsIncrement]] merges
@@ -1090,18 +1126,28 @@ object SparkEntry {
           maxCellSize = semanticMaxCellFor(s, dir)))
     }),
 
-    // steady-state SemDeDup: the quantizer is pre-trained (memoized per
-    // sf dir, the ivfIndexFor cache), so this measures the dedup pass
-    // itself — cell assignment + within-cell pairs + exact verification —
-    // not the k-means build. Same result as q_dedup_semantic (the
-    // training is deterministic), which the oracle-less rows-only check
-    // can't see but the bench cost split makes visible.
-    "q_dedup_semantic_steady" -> ((s, dir) =>
-      Dedup.semanticDedupWithIndex(ivfIndexFor(s, dir, nlist = semanticCellsFor(s, dir)),
+    // steady-state SemDeDup: the quantizer is pre-trained, so this
+    // measures the dedup pass itself — cell assignment + within-cell
+    // pairs + exact verification — not the k-means build. FULL ORACLE
+    // since round 12 at the correctness SFs: there the scale-aware cell
+    // count is the fixture's 8, and the store is the COMMITTED checkpoint
+    // (annFixtureDir scaladoc) — DuckDB reads the same saved centroids
+    // and replays top-nProbe cell assignment, the within-cell self-join,
+    // and the cosine ≥ 0.45 verification. Above the correctness SFs the
+    // cell dial grows (semanticCellsFor — pinning 8 cells at sf1+ would
+    // re-create the measured 113 s quadratic-cell blowup, SCALING_r9) and
+    // the steady store is rebuilt per rung — the corpus-aware-config
+    // treatment hardBandConfig's oracles established in round 11.
+    "q_dedup_semantic_steady" -> ((s, dir) => {
+      val cells = semanticCellsFor(s, dir)
+      val idx = if (cells == 8) fixedSemanticIvf(s)
+        else ivfIndexFor(s, dir, nlist = cells)
+      Dedup.semanticDedupWithIndex(idx,
         t(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.45, nProbe = semanticProbesFor(s, dir),
         maxCellSize = semanticMaxCellFor(s, dir))
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // ---- training-data pipeline: similarity search ----
     "q_sim_bruteforce_topk" -> ((s, dir) => {
@@ -1143,13 +1189,18 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // steady-state IVF: the index is pre-trained (memoized per sf dir),
-    // so this measures search cost — cell assignment + cell equi-join +
-    // bounded-heap re-rank — not the k-means build
+    // steady-state IVF: the index is the COMMITTED checkpoint (annFixtureDir
+    // scaladoc), so this measures search cost — cell assignment + cell
+    // equi-join + bounded-heap re-rank — not the k-means build. FULL
+    // ORACLE since round 12: DuckDB reads the same saved centroids and
+    // replays assignment (argmax of dot − |c|²/2, ties to the larger
+    // cell — array_max's lexicographic struct compare), the nprobe cut,
+    // and the exact-cosine rank.
     "q_sim_ivf_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfSearch(ivfIndexFor(s, dir, nlist = 16), emb,
+      Similarity.ivfSearch(fixedIvf(s), emb,
         emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, nprobe = 6)
+        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -1237,11 +1288,19 @@ object SparkEntry {
     }),
 
     // PQ-compressed ANN (asymmetric distance + exact re-rank): the
-    // memory-compression path — approximate by contract, rows-only
+    // memory-compression path. FULL ORACLE since round 12 under the
+    // COMMITTED codebooks (annFixtureDir scaladoc): DuckDB reads the
+    // saved (subspace, code, codeword) parquet and replays L2-normalize,
+    // per-subspace argmax encode (ties to the LOWER code — PqUtil
+    // .encode's strict `>`), the per-probe LUT build, the sequential
+    // j-order ADC fold, the rerank×k cut by (approx desc, id asc), and
+    // the exact-cosine re-rank. "Approximate" is vs the exact top-k
+    // (metered by q_sim_pq_recall), never nondeterminism.
     "q_sim_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.pqTopK(pqFor(s, dir, m = 16, ksub = 16), emb,
+      Similarity.pqTopK(fixedPq(s), emb,
         emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, rerank = 8)
+        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -1332,7 +1391,7 @@ object SparkEntry {
       val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
-        Similarity.pqTopK(pqFor(s, dir, m = 16, ksub = 16), emb, probes,
+        Similarity.pqTopK(fixedPq(s), emb, probes,
           "embedding", "vec_id", 5, rerank = pqRerank(s, dir)))
     }),
 
@@ -1342,12 +1401,16 @@ object SparkEntry {
     // probe set measured 0.697 at sf0.1 — above the floor but thin;
     // doubling the exact-rescored tail compounds both approximations'
     // slack (cell miss + PQ distortion) for candidate-sized extra cost.
+    // FULL ORACLE since round 12 (committed IVF centroids + PQ codebooks,
+    // annFixtureDir scaladoc): the composition of the two replays —
+    // cell-pruned candidates scored by the j-order ADC fold, rerank×k
+    // cut, exact-cosine re-rank.
     "q_sim_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(ivfIndexFor(s, dir, nlist = 16),
-        pqFor(s, dir, m = 16, ksub = 16), emb,
+      Similarity.ivfPqTopK(fixedIvf(s), fixedPq(s), emb,
         emb.filter(col("vec_id") < 10), "embedding", "vec_id",
         k = 5, nprobe = 8, rerank = 16)
+        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -1356,8 +1419,7 @@ object SparkEntry {
       val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5),
-        Similarity.ivfPqTopK(ivfIndexFor(s, dir, nlist = 16),
-          pqFor(s, dir, m = 16, ksub = 16), emb, probes,
+        Similarity.ivfPqTopK(fixedIvf(s), fixedPq(s), emb, probes,
           "embedding", "vec_id", 5, nprobe = 8, rerank = ivfpqRerank(s, dir)))
     }),
 
@@ -1386,7 +1448,7 @@ object SparkEntry {
       val probes = Similarity.probeSample(emb, "vec_id", oneIn = simProbeOneIn(s, dir))
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 5),
-        Similarity.ivfSearch(ivfIndexFor(s, dir, nlist = 16), emb, probes,
+        Similarity.ivfSearch(fixedIvf(s), emb, probes,
           "embedding", "vec_id", k = 5, nprobe = 6))
     }),
 
@@ -3770,6 +3832,173 @@ object SparkEntry {
       |  FROM sess GROUP BY 1, 2
       |)""".stripMargin
 
+  // ---- committed-index ANN oracle building blocks ------------------------
+  // The DuckDB half of the annFixtureDir lifecycle (scaladoc at
+  // fixedIvf/fixedPq): the oracle reads the SAME committed parquet the
+  // Spark searches load, so every stage downstream of training is a pure
+  // replay. Shared CTE fragments below; each query's oracle composes them.
+
+  /** Centroid CTE: the committed IVF fixture with per-cell half-norms
+    * (`|c|²/2`, sum-then-halve exactly like cellScores' Scala literal).
+    */
+  private def oracleAnnCent: String =
+    s"""cent AS (
+       |  SELECT cell, CAST(centroid AS DOUBLE[]) AS c,
+       |         list_sum(list_transform(CAST(centroid AS DOUBLE[]), x -> x * x)) / 2.0 AS hn
+       |  FROM read_parquet('$annFixtureDir/ivf16/*.parquet')
+       |), emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), cscore AS (
+       |  SELECT emb.vec_id, cent.cell,
+       |         list_dot_product(emb.e, cent.c) - cent.hn AS score
+       |  FROM emb, cent
+       |), cassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |    FROM cscore
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  /** Probe-side top-nprobe cells: score DESC, cell DESC — the engine's
+    * reverse(sort_array(struct(score, cell))) tie semantics (lexicographic
+    * struct compare: equal scores resolve to the larger cell).
+    */
+  private def oracleAnnPcells(probeCond: String, nprobe: Int): String =
+    s"""pcells AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |    FROM cscore WHERE $probeCond
+       |  ) WHERE rn <= $nprobe
+       |)""".stripMargin
+
+  /** L2-normalize CTE (the q_sim_sq_topk arithmetic — x / sqrt(Σx²),
+    * zero/null vectors dropped) plus the committed PQ codebook with
+    * per-codeword half-norms, and the corpus encode: per (vector,
+    * subspace) the argmax codeword of `dot(sub, w) − |w|²/2`, ties to the
+    * LOWER code (PqUtil.encode's strict `>`), folded to the code list in
+    * subspace order. dsub = 4 (dim 64 / m 16 — the committed fixture's
+    * shape, asserted by its own metadata on load).
+    */
+  private def oracleAnnPqCodes: String =
+    s"""norm AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(nsq)) AS v
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |    FROM embeddings
+       |  ) WHERE nsq > 0
+       |), cw AS (
+       |  SELECT subspace, code, CAST(codeword AS DOUBLE[]) AS w,
+       |         list_sum(list_transform(CAST(codeword AS DOUBLE[]), x -> x * x)) / 2.0 AS hn
+       |  FROM read_parquet('$annFixtureDir/pq16x16/*.parquet')
+       |), codes AS (
+       |  SELECT vec_id, list(code ORDER BY subspace) AS code FROM (
+       |    SELECT vec_id, subspace, code, row_number() OVER (
+       |      PARTITION BY vec_id, subspace
+       |      ORDER BY list_dot_product(sub, w) - hn DESC, code ASC) AS rn
+       |    FROM (
+       |      SELECT n.vec_id, cw.subspace, cw.code, cw.w, cw.hn,
+       |             list_slice(n.v, cw.subspace * 4 + 1, cw.subspace * 4 + 4) AS sub
+       |      FROM norm n, cw
+       |    )
+       |  ) WHERE rn = 1 GROUP BY vec_id
+       |)""".stripMargin
+
+  /** Probe-side ADC lookup tables: LUT[j][c] = dot(probe subvector j,
+    * codeword c), assembled as a nested list in (subspace, code) order so
+    * the ADC fold below indexes it exactly like the native PqAdc loop.
+    */
+  private def oracleAnnPqLuts(probeCond: String): String =
+    s"""plut1 AS (
+       |  SELECT probe_id, subspace, list(lv ORDER BY code) AS lvs FROM (
+       |    SELECT p.vec_id AS probe_id, cw.subspace, cw.code,
+       |           list_dot_product(
+       |             list_slice(p.v, cw.subspace * 4 + 1, cw.subspace * 4 + 4), cw.w) AS lv
+       |    FROM (SELECT vec_id, v FROM norm WHERE $probeCond) p, cw
+       |  ) GROUP BY probe_id, subspace
+       |), plut AS (
+       |  SELECT probe_id, list(lvs ORDER BY subspace) AS luts
+       |  FROM plut1 GROUP BY probe_id
+       |)""".stripMargin
+
+  /** ADC score of a corpus code list against a probe's LUTs: the
+    * sequential j-order fold of the native PqAdc (list_sum over a
+    * list_transform in subspace order — NOT a SUM() aggregate, whose
+    * unordered double accumulation could differ in the last ulp).
+    */
+  private val oracleAnnAdcExpr: String =
+    "list_sum(list_transform(range(0, 16), j -> " +
+      "pl.luts[CAST(j AS INTEGER) + 1][c.code[CAST(j AS INTEGER) + 1] + 1]))"
+
+  /** The exact-cosine re-rank tail over a `cand(probe_id, neighbor_id)`
+    * CTE: fetch true vectors, rank by (cosine DESC, id), keep k=5, report
+    * the round(round(·,6),4) display discipline.
+    */
+  private val oracleAnnRerankTail: String =
+    """SELECT probe_id, neighbor_id, round(round(cosine, 6), 4) AS cosine, rank FROM (
+      |  SELECT probe_id, neighbor_id, cosine,
+      |         row_number() OVER (
+      |           PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM (
+      |    SELECT cand.probe_id, cand.neighbor_id,
+      |           list_dot_product(p.e, c.e)
+      |             / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) AS cosine
+      |    FROM cand
+      |    JOIN emb c ON c.vec_id = cand.neighbor_id
+      |    JOIN emb p ON p.vec_id = cand.probe_id
+      |  )
+      |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  /** The recall-meter scaffold shared with q_sim_bq_recall /
+    * q_sim_sq_recall: the salted-md5 probe sample (probeSample's
+    * arithmetic) and the exact brute-force truth over it.
+    */
+  private val oracleAnnProbeSel: String =
+    """nv AS (SELECT count(*) AS n FROM embeddings
+      |), sel AS (
+      |  SELECT vec_id FROM embeddings
+      |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#recall-probe'), 1, 15) AS BIGINT)
+      |        % (SELECT greatest(25, n // 80) FROM nv) = 0
+      |)""".stripMargin
+
+  private val oracleAnnTruth: String =
+    """truth AS (
+      |  SELECT probe_id, neighbor_id FROM (
+      |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+      |             list_dot_product(p.e, c.e)
+      |               / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+      |             c.vec_id) AS rank
+      |    FROM emb c, (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM sel)) p
+      |    WHERE c.vec_id <> p.vec_id
+      |  ) WHERE rank <= 5
+      |)""".stripMargin
+
+  /** Approx side of a meter from a `cand` CTE (rank ≤ 5 by exact cosine),
+    * then the intersect count — recallAtK's (n_true, n_found, recall).
+    */
+  private val oracleAnnRecallTail: String =
+    """approx AS (
+      |  SELECT probe_id, neighbor_id FROM (
+      |    SELECT cand.probe_id, cand.neighbor_id,
+      |           row_number() OVER (PARTITION BY cand.probe_id ORDER BY
+      |             list_dot_product(p.e, c.e)
+      |               / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+      |             cand.neighbor_id) AS rank
+      |    FROM cand
+      |    JOIN emb c ON c.vec_id = cand.neighbor_id
+      |    JOIN emb p ON p.vec_id = cand.probe_id
+      |  ) WHERE rank <= 5
+      |), hit AS (SELECT * FROM truth INTERSECT SELECT * FROM approx)
+      |SELECT (SELECT count(*) FROM truth) AS n_true,
+      |       (SELECT count(*) FROM hit) AS n_found,
+      |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+      |             / (SELECT count(*) FROM truth), 6) AS recall""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_p1_project" ->
       "SELECT l_orderkey, l_quantity AS qty, l_returnflag FROM lineitem",
@@ -4533,6 +4762,142 @@ object SparkEntry {
         |       (SELECT count(*) FROM hit) AS n_found,
         |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
         |             / (SELECT count(*) FROM truth), 6) AS recall""".stripMargin,
+
+    // committed-index IVF search replayed end to end: centroids from the
+    // SAME saved fixture the Spark row loads, cell assignment (score DESC,
+    // cell DESC — array_max's struct tie), nprobe=6 probe cut, cell
+    // equi-join, exact-cosine rank
+    "q_sim_ivf_search" ->
+      (s"WITH $oracleAnnCent,\n${oracleAnnPcells("vec_id < 10", nprobe = 6)},\n" +
+        """cand AS (
+          |  SELECT p.probe_id, ca.vec_id AS neighbor_id
+          |  FROM pcells p JOIN cassign ca ON ca.cell = p.cell
+          |  WHERE ca.vec_id <> p.probe_id
+          |)
+          |""".stripMargin + oracleAnnRerankTail),
+
+    "q_sim_ivf_recall" ->
+      (s"WITH $oracleAnnProbeSel,\n$oracleAnnCent,\n" +
+        oracleAnnPcells("vec_id IN (SELECT vec_id FROM sel)", nprobe = 6) + ",\n" +
+        oracleAnnTruth + ",\n" +
+        """cand AS (
+          |  SELECT p.probe_id, ca.vec_id AS neighbor_id
+          |  FROM pcells p JOIN cassign ca ON ca.cell = p.cell
+          |  WHERE ca.vec_id <> p.probe_id
+          |),
+          |""".stripMargin + oracleAnnRecallTail),
+
+    // committed-codebook PQ search replayed end to end: encode (argmax
+    // dot − |w|²/2, ties to the lower code), per-probe LUTs, the j-order
+    // ADC fold, rerank×k = 40 cut by (approx DESC, id ASC), exact re-rank
+    "q_sim_pq_topk" ->
+      (s"WITH $oracleAnnPqCodes,\n${oracleAnnPqLuts("vec_id < 10")},\n" +
+        s"""adc AS (
+           |  SELECT pl.probe_id, c.vec_id AS neighbor_id, $oracleAnnAdcExpr AS approx
+           |  FROM codes c, plut pl WHERE c.vec_id <> pl.probe_id
+           |), cand AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY probe_id ORDER BY approx DESC, neighbor_id ASC) AS cut
+           |    FROM adc
+           |  ) WHERE cut <= 40
+           |), emb AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |)
+           |""".stripMargin + oracleAnnRerankTail),
+
+    "q_sim_pq_recall" ->
+      (s"WITH $oracleAnnProbeSel,\n$oracleAnnPqCodes,\n" +
+        oracleAnnPqLuts("vec_id IN (SELECT vec_id FROM sel)") + ",\n" +
+        s"""adc AS (
+           |  SELECT pl.probe_id, c.vec_id AS neighbor_id, $oracleAnnAdcExpr AS approx
+           |  FROM codes c, plut pl WHERE c.vec_id <> pl.probe_id
+           |), cand AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY probe_id ORDER BY approx DESC, neighbor_id ASC) AS cut
+           |    FROM adc
+           |  ) WHERE cut <= 5 * (SELECT greatest(8, n // 250) FROM nv)
+           |), emb AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |),
+           |""".stripMargin + oracleAnnTruth + ",\n" + oracleAnnRecallTail),
+
+    // the IVFADC composition: cell-pruned candidates (committed IVF),
+    // scored by the committed-codebook ADC fold, rerank×k = 80 cut,
+    // exact-cosine re-rank
+    "q_sim_ivfpq_topk" ->
+      (s"WITH $oracleAnnCent,\n${oracleAnnPcells("vec_id < 10", nprobe = 8)},\n" +
+        s"$oracleAnnPqCodes,\n${oracleAnnPqLuts("vec_id < 10")},\n" +
+        s"""adc AS (
+           |  SELECT p.probe_id, c.vec_id AS neighbor_id, $oracleAnnAdcExpr AS approx
+           |  FROM pcells p
+           |  JOIN cassign ca ON ca.cell = p.cell
+           |  JOIN codes c ON c.vec_id = ca.vec_id
+           |  JOIN plut pl ON pl.probe_id = p.probe_id
+           |  WHERE ca.vec_id <> p.probe_id
+           |), cand AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY probe_id ORDER BY approx DESC, neighbor_id ASC) AS cut
+           |    FROM adc
+           |  ) WHERE cut <= 80
+           |)
+           |""".stripMargin + oracleAnnRerankTail),
+
+    "q_sim_ivfpq_recall" ->
+      (s"WITH $oracleAnnProbeSel,\n$oracleAnnCent,\n" +
+        oracleAnnPcells("vec_id IN (SELECT vec_id FROM sel)", nprobe = 8) + ",\n" +
+        s"$oracleAnnPqCodes,\n" +
+        oracleAnnPqLuts("vec_id IN (SELECT vec_id FROM sel)") + ",\n" +
+        s"""adc AS (
+           |  SELECT p.probe_id, c.vec_id AS neighbor_id, $oracleAnnAdcExpr AS approx
+           |  FROM pcells p
+           |  JOIN cassign ca ON ca.cell = p.cell
+           |  JOIN codes c ON c.vec_id = ca.vec_id
+           |  JOIN plut pl ON pl.probe_id = p.probe_id
+           |  WHERE ca.vec_id <> p.probe_id
+           |), cand AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY probe_id ORDER BY approx DESC, neighbor_id ASC) AS cut
+           |    FROM adc
+           |  ) WHERE cut <= 5 * (SELECT greatest(16, n // 250) FROM nv)
+           |),
+           |""".stripMargin + oracleAnnTruth + ",\n" + oracleAnnRecallTail),
+
+    // steady-state SemDeDup under the COMMITTED 8-cell quantizer (the
+    // correctness-SF configuration — see the query's scaladoc): top-2
+    // cell assignment from the saved centroids (score DESC, cell DESC —
+    // topCells' reverse(sort_array) tie), the inert-but-faithful 10k
+    // cell guard, within-cell pairs, exact cosine ≥ 0.45
+    "q_dedup_semantic_steady" ->
+      s"""WITH sem AS (
+         |  SELECT cell, CAST(centroid AS DOUBLE[]) AS c,
+         |         list_sum(list_transform(CAST(centroid AS DOUBLE[]), x -> x * x)) / 2.0 AS hn
+         |  FROM read_parquet('$annFixtureDir/sem8/*.parquet')
+         |), emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), celled0 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT emb.vec_id, sem.cell, row_number() OVER (
+         |      PARTITION BY emb.vec_id
+         |      ORDER BY list_dot_product(emb.e, sem.c) - sem.hn DESC, sem.cell DESC) AS rn
+         |    FROM emb, sem
+         |  ) WHERE rn <= 2
+         |), celled AS (
+         |  SELECT vec_id, cell FROM celled0
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000
+         |)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(list_dot_product(ea.e, eb.e)
+         |         / (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e))), 6) AS cosine
+         |FROM celled a
+         |JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |JOIN emb ea ON ea.vec_id = a.vec_id
+         |JOIN emb eb ON eb.vec_id = b.vec_id
+         |WHERE list_dot_product(ea.e, eb.e)
+         |  / (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e))) >= 0.45""".stripMargin,
 
     // band filter on round(cosine, 6) — mirrors hardNegatives/hardPositives,
     // which band on the reported (rounded) value so the advertised exclusive

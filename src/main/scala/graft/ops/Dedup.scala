@@ -880,6 +880,20 @@ object Dedup {
     * spreads over m² reducer keys; each candidate pair still meets
     * EXACTLY once, at (slice(a), slice(b)). Replication multiplies only
     * the tiny (id, sim) banded rows, never documents.
+    *
+    * RADIUS DIAL — prefer [[simHashNearDupsWide]] for radius > 3 on the
+    * default 60-bit sketch. The Manku posture is that the radius stays
+    * SMALL AND ABSOLUTE as sketches widen (8B pages dedup at hamming ≤ 3
+    * of 64 bits); a large radius at a fixed narrow sketch loosens the
+    * match fraction instead (8/60 accepts 86.7% bit agreement) and on
+    * near-template corpora turns OUTPUT-quadratic — 0.68% of ALL pairs
+    * qualify at radius 8 on the measured corpus, and no candidate scheme
+    * can emit fewer rows than its output (SCALING_r11.md §1b, measured
+    * through sf30). [[simHashNearDupsWide]] runs the SAME absolute radius
+    * against a 120-bit two-lane sketch: 93.3% required agreement, a
+    * measured 1,655× lower pair density, ~1/9th the cost at sf10 — and
+    * it is fully oracled. Reach for radius > 3 here only when the loose
+    * 60-bit semantics is literally what you want, and expect ~n² output.
     */
   /** Corpus-aware `keyBlocks` for [[simHashNearDups]] — the selectivity
     * dial, solved from the candidate-volume model instead of guessed.
@@ -1496,8 +1510,19 @@ object Dedup {
     // merge hint: same broadcast-forbidding rationale as
     // [[simHashNearDupsFromSims]] — the banded side is byte-small, and a
     // broadcast plan would stream the bucket self-join's emission through
-    // the upstream scan's task count (1 for a single-file corpus)
-    val candidates = left.hint("merge").join(right.hint("merge"), Seq("table", "bucket"))
+    // the upstream scan's task count (1 for a single-file corpus).
+    // The exchange is PINNED to an explicit partition count (the
+    // [[semanticDedupWithIndex]] trick): AQE coalesces by INPUT bytes,
+    // but a bucket self-join's output is quadratic in bucket size — the
+    // banded frame is byte-small at every rung while its emission is
+    // candidate-volume-sized, so AQE's coalesce/skew decisions on it
+    // varied run to run (measured 49–75 s on identical sf10 HEAD,
+    // BENCH_NOTES_r11 "window quality") — a numbered user repartition is
+    // exempt from coalescing and makes the task layout deterministic.
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val candidates = left.repartition(np, col("table"), col("bucket")).hint("merge")
+      .join(right.repartition(np, col("table"), col("bucket")).hint("merge"),
+        Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val result = candidates

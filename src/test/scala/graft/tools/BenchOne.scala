@@ -12,6 +12,11 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // same derived heap rule as graft.Bench (refuses below the bound
+    // unless SPARK_GRAFT_FORCE_HEAP=1) — an isolated measurement under a
+    // silently starved heap would be exactly the confound this tool
+    // exists to remove
+    val (dataBytes, heapBytes) = graft.Bench.checkHeapPosture(sfDir)
     val spark = graft.SparkEntry.session("graft-bench-one")
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
@@ -20,7 +25,8 @@ object BenchOne {
     evaluate() // warm (JIT/codegen), then measure
     val t0 = System.nanoTime()
     evaluate()
-    println(f"$name: time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"$name: time=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      f"heap=${heapBytes / 1e9}%.1fg data=${dataBytes / 1e9}%.1fg")
     if (args.length > 2 && args(2) == "explain") fn(spark, sfDir).explain("formatted")
     spark.stop()
   }

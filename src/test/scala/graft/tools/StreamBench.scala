@@ -67,9 +67,26 @@ object StreamBench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // state-contract bookkeeping (round-11 verdict ask #6): the STREAM_r11
+    // forensic run PROVED every stateful twin's curve plateaus; this run
+    // FREEZES that as a regression gate. Each twin carries a state-rows
+    // bound derived from its ingest rate × watermark horizon (never corpus
+    // size), and the final-quartile slope of its state curve must be ≈ 0.
+    // Violations fail the tool (exit 3) when the run is long enough to
+    // have left the watermark horizon (the round-9 false alarm was a
+    // 20-batch run living entirely inside it) — so a future watermark or
+    // config change that reopens a leak fails THIS tool instead of
+    // needing a fresh 200-batch forensic session.
+    val violations = scala.collection.mutable.ListBuffer.empty[String]
+    // doc twins: ts advances 60 s/batch against a 1 h watermark → ~62
+    // batches of event time inside the horizon; 4× slack covers
+    // operator-internal state multiplicities (e.g. dedup side state),
+    // NOT growth — growth is what the slope gate catches.
+    val docHorizonBatches = 62L
 
     // ---- exact dedup twin ----
-    results += "exact_dedup" -> run(spark, batches, { () =>
+    results += "exact_dedup" -> run(spark, batches, violations, "exact_dedup",
+      maxStateRows = rows.toLong * docHorizonBatches * 4, { () =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[(Long, String, java.sql.Timestamp)]
@@ -84,7 +101,8 @@ object StreamBench {
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
       numHashes = 128).persist()
     histSigs.count()
-    results += "neardup_serve" -> run(spark, batches, { () =>
+    results += "neardup_serve" -> run(spark, batches, violations, "neardup_serve",
+      maxStateRows = rows.toLong * docHorizonBatches * 4, { () =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[(Long, String, java.sql.Timestamp)]
@@ -100,7 +118,9 @@ object StreamBench {
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
       "dup hash scan").persist()
     stats.count()
-    results += "bm25_score" -> run(spark, batches, { () =>
+    // stateless scoring projection: any state at all is a violation
+    results += "bm25_score" -> run(spark, batches, violations, "bm25_score",
+      maxStateRows = 0L, { () =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[(Long, String)]
@@ -116,7 +136,12 @@ object StreamBench {
       spark, s"$sfDir/events.parquet")
     val baseline = graft.streaming.EventStream.windowBaseline(batchEv).persist()
     baseline.count()
-    results += "window_anomaly" -> run(spark, batches, { () =>
+    // complete-mode windowed agg: the events replay a FIXED historical
+    // span, so state is bounded by the distinct window/type groups of
+    // that span — a data-derived bound (the baseline is exactly those
+    // groups), not a horizon one
+    results += "window_anomaly" -> run(spark, batches, violations, "window_anomaly",
+      maxStateRows = 4L * baseline.count(), { () =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
@@ -132,19 +157,50 @@ object StreamBench {
 
     val json = results.map { case (k, v) => s""""$k": $v""" }
       .mkString("{\n \"rows_per_batch\": " + rows + ",\n \"batches\": " + batches +
-        ",\n \"sf\": \"" + sfDir + "\",\n ", ",\n ", "\n}\n")
+        ",\n \"sf\": \"" + sfDir + "\",\n \"state_contract_enforced\": " +
+        (batches >= ContractMinBatches) + ",\n ", ",\n ", "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()
+    // enforce AFTER the artifact is written, so a failing run still
+    // leaves its curves on disk for forensics
+    if (batches >= ContractMinBatches && violations.nonEmpty) {
+      violations.foreach(v => System.err.println(s"[stream-bench] STATE CONTRACT: $v"))
+      sys.exit(3)
+    } else if (violations.nonEmpty) {
+      violations.foreach(v => System.err.println(
+        s"[stream-bench] state contract NOT ENFORCED (batches < $ContractMinBatches, " +
+          s"run may sit inside the watermark horizon): $v"))
+    }
   }
+
+  /** Runs shorter than this never fail the contract: the doc twins' 1 h
+    * watermark at 60 s/batch means ~62 batches pass before eviction can
+    * even begin — the round-9 "leak" was a 20-batch run read as one.
+    * At 80+ the final quartile sits entirely past the horizon.
+    */
+  private val ContractMinBatches = 80
 
   /** Drive one twin for `batches` micro-batches; returns a JSON object of
     * p50/p95/max trigger latency (ms) and final state rows/bytes. The
     * first batch is recorded separately (it pays stream start + codegen).
+    *
+    * State contract (evaluated per twin, enforced by main when the run is
+    * long enough): (1) PLATEAU — over the final quartile of the
+    * state-rows curve, growth ≤ max(2% of the final value, one batch of
+    * rows): a watermark-bounded operator past its horizon adds ≈ what it
+    * evicts, so sustained final-quartile growth is a leak, not noise;
+    * (2) BOUND — final state rows ≤ `maxStateRows` (ingest-rate ×
+    * watermark horizon × slack, or a data-derived cap — NEVER corpus
+    * size). Both land in the JSON (`plateau_delta`, `state_bound`,
+    * `contract_ok`) so the artifact self-describes.
     */
   private def run(
       spark: SparkSession,
       batches: Int,
+      violations: scala.collection.mutable.ListBuffer[String],
+      name: String,
+      maxStateRows: Long,
       build: () => (StreamingQuery, Int => Unit),
   ): String = {
     val (q, feed) = build()
@@ -177,12 +233,27 @@ object StreamBench {
         if (xs.isEmpty) -1
         else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
       val steady = wall.drop(1).toSeq // first batch pays start+codegen
+      // the state contract (scaladoc above): final-quartile slope + bound
+      val quartile = stateCurve.drop(stateCurve.size * 3 / 4).toSeq
+      val plateauDelta =
+        if (quartile.size < 2) 0L else quartile.last - quartile.head
+      val rowsPerBatchApprox =
+        if (stateCurve.nonEmpty && stateCurve.head > 0) stateCurve.head else 200L
+      val plateauOk = quartile.size < 2 ||
+        plateauDelta <= math.max(0.02 * quartile.last, rowsPerBatchApprox.toDouble)
+      val boundOk = stateRows <= maxStateRows
+      if (!plateauOk) violations += s"$name: final-quartile state grew by " +
+        s"$plateauDelta rows (${quartile.head} -> ${quartile.last}) — leak, not noise"
+      if (!boundOk) violations += s"$name: final state $stateRows rows exceeds the " +
+        s"horizon-derived bound $maxStateRows"
       s"""{"first_batch_ms": ${f(wall.headOption.getOrElse(-1.0))}, """ +
         s""""wall_p50_ms": ${f(pct(steady, 0.5))}, "wall_p95_ms": ${f(pct(steady, 0.95))}, """ +
         s""""wall_max_ms": ${f(if (steady.isEmpty) -1 else steady.max)}, """ +
         s""""trigger_p50_ms": ${f(pct(trig, 0.5))}, "trigger_p95_ms": ${f(pct(trig, 0.95))}, """ +
         s""""state_rows": $stateRows, "state_bytes": $stateBytes, """ +
         s""""batches_processed": ${trig.size}, """ +
+        s""""plateau_delta": $plateauDelta, "state_bound": $maxStateRows, """ +
+        s""""contract_ok": ${plateauOk && boundOk}, """ +
         s""""state_curve": [${stateCurve.mkString(", ")}]}"""
     } finally q.stop()
   }
