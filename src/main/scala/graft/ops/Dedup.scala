@@ -1848,6 +1848,17 @@ object Dedup {
     * original documents on the id (the ONE text shuffle), and each row
     * reassembles its own text from the positions — `get` is 0-based and
     * null-safe, matching posexplode's positions.
+    *
+    * The join is PINNED to shuffle-hash with the narrow (positions) side
+    * as build: both sides grow with the corpus, so the only scale-safe
+    * plan is a shuffle join with the text side streaming — and leaving
+    * the strategy to size ESTIMATES measurably breaks it: at the sf100
+    * rung the incremental row's estimator flipped the build side to the
+    * TEXT projection (a ~20 GB broadcast build; the full row kept the
+    * narrow side) — 50.1 s vs the full pass's 25.0 s for strictly less
+    * work, 7.6×/decade where the full pass held the 3.3× linear floor
+    * (SCALING_r12 §2). shuffle_hash streams text unsorted and builds the
+    * per-partition map from positions only.
     */
   private def reassembleFromPositions(
       docs: DataFrame, flagged: DataFrame, textCol: String, idCol: String,
@@ -1862,7 +1873,7 @@ object Dedup {
       .select(col(idCol),
         split(coalesce(col(textCol), lit("")),
           java.util.regex.Pattern.quote(sep)).as("__parr"))
-      .join(kept, Seq(idCol))
+      .join(kept.hint("shuffle_hash"), Seq(idCol))
       .select(col(idCol),
         array_join(
           transform(col("__kept"), p => get(col("__parr"), p)), sep)

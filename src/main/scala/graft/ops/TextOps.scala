@@ -635,7 +635,19 @@ object TextOps {
     val inv = Dedup.dropOverfullBuckets(
       docs.select(col(idCol), explode(fingerprintWinnow(col(textCol), k, w)).as("__h")),
       Seq("__h"), maxBucketSize, "winnowOverlap", logMetric = false)
-    inv.as("a").join(inv.as("b"),
+    // pinned-exchange self-join (the embeddingNearDups treatment): the
+    // inverted index is byte-small while the hash-bucket self-join's
+    // emission is quadratic in bucket size, so AQE's input-byte coalesce
+    // decisions on it are the run-to-run variance lever; a numbered user
+    // repartition is coalesce-exempt, and the merge hints forbid a
+    // broadcast plan that would stream the emission through the scan's
+    // task count. On near-template corpora this operator is candidate-
+    // quadratic BY SHAPE (shared fingerprints grow with the corpus —
+    // measured frontier, SCALING_r12 §2); the pin makes its cost
+    // deterministic, not linear.
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val pinned = inv.repartition(np, col("__h")).hint("merge")
+    pinned.as("a").join(pinned.as("b"),
         col("a.__h") === col("b.__h") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
@@ -832,8 +844,12 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
     val toks = tokens(col(textCol))
+    // shuffle_hash, narrow (starts) build — the reassembleFromPositions
+    // rationale: both sides are corpus-sized, so the build side must be
+    // pinned to the positions, never left to size estimates that can
+    // flip to building on text (measured at the sf100 rung, SCALING_r12)
     docs
-      .join(starts, Seq(idCol), "left")
+      .join(starts.hint("shuffle_hash"), Seq(idCol), "left")
       .withColumn("__starts", coalesce(col("__starts"), array()))
       .withColumn("__kept", filter(toks, (t, i) =>
         !exists(col("__starts"), s => s <= i && i < s + k)))
@@ -922,18 +938,31 @@ object TextOps {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val segs = split(col(textCol), java.util.regex.Pattern.quote(sep))
     def digest(c: Column): Column = unhex(md5(normalized(c).cast("binary")))
-    // the store collapses SORTED so the per-segment membership probe is
+    // The store collapses SORTED so the per-segment membership probe is
     // an O(log n) native binary search (sorted_bin_contains), not the
     // O(n) array_contains scan: the store grows WITH the corpus
-    // (43/1,683/47,475 digests at sf0.01/sf1/sf30), so a linear probe
-    // makes the scrub quadratic exactly at scale — measured 201× cost
-    // for 30× data (1.16 s → 234 s) before this change
-    val bl = storeDigests
-      .agg(sort_array(collect_list(col("digest"))).as("__bl")) // one row, possibly empty array
+    // (43/1,683/47,475/171,452 digests at sf0.01/sf1/sf30/sf100), so a
+    // linear probe makes the scrub quadratic exactly at scale — measured
+    // 201× cost for 30× data (1.16 s → 234 s) before that change.
+    // The store ships as a PLAN LITERAL, not a broadcast-joined column
+    // (round 12): carrying the corpus-growing array as a per-row column
+    // re-materializes it per document row, which is |docs| × |store|
+    // work all over again — ProbeBoiler measured the scrub at 27.4 s
+    // (47k digests, sf30) → 436.3 s (171k, sf100), 15.9× for 3.33× data,
+    // vs ~3.7× once the array is a single plan-reference object. The
+    // store was ALREADY driver-bounded (the old collect_list folded it
+    // into one broadcast row); the collect below makes that explicit.
+    // A deny-list too large for one JVM belongs in an anti-join instead
+    // (explode segments → left_anti on digest → reassemble positions).
+    val store: Array[Array[Byte]] = storeDigests
+      .select(col("digest")).collect().map(_.getAs[Array[Byte]](0))
+    java.util.Arrays.sort(store,
+      (a: Array[Byte], b: Array[Byte]) =>
+        graft.functions.SortedBinSearch.compareUnsigned(a, b))
+    val bl = typedLit(store.toSeq)
     docs
-      .crossJoin(broadcast(bl))
       .withColumn("__kept", filter(segs,
-        l => !graft.functions.GraftFunctions.sortedBinContains(col("__bl"), digest(l))))
+        l => !graft.functions.GraftFunctions.sortedBinContains(bl, digest(l))))
       .select(
         col(idCol),
         array_join(col("__kept"), sep).as("text_clean"),

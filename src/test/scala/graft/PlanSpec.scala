@@ -277,10 +277,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("boilerplate removal: corpus pass is scan-side; only digests shuffle") {
     val p = plan(graft.ops.TextOps.removeBoilerplate(docs, "text", "doc_id", "\n", 2))
-    // one wide exchange (the line-digest frequency aggregate); the
-    // boilerplate set then broadcasts back, so document text never shuffles
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the scrub is a PURE scan-side projection since round 12: the digest
+    // store ships as one plan-reference literal (the frequency aggregate
+    // runs eagerly at store-build time, its own job), so the lazy plan
+    // has NO exchange and NO join at all — the crossJoin(broadcast) form
+    // re-materialized the corpus-growing array per document row, measured
+    // |docs| × |store| (436 s at the sf100 rung, SCALING_r12 §3)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("sorted_bin_contains"), p)
   }
 
   test("PQ search: code scan + broadcast probes; candidate re-join is an equi-join") {
