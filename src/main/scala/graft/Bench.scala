@@ -198,6 +198,14 @@ object Bench {
     val canaryBefore = canarySeconds()
     val canaryMtBefore = canarySecondsMulti(canaryThreads)
     val escalated = scala.collection.mutable.ListBuffer.empty[String]
+    // per-query max/min ratio across reps: the artifact's variance
+    // self-description (round-11 ask #3 — q_dedup_embedding measured
+    // 39.5-69.7 s on identical HEAD/rung even under the pinned exchange,
+    // so a single sample of a high-variance row is not a number, and the
+    // notes must stop single-sourcing such rows). Only meaningful at
+    // reps >= 2; rows with spread > 1.3 deserve a min-of-3 re-read
+    // before being called regressions.
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
       // failed reps are excluded from the min (a fast failure must not
       // masquerade as a fast run); all-failed reports -1
@@ -216,6 +224,7 @@ object Bench {
         escalated += name
         times ++= rep()
       }
+      if (times.size >= 2) spreads += name -> (times.max / times.min)
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val canaryAfter = canarySeconds()
@@ -286,6 +295,10 @@ object Bench {
         // heap posture travels with the numbers (verdict r11 ask #4): a
         // future reader can tell a starved window from a sized one
         s""""driver_mem_bytes":$heapBytes,"data_bytes":$dataBytes,""" +
+        // per-query rep spread (max/min) — rows > 1.3 are variance-prone
+        // and should be read as min-of-N, never single-sourced
+        s""""queries_spread":${spreads.map { case (k, v) =>
+          "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""partial":${only.isDefined || skip.nonEmpty},""" +
         s""""only":${only.getOrElse(Seq.empty).map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""skip":${skip.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

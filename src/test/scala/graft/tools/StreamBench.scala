@@ -137,11 +137,13 @@ object StreamBench {
     val baseline = graft.streaming.EventStream.windowBaseline(batchEv).persist()
     baseline.count()
     // complete-mode windowed agg: the events replay a FIXED historical
-    // span, so state is bounded by the distinct window/type groups of
-    // that span — a data-derived bound (the baseline is exactly those
-    // groups), not a horizon one
+    // span, so state is bounded by the distinct (window, event_type)
+    // groups of that span — a data-derived bound, not a horizon one
+    // (the baseline itself is per-TYPE, 5 rows — not the right unit)
+    val anomalyGroups = batchEv
+      .select(window(col("ts"), "1 hour"), col("event_type")).distinct().count()
     results += "window_anomaly" -> run(spark, batches, violations, "window_anomaly",
-      maxStateRows = 4L * baseline.count(), { () =>
+      maxStateRows = 2L * anomalyGroups, { () =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
