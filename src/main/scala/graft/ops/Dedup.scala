@@ -1849,16 +1849,18 @@ object Dedup {
     * reassembles its own text from the positions — `get` is 0-based and
     * null-safe, matching posexplode's positions.
     *
-    * The join is PINNED to shuffle-hash with the narrow (positions) side
-    * as build: both sides grow with the corpus, so the only scale-safe
-    * plan is a shuffle join with the text side streaming — and leaving
-    * the strategy to size ESTIMATES measurably breaks it: at the sf100
-    * rung the incremental row's estimator flipped the build side to the
-    * TEXT projection (a ~20 GB broadcast build; the full row kept the
-    * narrow side) — 50.1 s vs the full pass's 25.0 s for strictly less
-    * work, 7.6×/decade where the full pass held the 3.3× linear floor
-    * (SCALING_r12 §2). shuffle_hash streams text unsorted and builds the
-    * per-partition map from positions only.
+    * The join is PINNED to sort-merge: both sides grow with the corpus,
+    * so the only scale-safe plan is a shuffle join — and leaving the
+    * strategy to size ESTIMATES measurably breaks it: at the sf100 rung
+    * the incremental row's estimator flipped to BROADCASTING the ~20 GB
+    * TEXT projection (the full row kept the narrow side) — 50.1 s vs the
+    * full pass's 25.0 s for strictly less work, 7.6×/decade where the
+    * full pass held the 3.3× linear floor (SCALING_r12 §2). MERGE, not
+    * shuffle_hash: a shuffled-hash build of the positions side is
+    * per-partition in-memory with no spill path, and the 13-row sf100
+    * sweep OOM'd a 48 GB heap on exactly those maps the first time this
+    * pin shipped as shuffle_hash — SMJ's sorts spill, so the pinned plan
+    * degrades to disk instead of dying when memory is tight.
     */
   private def reassembleFromPositions(
       docs: DataFrame, flagged: DataFrame, textCol: String, idCol: String,
@@ -1873,7 +1875,7 @@ object Dedup {
       .select(col(idCol),
         split(coalesce(col(textCol), lit("")),
           java.util.regex.Pattern.quote(sep)).as("__parr"))
-      .join(kept.hint("shuffle_hash"), Seq(idCol))
+      .join(kept.hint("merge"), Seq(idCol))
       .select(col(idCol),
         array_join(
           transform(col("__kept"), p => get(col("__parr"), p)), sep)

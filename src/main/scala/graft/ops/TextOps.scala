@@ -844,12 +844,14 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
     val toks = tokens(col(textCol))
-    // shuffle_hash, narrow (starts) build — the reassembleFromPositions
-    // rationale: both sides are corpus-sized, so the build side must be
-    // pinned to the positions, never left to size estimates that can
-    // flip to building on text (measured at the sf100 rung, SCALING_r12)
+    // merge-pinned, never estimate-driven — the reassembleFromPositions
+    // rationale: both sides are corpus-sized, so broadcast must be off
+    // the table (the estimator measurably flips to broadcasting TEXT at
+    // the sf100 rung, SCALING_r12 §2), and SMJ over shuffle_hash because
+    // the starts arrays are corpus-fraction-sized on near-template text
+    // and a hash build of them has no spill path (the sweep-OOM lesson)
     docs
-      .join(starts.hint("shuffle_hash"), Seq(idCol), "left")
+      .join(starts.hint("merge"), Seq(idCol), "left")
       .withColumn("__starts", coalesce(col("__starts"), array()))
       .withColumn("__kept", filter(toks, (t, i) =>
         !exists(col("__starts"), s => s <= i && i < s + k)))
