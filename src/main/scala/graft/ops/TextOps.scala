@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Tokens: lowercase whitespace/punct split. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
@@ -621,6 +623,64 @@ object TextOps {
     * capping a pathological hash before the join turns quadratic; the
     * pair aggregate is map-side combinable.
     */
+  /** Candidate-volume model constants for [[winnowConfigFor]], calibrated
+    * on ProbeWinnow's measured counts (SCALING_r12 §4) at the default
+    * window w₀ = 4: candidates / n² was 1.4527e-5 at sf30 (1.5M docs,
+    * 32,686,123 candidates) and 1.4509e-5 at sf100 (5M docs, 362,736,650)
+    * — constant across a 3.33× decade, the empirical proof the operator
+    * is candidate-quadratic BY SHAPE on near-template corpora. Widening
+    * the winnow window thins every document's fingerprint set by
+    * ~(w₀+1)/(w+1) (the winnowing density law, SIGMOD 2003 §4), which
+    * thins every shared-hash bucket by the same factor, so Σ C(size, 2)
+    * — the join's emission — attenuates by its SQUARE.
+    */
+  private val WinnowCalibDensity = 1.46e-5
+  private val WinnowCalibW = 4
+
+  /** Solve the winnow window `w` for a corpus of `n` documents against a
+    * candidate-pair budget — the [[graft.ops.Dedup.simHashKeyBlocksFor]]
+    * treatment for [[winnowOverlap]], so the one counts-proven
+    * output-quadratic operator no longer ships the n² as its 100 TB
+    * default. The model:
+    *
+    *   predicted(w, n) = 1.46e-5 · n² · ((w₀+1)/(w+1))²
+    *
+    * (constants above). The solver widens `w` from the caller's floor
+    * until the predicted candidate volume fits the budget or `maxW` is
+    * reached. `minShared` passes through UNCHANGED: it thresholds which
+    * overlaps are REPORTED (semantics) while contributing nothing to the
+    * join's candidate volume (cost), so auto-raising it would silently
+    * change answers without bounding the n² — the opposite of what a
+    * scale dial may do. The returned `w` is config, not semantics, in
+    * the dial sense: the winnowing guarantee degrades gracefully
+    * (guaranteed-collision run length grows to w+k-1) and at corpora
+    * small enough to fit the budget the solver returns the floor
+    * unchanged, which pins oracle parity at the correctness SFs.
+    */
+  def winnowConfigFor(
+      n: Long,
+      candidateBudget: Double = 1e8,
+      minShared: Int = 2,
+      wFloor: Int = 4,
+      maxW: Int = 63,
+  ): (Int, Int) = {
+    require(n >= 0 && candidateBudget > 0 && wFloor >= 1 && maxW >= wFloor)
+    def predicted(w: Int): Double =
+      WinnowCalibDensity * n.toDouble * n *
+        math.pow((WinnowCalibW + 1).toDouble / (w + 1), 2)
+    var w = wFloor
+    while (w < maxW && predicted(w) > candidateBudget) w += 1
+    (w, minShared)
+  }
+
+  /** Predicted candidate volume at (n docs, window w) under the
+    * [[winnowConfigFor]] model — exposed so callers (and the scale notes)
+    * can stamp model-vs-measured next to the guard's actual count.
+    */
+  def winnowPredictedCandidates(n: Long, w: Int): Double =
+    WinnowCalibDensity * n.toDouble * n *
+      math.pow((WinnowCalibW + 1).toDouble / (w + 1), 2)
+
   def winnowOverlap(
       docs: DataFrame,
       textCol: String,
@@ -629,12 +689,37 @@ object TextOps {
       w: Int = 4,
       minShared: Int = 2,
       maxBucketSize: Int = 10000,
+      maxCandidatePairs: Long = 2000000000L,
   ): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val inv = Dedup.dropOverfullBuckets(
       docs.select(col(idCol), explode(fingerprintWinnow(col(textCol), k, w)).as("__h")),
       Seq("__h"), maxBucketSize, "winnowOverlap", logMetric = false)
+    // fail-loud candidate-volume guard (the dropOverfullBuckets pattern
+    // lifted to PAIR level): one aggregation over the byte-small inverted
+    // index measures the self-join's exact emission Σ C(bucket, 2) BEFORE
+    // the quadratic join runs, so a 100 TB run cannot silently pay n² —
+    // it either fits the declared ceiling or stops with the dials named.
+    // Cost: one fingerprint scan + a map-combinable agg — O(n), paid once,
+    // negligible next to the join it bounds. maxCandidatePairs <= 0
+    // disables (audit-scale escape hatch, deliberate and in writing).
+    if (maxCandidatePairs > 0) {
+      // n·(n−1) summed as LONG (SQL `/` would promote to double), halved
+      // exactly in Scala — n·(n−1) is always even
+      val vol = inv.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum(col("__n") * (col("__n") - 1)), lit(0L)))
+        .collect().head.getLong(0) / 2
+      log.info(s"winnowOverlap: candidate_pairs=$vol (guard ceiling $maxCandidatePairs)")
+      require(vol <= maxCandidatePairs,
+        s"winnowOverlap: the fingerprint self-join would emit $vol candidate pairs " +
+          s"(> $maxCandidatePairs allowed) — the measured n² frontier (SCALING_r12 §4). " +
+          s"Widen the winnow window (winnowConfigFor(n=${docs.count()}) solves it from " +
+          "the candidate-volume model), raise maxBucketSize-capped hygiene upstream, " +
+          "route near-template corpora through the banded near-dup operators " +
+          "(Dedup.minHashNearDups / simHashNearDupsWide), or raise/disable " +
+          "maxCandidatePairs deliberately for an audit-scale run.")
+    }
     // pinned-exchange self-join (the embeddingNearDups treatment): the
     // inverted index is byte-small while the hash-bucket self-join's
     // emission is quadratic in bucket size, so AQE's input-byte coalesce
@@ -653,6 +738,40 @@ object TextOps {
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[winnowOverlap]] with the window SOLVED from the corpus size — the
+    * bounded default a 100 TB run should reach for. Counts the corpus
+    * (one cheap action over the id column), asks [[winnowConfigFor]] for
+    * the widest-needed window under `candidateBudget`, logs the chosen
+    * config with the model's predicted candidate volume (stamp it next to
+    * the guard's measured count in the scale notes), and delegates. At
+    * corpora small enough that the floor window already fits the budget
+    * (every correctness SF) the result is bit-identical to
+    * `winnowOverlap(..., w = wFloor)` — the dial is config, not
+    * semantics, and the q_text_winnow_auto ≡ q_text_winnow_overlap
+    * oracle pins that.
+    */
+  def winnowOverlapAuto(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      minShared: Int = 2,
+      maxBucketSize: Int = 10000,
+      candidateBudget: Double = 1e8,
+      wFloor: Int = 4,
+  ): DataFrame = {
+    val n = docs.select(col(idCol)).count()
+    val (w, ms) = winnowConfigFor(n, candidateBudget, minShared, wFloor)
+    val predicted = winnowPredictedCandidates(n, w)
+    log.info(f"winnowOverlapAuto: n=$n solved w=$w minShared=$ms " +
+      f"predicted_candidates=$predicted%.3e budget=$candidateBudget%.1e")
+    // guard ceiling: 10× the budget — the model is calibrated on
+    // near-template synth corpora and may undershoot elsewhere; a run
+    // within one decade of the model proceeds, beyond that fails loudly
+    winnowOverlap(docs, textCol, idCol, k, w, ms, maxBucketSize,
+      maxCandidatePairs = math.max((candidateBudget * 10).toLong, 1L))
   }
 
   /** Benchmark decontamination, step 1: per corpus document, the number of
@@ -925,10 +1044,16 @@ object TextOps {
   }
 
   /** Scrub documents against a PRECOMPUTED boilerplate store — a
-    * stateless projection once the store ships as one broadcast array
-    * row, so it composes with streams unchanged (stream-static
-    * broadcast; parity-tested). `(idCol, text_clean, n_removed)`;
-    * a fully-boilerplate document keeps its row with empty text.
+    * stateless projection once the store ships as a single sorted
+    * PLAN-LITERAL array (collected eagerly at plan-construction time,
+    * round 12 — see the inline note), so it composes with streams
+    * unchanged (the literal rides the plan; parity-tested).
+    * `(idCol, text_clean, n_removed)`; a fully-boilerplate document
+    * keeps its row with empty text.
+    *
+    * The eager collect is driver-bounded by [[boilerplateDigests]]'
+    * frequency gate; a guard fails loudly (with the anti-join escape)
+    * if a caller hands a store too large for one plan literal.
     */
   def removeBoilerplateWith(
       docs: DataFrame,
@@ -958,6 +1083,15 @@ object TextOps {
     // (explode segments → left_anti on digest → reassemble positions).
     val store: Array[Array[Byte]] = storeDigests
       .select(col("digest")).collect().map(_.getAs[Array[Byte]](0))
+    // fail-loud ceiling on the plan-literal: 16-byte digests at 4M rows
+    // ≈ 64 MB of literal (plus object headers) — beyond that the store
+    // stops being a sane plan object and the caller should switch to the
+    // distributed anti-join form above instead of OOMing the driver here
+    require(store.length <= 4000000,
+      s"removeBoilerplateWith: the digest store holds ${store.length} rows — too large " +
+        "for a plan-literal probe. Raise boilerplateDigests' minDocs (frequency gate), " +
+        "or scrub via the distributed anti-join escape: explode segments → " +
+        "left_anti join on digest → reassemble by position.")
     java.util.Arrays.sort(store,
       (a: Array[Byte], b: Array[Byte]) =>
         graft.functions.SortedBinSearch.compareUnsigned(a, b))

@@ -2375,6 +2375,57 @@ class OpsSpec extends AnyFunSuite {
     assert(!clustered.contains(4L) && !clustered.contains(5L))
   }
 
+  test("winnowConfigFor: floor at correctness scale, widened at the n² frontier") {
+    import graft.ops.TextOps.{winnowConfigFor, winnowPredictedCandidates}
+    // correctness SFs (≤ ~50k docs): the model predicts well under the 1e8
+    // budget, so the solver returns the floor unchanged — q_text_winnow_auto
+    // must stay bit-identical to the fixed-dial row there
+    assert(winnowConfigFor(500L) == ((4, 2)))
+    assert(winnowConfigFor(5000L) == ((4, 2)))
+    assert(winnowConfigFor(50000L) == ((4, 2)))
+    // ProbeWinnow calibration (SCALING_r12 §4): sf30 = 1.5M docs measured
+    // 32.7M candidates — model agrees within 1% and stays under budget
+    val sf30Pred = winnowPredictedCandidates(1500000L, 4)
+    assert(math.abs(sf30Pred - 32686123.0) / 32686123.0 < 0.12)
+    assert(winnowConfigFor(1500000L) == ((4, 2)))
+    // sf100 = 5M docs measured 362.7M candidates: over the 1e8 budget, so
+    // the solver widens until predicted fits — and the widened prediction
+    // genuinely is under budget
+    val (w100, ms100) = winnowConfigFor(5000000L)
+    assert(w100 > 4 && ms100 == 2, s"got ($w100, $ms100)")
+    assert(winnowPredictedCandidates(5000000L, w100) <= 1e8)
+    assert(winnowPredictedCandidates(5000000L, w100 - 1) > 1e8)
+    // monotone: more docs never narrows the window; maxW caps the dial
+    val ws = Seq(1e5, 1e6, 1e7, 1e8, 1e9).map(n => winnowConfigFor(n.toLong)._1)
+    assert(ws == ws.sorted)
+    assert(winnowConfigFor(1000000000L, maxW = 15)._1 <= 15)
+    // minShared passes through: it is the caller's semantic floor
+    assert(winnowConfigFor(5000000L, minShared = 3)._2 == 3)
+  }
+
+  test("winnowOverlap candidate-volume guard fails loudly over the ceiling") {
+    // 6 docs sharing one template text → every fingerprint bucket holds
+    // all 6 docs → C(6,2) = 15 pairs per hash; a ceiling of 10 must trip
+    val tpl = (1 to 40).map(i => s"w${i % 7}").mkString(" ")
+    val many = (0L to 5L).map(i => (i, tpl)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TextOps.winnowOverlap(many, "text", "doc_id",
+        maxCandidatePairs = 10L).collect()
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+    assert(e.getMessage.contains("winnowConfigFor"))
+    // the same corpus under the default ceiling passes (pairs flow)
+    assert(graft.ops.TextOps.winnowOverlap(many, "text", "doc_id")
+      .count() == 15)
+    // and the auto variant solves the floor dial at tiny n — identical
+    // results to the fixed-dial call
+    val fixed = graft.ops.TextOps.winnowOverlap(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val auto = graft.ops.TextOps.winnowOverlapAuto(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == fixed)
+  }
+
   test("per-group quantile gate: median cutoff per group, nulls never pass") {
     val df = Seq(
       (0L, Some("en"), Some(10)), (1L, Some("en"), Some(20)),

@@ -43,12 +43,21 @@ object Datagen {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("tools/sf1")
     val mult = if (args.length > 1) args(1).toDouble else 1.0
+    // optional third arg: comma-separated table subset (e.g.
+    // "documents,embeddings") — the sf300 scan-family rung only needs the
+    // text tables (~1.7 GB documents vs ~42 GB lineitem at mult 300), and
+    // the full star schema would not fit the box's free disk at that rung
+    val tables: Set[String] =
+      if (args.length > 2) args(2).split(',').map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val spark = graft.SparkEntry.session("graft-datagen")
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, out, mult) finally spark.stop()
+    try generate(spark, out, mult, tables) finally spark.stop()
   }
 
-  def generate(spark: SparkSession, out: String, mult: Double = 1.0): Unit = {
+  def generate(spark: SparkSession, out: String, mult: Double = 1.0,
+      tables: Set[String] = Set.empty): Unit = {
+    onlyTables = tables
     val nCust = (150000 * mult).toLong
     val nSupp = (10000 * mult).toLong
     val nPart = (200000 * mult).toLong
@@ -196,7 +205,11 @@ object Datagen {
     * (the driver's layout) with 16 MiB row groups so big tables still
     * split into parallel scan tasks.
     */
+  /** Table subset for the current generate() call; empty = all. */
+  @volatile private var onlyTables: Set[String] = Set.empty
+
   private def write(out: String, name: String, df: DataFrame): Unit = {
+    if (onlyTables.nonEmpty && !onlyTables(name)) return
     val tmp = s"$out/.tmp_$name"
     df.repartition(1)
       .write.mode("overwrite")

@@ -506,6 +506,19 @@ object Drive {
       s"${cstats.filesOut} files; rows=${spark.read.parquet(zdir + "_c").count()} " +
       s"(source rows=${evz.count()})")
 
+    println("== round-13: winnowOverlap bounded default ==")
+    println("solver: n=5k -> " + graft.ops.TextOps.winnowConfigFor(5000L) +
+      ", n=5M -> " + graft.ops.TextOps.winnowConfigFor(5000000L) +
+      ", n=15M -> " + graft.ops.TextOps.winnowConfigFor(15000000L))
+    val autoPairs = graft.ops.TextOps.winnowOverlapAuto(docs, "text", "doc_id")
+    println(s"auto pairs at this rung (floor dial): ${autoPairs.count()} " +
+      "(must equal the fixed-dial count above)")
+    println("guard refusal on a 5-pair ceiling:")
+    try graft.ops.TextOps.winnowOverlap(docs, "text", "doc_id", maxCandidatePairs = 5L)
+    catch { case e: IllegalArgumentException =>
+      println("refused as designed: " + e.getMessage.take(160)) }
+    autoPairs.explain("formatted")
+
     println("== JS-shim throwing entry (reference: dist/index.js:23-30) ==")
     println(graft.Compiler.compileJsonOrThrow(
       """{ "age": "number", "class": "string" }""",

@@ -70,6 +70,14 @@ for doc in BENCH_NOTES_r${R}.md SCALING_r${R}.md; do
   done
 done
 
+# (b2) cited NUMBERS must match the artifacts they cite (round-12 ask #4:
+# the 588.9-vs-473.6 and 161.8-vs-84.4 drifts) — every headline number in
+# the round docs carries a <!-- claim: artifact path value --> annotation
+# that tools/check_claims.py verifies against the artifact's actual field
+if ! python3 tools/check_claims.py "$R" >&2; then
+  fail=1
+fi
+
 # (c) nothing tracked may be modified-unstaged at snapshot time
 dirty=$(git status --porcelain | grep -E '^.M' || true)
 if [ -n "$dirty" ]; then
