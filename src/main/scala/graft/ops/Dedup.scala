@@ -1849,38 +1849,83 @@ object Dedup {
     * reassembles its own text from the positions — `get` is 0-based and
     * null-safe, matching posexplode's positions.
     *
-    * The join is PINNED to sort-merge: both sides grow with the corpus,
-    * so the only scale-safe plan is a shuffle join — and leaving the
-    * strategy to size ESTIMATES measurably breaks it: at the sf100 rung
-    * the incremental row's estimator flipped to BROADCASTING the ~20 GB
-    * TEXT projection (the full row kept the narrow side) — 50.1 s vs the
-    * full pass's 25.0 s for strictly less work, 7.6×/decade where the
-    * full pass held the 3.3× linear floor (SCALING_r12 §2). MERGE, not
-    * shuffle_hash: a shuffled-hash build of the positions side is
-    * per-partition in-memory with no spill path, and the 13-row sf100
-    * sweep OOM'd a 48 GB heap on exactly those maps the first time this
-    * pin shipped as shuffle_hash — SMJ's sorts spill, so the pinned plan
-    * degrades to disk instead of dying when memory is tight.
+    * Join strategy is MEASURED, never estimated (round 13): the join side
+    * is gated to CHANGED documents only (n_paras_removed > 0 — unchanged
+    * documents reassemble to their own text verbatim, split+join being
+    * the identity), one aggregate learns its true positions payload, and
+    * the reassembly broadcasts when it fits `broadcastMaxPositions` —
+    * document text then never shuffles or sorts. Above the bound the
+    * gated side merges through the pinned spill-safe SMJ. History of the
+    * pins this replaces, all still binding on the fallback path: leaving
+    * the strategy to size ESTIMATES measurably breaks it (at the sf100
+    * rung the incremental row's estimator flipped to BROADCASTING the
+    * ~20 GB TEXT projection — 50.1 s vs the full pass's 25.0 s for
+    * strictly less work, SCALING_r12 §2); MERGE, not shuffle_hash,
+    * because a shuffled-hash build has no spill path and the 13-row
+    * sf100 sweep OOM'd a 48 GB heap on those maps; and the r12 full-side
+    * merge itself went 6.6×/decade at sf300, where sorting the multi-GB
+    * text side spilled >40 GB (SCALING_r13) — the changed-set gate is
+    * what removes text from the join entirely.
     */
   private def reassembleFromPositions(
       docs: DataFrame, flagged: DataFrame, textCol: String, idCol: String,
-      sep: String): DataFrame = {
+      sep: String, broadcastMaxPositions: Long = 32000000L): DataFrame = {
     val kept = flagged
       .groupBy(col(idCol))
       .agg(
         sort_array(collect_list(when(col("__keep"), col("__pos")))).as("__kept"),
         count(when(col("__keep"), lit(1))).as("n_paras_kept"),
         count(when(!col("__keep"), lit(1))).as("n_paras_removed"))
-    docs
-      .select(col(idCol),
-        split(coalesce(col(textCol), lit("")),
-          java.util.regex.Pattern.quote(sep)).as("__parr"))
-      .join(kept.hint("merge"), Seq(idCol))
-      .select(col(idCol),
-        array_join(
-          transform(col("__kept"), p => get(col("__parr"), p)), sep)
-          .as("text_dedup"),
-        col("n_paras_kept"), col("n_paras_removed"))
+    val parr = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    if (broadcastMaxPositions <= 0) {
+      // legacy full-side reassembly (no plan-time action): every document
+      // joins its kept positions through the pinned spill-safe merge
+      docs
+        .select(col(idCol), parr.as("__parr"))
+        .join(kept.hint("merge"), Seq(idCol))
+        .select(col(idCol),
+          array_join(
+            transform(col("__kept"), p => get(col("__parr"), p)), sep)
+            .as("text_dedup"),
+          col("n_paras_kept"), col("n_paras_removed"))
+    } else {
+      // changed-set gating (round 13 — the sf300 lesson): a document with
+      // ZERO removed paragraphs reassembles to its own text verbatim
+      // (split-on-sep + join-with-sep is the identity), so only documents
+      // that actually LOST a paragraph need to meet their positions in a
+      // join. That side is duplication-sized, not corpus-sized — measure
+      // it (one aggregate over the persisted byte-small positions rows)
+      // and broadcast when the payload fits, so document text shuffles
+      // and sorts ZERO times; at sf300 the old full-side merge sorted the
+      // multi-GB text side with >40 GB of spill (6.6x wall for 3x docs).
+      // Above the bound — near-template corpora where most documents lose
+      // paragraphs — fall back to the pinned merge over the SAME gated
+      // side (still strictly smaller than the full side the legacy path
+      // sorts; never estimator-chosen, never an unspillable hash build).
+      val changed = kept.filter(col("n_paras_removed") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = changed.agg(
+        coalesce(sum(size(col("__kept"))), lit(0)).cast("long"),
+        count(lit(1))).collect().head
+      log.info(s"reassembleFromPositions: changed_docs=${m.getLong(1)} " +
+        s"kept_positions=${m.getLong(0)} (broadcast bound $broadcastMaxPositions)")
+      val side =
+        if (m.getLong(0) <= broadcastMaxPositions) broadcast(changed)
+        else changed.hint("merge")
+      docs
+        .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"),
+          parr.as("__parr"))
+        .join(side, Seq(idCol), "left")
+        .select(col(idCol),
+          when(col("__kept").isNull, col("__t"))
+            .otherwise(
+              array_join(transform(col("__kept"), p => get(col("__parr"), p)), sep))
+            .as("text_dedup"),
+          coalesce(col("n_paras_kept"), size(col("__parr")).cast("long"))
+            .as("n_paras_kept"),
+          coalesce(col("n_paras_removed"), lit(0L)).as("n_paras_removed"))
+    }
   }
 
   /** The paragraph digest STORE: one row per distinct non-blank

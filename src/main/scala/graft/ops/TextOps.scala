@@ -630,12 +630,20 @@ object TextOps {
     * — constant across a 3.33× decade, the empirical proof the operator
     * is candidate-quadratic BY SHAPE on near-template corpora. Widening
     * the winnow window thins every document's fingerprint set by
-    * ~(w₀+1)/(w+1) (the winnowing density law, SIGMOD 2003 §4), which
-    * thins every shared-hash bucket by the same factor, so Σ C(size, 2)
-    * — the join's emission — attenuates by its SQUARE.
+    * ~(w₀+1)/(w+1) (the winnowing density law, SIGMOD 2003 §4); naively
+    * that would attenuate Σ C(size, 2) — the join's emission — by its
+    * SQUARE, but window-min selection is BIASED toward small hash values,
+    * so at wide windows the surviving fingerprints concentrate in fewer
+    * distinct values and buckets thin sub-proportionally. The measured
+    * attenuation exponent (ProbeWinnow, round 13, two independent
+    * points): 2.33× emission drop for a 2× density ratio at sf100
+    * (α = 1.22) and 9.05× for 5.8× at sf300 (α = 1.25) — the model uses
+    * α = 1.25 and the [[winnowOverlapAuto]] guard ceiling carries 10×
+    * slack for residual calibration error.
     */
   private val WinnowCalibDensity = 1.46e-5
   private val WinnowCalibW = 4
+  private val WinnowCalibAlpha = 1.25
 
   /** Solve the winnow window `w` for a corpus of `n` documents against a
     * candidate-pair budget — the [[graft.ops.Dedup.simHashKeyBlocksFor]]
@@ -643,7 +651,7 @@ object TextOps {
     * output-quadratic operator no longer ships the n² as its 100 TB
     * default. The model:
     *
-    *   predicted(w, n) = 1.46e-5 · n² · ((w₀+1)/(w+1))²
+    *   predicted(w, n) = 1.46e-5 · n² · ((w₀+1)/(w+1))^1.25
     *
     * (constants above). The solver widens `w` from the caller's floor
     * until the predicted candidate volume fits the budget or `maxW` is
@@ -667,7 +675,7 @@ object TextOps {
     require(n >= 0 && candidateBudget > 0 && wFloor >= 1 && maxW >= wFloor)
     def predicted(w: Int): Double =
       WinnowCalibDensity * n.toDouble * n *
-        math.pow((WinnowCalibW + 1).toDouble / (w + 1), 2)
+        math.pow((WinnowCalibW + 1).toDouble / (w + 1), WinnowCalibAlpha)
     var w = wFloor
     while (w < maxW && predicted(w) > candidateBudget) w += 1
     (w, minShared)
@@ -679,7 +687,7 @@ object TextOps {
     */
   def winnowPredictedCandidates(n: Long, w: Int): Double =
     WinnowCalibDensity * n.toDouble * n *
-      math.pow((WinnowCalibW + 1).toDouble / (w + 1), 2)
+      math.pow((WinnowCalibW + 1).toDouble / (w + 1), WinnowCalibAlpha)
 
   def winnowOverlap(
       docs: DataFrame,
@@ -935,10 +943,26 @@ object TextOps {
     * 60-bit, collision-safe to ~2^30 distinct shingles; widen to full md5
     * beyond) explode to an (id, pos, hash) inverted index; the
     * document-frequency aggregate and the start-position semi-join
-    * shuffle only longs; document text shuffles exactly once, for the
-    * final (id → starts) join, and the covered-position test is a per-row
-    * higher-order filter over the compact sorted starts array. Callers
-    * must `GraftFunctions.register` the session (native `word_shingles`).
+    * shuffle only longs — and at the default minDocs = 2 the df gate is
+    * ONE map-side-combinable aggregation (min(id) != max(id) per hash)
+    * whose surviving hash set, measured small, broadcasts back so the
+    * index itself never shuffles. The starts side is DF-GATED — it holds only
+    * documents that actually share a `k`-run with `minDocs` others, which
+    * ProbeSpan measures at ~0.33% of shingle positions across three
+    * decades (sf1/sf30/sf100: 0.321%/0.333%/0.353% — linear payload,
+    * SCALING_r13) — so the reassembly join MEASURES it (one aggregate
+    * over the persisted byte-small side) and broadcasts when the total
+    * duplicated-position payload fits `broadcastMaxPositions`: document
+    * text then shuffles and sorts ZERO times (the sf100 sort of the
+    * multi-GB text side was the row's dominant cost). Above the bound —
+    * near-template corpora where duplication is corpus-fraction-sized —
+    * it falls back to the spill-safe merge join pinned on both sides
+    * (never estimator-chosen: the estimator measurably flipped to
+    * broadcasting TEXT at the sf100 rung, SCALING_r12 §2; and never
+    * shuffle_hash, whose unspillable build OOM'd the r12 sweep). The
+    * covered-position test is a per-row higher-order filter over the
+    * compact sorted starts array. Callers must `GraftFunctions.register`
+    * the session (native `word_shingles`).
     */
   def dedupSpans(
       docs: DataFrame,
@@ -946,6 +970,7 @@ object TextOps {
       idCol: String,
       k: Int = 8,
       minDocs: Int = 2,
+      broadcastMaxPositions: Long = 32000000L,
   ): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would remove every document's every span")
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -954,23 +979,63 @@ object TextOps {
       s => graft.functions.GraftFunctions.md5Long60(s.cast("binary")))
     val inv = docs
       .select(col(idCol), posexplode(shingleHashes).as(Seq("__pos", "__h")))
-    val dupHashes = inv.select(col(idCol), col("__h")).distinct()
-      .groupBy(col("__h"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select(col("__h"))
-    val starts = inv.join(dupHashes, Seq("__h"), "left_semi")
+    // document-frequency gate. minDocs = 2 (the default): a hash occurs
+    // in >= 2 DISTINCT documents iff min(id) != max(id) over its rows —
+    // ONE map-side-combinable aggregation replaces the general path's
+    // distinct + re-aggregate + semi-join chain, whose three ~full-index
+    // shuffles coexist as lingering scratch within the job and exhausted
+    // the sf300 box's ~40 GB free disk (SCALING_r13). The general
+    // minDocs > 2 path keeps the exact distinct-count pipeline.
+    val dupHashes0 =
+      if (minDocs == 2)
+        inv.groupBy(col("__h"))
+          .agg(min(col(idCol)).as("__i0"), max(col(idCol)).as("__i1"))
+          .filter(col("__i0") =!= col("__i1"))
+          .select(col("__h"))
+      else
+        inv.select(col(idCol), col("__h")).distinct()
+          .groupBy(col("__h"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") >= minDocs)
+          .select(col("__h"))
+    // measure-then-choose on the dup-hash SET as well: duplicated hashes
+    // are payload-sized (ProbeSpan: ~0.33% of positions across three
+    // decades), so broadcasting them lets the full inverted index flow
+    // scan-side through a broadcast semi-join — the index then never
+    // shuffles at all. Near-template corpora where the set outgrows the
+    // bound fall back to the shuffled semi-join. broadcastMaxPositions
+    // <= 0 keeps the fully-lazy legacy plan (no action at construction).
+    val dupHashes =
+      if (broadcastMaxPositions <= 0) dupHashes0
+      else {
+        val p = dupHashes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = p.count()
+        log.info(s"dedupSpans: dup_hashes=$n")
+        if (n <= 16000000L) broadcast(p) else p
+      }
+    val starts0 = inv.join(dupHashes, Seq("__h"), "left_semi")
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    // measure-then-choose (the winnowOverlap guard discipline, join-side
+    // edition): persist the df-gated side — (id, positions) longs only,
+    // never text — and pay one aggregate to learn its TRUE size before
+    // choosing the reassembly strategy. broadcastMaxPositions <= 0 forces
+    // the merge path (streaming/lazy callers that must not run an action
+    // at plan-construction time).
+    val (starts, useBroadcast) =
+      if (broadcastMaxPositions <= 0) (starts0, false)
+      else {
+        val p = starts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val m = p.agg(coalesce(sum(size(col("__starts"))), lit(0)).cast("long"),
+          count(lit(1))).collect().head
+        log.info(s"dedupSpans: dup_positions=${m.getLong(0)} dup_docs=${m.getLong(1)} " +
+          s"(broadcast bound $broadcastMaxPositions)")
+        (p, m.getLong(0) <= broadcastMaxPositions)
+      }
     val toks = tokens(col(textCol))
-    // merge-pinned, never estimate-driven — the reassembleFromPositions
-    // rationale: both sides are corpus-sized, so broadcast must be off
-    // the table (the estimator measurably flips to broadcasting TEXT at
-    // the sf100 rung, SCALING_r12 §2), and SMJ over shuffle_hash because
-    // the starts arrays are corpus-fraction-sized on near-template text
-    // and a hash build of them has no spill path (the sweep-OOM lesson)
     docs
-      .join(starts.hint("merge"), Seq(idCol), "left")
+      .join(if (useBroadcast) broadcast(starts) else starts.hint("merge"),
+        Seq(idCol), "left")
       .withColumn("__starts", coalesce(col("__starts"), array()))
       .withColumn("__kept", filter(toks, (t, i) =>
         !exists(col("__starts"), s => s <= i && i < s + k)))

@@ -506,13 +506,19 @@ class PlanSpec extends AnyFunSuite {
     // the keep/drop window shuffles on the salted key (text is projected
     // out before the window; blanks never share the md5("") partition)
     assert(p.contains("hashpartitioning(__wkey"), p)
-    // at most three hash exchanges: slim window on __wkey, integer-only
-    // kept-position agg on the id, and at most ONE text-carrying
-    // exchange — the docs side of the id-keyed reassembly join (at this
-    // SF the kept-position agg broadcasts instead, so the text side
-    // doesn't shuffle at all). The old (id, pos)-keyed flag join that
-    // shuffled exploded text is gone.
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    // round 13: the reassembly side is gated to CHANGED documents and
+    // measured — under the broadcast bound the text side joins through a
+    // BroadcastHashJoin and NEVER shuffles (zero text-carrying hash
+    // exchanges); the only hash exchanges are the integer/digest-keyed
+    // window + kept-position agg (counted once live and once inside the
+    // persisted changed-side's InMemoryRelation rendering, hence <= 4).
+    // The old (id, pos)-keyed flag join that shuffled exploded text is
+    // gone.
+    assert(p.contains("BroadcastHashJoin"), p)
+    val textHashEx = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).filter(_.contains("text#")).toList
+    assert(textHashEx.isEmpty, s"text hash-shuffled: $textHashEx\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
     assert(!"hashpartitioning\\(doc_id#\\d+L?, __pos".r.findAllIn(p).hasNext, p)
     assert(!p.contains("Exchange rangepartitioning"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
