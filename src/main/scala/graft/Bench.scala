@@ -184,13 +184,27 @@ object Bench {
     // the winnowing projection until a join forced evaluation)
     def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val warmup = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
+    // a filtered (ONLY) run executes in the ONLY list's order: one-JVM
+    // sweeps accumulate lingering shuffle scratch until the context
+    // cleaner GCs it, so a caller can front-load the scratch-hungry rows
+    // (the r13 sf300 sweep's span row died on disk when it ran 11th and
+    // passes easily when isolated or first). The full surface keeps the
+    // map's deterministic order.
+    val selectedQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+      val all = SparkEntry.queries.toSeq.filter(q => selected(q._1))
+      only match {
+        case Some(pats) =>
+          pats.flatMap(p => all.filter(q => matches(p, q._1))).distinct
+        case None => all
+      }
+    }
+    val warmup = selectedQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       clearAll()
       name -> (if (ok) dt else Double.NaN)
-    }
+    }.toMap
     // cap canary threads at physical cores: with SPARK_GRAFT_CPUS above
     // availableProcessors the idle multi-canary would exceed single-thread
     // time by oversubscription alone and mislabel a quiet window as loaded
@@ -206,7 +220,7 @@ object Bench {
     // reps >= 2; rows with spread > 1.3 deserve a min-of-3 re-read
     // before being called regressions.
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
+    val results = selectedQueries.map { case (name, fn) =>
       // failed reps are excluded from the min (a fast failure must not
       // masquerade as a fast run); all-failed reports -1
       def rep(): Option[Double] = {
@@ -279,7 +293,7 @@ object Bench {
     // improvement); they are excluded from the sum and listed explicitly
     val failed = results.collect { case (k, v) if v < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter,""" +

@@ -48,7 +48,9 @@ for doc in BENCH_NOTES_r${R}.md SCALING_r${R}.md; do
     #                          commit, so the tag pins a checkable floor
     #                          instead of waiving the check
     if [ "$mt" -lt "$last_src_commit" ]; then
-      tagline=$(grep -E "\`$base\`" "$doc" 2>/dev/null)
+      # a citation may be path-qualified inside the backticks — match the
+      # basename anywhere within a backticked token
+      tagline=$(grep -E "\`([A-Za-z0-9_./-]*/)?$base\`" "$doc" 2>/dev/null)
       if echo "$tagline" | grep -qE "frontier:|baseline:"; then
         :
       elif echo "$tagline" | grep -qoE "witness: [0-9a-f]{7,40}"; then
