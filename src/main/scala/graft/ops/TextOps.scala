@@ -701,9 +701,17 @@ object TextOps {
   ): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val inv = Dedup.dropOverfullBuckets(
+    val inv0 = Dedup.dropOverfullBuckets(
       docs.select(col(idCol), explode(fingerprintWinnow(col(textCol), k, w)).as("__h")),
       Seq("__h"), maxBucketSize, "winnowOverlap", logMetric = false)
+    // with the guard active the index is scanned twice (emission agg +
+    // the join) — persist the byte-small (id, hash) rows so the md5
+    // fingerprint pass over the corpus is paid ONCE (spills to disk if
+    // the index outgrows memory; ~16 B/fingerprint)
+    val inv =
+      if (maxCandidatePairs > 0)
+        inv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else inv0
     // fail-loud candidate-volume guard (the dropOverfullBuckets pattern
     // lifted to PAIR level): one aggregation over the byte-small inverted
     // index measures the self-join's exact emission Σ C(bucket, 2) BEFORE

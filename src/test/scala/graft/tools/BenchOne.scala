@@ -22,7 +22,17 @@ object BenchOne {
     val fn = graft.SparkEntry.queries(name)
     def evaluate(): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // full cache cleanup between warmup and the measurement — graft.Bench's
+    // clearAll: operators that persist intra-query sides (the r13
+    // measure-then-choose reassembly, winnowOverlap's guarded index) must
+    // rebuild them in the timed rep, or this tool reports a warm-cache
+    // number no fresh query run would see
+    def clearAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     evaluate() // warm (JIT/codegen), then measure
+    clearAll()
     val t0 = System.nanoTime()
     evaluate()
     println(f"$name: time=${(System.nanoTime() - t0) / 1e9}%.2f s " +
