@@ -88,6 +88,23 @@ object Bench {
   private val CanaryIdleCalibSec = sys.env
     .getOrElse("SPARK_GRAFT_CANARY_CALIB", "1.6").toDouble
 
+  /** Free bytes on the shuffle-scratch filesystem (spark.local.dir, or
+    * java.io.tmpdir where unset — the local-mode default). Stamped into
+    * every artifact before/after the query loop AND after each row
+    * (round-13 ask #5): three sf300 takes that round failed or skewed on
+    * scratch exhaustion, and nothing in the artifacts said so — disk
+    * pressure must be self-describing so in-sweep vs isolated
+    * contradictions arrive pre-diagnosed instead of litigated a round
+    * later.
+    */
+  private[graft] def scratchFreeBytes(spark: SparkSession): Long = {
+    val dir = spark.sparkContext.getConf
+      .getOption("spark.local.dir")
+      .map(_.split(',').head)
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    try new java.io.File(dir).getUsableSpace catch { case _: Throwable => -1L }
+  }
+
   /** Bytes of parquet under the rung directory — the input-size side of
     * the heap-sizing rule below.
     */
@@ -209,6 +226,11 @@ object Bench {
     // availableProcessors the idle multi-canary would exceed single-thread
     // time by oversubscription alone and mislabel a quiet window as loaded
     val canaryThreads = math.min(cpus.toInt, Runtime.getRuntime.availableProcessors)
+    val diskFreeBefore = scratchFreeBytes(spark)
+    // per-row scratch free bytes, sampled AFTER each query's reps: a row
+    // that starved its successors (lingering shuffle scratch) shows as a
+    // cliff in this map, not as an unexplained slowdown two rows later
+    val diskFree = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val canaryBefore = canarySeconds()
     val canaryMtBefore = canarySecondsMulti(canaryThreads)
     val escalated = scala.collection.mutable.ListBuffer.empty[String]
@@ -241,6 +263,7 @@ object Bench {
       // min > 0 guard: a ~0-second rep would serialize Infinity/NaN into
       // the artifact — not valid JSON — and break downstream json.load
       if (times.size >= 2 && times.min > 0) spreads += name -> (times.max / times.min)
+      diskFree += name -> scratchFreeBytes(spark)
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val canaryAfter = canarySeconds()
@@ -314,6 +337,11 @@ object Bench {
         // per-query rep spread (max/min) — rows > 1.3 are variance-prone
         // and should be read as min-of-N, never single-sourced
         s""""queries_spread":${spreads.map { case (k, v) =>
+          "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+        // shuffle-scratch disk pressure, self-describing (r13 ask #5)
+        s""""disk_free_before_bytes":$diskFreeBefore,""" +
+        s""""disk_free_after_bytes":${scratchFreeBytes(spark)},""" +
+        s""""queries_disk_free_bytes":${diskFree.map { case (k, v) =>
           "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""partial":${only.isDefined || skip.nonEmpty},""" +
         s""""only":${only.getOrElse(Seq.empty).map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

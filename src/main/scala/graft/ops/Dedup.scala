@@ -1795,17 +1795,24 @@ object Dedup {
     * text in place). Blank paragraphs are window-keyed per row (see
     * [[splitParas]]) so the corpus-wide md5("") key never funnels into
     * one task. All exchanges are hash exchanges; no global sort.
+    *
+    * `broadcastMaxPositions` is the reassembly's measure-then-choose
+    * broadcast bound (see [[reassembleFromPositions]]); `<= 0` keeps the
+    * fully-lazy legacy plan — no Spark action runs at plan-construction
+    * time, the escape lazy-composition and stream-static callers need.
     */
   def paragraphDedup(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       sep: String = "\n",
+      broadcastMaxPositions: Long = 32000000L,
   ): DataFrame = {
     val w = Window.partitionBy(col("__wkey")).orderBy(col(idCol), col("__pos"))
     val flagged = slimParas(docs, textCol, idCol, sep)
       .withColumn("__keep", col("__blank") || row_number().over(w) === 1)
-    reassembleFromPositions(docs, flagged, textCol, idCol, sep)
+    reassembleFromPositions(docs, flagged, textCol, idCol, sep,
+      broadcastMaxPositions)
   }
 
   /** (id, __pos, __para, __digest, __blank, __wkey) exploded paragraph
@@ -1910,6 +1917,11 @@ object Dedup {
         count(lit(1))).collect().head
       log.info(s"reassembleFromPositions: changed_docs=${m.getLong(1)} " +
         s"kept_positions=${m.getLong(0)} (broadcast bound $broadcastMaxPositions)")
+      // the measurement above was the only in-function action; the first
+      // caller action over the returned reassembly auto-releases the
+      // changed-set cache (ScratchCache), so pipeline-staged sessions
+      // don't accumulate one pinned positions frame per dedup pass
+      ScratchCache.arm(docs.sparkSession, changed)
       val side =
         if (m.getLong(0) <= broadcastMaxPositions) broadcast(changed)
         else changed.hint("merge")
@@ -1962,7 +1974,9 @@ object Dedup {
     * they match nothing and never skew the join); the join's hash
     * partitioning on `__wkey` is exactly what the first-occurrence
     * window needs, so no extra exchange appears between them.
-    * Everything else matches the batch operator.
+    * Everything else matches the batch operator, including
+    * `broadcastMaxPositions` (`<= 0` = fully-lazy legacy plan, no
+    * plan-construction-time action).
     */
   def paragraphDedupIncrement(
       batch: DataFrame,
@@ -1970,6 +1984,7 @@ object Dedup {
       textCol: String,
       idCol: String,
       sep: String = "\n",
+      broadcastMaxPositions: Long = 32000000L,
   ): DataFrame = {
     val seen = historyDigests.select(col("digest").as("__wkey"))
       .dropDuplicates("__wkey").withColumn("__seen", lit(true))
@@ -1978,7 +1993,8 @@ object Dedup {
       .join(seen, Seq("__wkey"), "left")
       .withColumn("__keep",
         col("__blank") || (col("__seen").isNull && row_number().over(w) === 1))
-    reassembleFromPositions(batch, flagged, textCol, idCol, sep)
+    reassembleFromPositions(batch, flagged, textCol, idCol, sep,
+      broadcastMaxPositions)
   }
 
   /** Streaming twin of [[paragraphDedupIncrement]]: micro-batch

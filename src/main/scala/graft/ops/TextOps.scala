@@ -727,14 +727,23 @@ object TextOps {
         .agg(coalesce(sum(col("__n") * (col("__n") - 1)), lit(0L)))
         .collect().head.getLong(0) / 2
       log.info(s"winnowOverlap: candidate_pairs=$vol (guard ceiling $maxCandidatePairs)")
-      require(vol <= maxCandidatePairs,
-        s"winnowOverlap: the fingerprint self-join would emit $vol candidate pairs " +
-          s"(> $maxCandidatePairs allowed) — the measured n² frontier (SCALING_r12 §4). " +
-          s"Widen the winnow window (winnowConfigFor(n=${docs.count()}) solves it from " +
-          "the candidate-volume model), raise maxBucketSize-capped hygiene upstream, " +
-          "route near-template corpora through the banded near-dup operators " +
-          "(Dedup.minHashNearDups / simHashNearDupsWide), or raise/disable " +
-          "maxCandidatePairs deliberately for an audit-scale run.")
+      if (vol > maxCandidatePairs) {
+        // a refused run returns no plan that could ever consume the
+        // scratch — release it before failing or the refusal would pin
+        // the whole inverted index in a long-lived session
+        inv.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"winnowOverlap: the fingerprint self-join would emit $vol candidate pairs " +
+            s"(> $maxCandidatePairs allowed) — the measured n² frontier (SCALING_r12 §4). " +
+            s"Widen the winnow window (winnowConfigFor(n=${docs.count()}) solves it from " +
+            "the candidate-volume model), raise maxBucketSize-capped hygiene upstream, " +
+            "route near-template corpora through the banded near-dup operators " +
+            "(Dedup.minHashNearDups / simHashNearDupsWide), or raise/disable " +
+            "maxCandidatePairs deliberately for an audit-scale run.")
+      }
+      // auto-release: the guard scan above was the last in-function use;
+      // the first caller action over the returned join releases the index
+      ScratchCache.arm(docs.sparkSession, inv)
     }
     // pinned-exchange self-join (the embeddingNearDups treatment): the
     // inverted index is byte-small while the hash-bucket self-join's
@@ -985,7 +994,14 @@ object TextOps {
     val shingleHashes = transform(
       graft.functions.GraftFunctions.wordShingles(col(textCol), k),
       s => graft.functions.GraftFunctions.md5Long60(s.cast("binary")))
+    // null ids never count toward a hash's document frequency: the
+    // minDocs==2 fast path's min/max ignore null ids while the general
+    // distinct-count path would count (null, hash) rows — filtering them
+    // here keeps the two paths' df semantics identical (a null-id row is
+    // a data defect, not a document; its own text is never span-edited
+    // either way because the final id-equijoin can't match a null key)
     val inv = docs
+      .filter(col(idCol).isNotNull)
       .select(col(idCol), posexplode(shingleHashes).as(Seq("__pos", "__h")))
     // document-frequency gate. minDocs = 2 (the default): a hash occurs
     // in >= 2 DISTINCT documents iff min(id) != max(id) over its rows —
@@ -1013,13 +1029,23 @@ object TextOps {
     // shuffles at all. Near-template corpora where the set outgrows the
     // bound fall back to the shuffled semi-join. broadcastMaxPositions
     // <= 0 keeps the fully-lazy legacy plan (no action at construction).
-    val dupHashes =
-      if (broadcastMaxPositions <= 0) dupHashes0
+    // the dup-hash broadcast cutoff derives from the caller's ONE scale
+    // dial: a dup-hash entry is a single 8-byte long vs a position entry's
+    // comparable footprint, so half the position bound keeps the default
+    // at ~16M longs (~128 MB relation) on the calibrated box while letting
+    // smaller deployments shrink it by shrinking broadcastMaxPositions —
+    // a buried constant a caller can't tune is an OOM with a delay
+    val dupHashBroadcastMax = math.max(broadcastMaxPositions / 2, 1L)
+    // (dupHashes as used in the join below, raw persisted frame for the
+    // scratch-release arm — the broadcast() hint wraps the plan, and only
+    // the unhinted frame matches its CacheManager entry)
+    val (dupHashes, dupHashesScratch) =
+      if (broadcastMaxPositions <= 0) (dupHashes0, None)
       else {
         val p = dupHashes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = p.count()
-        log.info(s"dedupSpans: dup_hashes=$n")
-        if (n <= 16000000L) broadcast(p) else p
+        log.info(s"dedupSpans: dup_hashes=$n (broadcast cutoff $dupHashBroadcastMax)")
+        (if (n <= dupHashBroadcastMax) broadcast(p) else p, Some(p))
       }
     val starts0 = inv.join(dupHashes, Seq("__h"), "left_semi")
       .groupBy(col(idCol))
@@ -1038,6 +1064,10 @@ object TextOps {
           count(lit(1))).collect().head
         log.info(s"dedupSpans: dup_positions=${m.getLong(0)} dup_docs=${m.getLong(1)} " +
           s"(broadcast bound $broadcastMaxPositions)")
+        // both scratch frames are done measuring; the first caller action
+        // over the returned reassembly releases them together (dupHashes
+        // lives inside this frame's cached plan, so it rides along)
+        ScratchCache.arm(docs.sparkSession, Seq(p) ++ dupHashesScratch: _*)
         (p, m.getLong(0) <= broadcastMaxPositions)
       }
     val toks = tokens(col(textCol))

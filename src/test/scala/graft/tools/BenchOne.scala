@@ -33,10 +33,18 @@ object BenchOne {
     }
     evaluate() // warm (JIT/codegen), then measure
     clearAll()
+    // scratch disk stamps around the timed rep (r13 ask #5): an isolated
+    // number measured into a scratch-fouled or filling disk must say so —
+    // the r13 sf300 span take ran with 3.4 GB free and its 289 s read as
+    // a plan regression for a round
+    val diskBefore = graft.Bench.scratchFreeBytes(spark)
     val t0 = System.nanoTime()
     evaluate()
-    println(f"$name: time=${(System.nanoTime() - t0) / 1e9}%.2f s " +
-      f"heap=${heapBytes / 1e9}%.1fg data=${dataBytes / 1e9}%.1fg")
+    val dt = (System.nanoTime() - t0) / 1e9
+    val diskAfter = graft.Bench.scratchFreeBytes(spark)
+    println(f"$name: time=$dt%.2f s " +
+      f"heap=${heapBytes / 1e9}%.1fg data=${dataBytes / 1e9}%.1fg " +
+      f"disk_before=${diskBefore / 1e9}%.1fg disk_after=${diskAfter / 1e9}%.1fg")
     if (args.length > 2 && args(2) == "explain") fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
