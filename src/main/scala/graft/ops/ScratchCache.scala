@@ -54,8 +54,7 @@ object ScratchCache {
   // share the builder instance, which is exactly the identity that says
   // "this scan serves that persisted frame"
   private final case class Group(
-      builders: Seq[AnyRef],
-      frames: Seq[DataFrame],
+      entries: Seq[(AnyRef, DataFrame)], // (cacheBuilder, frame) pairs
       armedAfterId: Long)
 
   private val groups = new ConcurrentHashMap[java.lang.Long, Group]()
@@ -81,8 +80,7 @@ object ScratchCache {
     // watermark: every QueryExecution constructed from here on has a
     // larger id than anything the operator's own measurements ran
     val watermark = spark.range(0).queryExecution.id
-    groups.put(nextGroupId.incrementAndGet(),
-      Group(entries.map(_._1), entries.map(_._2), watermark))
+    groups.put(nextGroupId.incrementAndGet(), Group(entries, watermark))
   }
 
   /** Number of armed groups still awaiting a consuming action (test and
@@ -102,10 +100,22 @@ object ScratchCache {
     }
   }
 
+  /** Unpersist each frame ONLY if the registered cache entry for its plan
+    * still carries the builder we armed. Dataset.unpersist uncaches by
+    * PLAN equality, so a late listener event must not release a NEWER
+    * same-plan registration (e.g. a benchmark loop that cleared caches and
+    * re-ran the operator: the stale warmup event would yank the fresh
+    * entry's blocks out from under the in-flight run).
+    */
   private def unpersistGroup(g: Group): Unit =
-    g.frames.foreach { f =>
-      try f.unpersist(blocking = false)
-      catch { case e: Throwable => log.warn(s"scratch unpersist failed: $e") }
+    g.entries.foreach { case (builder, f) =>
+      try {
+        val cm = f.sparkSession.sharedState.cacheManager
+        val stillOurs = cm
+          .lookupCachedData(f.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+          .exists(_.cachedRepresentation.cacheBuilder eq builder)
+        if (stillOurs) f.unpersist(blocking = false)
+      } catch { case e: Throwable => log.warn(s"scratch unpersist failed: $e") }
     }
 
   private def install(spark: SparkSession): Unit = installed.synchronized {
@@ -136,10 +146,10 @@ object ScratchCache {
       val e = it.next()
       val g = e.getValue
       if (qe.id > g.armedAfterId &&
-          g.builders.exists(b => seen.exists(_ eq b))) {
+          g.entries.exists { case (b, _) => seen.exists(_ eq b) }) {
         it.remove()
         log.info(s"scratch released after consuming action (qe=${qe.id}, " +
-          s"${g.frames.size} frame(s))")
+          s"${g.entries.size} frame(s))")
         unpersistGroup(g)
       }
     }

@@ -988,6 +988,7 @@ object TextOps {
       k: Int = 8,
       minDocs: Int = 2,
       broadcastMaxPositions: Long = 32000000L,
+      persistIndex: Boolean = true,
   ): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would remove every document's every span")
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -1000,9 +1001,26 @@ object TextOps {
     // here keeps the two paths' df semantics identical (a null-id row is
     // a data defect, not a document; its own text is never span-edited
     // either way because the final id-equijoin can't match a null key)
-    val inv = docs
+    val inv0 = docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol), posexplode(shingleHashes).as(Seq("__pos", "__h")))
+    // the index is consumed TWICE at plan-construction time (the df-gate
+    // aggregation, then the starts build) and both passes re-shingle and
+    // re-hash the whole corpus from parquet — the r14 cold re-measure put
+    // the second pass at roughly half the row's cost. persistIndex spends
+    // block-store scratch (columnar-compressed (id,pos,h) longs, freed
+    // in-function right after the second consumer runs) to pay the
+    // shingle+hash pass ONCE. Both in-function consumers finish before
+    // return, so this cache never outlives plan construction. Scratch
+    // trade at the sf300 rung: the cache coexists with the df-gate
+    // aggregation's shuffle, raising peak disk — a box within ~2x of its
+    // scratch limit should pass persistIndex = false and pay the second
+    // scan instead.
+    val measured = broadcastMaxPositions > 0
+    val inv =
+      if (measured && persistIndex)
+        inv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else inv0
     // document-frequency gate. minDocs = 2 (the default): a hash occurs
     // in >= 2 DISTINCT documents iff min(id) != max(id) over its rows —
     // ONE map-side-combinable aggregation replaces the general path's
@@ -1064,10 +1082,13 @@ object TextOps {
           count(lit(1))).collect().head
         log.info(s"dedupSpans: dup_positions=${m.getLong(0)} dup_docs=${m.getLong(1)} " +
           s"(broadcast bound $broadcastMaxPositions)")
-        // both scratch frames are done measuring; the first caller action
-        // over the returned reassembly releases them together (dupHashes
-        // lives inside this frame's cached plan, so it rides along)
-        ScratchCache.arm(docs.sparkSession, Seq(p) ++ dupHashesScratch: _*)
+        // the measure above fully materialized the starts cache, so the
+        // index and the dup-hash set have no consumers left anywhere —
+        // release them NOW, in-function (only starts outlives plan
+        // construction; the first caller action auto-releases it)
+        if (persistIndex) inv.unpersist(blocking = false)
+        dupHashesScratch.foreach(_.unpersist(blocking = false))
+        ScratchCache.arm(docs.sparkSession, p)
         (p, m.getLong(0) <= broadcastMaxPositions)
       }
     val toks = tokens(col(textCol))
