@@ -988,7 +988,7 @@ object TextOps {
       k: Int = 8,
       minDocs: Int = 2,
       broadcastMaxPositions: Long = 32000000L,
-      persistIndex: Boolean = true,
+      persistIndex: Boolean = false,
   ): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would remove every document's every span")
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -1004,18 +1004,16 @@ object TextOps {
     val inv0 = docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol), posexplode(shingleHashes).as(Seq("__pos", "__h")))
-    // the index is consumed TWICE at plan-construction time (the df-gate
-    // aggregation, then the starts build) and both passes re-shingle and
-    // re-hash the whole corpus from parquet — the r14 cold re-measure put
-    // the second pass at roughly half the row's cost. persistIndex spends
-    // block-store scratch (columnar-compressed (id,pos,h) longs, freed
-    // in-function right after the second consumer runs) to pay the
-    // shingle+hash pass ONCE. Both in-function consumers finish before
-    // return, so this cache never outlives plan construction. Scratch
-    // trade at the sf300 rung: the cache coexists with the df-gate
-    // aggregation's shuffle, raising peak disk — a box within ~2x of its
-    // scratch limit should pass persistIndex = false and pay the second
-    // scan instead.
+    // the index is consumed twice at plan-construction time (the df-gate
+    // aggregation, then the starts build); persistIndex caches the
+    // (id,pos,h) longs across the two passes, freed in-function after the
+    // second. MEASURED A WASH on local disk (r14/spanfix.log: 40.2/235.8 s
+    // vs 45.9/222.0 baseline at sf100/sf300 — the cache write cancels the
+    // saved shingle+hash pass), so the default is false; the dial exists
+    // for deployments where the second scan is genuinely expensive
+    // (remote object storage, compute-priced scans). ProbeSpanCost showed
+    // the row's real super-linear stage is the df-gate aggregation — see
+    // the repartition note below.
     val measured = broadcastMaxPositions > 0
     val inv =
       if (measured && persistIndex)
@@ -1028,13 +1026,35 @@ object TextOps {
     // shuffles coexist as lingering scratch within the job and exhausted
     // the sf300 box's ~40 GB free disk (SCALING_r13). The general
     // minDocs > 2 path keeps the exact distinct-count pipeline.
+    // NEAR-UNIQUE GROUPS make the default aggregation plan spill twice
+    // (ProbeSpanCost, r14: the df-gate stage alone went 25.3 -> 124.1 s
+    // per 3x docs while every scan stage stayed linear). Shingle hashes
+    // barely repeat — ~one group per input row — so the map-side partial
+    // aggregate reduces nothing yet builds (and spills) a full hash table
+    // per task, and the reduce side at the session's 32 partitions holds
+    // tens of millions of groups per task and spills again. Fix: a
+    // numbered repartition on the hash BEFORE the aggregation. The
+    // exchange then carries raw (id,pos,h) rows — the same bytes the
+    // partial output would have carried, since there was no reduction to
+    // lose — and the partial+final pair runs inside the post-exchange
+    // stage over a bounded key range. The partition count derives from
+    // the scan's own task count (each scan task holds a rung-independent
+    // slice of positions, so keys-per-task stays ~constant as the corpus
+    // grows — the property a fixed count loses at the next decade);
+    // numbered, so AQE cannot coalesce it back into fat partitions.
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val aggParts = math.min(2048,
+      math.max(np, inv.rdd.getNumPartitions * 8))
+    val invByHash = inv.repartition(aggParts, col("__h"))
     val dupHashes0 =
       if (minDocs == 2)
-        inv.groupBy(col("__h"))
+        invByHash.groupBy(col("__h"))
           .agg(min(col(idCol)).as("__i0"), max(col(idCol)).as("__i1"))
           .filter(col("__i0") =!= col("__i1"))
           .select(col("__h"))
       else
+        // the general path's distinct needs an (id, h) distribution of its
+        // own — pre-partitioning by hash would only add a second exchange
         inv.select(col(idCol), col("__h")).distinct()
           .groupBy(col("__h"))
           .agg(count(lit(1)).as("__df"))

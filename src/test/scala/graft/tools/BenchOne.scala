@@ -31,8 +31,16 @@ object BenchOne {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    evaluate() // warm (JIT/codegen), then measure
-    clearAll()
+    // SPARK_GRAFT_NOWARM=1 skips the warmup evaluation and times the
+    // FIRST run (codegen/JIT included — absolute numbers inflate ~10-20%
+    // but rung-over-rung RATIOS stay comparable because both rungs share
+    // the posture; halves the cost of wide cold sweeps). The output line
+    // stamps the posture so artifacts can't silently mix the two.
+    val nowarm = sys.env.getOrElse("SPARK_GRAFT_NOWARM", "0") == "1"
+    if (!nowarm) {
+      evaluate() // warm (JIT/codegen), then measure
+      clearAll()
+    }
     // scratch disk stamps around the timed rep (r13 ask #5): an isolated
     // number measured into a scratch-fouled or filling disk must say so —
     // the r13 sf300 span take ran with 3.4 GB free and its 289 s read as
@@ -44,7 +52,8 @@ object BenchOne {
     val diskAfter = graft.Bench.scratchFreeBytes(spark)
     println(f"$name: time=$dt%.2f s " +
       f"heap=${heapBytes / 1e9}%.1fg data=${dataBytes / 1e9}%.1fg " +
-      f"disk_before=${diskBefore / 1e9}%.1fg disk_after=${diskAfter / 1e9}%.1fg")
+      f"disk_before=${diskBefore / 1e9}%.1fg disk_after=${diskAfter / 1e9}%.1fg" +
+      (if (nowarm) " nowarm=1" else ""))
     if (args.length > 2 && args(2) == "explain") fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
