@@ -86,7 +86,28 @@ object ScratchCache {
   /** Number of armed groups still awaiting a consuming action (test and
     * audit hook).
     */
-  private[graft] def pendingGroups: Int = groups.size()
+  private[graft] def pendingGroups: Int = { pruneDead(); groups.size() }
+
+  /** Drop groups none of whose armed builders still own a cache entry:
+    * scratch cleared EXTERNALLY (spark.catalog.clearCache between bench
+    * reps, an explicit caller unpersist) leaves nothing to release, and a
+    * dead group would otherwise pend forever — each one a map entry the
+    * sweep re-walks on every action for the life of the session. An entry
+    * that cannot be checked is conservatively kept (never release-by-guess).
+    */
+  private def pruneDead(): Unit = {
+    val it = groups.entrySet().iterator()
+    while (it.hasNext) {
+      val g = it.next().getValue
+      val alive = g.entries.exists { case (builder, f) =>
+        try f.sparkSession.sharedState.cacheManager
+          .lookupCachedData(f.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+          .exists(_.cachedRepresentation.cacheBuilder eq builder)
+        catch { case _: Throwable => true }
+      }
+      if (!alive) it.remove()
+    }
+  }
 
   /** Unpersist every armed scratch group now — for callers that abandon
     * returned plans without running them.
@@ -132,6 +153,7 @@ object ScratchCache {
 
   private def sweep(qe: QueryExecution): Unit = {
     if (groups.isEmpty) return
+    pruneDead()
     // builders referenced by the completed action's plan — cache
     // substitution rewrites persisted subtrees into InMemoryRelations
     // during QueryExecution.withCachedData, so the optimized plan carries
