@@ -121,8 +121,34 @@ object SparkEntry {
       .getOrCreate()
   }
 
-  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Base-table reader, memoized per (session, path): `read.parquet`
+    * builds a fresh file index (directory listing) and re-reads the
+    * parquet footer for schema on EVERY call — pure plan-construction
+    * overhead paid by every query construction in every bench rep
+    * (ProbeConstruct r14: ~0.1 s per query across the 200-row tail).
+    * The memo holds the analyzed scan — never data (no .cache()); the
+    * driver's correctness/bench runs recompute every byte from parquet
+    * exactly as before. Keyed weakly by session so a stopped session's
+    * entries are collectable; the test-data tables are write-once per
+    * directory, so a cached listing cannot go stale mid-session (stores
+    * that ARE written mid-session — IVF/CC/WARC fixtures — use their own
+    * readers, not this).
+    */
+  private val tableCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = tableCache.synchronized {
+      var m = tableCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        tableCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet", p => s.read.parquet(p))
+  }
 
   /** Probe-sampling rates for the recall METERS, scale-aware above the
     * two driver correctness SFs. At sf0.01/sf0.1 (200 / 2,000 vectors)
@@ -2007,29 +2033,48 @@ object SparkEntry {
           "^Doc [0-9]+$|^Home & About$|^Footer .*$").as("text"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("url_canon")).orderBy(col("doc_id"))
+      // Stage materialization (optimization guide §1.2/§5): the chain's
+      // composed stages run EAGER internal jobs (pair materialization,
+      // connected components), each of which re-derives its input from
+      // lineage — unpersisted, the WARC parse + HTML extraction + dedup
+      // window re-ran ~10× per evaluation and the gate battery ~5×
+      // (measured r14, cold-isolated BenchOne at sf0.1: 24.0 s → 13.5 s
+      // with the three persists).
+      // The persisted frames are intra-query scratch: ScratchCache.arm at
+      // the bottom releases them on the caller's first consuming action,
+      // so nothing outlives the query — and at warehouse scale avoiding
+      // ~10 re-parses of the crawl for three disk-backed text frames is
+      // the same trade the measure-then-choose reassembly family makes.
       val base = ext.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn", "url_canon")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bench = base.filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
       val gated = base.filter(TextOps.gopherPass(col("text"), sep = " the ",
         minWords = 20, minStopHits = 1))
       val curated = ops.Curate.curate(gated, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nearDeduped = Dedup.nearDupKeepFirst(curated, "text", "doc_id",
         numHashes = 128, bands = 32, shingleSize = 5, threshold = 0.8)
       val exact = TextOps.decontaminate(nearDeduped, bench, "text", "doc_id",
         n = 5, minOverlap = 1)
       val cleaned = Dedup.fuzzyDecontaminate(exact, bench, "text", "doc_id",
-        numHashes = 128, bands = 32, shingleSize = 5, threshold = 0.5)
+          numHashes = 128, bands = 32, shingleSize = 5, threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val split = Dedup.leakageSafeSplit(cleaned, "text", "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "r9e",
         numHashes = 128, bands = 32, shingleSize = 5, threshold = 0.5)
       val train = cleaned.join(
         split.filter(col("split") === "train").select("doc_id"), Seq("doc_id"))
-      TextOps.packChunks(
+      val result = TextOps.packChunks(
           TextOps.chunkTokens(train, "text", "doc_id", chunkSize = 64, overlap = 16),
           "doc_id", budget = 256, groups = 8, salt = "r9e")
         .join(base.select(col("doc_id"), col("domain")), Seq("doc_id"))
         .select(col("doc_id"), col("domain"), col("chunk_idx"),
           col("n_tokens"), col("pack_group"), col("seq_idx"))
+      // armed AFTER all eager construction jobs: the watermark guarantees
+      // only a LATER (caller) action releases the scratch group
+      ops.ScratchCache.arm(s, base, curated, cleaned)
+      result
     }),
 
     "q_text_repetition" -> ((s, dir) => {

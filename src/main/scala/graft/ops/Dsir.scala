@@ -147,7 +147,14 @@ object Dsir {
 
   /** Score `docs` against a prebuilt `(ratios, scalars)` model — the
     * shared scoring tail of the [[logWeights]] variants: explode →
-    * broadcast ratio lookup → one per-id sum shuffle.
+    * broadcast ratio lookup → one per-id sum shuffle. Measured (r14):
+    * delegating to [[logWeightsStream]]'s literal-table fold is ~1.8×
+    * SLOWER here — `aggregate` over a lambda is a non-codegen
+    * (interpreted) expression, so the per-n-gram md5 work leaves
+    * whole-stage codegen and the explode/join/partial-agg pipeline wins
+    * despite its exchange (which carries one pre-aggregated row per
+    * document, not n-grams). The stream twin keeps the fold because a
+    * streaming source cannot run the model-collect action lazily.
     */
   def logWeightsWith(
       docs: DataFrame,

@@ -217,28 +217,31 @@ object Embeddings {
         val m = dot / (lit(scale) * col("__n")) + lit(bq / Qr)
         val p = lit(0.5) + (lit(0.5) * m) / (lit(1.0) + abs(m))
         val r = p - when(col("__pos"), lit(1.0)).otherwise(lit(0.0))
-        // one aggregation per epoch: bucket -1 carries the bias
-        // gradient (quantized residual), buckets 0..dim-1 the weight
-        // gradients (length-normalized quantized residual × count)
-        val grad = base
+        // one aggregation per epoch: dim+1 sum columns in a single
+        // grouping-key-free aggregate — the bias gradient (quantized
+        // residual) plus one length-normalized gradient per bucket. The
+        // former explode(dim+1 structs per doc) + groupBy shuffled
+        // (dim+1)×|docs| rows per epoch to compute what map-side partial
+        // aggregation reduces to ONE row per partition; the column-wise
+        // form is shuffle-free (a complete aggregate collapses to a
+        // single row) and exactly order-independent like the original —
+        // every summand is an integer-valued double < 2^53, so the
+        // regrouping cannot change a bit of the result.
+        val aggs = sum(col("__rq")).cast("double").as("__g_bias") +:
+          (0 until dim).map(j =>
+            sum(col("__rn") * element_at(col("__f"), j + 1)).as(s"__g$j"))
+        val g = base
           .select(
             floor(r * lit(Qr) + lit(0.5)).as("__rq"),
             floor((r / col("__n")) * lit(Qg) + lit(0.5)).as("__rn"),
             col("__f"))
-          .select(explode(concat(
-            array(struct(lit(-1).as("__b"), col("__rq").as("__x"))),
-            transform(sequence(lit(0), lit(dim - 1)), i =>
-              struct(i.as("__b"),
-                (col("__rn") * element_at(col("__f"), i + 1)).as("__x"))))).as("__c"))
-          .select(col("__c.__b").as("__b"), col("__c.__x").as("__x"))
-          .groupBy(col("__b"))
-          .agg(sum(col("__x")).as("__g"))
-          .collect()
-        grad.foreach { row =>
-          val b = row.getInt(0)
-          val g = row.getDouble(1)
-          if (b < 0) bq -= math.floor(((lrBias * Qr) * g) / (Qr * nDocs) + 0.5).toLong
-          else v(b) -= math.floor(((lr * scale) * g) / (Qg * nDocs) + 0.5).toLong
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().head
+        bq -= math.floor(((lrBias * Qr) * g.getDouble(0)) / (Qr * nDocs) + 0.5).toLong
+        var j = 0
+        while (j < dim) {
+          v(j) -= math.floor(((lr * scale) * g.getDouble(j + 1)) / (Qg * nDocs) + 0.5).toLong
+          j += 1
         }
       }
     } finally base.unpersist()

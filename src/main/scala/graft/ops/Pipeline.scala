@@ -53,6 +53,14 @@ object Pipeline {
       extraGate: Option[org.apache.spark.sql.Column] = None,
   ): DataFrame = {
     val gated = extraGate.fold(docs)(g => docs.filter(g))
+    // NOT persisted (measured, r14): the curated frame is consumed twice
+    // inside the decontamination plan, but both consumers read the SAME
+    // keep-first window exchange, which ReuseExchange deduplicates at
+    // runtime — the gate battery already runs once. An intra-query
+    // persist here measured ~1.2 s SLOWER at sf0.1 (cache write + lost
+    // pipelining, nothing saved). The e2e flagship is different: its
+    // stages run EAGER internal jobs whose separate plans cannot share
+    // exchanges — persists pay there (see SparkEntry.q_pipeline_e2e).
     val exact = TextOps.decontaminate(
       Curate.curate(gated, textCol, idCol, lang, minQuality, maxDup3),
       bench, textCol, idCol, n, minOverlap)
