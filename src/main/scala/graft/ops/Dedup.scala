@@ -950,6 +950,28 @@ object Dedup {
     kb
   }
 
+  /** Bucket-size gate for the blocked-self-join slice dial: buckets at or
+    * under this row count never replicate (their C(size, 2) verification
+    * is at most ~12.5M codegen'd emissions ≈ sub-second in one task —
+    * the same per-slice-pair work target the m ≈ √(n/5000) solve aims
+    * for), so the m× slice replication pays only where the quadratic
+    * actually lives.
+    */
+  private[graft] val sliceHotMin = 5000
+
+  /** Slice count at or above which the hot-bucket gate replaces full
+    * replication. The gate's fixed price is one count window (exchange +
+    * sort) over the banded frame; full replication's price is (m − 1)×
+    * the banded frame through the join exchange on BOTH sides — linear
+    * in m. Measured at the generated sf10 (m = 10) the two are a wash
+    * within single-shot variance (47.3 legacy / 52.5 gated / 58.1 legacy
+    * repeat); at the sf100 rung's solved m = 32 the legacy
+    * replication alone is ~2·32·tables·n rows (≈ 430 GB raw for the
+    * wide row) — the scratch-disk wall that killed that row in the r14
+    * sweep — while the gate's window is m-independent.
+    */
+  private[graft] val sliceGateMin = 16
+
   def simHashNearDups(
       df: DataFrame,
       textCol: String,
@@ -973,6 +995,7 @@ object Dedup {
       maxHamming: Int,
       keyBlocks: Int = 1,
       slices: Int = 1,
+      sliceHotMin: Int = Dedup.sliceHotMin,
   ): DataFrame = {
     require(slices >= 1, "slices must be >= 1")
     val bits = graft.functions.SimHashUtil.Bits
@@ -1005,7 +1028,20 @@ object Dedup {
     // owns one slice coordinate by id hash and replicates across the
     // other side's m coordinates, so a pair (a, b) meets exactly once —
     // at key (chunk, key, slice(a), slice(b)) — and a hot bucket's
-    // quadratic verification spreads over m² reducer keys
+    // quadratic verification spreads over m² reducer keys.
+    // HOT-GATED (r14, guide §2.5 "salt the hot keys, not everything"):
+    // replicating EVERY row m× multiplied the join exchange by m on the
+    // cold mass — at the generated sf100 (m = 32) that is 32× the banded
+    // volume for buckets whose C(size, 2) verification was already
+    // sub-second. A count window over the bucket key (the lazy
+    // dropOverfullBuckets idiom — no action, and the identical subtree
+    // under both join sides is exchange-reused) gates the dial per
+    // bucket: only buckets above `sliceHotMin` rows replicate; both
+    // sides compute the same per-bucket m, so each pair still meets
+    // exactly once and the result set is bit-identical (the planted-bit
+    // slices test pins it). Applied from sliceGateMin slices up — below
+    // that the window costs as much as the replication it saves (see
+    // sliceGateMin's measured trade).
     val allSlices = array((0 until slices).map(lit): _*)
     def slice(c: Column): Column = pmod(xxhash64(c), lit(slices)).cast("int")
     val (left, right, joinKeys) =
@@ -1013,12 +1049,30 @@ object Dedup {
         (banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sim").as("sim_a")),
           banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sim").as("sim_b")),
           Seq("chunk", "key"))
-      else
+      else if (slices < sliceGateMin)
+        // small m: full replication is at worst a wash vs the gate's
+        // count window (measured at the generated sf10, m = 10: 47.3 s
+        // legacy vs 52.5 s gated, single-shot with ±12% window variance
+        // — a repeat of the legacy path measured 58.1 s), and the gate's
+        // sort of the banded frame is pure overhead when (m − 1)× the
+        // banded bytes is still exchange-affordable
         (banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"),
             slice(col("id")).as("__sa"), explode(allSlices).as("__sb")),
           banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"),
             explode(allSlices).as("__sa"), slice(col("id")).as("__sb")),
           Seq("chunk", "key", "__sa", "__sb"))
+      else {
+        val gated = banded.withColumn("__m",
+          when(count(lit(1)).over(Window.partitionBy(col("chunk"), col("key")))
+            > sliceHotMin, lit(slices)).otherwise(lit(1)))
+        (gated.select(col("chunk"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"),
+            pmod(xxhash64(col("id")), col("__m")).cast("int").as("__sa"),
+            explode(sequence(lit(0), col("__m") - 1)).as("__sb")),
+          gated.select(col("chunk"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"),
+            explode(sequence(lit(0), col("__m") - 1)).as("__sa"),
+            pmod(xxhash64(col("id")), col("__m")).cast("int").as("__sb")),
+          Seq("chunk", "key", "__sa", "__sb"))
+      }
     // Exactly-once emission WITHOUT a dedup shuffle: a pair's matching
     // tables are fully determined by which blocks of sim_a XOR sim_b are
     // zero, so each join instance can decide locally whether ITS table is
@@ -1117,6 +1171,7 @@ object Dedup {
       maxHamming: Int,
       keyBlocks: Int = 1,
       slices: Int = 1,
+      sliceHotMin: Int = Dedup.sliceHotMin,
   ): DataFrame = {
     require(slices >= 1, "slices must be >= 1")
     val laneBits = graft.functions.SimHashUtil.Bits
@@ -1165,6 +1220,8 @@ object Dedup {
     val banded = withLanes
       .select(col("id"), col("s0"), col("s1"), explode(array(chunks: _*)).as("cc"))
       .select(col("id"), col("s0"), col("s1"), col("cc.chunk"), col("cc.key"))
+    // hot-gated slicing — see simHashNearDupsFromSims: only buckets above
+    // sliceHotMin rows replicate m×; pairs still meet exactly once
     val allSlices = array((0 until slices).map(lit): _*)
     def slice(c: Column): Column = pmod(xxhash64(c), lit(slices)).cast("int")
     val (left, right, joinKeys) =
@@ -1174,7 +1231,7 @@ object Dedup {
           banded.select(col("chunk"), col("key"), col("id").as("id_b"),
             col("s0").as("s0_b"), col("s1").as("s1_b")),
           Seq("chunk", "key"))
-      else
+      else if (slices < sliceGateMin)
         (banded.select(col("chunk"), col("key"), col("id").as("id_a"),
           col("s0").as("s0_a"), col("s1").as("s1_a"),
           slice(col("id")).as("__sa"), explode(allSlices).as("__sb")),
@@ -1182,6 +1239,20 @@ object Dedup {
             col("s0").as("s0_b"), col("s1").as("s1_b"),
             explode(allSlices).as("__sa"), slice(col("id")).as("__sb")),
           Seq("chunk", "key", "__sa", "__sb"))
+      else {
+        val gated = banded.withColumn("__m",
+          when(count(lit(1)).over(Window.partitionBy(col("chunk"), col("key")))
+            > sliceHotMin, lit(slices)).otherwise(lit(1)))
+        (gated.select(col("chunk"), col("key"), col("id").as("id_a"),
+          col("s0").as("s0_a"), col("s1").as("s1_a"),
+          pmod(xxhash64(col("id")), col("__m")).cast("int").as("__sa"),
+          explode(sequence(lit(0), col("__m") - 1)).as("__sb")),
+          gated.select(col("chunk"), col("key"), col("id").as("id_b"),
+            col("s0").as("s0_b"), col("s1").as("s1_b"),
+            explode(sequence(lit(0), col("__m") - 1)).as("__sa"),
+            pmod(xxhash64(col("id")), col("__m")).cast("int").as("__sb")),
+          Seq("chunk", "key", "__sa", "__sb"))
+      }
     graft.functions.GraftFunctions.register(withSims.sparkSession)
     // per-subset masks, one per lane (0 where the subset has no block in
     // that lane) — the wide twin of the single-long subsetMasks

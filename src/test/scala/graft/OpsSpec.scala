@@ -118,6 +118,42 @@ class OpsSpec extends AnyFunSuite {
     assert(m1.contains((0L, 1L)) && m1.contains((0L, 3L)))
   }
 
+  test("simhash hot-gated slicing: identical output at any slices/threshold mix") {
+    // the blocked-self-join slice dial is recall-neutral by construction
+    // (a pair meets exactly once at (slice(a), slice(b)) with the SAME
+    // per-bucket m on both sides) — verify the r14 hot-bucket gate keeps
+    // that across: no slicing, slicing with every bucket hot
+    // (sliceHotMin = 0, the legacy replicate-everything plan), and a
+    // MIXED gate (sliceHotMin = 2: the planted duplicate-heavy bucket
+    // replicates, the singletons don't)
+    val diff = Seq(7, 15, 23, 31, 39, 47, 55, 63).map(1L << _).reduce(_ | _)
+    val sims = (Seq((0L, 0L), (1L, diff), (2L, -1L), (3L, 0L), (4L, 1L << 20)) ++
+      (10L to 20L).map(i => (i, 0L))).toDF("id", "sim")
+    def run(m: Int, hot: Int) = Dedup.simHashNearDupsFromSims(sims, maxHamming = 8,
+        slices = m, sliceHotMin = hot)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val base = run(1, Dedup.sliceHotMin)
+    // below sliceGateMin: the legacy replicate-everything branch
+    assert(base == run(3, 0))
+    assert(base == run(4, 2))
+    // at/above sliceGateMin: the hot-gated branch, all three gate mixes
+    assert(base == run(Dedup.sliceGateMin, 0))
+    assert(base == run(Dedup.sliceGateMin, 2))
+    assert(base == run(Dedup.sliceGateMin + 1, 1000000))
+    assert(base.contains((0L, 1L)) && base.contains((10L, 20L)))
+    // wide twin: same identity under the same mixes
+    val simsW = (Seq((0L, Seq(0L, 0L)), (1L, Seq(diff, 0L)), (2L, Seq(-1L, -1L))) ++
+      (10L to 20L).map(i => (i, Seq(0L, 0L)))).toDF("id", "sims")
+    def runW(m: Int, hot: Int) = Dedup.simHashNearDupsWideFromSims(simsW, maxHamming = 8,
+        slices = m, sliceHotMin = hot)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val baseW = runW(1, Dedup.sliceHotMin)
+    assert(baseW == runW(3, 0))
+    assert(baseW == runW(Dedup.sliceGateMin, 0))
+    assert(baseW == runW(Dedup.sliceGateMin, 2))
+    assert(baseW.contains((0L, 1L)) && baseW.contains((10L, 20L)))
+  }
+
   test("simhash keyBlocks dial: model-solved, radius-aware, result-preserving") {
     // the candidate-volume rule (Dedup.simHashKeyBlocksFor): corpora whose
     // predicted candidate volume is already under the work floor stay at
