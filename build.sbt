@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// one JSON object. Two sbt behaviors have broken that parse in EVERY round
+// (BENCH_r01..r14 all carry rc:0, parsed:null): the logger prefixes forked
+// program stdout with "[info] ", and a "[success] Total time ..." banner
+// prints after the program exits. Pass forked output through unprefixed and
+// suppress the banner, so the bench's compact contract line is genuinely the
+// final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Test / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — lint can't
+// see that and would warn on every invocation
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

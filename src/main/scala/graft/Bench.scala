@@ -37,6 +37,41 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Round a seconds value for the compact stdout line: 4 decimals is
+    * 0.1 ms resolution — far below the bench's own ±12% window variance —
+    * and keeps the whole per-query map a few KB. Uses BigDecimal, not a
+    * locale-sensitive Formatter (a comma-decimal default locale would
+    * emit invalid JSON). Full-precision values stay in the fat artifact.
+    */
+  private def r4(v: Double): String =
+    if (v.isNaN || v.isInfinite) "-1"
+    else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+
+  /** Driver contract: ONE COMPACT JSON line, printed as the last stdout
+    * line before exit — per-query seconds (4 decimals) + totals + the
+    * window-quality scalars a consumer needs to read them, nothing
+    * map-of-maps sized. Same methodology, same queries, same totals as
+    * the fat artifact (which keeps full precision + the per-query
+    * spread/disk/compile detail). The fat line overflowed the driver's
+    * stdout tail buffer (BENCH_r11..r14: rc 0 yet parsed:null), so the
+    * stdout side of the contract is now this bounded line; a full-surface
+    * run is ~6 KB.
+    */
+  private[graft] def compactLine(
+      results: Seq[(String, Double)], total: Double, normDivisor: Double,
+      loadFactor: Double, contended: Boolean, sfDir: String,
+      escalatedJson: String, failedJson: String, partial: Boolean,
+      artifact: String): String = {
+    val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,""" +
+      s""""sf":"$sfDir","total_norm":${r4(total / normDivisor)},""" +
+      s""""load_factor":${r4(loadFactor)},"contended":$contended,""" +
+      s""""escalated":$escalatedJson,"failed":$failedJson,""" +
+      s""""partial":$partial,"artifact":"$artifact"}"""
+  }
+
   /** Fixed-work single-thread canary: seconds to xxh64-chain 2e8 longs.
     * ~0.5-1 s on an idle modern core; scales up linearly with external
     * CPU contention.
@@ -347,14 +382,25 @@ object Bench {
         s""""only":${only.getOrElse(Seq.empty).map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""skip":${skip.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""compile":$compileJson}"""
-    println(line)
-    // a filtered run never overwrites the round artifact by default —
-    // explicit SPARK_GRAFT_BENCH_OUT still goes where the caller said
+    // The FAT self-describing artifact goes to the SPARK_GRAFT_BENCH_OUT
+    // file ONLY (it grew to hundreds of KB of per-query disk/spread maps,
+    // which overflowed the driver's stdout tail buffer — BENCH_r11..r14
+    // all show rc:0 with parsed:null because the one printed line could
+    // no longer be recovered from the log). A filtered run never
+    // overwrites the round artifact by default — explicit
+    // SPARK_GRAFT_BENCH_OUT still goes where the caller said.
     val defaultOut =
       if (only.isDefined || skip.nonEmpty) "BENCH_PARTIAL.json" else "BENCH_LOCAL.json"
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e")
+      // the fat numbers must survive somewhere — stderr, so they still
+      // cannot displace the compact contract line on stdout
+      System.err.println(line)
+    }
+    println(compactLine(results, total, normDivisor, loadFactor, contended,
+      sfDir, esc, failedJson, only.isDefined || skip.nonEmpty, outFile))
     spark.stop()
   }
 }

@@ -1349,14 +1349,40 @@ object Dedup {
           .persist()
         // (2) pointer jump: comp := label(comp) — shortcuts label chains.
         // The pre-round label rides along as `old` so the convergence
-        // check below is a filter over the just-materialized blocks, not
-        // another join against the previous iteration.
-        val jumped = truncate(pulled.alias("l")
+        // check is a row-level comparison over the SAME pass that
+        // materializes the round, not a second job.
+        val round = pulled.alias("l")
           .join(pulled.select(col("id").as("comp"), col("comp").as("jcomp")).alias("j"),
             Seq("comp"), "left")
-          .select(col("id"), col("old"), coalesce(col("jcomp"), col("comp")).as("comp")))
+          .select(col("id"), col("old"), coalesce(col("jcomp"), col("comp")).as("comp"))
+        // ONE driver action per round, not two: the convergence count
+        // piggybacks on the materializing action as an observed metric
+        // (CollectMetricsExec populates the count while the checkpoint's
+        // internal count() executes the plan; Dataset.checkpoint runs
+        // under withAction, so the metric is delivered on completion).
+        // The former shape — truncate() then a separate
+        // filter(changed).count() — paid a second job per round: trivial
+        // at sf0.1 (~0.1-0.3 s job latency over cached blocks) but a
+        // serial O(rounds) driver term at 100 TB where the re-scan of the
+        // checkpointed blocks is a full cluster pass per round.
+        // Reliable mode keeps the two-action shape: its persist() means
+        // the checkpoint action may read THROUGH InMemoryRelation, whose
+        // cached subtree does not surface observed metrics to the action's
+        // QueryExecution, so the metric could block forever there.
+        val jumped = materialize match {
+          case Materialize.Local =>
+            val obs = org.apache.spark.sql.Observation()
+            val j = round
+              .observe(obs, count(when(col("comp") =!= col("old"), 1)).as("changed"))
+              .localCheckpoint()
+            changed = obs.get("changed").asInstanceOf[Long]
+            j
+          case _ =>
+            val j = truncate(round)
+            changed = j.filter(col("comp") =!= col("old")).count()
+            j
+        }
         pulled.unpersist()
-        changed = jumped.filter(col("comp") =!= col("old")).count()
         labels = jumped.select(col("id"), col("comp"))
         iter += 1
       }
