@@ -128,24 +128,63 @@ object SparkEntry {
     * (ProbeConstruct r14: ~0.1 s per query across the 200-row tail).
     * The memo holds the analyzed scan — never data (no .cache()); the
     * driver's correctness/bench runs recompute every byte from parquet
-    * exactly as before. Keyed weakly by session so a stopped session's
-    * entries are collectable; the test-data tables are write-once per
-    * directory, so a cached listing cannot go stale mid-session (stores
-    * that ARE written mid-session — IVF/CC/WARC fixtures — use their own
-    * readers, not this).
+    * exactly as before.
+    *
+    * Lifecycle (round-14 advice #1): the memoized DataFrames strongly
+    * reference their session via queryExecution, so the former
+    * WeakHashMap[SparkSession, ...] could never collect a key — the
+    * documented value→key pitfall; every stopped session permanently
+    * pinned its analyzed plans and SessionState in a multi-session JVM
+    * (test suites; servers). The map is now keyed by the session's
+    * identity hash — verified by reference on every hit, so a hash
+    * collision merely evicts — with two explicit eviction rules:
+    * entries whose SparkContext has stopped are dropped on the next
+    * access, and the map is LRU-bounded to [[MaxMemoSessions]] live
+    * sessions — a bench/verify JVM uses one slot, suites rotate through,
+    * and the worst-case retention is a handful of scan plans instead of
+    * unbounded.
+    *
+    * Staleness (round-14 advice #4): the memo pins the FIRST call's file
+    * listing + schema per (session, path); the test-data tables are
+    * write-once per directory, and stores that ARE written mid-session
+    * (IVF/CC/WARC fixtures) use their own readers, not this. A harness
+    * that regenerates an sf directory inside one JVM must call
+    * [[clearTableMemo]] — `spark.catalog.refreshByPath` cannot see this
+    * private memo ([[TestdataSpec]] pins the invalidation rule).
     */
+  private val MaxMemoSessions = 4
   private val tableCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+    new java.util.LinkedHashMap[Integer,
+        (SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame])](
+        8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Integer,
+            (SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame])])
+          : Boolean = size() > MaxMemoSessions
+    }
+
+  /** Drop every memoized scan (and the derived corpus-size memos): the
+    * escape hatch for a session that regenerates test-data directories
+    * mid-JVM. Next access re-lists and re-reads footers.
+    */
+  private[graft] def clearTableMemo(): Unit = {
+    tableCache.synchronized { tableCache.clear() }
+    vecCountCache.clear()
+    docCountCache.clear()
+    ops.DialMemo.clear()
+  }
+
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = tableCache.synchronized {
-      var m = tableCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        tableCache.put(s, m)
+      val it = tableCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val key = Integer.valueOf(System.identityHashCode(s))
+      var e = tableCache.get(key)
+      if (e == null || (e._1 ne s)) {
+        e = (s, new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+        tableCache.put(key, e)
       }
-      m
+      e._2
     }
     perSession.computeIfAbsent(s"$dir/$name.parquet", p => s.read.parquet(p))
   }

@@ -193,6 +193,16 @@ object Embeddings {
       lrBias: Double = 4.0,
   ): DataFrame = {
     require(dim >= 1 && epochs >= 1, "dim and epochs must be >= 1")
+    // the per-epoch gradient is ONE grouping-key-free aggregate with dim+1
+    // sum buffers; past a few hundred columns a single aggregate can blow
+    // whole-stage-codegen limits (fallback to interpreted evaluation — the
+    // regression class the Dsir scoring comment documents as ~1.8× slower)
+    // or hit the generated class's constant pool. 512 is comfortably below
+    // both and far above the hash-embedding dims this trains (default 64);
+    // raise only together with a chunked-aggregate implementation.
+    require(dim <= 512,
+      s"trainLogisticWeights supports dim <= 512 (got $dim): the shuffle-free " +
+        "gradient builds dim+1 aggregate buffers in one operator")
     require(scale > 0 && lr > 0 && lrBias > 0, "scale and learning rates must be positive")
     val spark = docs.sparkSession
     val Qr = (1L << 20).toDouble // residual / bias quantizer

@@ -76,6 +76,11 @@ object ScratchCache {
         .map(cd => (cd.cachedRepresentation.cacheBuilder, s))
     }
     if (entries.isEmpty) return
+    // arm-time is one of the two prune points (the other: a sweep that
+    // matched nothing) — zombie groups are bounded without paying a
+    // CacheManager lookup per armed frame on EVERY completed action on
+    // the shared listener-bus thread (round-14 advice #3)
+    pruneDead()
     install(spark)
     // watermark: every QueryExecution constructed from here on has a
     // larger id than anything the operator's own measurements ran
@@ -100,10 +105,12 @@ object ScratchCache {
     while (it.hasNext) {
       val g = it.next().getValue
       val alive = g.entries.exists { case (builder, f) =>
+        // NonFatal only: an OOM/InterruptedException on the listener
+        // thread must propagate, not silently read as "alive"
         try f.sparkSession.sharedState.cacheManager
           .lookupCachedData(f.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
           .exists(_.cachedRepresentation.cacheBuilder eq builder)
-        catch { case _: Throwable => true }
+        catch { case scala.util.control.NonFatal(_) => true }
       }
       if (!alive) it.remove()
     }
@@ -136,7 +143,8 @@ object ScratchCache {
           .lookupCachedData(f.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
           .exists(_.cachedRepresentation.cacheBuilder eq builder)
         if (stillOurs) f.unpersist(blocking = false)
-      } catch { case e: Throwable => log.warn(s"scratch unpersist failed: $e") }
+      } catch { case scala.util.control.NonFatal(e) =>
+        log.warn(s"scratch unpersist failed: $e") }
     }
 
   private def install(spark: SparkSession): Unit = installed.synchronized {
@@ -153,7 +161,6 @@ object ScratchCache {
 
   private def sweep(qe: QueryExecution): Unit = {
     if (groups.isEmpty) return
-    pruneDead()
     // builders referenced by the completed action's plan — cache
     // substitution rewrites persisted subtrees into InMemoryRelations
     // during QueryExecution.withCachedData, so the optimized plan carries
@@ -161,8 +168,9 @@ object ScratchCache {
     // nothing can have consumed a cache and the sweep is a no-op
     val seen: Seq[AnyRef] =
       try qe.optimizedPlan.collect { case r: InMemoryRelation => r.cacheBuilder: AnyRef }
-      catch { case _: Throwable => Seq.empty }
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
     if (seen.isEmpty) return
+    var released = false
     val it = groups.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -170,10 +178,16 @@ object ScratchCache {
       if (qe.id > g.armedAfterId &&
           g.entries.exists { case (b, _) => seen.exists(_ eq b) }) {
         it.remove()
+        released = true
         log.info(s"scratch released after consuming action (qe=${qe.id}, " +
           s"${g.entries.size} frame(s))")
         unpersistGroup(g)
       }
     }
+    // a cache-reading action that consumed NONE of the armed groups is the
+    // signature of an externally cleared (zombie) group — prune now, so
+    // the per-frame CacheManager lookups run only on this rare path (and
+    // on arm()) instead of on every completed action
+    if (!released) pruneDead()
   }
 }

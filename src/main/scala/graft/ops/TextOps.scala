@@ -704,12 +704,17 @@ object TextOps {
     val inv0 = Dedup.dropOverfullBuckets(
       docs.select(col(idCol), explode(fingerprintWinnow(col(textCol), k, w)).as("__h")),
       Seq("__h"), maxBucketSize, "winnowOverlap", logMetric = false)
-    // with the guard active the index is scanned twice (emission agg +
-    // the join) — persist the byte-small (id, hash) rows so the md5
-    // fingerprint pass over the corpus is paid ONCE (spills to disk if
-    // the index outgrows memory; ~16 B/fingerprint)
+    // with the guard active AND unsolved the index is scanned twice
+    // (emission agg + the join) — persist the byte-small (id, hash) rows
+    // so the md5 fingerprint pass over the corpus is paid ONCE (spills to
+    // disk if the index outgrows memory; ~16 B/fingerprint). On a
+    // DialMemo hit the measurement job is skipped entirely, so the
+    // persist would serve nothing: the returned self-join's two sides
+    // share one exchange at runtime (ReuseExchange), paying the
+    // fingerprint pass once per action either way.
+    val dialSolved = maxCandidatePairs > 0 && DialMemo.solved(inv0, "winnow.guard", Nil)
     val inv =
-      if (maxCandidatePairs > 0)
+      if (maxCandidatePairs > 0 && !dialSolved)
         inv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else inv0
     // fail-loud candidate-volume guard (the dropOverfullBuckets pattern
@@ -717,15 +722,20 @@ object TextOps {
     // index measures the self-join's exact emission Σ C(bucket, 2) BEFORE
     // the quadratic join runs, so a 100 TB run cannot silently pay n² —
     // it either fits the declared ceiling or stops with the dials named.
-    // Cost: one fingerprint scan + a map-combinable agg — O(n), paid once,
-    // negligible next to the join it bounds. maxCandidatePairs <= 0
-    // disables (audit-scale escape hatch, deliberate and in writing).
+    // Cost: one fingerprint scan + a map-combinable agg — O(n), paid once
+    // PER (index plan, JVM): the volume is a pure function of the index,
+    // so re-constructions (bench reps, winnow_auto after winnow_overlap,
+    // pipeline chains) reuse the DialMemo-recorded count instead of
+    // re-scanning the corpus. maxCandidatePairs <= 0 disables (audit-scale
+    // escape hatch, deliberate and in writing).
     if (maxCandidatePairs > 0) {
       // n·(n−1) summed as LONG (SQL `/` would promote to double), halved
       // exactly in Scala — n·(n−1) is always even
-      val vol = inv.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
-        .agg(coalesce(sum(col("__n") * (col("__n") - 1)), lit(0L)))
-        .collect().head.getLong(0) / 2
+      val vol = DialMemo.sizes(inv0, "winnow.guard", Nil) {
+        Seq(inv.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+          .agg(coalesce(sum(col("__n") * (col("__n") - 1)), lit(0L)))
+          .collect().head.getLong(0) / 2)
+      }.head
       log.info(s"winnowOverlap: candidate_pairs=$vol (guard ceiling $maxCandidatePairs)")
       if (vol > maxCandidatePairs) {
         // a refused run returns no plan that could ever consume the
@@ -743,7 +753,7 @@ object TextOps {
       }
       // auto-release: the guard scan above was the last in-function use;
       // the first caller action over the returned join releases the index
-      ScratchCache.arm(docs.sparkSession, inv)
+      if (inv ne inv0) ScratchCache.arm(docs.sparkSession, inv)
     }
     // pinned-exchange self-join (the embeddingNearDups treatment): the
     // inverted index is byte-small while the hash-bucket self-join's
@@ -787,7 +797,11 @@ object TextOps {
       candidateBudget: Double = 1e8,
       wFloor: Int = 4,
   ): DataFrame = {
-    val n = docs.select(col(idCol)).count()
+    // the corpus size feeding the solver is a dial input too — one count
+    // job per (docs plan, JVM), not per construction
+    val n = DialMemo.sizes(docs.select(col(idCol)), "corpus.n", Nil) {
+      Seq(docs.select(col(idCol)).count())
+    }.head
     val (w, ms) = winnowConfigFor(n, candidateBudget, minShared, wFloor)
     val predicted = winnowPredictedCandidates(n, w)
     log.info(f"winnowOverlapAuto: n=$n solved w=$w minShared=$ms " +
@@ -1077,11 +1091,24 @@ object TextOps {
     // (dupHashes as used in the join below, raw persisted frame for the
     // scratch-release arm — the broadcast() hint wraps the plan, and only
     // the unhinted frame matches its CacheManager entry)
+    // dial-memoized (one count job per (plan, JVM)): on a hit the set's
+    // size is already known, so neither the persist (which existed to
+    // serve the count + the semi-join) nor the job runs — the semi-join
+    // is the plan's only consumer and recomputes it inside the action
+    val dupHashesSolved = broadcastMaxPositions > 0 &&
+      DialMemo.solved(dupHashes0, "spans.duphash", Nil)
     val (dupHashes, dupHashesScratch) =
       if (broadcastMaxPositions <= 0) (dupHashes0, None)
-      else {
+      else if (dupHashesSolved) {
+        // the measure body only runs if a concurrent clear() raced the
+        // solved() check — then it recomputes honestly, just unpersisted
+        val n = DialMemo.sizes(dupHashes0, "spans.duphash", Nil)(
+          Seq(dupHashes0.count())).head
+        log.info(s"dedupSpans: dup_hashes=$n (broadcast cutoff $dupHashBroadcastMax, memo)")
+        (if (n <= dupHashBroadcastMax) broadcast(dupHashes0) else dupHashes0, None)
+      } else {
         val p = dupHashes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = p.count()
+        val n = DialMemo.sizes(dupHashes0, "spans.duphash", Nil)(Seq(p.count())).head
         log.info(s"dedupSpans: dup_hashes=$n (broadcast cutoff $dupHashBroadcastMax)")
         (if (n <= dupHashBroadcastMax) broadcast(p) else p, Some(p))
       }
@@ -1094,13 +1121,33 @@ object TextOps {
     // choosing the reassembly strategy. broadcastMaxPositions <= 0 forces
     // the merge path (streaming/lazy callers that must not run an action
     // at plan-construction time).
+    def measureStarts(frame: DataFrame): Seq[Long] = {
+      val m = frame.agg(coalesce(sum(size(col("__starts"))), lit(0)).cast("long"),
+        count(lit(1))).collect().head
+      Seq(m.getLong(0), m.getLong(1))
+    }
+    val startsSolved = broadcastMaxPositions > 0 &&
+      DialMemo.solved(starts0, "spans.starts", Nil)
     val (starts, useBroadcast) =
       if (broadcastMaxPositions <= 0) (starts0, false)
-      else {
+      else if (startsSolved) {
+        // dial-memo hit: the payload size is known, so the persist (which
+        // existed to serve the measurement + the final join) and the
+        // measurement job are both skipped — the final join is the plan's
+        // only consumer of starts and computes it inside the action
+        val m = DialMemo.sizes(starts0, "spans.starts", Nil)(measureStarts(starts0))
+        log.info(s"dedupSpans: dup_positions=${m(0)} dup_docs=${m(1)} " +
+          s"(broadcast bound $broadcastMaxPositions, memo)")
+        // with no construction-time double-pass left, any index/dup-hash
+        // scratch persisted above serves nothing beyond the single caller
+        // action — release in-function rather than leak
+        if (persistIndex) inv.unpersist(blocking = false)
+        dupHashesScratch.foreach(_.unpersist(blocking = false))
+        (starts0, m(0) <= broadcastMaxPositions)
+      } else {
         val p = starts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val m = p.agg(coalesce(sum(size(col("__starts"))), lit(0)).cast("long"),
-          count(lit(1))).collect().head
-        log.info(s"dedupSpans: dup_positions=${m.getLong(0)} dup_docs=${m.getLong(1)} " +
+        val m = DialMemo.sizes(starts0, "spans.starts", Nil)(measureStarts(p))
+        log.info(s"dedupSpans: dup_positions=${m(0)} dup_docs=${m(1)} " +
           s"(broadcast bound $broadcastMaxPositions)")
         // the measure above fully materialized the starts cache, so the
         // index and the dup-hash set have no consumers left anywhere —
@@ -1109,7 +1156,7 @@ object TextOps {
         if (persistIndex) inv.unpersist(blocking = false)
         dupHashesScratch.foreach(_.unpersist(blocking = false))
         ScratchCache.arm(docs.sparkSession, p)
-        (p, m.getLong(0) <= broadcastMaxPositions)
+        (p, m(0) <= broadcastMaxPositions)
       }
     val toks = tokens(col(textCol))
     docs

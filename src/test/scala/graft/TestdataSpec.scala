@@ -43,4 +43,24 @@ class TestdataSpec extends AnyFunSuite {
       .count()
     assert(n > 0)
   }
+
+  test("table memo pins the first listing; clearTableMemo is the invalidation rule") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("memo_stale").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(s"$tmp/gen.parquet")
+    assert(SparkEntry.t(spark, tmp, "gen").count() == 1L)
+    // regenerate the directory with MORE rows: the memo must keep serving
+    // the first listing (write-once invariant) until explicitly cleared —
+    // spark.catalog.refresh* cannot see the private memo
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/gen.parquet")
+    val stale = try SparkEntry.t(spark, tmp, "gen").count() catch {
+      // a vanished first-listing file is also an acceptable stale outcome
+      case _: Throwable => -1L
+    }
+    assert(stale != 3L, "memo unexpectedly saw the regenerated directory")
+    SparkEntry.clearTableMemo()
+    assert(SparkEntry.t(spark, tmp, "gen").count() == 3L,
+      "clearTableMemo must force a fresh listing")
+  }
 }
